@@ -1,0 +1,283 @@
+"""Embedding plans (SURVEY §2 G, F5): similarity search + embedding
+near-dup over the ``embeddings`` table (array<float> column, dim=64).
+
+Float determinism across engines: every dot product / norm is emitted
+as an *explicit left-associated chain* of double-precision terms
+(``a[1]*b[1] + a[2]*b[2] + ...``) in both the Spark plan and the DuckDB
+oracle, so IEEE evaluation order is identical and results are
+bit-exact. (``F.aggregate``/``list_dot_product`` would be idiomatic
+but leave summation order engine-defined.)
+
+Scale notes (100 TB of embeddings):
+- brute-force top-k broadcasts the (small) query set and makes ONE
+  pass over the vectors; the window top-k shuffles only
+  n_queries × n_vectors candidate rows. At real scale you'd add a
+  per-partition partial top-k before the exchange (AQE keeps the
+  final exchange small here).
+- LSH path buckets vectors by random-hyperplane signature: the
+  hyperplane matrix is a compile-time ±1 constant (seeded md5), the
+  bucket join is equi-key, and only same-bucket pairs are scored —
+  the classic sublinear ANN trade (recall vs. cost).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from drive_bc_datapipeline_spark.plans.registry import query, t
+
+DIM = 64
+N_QUERIES = 5  # query set = vec_id < 5
+TOP_K = 10
+NEAR_DUP_COS = 0.4  # synthetic embeddings max-cos ≈ 0.51; 0.4 → sparse pairs
+N_PLANES = 4
+
+
+def _dot_terms_spark(a: str, b: str) -> Column:
+    terms = [
+        F.element_at(F.col(a), d).cast("double")
+        * F.element_at(F.col(b), d).cast("double")
+        for d in range(1, DIM + 1)
+    ]
+    return reduce(lambda x, y: x + y, terms)
+
+
+def _dot_terms_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST({a}[{d}] AS DOUBLE) * CAST({b}[{d}] AS DOUBLE)"
+        for d in range(1, DIM + 1)
+    )
+
+
+def _norm_spark(a: str) -> Column:
+    return F.sqrt(_dot_terms_spark(a, a))
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_terms_sql(a, a)})"
+
+
+# --------------------------------------------------------------------------
+# G1 — brute-force cosine top-k for a small query set.
+# --------------------------------------------------------------------------
+
+ANN_TOPK_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_norm_sql("embedding")} AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         ({_dot_terms_sql("q.embedding", "v.embedding")}) / (q.nrm * v.nrm) AS cos
+  FROM e q JOIN e v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+  ) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cosine
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@query("ann_cosine_topk", ANN_TOPK_ORACLE)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").withColumn("nrm", _norm_spark("embedding"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    v = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("v_emb"),
+        F.col("nrm").alias("v_nrm"),
+    )
+    cos = _dot_terms_spark("q_emb", "v_emb") / (F.col("q_nrm") * F.col("v_nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# G2 — random-hyperplane LSH ANN. The ±1 hyperplane matrix is derived
+# from md5 at *build time* (seeded, engine-independent) and inlined as
+# literals into both plans.
+# --------------------------------------------------------------------------
+
+
+def _plane(p: int) -> list[int]:
+    return [
+        1 if hashlib.md5(f"plane{p}_{d}".encode()).hexdigest()[0] in "02468ace" else -1
+        for d in range(DIM)
+    ]
+
+
+PLANES = [_plane(p) for p in range(N_PLANES)]
+
+
+def _bucket_spark(col: str) -> Column:
+    bits = []
+    for p, plane in enumerate(PLANES):
+        terms = [
+            F.element_at(F.col(col), d + 1).cast("double") * float(plane[d])
+            for d in range(DIM)
+        ]
+        dot = reduce(lambda x, y: x + y, terms)
+        bits.append(F.when(dot >= 0, 1 << p).otherwise(0))
+    return reduce(lambda x, y: x + y, bits).cast("int")
+
+
+def _bucket_sql(col: str) -> str:
+    parts = []
+    for p, plane in enumerate(PLANES):
+        dot = " + ".join(
+            f"CAST({col}[{d + 1}] AS DOUBLE) * {float(plane[d])}" for d in range(DIM)
+        )
+        parts.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(parts) + " AS INTEGER)"
+
+
+ANN_LSH_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {_norm_sql("embedding")} AS nrm,
+         {_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, q.bucket,
+         ({_dot_terms_sql("q.embedding", "v.embedding")}) / (q.nrm * v.nrm) AS cos
+  FROM e q JOIN e v ON v.bucket = q.bucket AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+  ) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(bucket AS INTEGER) AS bucket,
+       CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cosine
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@query("ann_lsh_topk", ANN_LSH_ORACLE)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .withColumn("nrm", _norm_spark("embedding"))
+        .withColumn("bucket", _bucket_spark("embedding"))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("bucket"),
+    )
+    v = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("v_emb"),
+        F.col("nrm").alias("v_nrm"),
+        F.col("bucket").alias("v_bucket"),
+    )
+    cos = _dot_terms_spark("q_emb", "v_emb") / (F.col("q_nrm") * F.col("v_nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        v.join(
+            F.broadcast(q),
+            (F.col("v_bucket") == F.col("bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# G3 — vector norm / dimension sanity statistics.
+# --------------------------------------------------------------------------
+
+NORMS_ORACLE = f"""
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       ROUND({_norm_sql("embedding")}, 6) AS l2_norm
+FROM embeddings
+"""
+
+
+@query("embedding_norms", NORMS_ORACLE)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(_norm_spark("embedding"), 6).alias("l2_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F5 — embedding-cosine near-dup pairs (all-pairs at test SF; at scale
+# this runs behind the LSH bucketing above — same scoring expression).
+# --------------------------------------------------------------------------
+
+EMB_DEDUP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_norm_sql("embedding")} AS nrm FROM embeddings
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       ROUND(({_dot_terms_sql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm), 4)
+         AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ({_dot_terms_sql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm)
+      >= {NEAR_DUP_COS}
+"""
+
+
+@query("dedup_embedding_cosine", EMB_DEDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").withColumn("nrm", _norm_spark("embedding"))
+    a = e.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cos = _dot_terms_spark("a_emb", "b_emb") / (F.col("a_nrm") * F.col("b_nrm"))
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= NEAR_DUP_COS)
+        .select("vec_id_a", "vec_id_b", F.round("cos", 4).alias("cosine"))
+    )

@@ -1,0 +1,514 @@
+"""Event plans (SURVEY §2 A, B, C5–C9, J3): the reference's ETL +
+analytics surface, re-expressed on the driver's ``events`` table.
+
+Reference parity map:
+- etl.py:9-27 (clean_df: dropDuplicates, explode, to_timestamp, nested
+  projection) → A1/A2/A3/A4
+- simple-analyses.py:10-33 (by_group counts with derived y/m/d/h) → B1–B5
+- athena.sql:19-29 (grouped counts) → B1/B2
+- etl-events.py streaming windowed semantics → B6/J3 batch twins
+- cluster.py / ml-sparkml.py feature prep analogs live in operators/
+
+Scale notes (100 TB of events): every aggregation here is a single
+shuffle on its group key; time-derived keys (year/month/day/hour) are
+computed map-side so partial aggregation collapses rows before the
+exchange. Sessionization and as-of are window functions over
+``(user_id, ts)`` — one shuffle on user_id, linear scan within
+partition; skewed users would be handled by AQE skew split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from drive_bc_datapipeline_spark.plans.registry import query, t
+
+# --------------------------------------------------------------------------
+# A1 — keyed dedup + timestamp/JSON normalization (etl.py clean_df parity).
+# Deterministic keep-first: row_number over (event_id) ordered by ts.
+# --------------------------------------------------------------------------
+
+ETL_CLEAN_ORACLE = """
+SELECT event_id, user_id, event_type, ts, value,
+       TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k,
+       CAST(year(ts) AS INTEGER)  AS year,
+       CAST(month(ts) AS INTEGER) AS month,
+       CAST(day(ts) AS INTEGER)   AS day,
+       CAST(hour(ts) AS INTEGER)  AS hour
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@query("etl_events_clean", ETL_CLEAN_ORACLE)
+def etl_events_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_id").orderBy("ts", "user_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            "value",
+            F.from_json("props", "k INT").getField("k").alias("k"),
+            F.year("ts").cast("int").alias("year"),
+            F.month("ts").cast("int").alias("month"),
+            F.dayofmonth("ts").cast("int").alias("day"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A2 — explode an array column into rows (etl.py explode(roads/areas)
+# parity) — here: tokenize documents and count tokens.
+# --------------------------------------------------------------------------
+
+EXPLODE_ORACLE = """
+SELECT token, COUNT(*) AS cnt
+FROM (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+"""
+
+
+@query("etl_explode_tokens", EXPLODE_ORACLE)
+def etl_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A3 — schema-on-read JSON extraction + aggregation (etl-events.py
+# from_json parity).
+# --------------------------------------------------------------------------
+
+JSON_EXTRACT_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER)) AS sum_k,
+       ROUND(AVG(TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER)), 4) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("etl_json_extract", JSON_EXTRACT_ORACLE)
+def etl_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 — dropna/filter projection pipeline (etl-historical.py dropna parity).
+# Passthrough columns are untouched doubles/timestamps → exact parity.
+# --------------------------------------------------------------------------
+
+DROPNA_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE value IS NOT NULL
+  AND value > 50.0
+  AND event_type IN ('click', 'purchase', 'view')
+"""
+
+
+@query("etl_dropna_filter", DROPNA_ORACLE)
+def etl_dropna_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.dropna(subset=["value"])
+        .filter(
+            (F.col("value") > 50.0)
+            & F.col("event_type").isin("click", "purchase", "view")
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+# --------------------------------------------------------------------------
+# B — group-by analytics (simple-analyses.py by_group + athena.sql parity).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "counts_by_type",
+    "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type",
+)
+def counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "counts_by_type_month_year",
+    """
+    SELECT event_type,
+           CAST(month(ts) AS INTEGER) AS month,
+           CAST(year(ts) AS INTEGER)  AS year,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def counts_by_type_month_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.withColumn("month", F.month("ts").cast("int"))
+        .withColumn("year", F.year("ts").cast("int"))
+        .groupBy("event_type", "month", "year")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "counts_by_day_month_year",
+    """
+    SELECT CAST(day(ts) AS INTEGER)   AS day,
+           CAST(month(ts) AS INTEGER) AS month,
+           CAST(year(ts) AS INTEGER)  AS year,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def counts_by_day_month_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.dayofmonth("ts").cast("int"))
+        .withColumn("month", F.month("ts").cast("int"))
+        .withColumn("year", F.year("ts").cast("int"))
+        .groupBy("day", "month", "year")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "counts_by_hour",
+    """
+    SELECT CAST(hour(ts) AS INTEGER) AS hour, COUNT(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def counts_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.withColumn("hour", F.hour("ts").cast("int"))
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "top_users_by_events",
+    """
+    SELECT user_id, COUNT(*) AS cnt
+    FROM events GROUP BY user_id
+    ORDER BY cnt DESC, user_id
+    LIMIT 10
+    """,
+)
+def top_users_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "hourly_timeseries",
+    """
+    SELECT date_trunc('hour', ts) AS hour_ts,
+           COUNT(*) AS cnt,
+           ROUND(AVG(value), 4) AS avg_value,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def hourly_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.withColumn("hour_ts", F.date_trunc("hour", "ts"))
+        .groupBy("hour_ts")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B7 — gap-based sessionization (30-min inactivity gap). Exact integer
+# microsecond arithmetic on both engines → deterministic parity.
+# --------------------------------------------------------------------------
+
+SESSIONIZE_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, value,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+), sessions AS (
+  SELECT *, SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING
+  ) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+@query("sessionize_events", SESSIONIZE_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    session_seq = F.sum(new_session).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("session_seq", session_seq.cast("long"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B8 — per-type value statistics (exact interpolated median).
+# --------------------------------------------------------------------------
+
+VALUE_STATS_ORACLE = """
+SELECT event_type,
+       ROUND(MIN(value), 4) AS min_value,
+       ROUND(MAX(value), 4) AS max_value,
+       ROUND(AVG(value), 4) AS avg_value,
+       ROUND(STDDEV_SAMP(value), 4) AS std_value,
+       ROUND(quantile_cont(value, 0.5), 4) AS median_value
+FROM events GROUP BY event_type
+"""
+
+
+@query("event_value_stats", VALUE_STATS_ORACLE)
+def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 4).alias("std_value"),
+        F.round(F.percentile("value", 0.5), 4).alias("median_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C5 / C6 — anti & semi joins.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "anti_join_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "semi_join_parts",
+    """
+    SELECT p_partkey, p_name FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    l = t(spark, sf_dir, "lineitem")
+    return p.join(l, p.p_partkey == l.l_partkey, "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# C7 — as-of join: for each purchase event, the most recent prior click
+# of the same user. Implemented scalably as union + last_value window
+# (one shuffle on user_id, no pairwise join) — the standard distributed
+# as-of pattern; a naive range join would explode at 100 TB.
+# --------------------------------------------------------------------------
+
+ASOF_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT MAX(c.ts) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+       ) AS last_click_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+"""
+
+
+@query("asof_join_orders_events", ASOF_ORACLE)
+def asof_join_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    both = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        # click sorts before purchase at equal ts → inclusive `<=` semantics
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        both.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+# --------------------------------------------------------------------------
+# C8 — exact distinct per group (+ approx HLL twin, rows-only checked).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "distinct_users_per_type",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+@query("approx_distinct_users")  # rows-only: HLL sketch values are engine-specific
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct — the 100 TB path where exact distinct's
+    full shuffle is not affordable. No oracle: sketch estimates are
+    engine-specific by construction."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )
+
+
+# --------------------------------------------------------------------------
+# C9 — ROLLUP multi-level aggregate (NULL markers coalesced to 'ALL' so
+# the hash never depends on engine NULL conventions).
+# --------------------------------------------------------------------------
+
+ROLLUP_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL')   AS order_status,
+       COALESCE(o_orderpriority, 'ALL') AS order_priority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("rollup_orders", ROLLUP_ORACLE)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("order_status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("order_priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J3 — batch twin of the streaming tumbling-window aggregation
+# (streaming/pipeline.py runs the same plan via readStream; this entry
+# proves the window() semantics against the oracle).
+# --------------------------------------------------------------------------
+
+STREAMING_WINDOW_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS cnt
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@query("streaming_hourly_counts", STREAMING_WINDOW_ORACLE)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+        )
+    )

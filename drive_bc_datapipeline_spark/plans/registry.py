@@ -1,0 +1,68 @@
+"""Named-query registry: the single source of truth for the engine's
+query surface.
+
+Every capability row in SURVEY.md §2 registers here as
+``(name, spark_fn, oracle_sql)``; ``__spark_entry__.py`` re-exports it
+for the driver. Oracle SQL is ANSI DuckDB-runnable against the same
+parquet tables (pre-registered views).
+
+Cross-engine determinism rules (so the driver's order-insensitive
+value-hash matches):
+- alias every computed column identically on both sides;
+- round double aggregates (``round(x, 2)`` money, ``round(x, 4)``
+  ratios/averages) — both engines round half-away-from-zero for
+  positive doubles;
+- cast calendar parts (year/month/day/hour) to INT on both sides;
+- make every top-k / rank deterministic with an explicit key tiebreak.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a named query (and optionally its DuckDB oracle)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table (lazy parquet scan).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read it as raw nanos (``nanosAsLong``) and
+    truncate to microseconds — bit-identical to DuckDB's ns→µs
+    truncation, so oracles stay exact.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(path).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
+
+
+def load_all_plans() -> None:
+    """Import every plans module so registration side-effects run."""
+    from drive_bc_datapipeline_spark.plans import (  # noqa: F401
+        documents,
+        embeddings,
+        events,
+        tpch,
+    )

@@ -1,0 +1,52 @@
+"""Testdata catalog loader.
+
+Loads the driver-generated parquet tables (TPC-H-ish star schema plus
+``events``/``documents``/``embeddings``) and registers temp views so
+both the DataFrame API and ``spark.sql`` can address them.
+
+At 100 TB these would be external catalog tables (partitioned and/or
+bucketed on their join keys: orders/lineitem bucketed by orderkey,
+events partitioned by date(ts)); the loader is the only place that
+would change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables small enough to broadcast at any realistic SF.
+BROADCAST_DIMS = {"region", "nation", "supplier"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every testdata table and register ``<name>`` temp views."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
