@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "bench_total", "value": <sum-sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is fully materialized through the ``noop`` sink (no driver
+collect, no disk write — pure execution time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    # core OLAP
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "window_rank_customers",
+    "rollup_orders",
+    # events ETL + analytics
+    "etl_events_clean",
+    "hourly_timeseries",
+    "sessionize_events",
+    "asof_join_orders_events",
+    # LLM-pipeline: dedup + text
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "text_quality_score",
+    "token_count",
+    # similarity search
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "dedup_embedding_cosine",
+    # geo + ml features
+    "geo_grid_cluster",
+    "ml_duration_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from drive_bc_datapipeline_spark.plans import registry
+    from drive_bc_datapipeline_spark.session import get_spark
+
+    registry.load_all_plans()
+    spark = get_spark("bench")
+
+    # Warm the JVM + parquet footers with one cheap action (not timed).
+    registry.t(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,8 @@ Scale notes (100 TB of documents):
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -112,10 +114,11 @@ cand AS (
   JOIN rare r ON a.shingle = r.shingle
 ),
 inter AS (
-  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
-  FROM shingles a
-  JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  JOIN cand c ON c.doc_id_a = a.doc_id AND c.doc_id_b = b.doc_id
+  -- candidate-driven: fan-out is |cand| x shingles-per-doc, never df^2
+  SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_id_a
+  JOIN shingles b ON b.doc_id = c.doc_id_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 )
 SELECT i.doc_id_a, i.doc_id_b,
@@ -153,16 +156,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Candidate-driven intersection: fan-out is |cand| x shingles-per-doc,
+    # never df^2 — the property that keeps this plan alive at 100 TB.
     inter = (
-        a.join(
+        cand.join(a, F.col("a.doc_id") == F.col("doc_id_a"))
+        .join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("b.doc_id") == F.col("doc_id_b"))
+            & (F.col("b.shingle") == F.col("a.shingle")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
-        )
-        .join(cand, ["doc_id_a", "doc_id_b"])
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -360,4 +362,250 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(shingles).alias("sh"))
         .groupBy("doc_id")
         .agg(F.min(F.md5(F.col("sh").cast("binary"))).alias("fingerprint"))
+    )
+
+
+# --------------------------------------------------------------------------
+# F2 — MinHash + LSH near-dup detection.
+# Shingles: distinct word 5-grams. K=16 md5-seeded min-hashes (hex
+# strings, lexicographic min — identical across engines). 4 bands x 4
+# rows; candidate pairs share >=1 band; candidates are verified with
+# exact Jaccard and thresholded.
+#
+# 100 TB path: signatures are map-side (one groupBy doc_id); the band
+# join keys on (band_id, band_hash) whose cardinality grows with the
+# corpus, so buckets stay small; verification touches candidates only.
+# --------------------------------------------------------------------------
+
+MH_N = 5          # shingle n-gram size
+MH_K = 16         # number of minhash permutations
+MH_BANDS = 4      # LSH bands (MH_K / MH_BANDS rows each)
+MH_JACCARD = 0.7  # verification threshold
+
+
+def _mh_cols_spark():
+    return [
+        F.min(F.md5(F.concat(F.lit(f"mh{i}|"), F.col("shingle")).cast("binary"))).alias(f"h{i}")
+        for i in range(MH_K)
+    ]
+
+
+def _mh_cols_sql() -> str:
+    return ",\n         ".join(
+        f"min(md5('mh{i}|' || shingle)) AS h{i}" for i in range(MH_K)
+    )
+
+
+def _band_exprs() -> list[list[str]]:
+    rows = MH_K // MH_BANDS
+    return [[f"h{b * rows + r}" for r in range(rows)] for b in range(MH_BANDS)]
+
+
+MINHASH_ORACLE = f"""
+WITH shingles AS ({word_ngrams_sql(MH_N)}),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id,
+         {_mh_cols_sql()}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+{" UNION ALL ".join(
+    f"  SELECT doc_id, {b} AS band_id, md5({' || '.join(cols)}) AS band_hash FROM sigs"
+    for b, cols in enumerate(_band_exprs())
+)}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_id_a
+  JOIN shingles b ON b.doc_id = c.doc_id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_id_a, i.doc_id_b,
+       ROUND(CAST(i.n_common AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - i.n_common), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_id_a
+JOIN sizes sb ON sb.doc_id = i.doc_id_b
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= {MH_JACCARD}
+"""
+
+
+@query("dedup_minhash_lsh", MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    shingles = word_ngrams(d, MH_N).cache()
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sigs = shingles.groupBy("doc_id").agg(*_mh_cols_spark())
+    band_frames = []
+    for b, cols in enumerate(_band_exprs()):
+        band_frames.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat(*[F.col(c) for c in cols]).cast("binary")).alias(
+                    "band_hash"
+                ),
+            )
+        )
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_id_a"),
+            F.col("bb.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    a, b_ = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_id_a"))
+        .join(
+            b_,
+            (F.col("b.doc_id") == F.col("doc_id_b"))
+            & (F.col("b.shingle") == F.col("a.shingle")),
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_id_b") == F.col("sb.doc_id"))
+        .filter(jac >= MH_JACCARD)
+        .select("doc_id_a", "doc_id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# F4 — SimHash near-dup detection (16-bit; weighted by token frequency).
+# Token hash = first 4 hex chars of md5, decoded with a portable
+# instr-based hex parse (identical SQL fragment runs on both engines).
+# Candidates: pigeonhole on 4-bit chunks (hamming <= 3 implies >=1 of
+# the 4 chunks is equal), then exact hamming filter via xor+bit_count.
+# --------------------------------------------------------------------------
+
+SH_BITS = 16
+SH_HAMMING_MAX = 3
+
+# Portable hex16 parser: works verbatim in Spark SQL and DuckDB.
+_HEX16 = (
+    "((instr('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substr(md5(token), 2, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5(token), 3, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(token), 4, 1)) - 1))"
+)
+
+
+def _simhash_agg_sql() -> str:
+    """SUM of +/-cnt per bit, folded into a 16-bit integer."""
+    bits = []
+    for j in range(SH_BITS):
+        bit = f"(CAST(floor(h16 / {float(2 ** j)}) AS INTEGER) % 2)"
+        bits.append(
+            f"(CASE WHEN SUM(cnt * (2 * {bit} - 1)) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(bits) + " AS INTEGER)"
+
+
+_SIMHASH_DOCS_SQL = f"""
+  SELECT doc_id, {_simhash_agg_sql()} AS simhash
+  FROM (
+    SELECT doc_id, token, COUNT(*) AS cnt, {_HEX16} AS h16
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY doc_id, token
+  )
+  GROUP BY doc_id
+"""
+
+SIMHASH_ORACLE = f"""
+WITH sim AS ({_SIMHASH_DOCS_SQL}),
+chunked AS (
+  SELECT doc_id, simhash,
+         CAST(floor(simhash / 1.0)    AS INTEGER) % 16 AS c0,
+         CAST(floor(simhash / 16.0)   AS INTEGER) % 16 AS c1,
+         CAST(floor(simhash / 256.0)  AS INTEGER) % 16 AS c2,
+         CAST(floor(simhash / 4096.0) AS INTEGER) % 16 AS c3
+  FROM sim
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM chunked a JOIN chunked b
+    ON a.doc_id < b.doc_id
+   AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+)
+SELECT doc_id_a, doc_id_b,
+       CAST(bit_count(xor(CAST(sim_a AS BIGINT), CAST(sim_b AS BIGINT))) AS INTEGER)
+         AS hamming
+FROM cand
+WHERE bit_count(xor(CAST(sim_a AS BIGINT), CAST(sim_b AS BIGINT))) <= {SH_HAMMING_MAX}
+"""
+
+
+@query("dedup_simhash", SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h16", F.expr(_HEX16))
+    )
+    bit_cases = []
+    for j in range(SH_BITS):
+        bit = (F.floor(F.col("h16") / float(2**j)).cast("int") % 2)
+        s_j = F.sum(F.col("cnt") * (2 * bit - 1))
+        bit_cases.append(F.when(s_j > 0, 1 << j).otherwise(0))
+    simhash = reduce(lambda x, y: x + y, bit_cases).cast("int")
+    sim = toks.groupBy("doc_id").agg(simhash.alias("simhash"))
+    chunked = sim.select(
+        "doc_id",
+        "simhash",
+        *[
+            (F.floor(F.col("simhash") / float(16**c)).cast("int") % 16).alias(f"c{c}")
+            for c in range(4)
+        ],
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    chunk_match = reduce(
+        lambda x, y: x | y,
+        [F.col(f"a.c{c}") == F.col(f"b.c{c}") for c in range(4)],
+    )
+    hamming = F.bit_count(
+        F.col("a.simhash").cast("long").bitwiseXOR(F.col("b.simhash").cast("long"))
+    )
+    return (
+        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & chunk_match)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SH_HAMMING_MAX)
     )

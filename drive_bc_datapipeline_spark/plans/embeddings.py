@@ -39,12 +39,18 @@ N_PLANES = 4
 
 
 def _dot_terms_spark(a: str, b: str) -> Column:
-    terms = [
-        F.element_at(F.col(a), d).cast("double")
-        * F.element_at(F.col(b), d).cast("double")
-        for d in range(1, DIM + 1)
-    ]
-    return reduce(lambda x, y: x + y, terms)
+    """Dot product via aggregate(zip_with(...)): left-to-right fold with
+    a 0.0 seed — bit-identical to the oracle's explicit left-assoc chain
+    ((0.0 + t1) == t1 exactly), but a tiny codegen expression instead of
+    a 64-term tree (which overflows the JVM method limit and drops the
+    whole stage to interpreted eval)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def _dot_terms_sql(a: str, b: str) -> str:
@@ -137,11 +143,12 @@ PLANES = [_plane(p) for p in range(N_PLANES)]
 def _bucket_spark(col: str) -> Column:
     bits = []
     for p, plane in enumerate(PLANES):
-        terms = [
-            F.element_at(F.col(col), d + 1).cast("double") * float(plane[d])
-            for d in range(DIM)
-        ]
-        dot = reduce(lambda x, y: x + y, terms)
+        plane_arr = F.array(*[F.lit(float(c)) for c in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(col), plane_arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
         bits.append(F.when(dot >= 0, 1 << p).otherwise(0))
     return reduce(lambda x, y: x + y, bits).cast("int")
 
@@ -263,18 +270,33 @@ WHERE ({_dot_terms_sql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm)
 
 @query("dedup_embedding_cosine", EMB_DEDUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings").withColumn("nrm", _norm_spark("embedding"))
-    a = e.select(
+    # Pre-cast each vector to double ONCE before the pair join — the
+    # join fans out to O(n^2) pairs, so per-pair casting would redo
+    # 2x64 casts per candidate.
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .withColumn("emb_d", F.transform("embedding", lambda x: x.cast("double")))
+        .withColumn("nrm", _norm_spark("embedding"))
+    )
+    # The pair join is a broadcast nested-loop; its parallelism is the
+    # streamed side's partition count (a single parquet file = 1 task).
+    # Spread side A across the cluster before fanning out pairs.
+    a = e.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("vec_id_a"),
-        F.col("embedding").alias("a_emb"),
+        F.col("emb_d").alias("a_emb"),
         F.col("nrm").alias("a_nrm"),
     )
     b = e.select(
         F.col("vec_id").alias("vec_id_b"),
-        F.col("embedding").alias("b_emb"),
+        F.col("emb_d").alias("b_emb"),
         F.col("nrm").alias("b_nrm"),
     )
-    cos = _dot_terms_spark("a_emb", "b_emb") / (F.col("a_nrm") * F.col("b_nrm"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a_emb"), F.col("b_emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (F.col("a_nrm") * F.col("b_nrm"))
     return (
         a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
         .withColumn("cos", cos)

@@ -1,0 +1,155 @@
+"""Geo / clustering plans (SURVEY §2 D): the reference's spatial surface
+(cluster.py DBSCAN on event lat/lon), Spark-distributed.
+
+The driver testdata has no coordinates, so events carry deterministic
+pseudo-coordinates derived from (value, props.k):
+``lat = value / 4 - 40`` (≈[-40, 42]), ``lon = k * 3.6 - 180``
+([-180, 176.4]). Identical arithmetic on both engines → exact parity.
+
+Reference parity: cluster.py:33-60 collects ALL points to the driver
+and runs sklearn DBSCAN — a non-starter at scale. Here:
+- D1 grid-cell density clustering: one shuffle on the cell key; cells
+  with >= MIN_SAMPLES points are "core" clusters. This is the scalable
+  stand-in with DBSCAN-like density semantics.
+- D3 (operators/geo.py, tests-only) runs exact DBSCAN per spatial tile
+  via applyInPandas — bounded worker memory, parallel across tiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drive_bc_datapipeline_spark.plans.registry import query, r4, r4_sql, t
+
+EPS_DEG = 5.0
+MIN_SAMPLES = 5
+
+# Portable pseudo-coordinate fragments (valid Spark SQL AND DuckDB).
+LAT_SQL = "(value / 4.0 - 40.0)"
+LON_SQL = (
+    "(TRY_CAST(regexp_extract(props, '\"k\":\\s*(-?\\d+)', 1) AS INTEGER)"
+    " * 3.6 - 180.0)"
+)
+
+
+def _lat() -> Column:
+    return F.expr("value / 4.0 - 40.0")
+
+
+def _lon() -> Column:
+    k = F.from_json("props", "k INT").getField("k")
+    return k * 3.6 - 180.0
+
+
+# --------------------------------------------------------------------------
+# D1 — grid-cell density clustering (scalable DBSCAN stand-in).
+# --------------------------------------------------------------------------
+
+GRID_CLUSTER_ORACLE = f"""
+SELECT CAST(floor({LON_SQL} / {EPS_DEG}) AS INTEGER) AS cell_x,
+       CAST(floor({LAT_SQL} / {EPS_DEG}) AS INTEGER) AS cell_y,
+       COUNT(*) AS n_points,
+       CASE WHEN COUNT(*) >= {MIN_SAMPLES} THEN 1 ELSE 0 END AS is_core
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("geo_grid_cluster", GRID_CLUSTER_ORACLE)
+def geo_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.floor(_lon() / EPS_DEG).cast("int").alias("cell_x"),
+            F.floor(_lat() / EPS_DEG).cast("int").alias("cell_y"),
+        )
+        .groupBy("cell_x", "cell_y")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .withColumn(
+            "is_core",
+            F.when(F.col("n_points") >= MIN_SAMPLES, 1).otherwise(0),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D2 — haversine distance (native trig, no UDF — reference computed
+# distances via sklearn's haversine metric) bucketed into range bands.
+# --------------------------------------------------------------------------
+
+REF_LAT, REF_LON = 49.25, -123.1  # reference point (Vancouver, BC)
+EARTH_KM = 6371.0088  # cluster.py:9 KMS_PER_RADIAN
+BUCKET_KM = 2000
+
+HAVERSINE_SQL = f"""
+(2.0 * {EARTH_KM} * asin(sqrt(
+    pow(sin(radians(({LAT_SQL} - {REF_LAT}) / 2.0)), 2)
+    + cos(radians({LAT_SQL})) * cos(radians({REF_LAT}))
+      * pow(sin(radians(({LON_SQL} - {REF_LON}) / 2.0)), 2)
+)))
+"""
+
+HAVERSINE_BUCKETS_ORACLE = f"""
+SELECT CAST(floor({HAVERSINE_SQL} / {BUCKET_KM}) AS INTEGER) AS dist_bucket_km,
+       COUNT(*) AS n_events,
+       {r4_sql("AVG(value)")} AS avg_value
+FROM events
+GROUP BY 1
+"""
+
+
+def _haversine() -> Column:
+    lat, lon = _lat(), _lon()
+    dlat = F.radians((lat - F.lit(REF_LAT)) / 2.0)
+    dlon = F.radians((lon - F.lit(REF_LON)) / 2.0)
+    a = F.pow(F.sin(dlat), 2) + F.cos(F.radians(lat)) * F.cos(
+        F.radians(F.lit(REF_LAT))
+    ) * F.pow(F.sin(dlon), 2)
+    return 2.0 * EARTH_KM * F.asin(F.sqrt(a))
+
+
+@query("haversine_distance_buckets", HAVERSINE_BUCKETS_ORACLE)
+def haversine_distance_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.floor(_haversine() / BUCKET_KM).cast("int").alias("dist_bucket_km"),
+            "value",
+        )
+        .groupBy("dist_bucket_km")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r4(F.avg("value")).alias("avg_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D4 — LineString centroid (etl-historical.py:17-52 parity, native agg
+# instead of a Pandas UDF): each user's event trail is the LineString;
+# the centroid is the mean of its vertices.
+# --------------------------------------------------------------------------
+
+CENTROID_ORACLE = f"""
+SELECT user_id,
+       COUNT(*) AS n_points,
+       {r4_sql(f"AVG({LON_SQL})")} AS centroid_lon,
+       {r4_sql(f"AVG({LAT_SQL})")} AS centroid_lat
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("linestring_centroid", CENTROID_ORACLE)
+def linestring_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select("user_id", _lon().alias("lon"), _lat().alias("lat"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            r4(F.avg("lon")).alias("centroid_lon"),
+            r4(F.avg("lat")).alias("centroid_lat"),
+        )
+    )

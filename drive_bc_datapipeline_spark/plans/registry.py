@@ -26,6 +26,50 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# ---------------------------------------------------------------------------
+# Cross-engine safe rounding.
+#
+# Aggregates of decimal-grid data can land EXACTLY on a rounding half
+# (e.g. a centroid of -25.25625): the unrounded doubles then differ
+# between engines by summation-order noise (~1e-13) and round() flips
+# the last digit. The fix: nudge by an epsilon far above fp noise but
+# far below the output precision, identically in both engines, so no
+# true value can sit on a boundary. Use the _sql twins in oracle text.
+# ---------------------------------------------------------------------------
+
+EPS2 = 1e-5  # for ROUND(x, 2): >> cross-engine noise, << 0.005 boundary gap
+EPS4 = 1e-9  # for ROUND(x, 4) and ROUND(x, 6)
+
+
+def r2(col):
+    from pyspark.sql import functions as F
+
+    return F.round(col + EPS2, 2)
+
+
+def r4(col):
+    from pyspark.sql import functions as F
+
+    return F.round(col + EPS4, 4)
+
+
+def r6(col):
+    from pyspark.sql import functions as F
+
+    return F.round(col + EPS4, 6)
+
+
+def r2_sql(expr: str) -> str:
+    return f"ROUND(({expr}) + {EPS2!r}, 2)"
+
+
+def r4_sql(expr: str) -> str:
+    return f"ROUND(({expr}) + {EPS4!r}, 4)"
+
+
+def r6_sql(expr: str) -> str:
+    return f"ROUND(({expr}) + {EPS4!r}, 6)"
+
 
 def query(name: str, oracle: str | None = None):
     """Register a named query (and optionally its DuckDB oracle)."""
@@ -64,5 +108,8 @@ def load_all_plans() -> None:
         documents,
         embeddings,
         events,
+        geo,
+        ml,
+        multimodal,
         tpch,
     )
