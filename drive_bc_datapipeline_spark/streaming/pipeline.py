@@ -1,0 +1,159 @@
+"""Structured Streaming pipelines (SURVEY §2 J1/J2).
+
+Reference parity: etl-events.py — Kinesis source → binary payload
+parsed with an explicit JSON schema → explode the events array →
+clean/dropna → `foreachBatch` that skips empty micro-batches and
+appends parquet. Here the source is a file stream (the only stream
+source in this environment), which exercises the identical pipeline
+shape: `readStream` with explicit schema → the same declarative
+transformations as the batch plans → `foreachBatch` sink. Swapping the
+source line back to Kinesis/Kafka is a one-liner; everything
+downstream is source-agnostic.
+
+Scale notes (100 TB/day of events):
+- Explicit schema: no inference, each micro-batch goes straight to
+  parse. Corrupt records survive as NULLs (PERMISSIVE) and are dropped
+  by the same dropna the reference used.
+- J2's watermark bounds the window-agg state store: late events beyond
+  the watermark are discarded instead of growing state forever.
+- The foreachBatch sink writes date-partitioned parquet so downstream
+  batch queries partition-prune; empty batches skip the write entirely
+  (the reference's `if not batch_df.isEmpty()` guard — skip-empty
+  avoids small-file storms when the source idles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Explicit schema-on-read for the raw event stream (etl-events.py:16-30
+# declared its Kinesis JSON schema the same way).
+RAW_EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", StringType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """File-source stream of JSONL event files with explicit schema.
+
+    `maxFilesPerTrigger` bounds micro-batch size — the file-source
+    equivalent of Kinesis's per-shard read cap; without it the first
+    batch after a backlog swallows the whole directory.
+    """
+    return (
+        spark.readStream.schema(RAW_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+
+def clean_events(raw: DataFrame) -> DataFrame:
+    """The streaming-safe subset of the batch A1 clean: parse props,
+    derive calendar columns, drop unparseable rows. (Keyed global dedup
+    is a stateful op — streaming uses `dropDuplicatesWithinWatermark`;
+    see `deduped_event_stream`.)"""
+    return (
+        raw.dropna(subset=["event_id", "ts"])
+        .withColumn("k", F.from_json("props", "k INT").getField("k"))
+        .withColumn("event_date", F.to_date("ts"))
+        .withColumn("hour", F.hour("ts").cast("int"))
+        .drop("props")
+    )
+
+
+def deduped_event_stream(raw: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming keyed dedup: state bounded by the watermark horizon
+    (the batch twin keeps first-by-ts via row_number; within a
+    watermark window the semantics agree for in-order sources)."""
+    return (
+        raw.dropna(subset=["event_id", "ts"])
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
+def start_etl_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """J1: stream → clean → foreachBatch skip-empty parquet append,
+    date-partitioned. etl-events.py:40-52 parity."""
+    cleaned = clean_events(read_event_stream(spark, source_dir))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Skip-empty guard (reference checked rdd.isEmpty(); isEmpty()
+        # on the DataFrame is the modern form — O(1 partition) probe).
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.write.mode("append")
+            .partitionBy("event_date")
+            .parquet(sink_dir)
+        )
+
+    writer = cleaned.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_windowed_counts_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "hourly_counts",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """J2: watermark + tumbling 1-hour window count per event_type.
+
+    Same plan as the batch `streaming_hourly_counts` (J3) — the oracle
+    gate proves the window semantics; this proves the streaming
+    execution (state store + watermark eviction). Memory sink keeps the
+    test self-contained; production would foreachBatch-upsert.
+    """
+    raw = read_event_stream(spark, source_dir)
+    agg = (
+        raw.dropna(subset=["ts"])
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

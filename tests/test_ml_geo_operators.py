@@ -1,0 +1,118 @@
+"""Tests for the non-SQL operators: E2/E3 SparkML pipeline and D3
+per-tile DBSCAN (SURVEY §5.2 — hand-computed expectations on tiny
+frames; the oracle gate can't cover model fitting / iterative ops)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from drive_bc_datapipeline_spark.operators import geo as geo_ops
+from drive_bc_datapipeline_spark.operators import ml as ml_ops
+from drive_bc_datapipeline_spark.plans import registry
+from drive_bc_datapipeline_spark.plans.registry import QUERIES
+
+registry.load_all_plans()
+
+
+# ---------------------------------------------------------------- D3
+
+
+def _points(spark, rows):
+    return spark.createDataFrame(
+        [Row(point_id=str(i), lat=float(a), lon=float(b)) for i, (a, b) in enumerate(rows)]
+    )
+
+
+def test_dbscan_two_clusters_and_noise(spark):
+    # cluster A: 5 points near (0,0); cluster B: 5 near (20,20); 1 noise
+    a = [(0.0, 0.0), (0.1, 0.0), (0.0, 0.1), (0.1, 0.1), (0.05, 0.05)]
+    b = [(20.0, 20.0), (20.1, 20.0), (20.0, 20.1), (20.1, 20.1), (20.05, 20.05)]
+    noise = [(40.0, -40.0)]
+    df = geo_ops.dbscan_tiles(
+        _points(spark, a + b + noise), eps_deg=0.5, min_samples=5, tile_deg=10.0
+    )
+    rows = {r.point_id: r for r in df.collect()}
+    assert len(rows) == 11  # every point labeled exactly once (no ghost dups)
+    a_ids = {rows[str(i)].cluster_id for i in range(5)}
+    b_ids = {rows[str(i)].cluster_id for i in range(5, 10)}
+    assert len(a_ids) == 1 and None not in a_ids
+    assert len(b_ids) == 1 and None not in b_ids
+    assert a_ids != b_ids
+    assert rows["10"].cluster_id is None  # noise
+
+
+def test_dbscan_cluster_straddles_tile_border(spark):
+    # 6 points in a tight chain across the lon=10 tile boundary
+    chain = [(0.0, 9.7 + 0.12 * i) for i in range(6)]  # 9.7 .. 10.3
+    df = geo_ops.dbscan_tiles(
+        _points(spark, chain), eps_deg=0.5, min_samples=3, tile_deg=10.0
+    )
+    rows = sorted(df.collect(), key=lambda r: int(r.point_id))
+    assert len(rows) == 6
+    # every point is clustered (ghost margin let each tile see the
+    # whole chain) even though home tiles differ across the boundary
+    assert all(r.cluster_id is not None for r in rows)
+    assert len({r.tile_id for r in rows}) == 2
+
+
+def test_dbscan_weighted(spark):
+    # 3 co-located points with weight 2 → weighted sum 6 ≥ 5 = core;
+    # unweighted the same 3 points are below min_samples=5 → noise.
+    pts = [(0.0, 0.0), (0.05, 0.0), (0.0, 0.05)]
+    from pyspark.sql import functions as F
+
+    base = _points(spark, pts).withColumn("w2", F.lit(2.0))
+    unweighted = geo_ops.dbscan_tiles(base, eps_deg=0.5, min_samples=5)
+    assert all(r.cluster_id is None for r in unweighted.collect())
+    weighted = geo_ops.dbscan_tiles(
+        base, eps_deg=0.5, min_samples=5, weight_col="w2"
+    )
+    assert all(r.cluster_id is not None for r in weighted.collect())
+
+
+def test_dbscan_rejects_bad_tiling(spark):
+    with pytest.raises(ValueError):
+        geo_ops.dbscan_tiles(_points(spark, [(0, 0)]), eps_deg=5.0, tile_deg=10.0)
+
+
+# ------------------------------------------------------------- E2/E3
+
+
+@pytest.fixture(scope="module")
+def duration_df(spark):
+    return QUERIES["ml_duration_features"](
+        spark, "/root/testdata/sf0.001"
+    ).cache()
+
+
+def test_ml_pipeline_fit_evaluate(spark, duration_df):
+    train, test = duration_df.randomSplit([0.8, 0.2], seed=7)
+    model = ml_ops.fit(train, algo="rf")
+    metrics = ml_ops.evaluate(model, test)
+    assert set(metrics) == {"rmse", "mae", "mse", "r2"}
+    assert metrics["rmse"] > 0
+    assert abs(metrics["rmse"] ** 2 - metrics["mse"]) < 1e-6 * max(1.0, metrics["mse"])
+
+
+def test_ml_cv_and_gbt(spark, duration_df):
+    small = duration_df.limit(300)
+    model = ml_ops.fit_cv(small, algo="gbt", folds=2)
+    pred = model.transform(small)
+    assert pred.select("prediction").count() == small.count()
+
+
+def test_ml_save_load_score(spark, duration_df, tmp_path):
+    model = ml_ops.fit(duration_df, algo="rf")
+    path = str(tmp_path / "pipeline_model")
+    ml_ops.save(model, path)
+    loaded = ml_ops.load(path)
+    scored = ml_ops.score(loaded, duration_df.limit(20))
+    rows = scored.collect()
+    assert len(rows) == 20
+    assert all(r.prediction is not None for r in rows)
+    # unseen category survives scoring (handleInvalid="keep")
+    import pyspark.sql.functions as F
+
+    oddball = duration_df.limit(5).withColumn("o_orderstatus", F.lit("ZZ"))
+    assert ml_ops.score(loaded, oddball).count() == 5

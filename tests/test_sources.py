@@ -1,0 +1,98 @@
+"""Source/sink round-trip tests (SURVEY §2 K1–K3).
+
+Each format round-trips a small frame through a tmp dir and asserts
+content equality; the parquet test also checks partitionBy layout so
+partition pruning has something to prune.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from drive_bc_datapipeline_spark.sources import io as sio
+
+SCHEMA = StructType(
+    [
+        StructField("id", IntegerType()),
+        StructField("name", StringType()),
+        StructField("val", DoubleType()),
+    ]
+)
+
+ROWS = [
+    Row(id=1, name="a", val=1.5),
+    Row(id=2, name="b", val=2.5),
+    Row(id=3, name="a", val=3.5),
+]
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "pq")
+    sio.write_parquet(df, path, partition_cols=["name"], target_files=2)
+    # partitionBy produced hive-style dirs → downstream partition pruning
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("name=")
+    ) == ["name=a", "name=b"]
+    back = sio.read_parquet(spark, path).select("id", "name", "val")
+    assert _sorted(back) == _sorted(df)
+    # column projection narrows the scan schema
+    proj = sio.read_parquet(spark, path, columns=["id"])
+    assert proj.columns == ["id"]
+
+
+def test_parquet_append_mode(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "pq_append")
+    sio.write_parquet(df, path)
+    sio.write_parquet(df, path, mode="append")
+    assert sio.read_parquet(spark, path).count() == 2 * len(ROWS)
+
+
+def test_multiline_json_read(spark, tmp_path):
+    # one pretty-printed JSON document spanning many lines (etl.py shape)
+    doc = '{\n  "id": 7,\n  "name": "x",\n  "val": 9.0\n}\n'
+    src = tmp_path / "raw"
+    src.mkdir()
+    (src / "doc.json").write_text(doc)
+    df = sio.read_json_multiline(spark, str(src), SCHEMA)
+    assert _sorted(df) == [(7, "x", 9.0)]
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "jl")
+    sio.write_jsonl(df, path)
+    back = sio.read_jsonl(spark, path, SCHEMA).select("id", "name", "val")
+    assert _sorted(back) == _sorted(df)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "csv")
+    sio.write_csv(df, path)
+    back = sio.read_csv(spark, path, schema=SCHEMA).select("id", "name", "val")
+    assert _sorted(back) == _sorted(df)
+
+
+def test_csv_infer_schema(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "csv_inf")
+    sio.write_csv(df, path)
+    back = sio.read_csv(spark, path)
+    assert back.count() == len(ROWS)
+    assert set(back.columns) == {"id", "name", "val"}

@@ -1,0 +1,111 @@
+"""Structured Streaming tests (SURVEY §2 J1/J2).
+
+Strategy (SURVEY §5.3): write JSONL event files into a tmp source dir,
+run the stream with trigger(availableNow=True) so it drains the backlog
+deterministically and stops, then assert the streamed result equals the
+equivalent batch computation on the same files.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from drive_bc_datapipeline_spark.streaming import pipeline as sp
+
+EVENTS = [
+    {"event_id": "e1", "ts": "2024-01-01T00:10:00", "user_id": "u1",
+     "event_type": "click", "value": 1.0, "props": '{"k": 3}'},
+    {"event_id": "e2", "ts": "2024-01-01T00:40:00", "user_id": "u2",
+     "event_type": "view", "value": 2.0, "props": '{"k": 5}'},
+    {"event_id": "e3", "ts": "2024-01-01T01:05:00", "user_id": "u1",
+     "event_type": "click", "value": 3.0, "props": '{"k": 1}'},
+    # dup of e1 (streaming dedup drops it), null-ts row (dropna drops it)
+    {"event_id": "e1", "ts": "2024-01-01T00:10:00", "user_id": "u1",
+     "event_type": "click", "value": 1.0, "props": '{"k": 3}'},
+    {"event_id": "e4", "ts": None, "user_id": "u3",
+     "event_type": "view", "value": 4.0, "props": "{}"},
+]
+
+
+def _write_source(tmp_path, n_files=2):
+    src = tmp_path / "src"
+    src.mkdir()
+    per = (len(EVENTS) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = EVENTS[i * per:(i + 1) * per]
+        (src / f"part{i}.json").write_text(
+            "\n".join(json.dumps(e) for e in chunk)
+        )
+    return str(src)
+
+
+def test_etl_stream_foreachbatch(spark, tmp_path):
+    """J1: stream → clean → foreachBatch date-partitioned parquet append."""
+    src = _write_source(tmp_path)
+    sink = str(tmp_path / "sink")
+    q = sp.start_etl_stream(
+        spark, src, sink, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(sink)
+    # e4 dropped (null ts); dup e1 kept (J1 has no dedup — that's J1+dedup)
+    assert out.count() == 4
+    assert {"event_id", "k", "event_date", "hour"} <= set(out.columns)
+    rows = {(r.event_id, r.k, r.hour) for r in out.collect()}
+    assert ("e2", 5, 0) in rows
+    assert ("e3", 1, 1) in rows
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    """J2: watermark + tumbling window agg == batch window agg."""
+    src = _write_source(tmp_path)
+    q = sp.start_windowed_counts_stream(
+        spark, src, str(tmp_path / "ckpt2"), query_name="t_hourly",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.window_start, r.window_end, r.event_type, r.cnt)
+        for r in spark.sql("SELECT * FROM t_hourly").collect()
+    }
+
+    batch = (
+        spark.read.schema(sp.RAW_EVENT_SCHEMA).json(src)
+        .dropna(subset=["ts"])
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+        )
+    )
+    expected = {
+        (r.window_start, r.window_end, r.event_type, r.cnt)
+        for r in batch.collect()
+    }
+    assert streamed == expected
+    assert len(streamed) > 0
+
+
+def test_deduped_stream(spark, tmp_path):
+    """Streaming keyed dedup via dropDuplicatesWithinWatermark."""
+    src = _write_source(tmp_path)
+    deduped = sp.deduped_event_stream(
+        sp.read_event_stream(spark, src)
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = [r.event_id for r in spark.sql("SELECT event_id FROM t_dedup").collect()]
+    assert sorted(ids) == ["e1", "e2", "e3"]  # dup e1 dropped, e4 dropped
