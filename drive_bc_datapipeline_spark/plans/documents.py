@@ -57,16 +57,26 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def word_ngrams(df: DataFrame, n: int) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams, computed JVM-side."""
-    tokens = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]
+    """(doc_id, shingle) distinct word n-grams, computed JVM-side.
+
+    Formulation note (perf): grams come from ``slice + array_join`` over
+    a pre-split token array. The obvious alternative — n ``element_at``
+    references inside the lambda — re-evaluates the un-CSE'd ``split``
+    per reference and measured ~5x slower at sf0.1 (9.1s → 1.9s for the
+    full explode+distinct). One narrow projection, no extra shuffle.
+    """
+    toks = df.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    # Spark's sequence(1, 0) DESCENDS instead of being empty, so docs
+    # shorter than n tokens need an explicit empty-array branch.
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.array_join(F.slice("toks", i, n), " "),
         ),
-    )
+    ).otherwise(F.expr("cast(array() as array<string>)"))
     return (
-        df.select("doc_id", F.explode(grams).alias("shingle"))
+        toks.select("doc_id", F.explode(grams).alias("shingle"))
         .filter(F.col("shingle") != "")
         .distinct()
     )
@@ -131,11 +141,42 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= {JACCARD_
 """
 
 
+def _verify_jaccard(
+    shingles: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Verify candidate pairs with exact Jaccard via per-doc hash sets.
+
+    Each doc's distinct shingles collapse to ONE row holding a sorted
+    array of 64-bit shingle hashes; candidates join that compact frame
+    twice (keyed equi-joins — AQE broadcasts it while it fits, falls
+    back to shuffle join at scale) and ``array_intersect`` counts the
+    overlap JVM-side. Versus re-joining the exploded shingle table
+    (|cand| × shingles-per-doc rows through a shuffle + groupBy), this
+    measured ~2x faster at sf0.1 and moves no wide rows.
+
+    xxhash64 stands in for the shingle string only INSIDE the engine —
+    the oracle compares final (doc pair, jaccard) values, which a 64-bit
+    collision would perturb with probability ~(shingles/doc)²/2⁶⁴.
+    """
+    docsets = shingles.select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    ).groupBy("doc_id").agg(F.sort_array(F.collect_set("h")).alias("hs"))
+    a, b = docsets.alias("sa"), docsets.alias("sb")
+    n_common = F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))
+    n_union = F.size("sa.hs") + F.size("sb.hs") - n_common
+    jac = n_common.cast("double") / n_union
+    return (
+        cand.join(a, F.col("doc_id_a") == F.col("sa.doc_id"))
+        .join(b, F.col("doc_id_b") == F.col("sb.doc_id"))
+        .filter(jac >= threshold)
+        .select("doc_id_a", "doc_id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 @query("dedup_ngram_jaccard", NGRAM_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     shingles = word_ngrams(d, NGRAM_N).cache()
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     rare = (
         shingles.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -156,29 +197,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Candidate-driven intersection: fan-out is |cand| x shingles-per-doc,
-    # never df^2 — the property that keeps this plan alive at 100 TB.
-    inter = (
-        cand.join(a, F.col("a.doc_id") == F.col("doc_id_a"))
-        .join(
-            b,
-            (F.col("b.doc_id") == F.col("doc_id_b"))
-            & (F.col("b.shingle") == F.col("a.shingle")),
-        )
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
-    )
-    return (
-        inter.join(sa, F.col("doc_id_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_id_b") == F.col("sb.doc_id"))
-        .filter(jac >= JACCARD_MIN)
-        .select("doc_id_a", "doc_id_b", F.round(jac, 4).alias("jaccard"))
-    )
+    return _verify_jaccard(shingles, cand, JACCARD_MIN)
 
 
 # --------------------------------------------------------------------------
@@ -444,7 +463,6 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= {MH_JACCA
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     shingles = word_ngrams(d, MH_N).cache()
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sigs = shingles.groupBy("doc_id").agg(*_mh_cols_spark())
     band_frames = []
     for b, cols in enumerate(_band_exprs()):
@@ -474,64 +492,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    a, b_ = shingles.alias("a"), shingles.alias("b")
-    inter = (
-        cand.join(a, F.col("a.doc_id") == F.col("doc_id_a"))
-        .join(
-            b_,
-            (F.col("b.doc_id") == F.col("doc_id_b"))
-            & (F.col("b.shingle") == F.col("a.shingle")),
-        )
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
-    )
-    return (
-        inter.join(sa, F.col("doc_id_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_id_b") == F.col("sb.doc_id"))
-        .filter(jac >= MH_JACCARD)
-        .select("doc_id_a", "doc_id_b", F.round(jac, 4).alias("jaccard"))
-    )
+    return _verify_jaccard(shingles, cand, MH_JACCARD)
 
 
 # --------------------------------------------------------------------------
-# F4 — SimHash near-dup detection (16-bit; weighted by token frequency).
-# Token hash = first 4 hex chars of md5, decoded with a portable
+# F4 — SimHash near-dup detection (32-bit; weighted by token frequency).
+# Token hash = first 8 hex chars of md5, decoded with a portable
 # instr-based hex parse (identical SQL fragment runs on both engines).
-# Candidates: pigeonhole on 4-bit chunks (hamming <= 3 implies >=1 of
+# Candidates: pigeonhole on 8-bit chunks (hamming <= 3 implies >=1 of
 # the 4 chunks is equal), then exact hamming filter via xor+bit_count.
+#
+# Design notes (scale):
+# - 32 bits, not 16: on a 16-bit hash ~5k docs already produce ~1.5M
+#   hamming<=3 pairs (birthday collisions, not near-dups) — the output
+#   itself goes quadratic. 32 bits keeps random collisions ~1e-6/pair.
+# - Candidate generation is an EQUI-join on (chunk_id, chunk_value)
+#   after exploding each doc into its 4 chunks — a hash join Spark can
+#   shuffle by key. An OR-of-chunk-equalities join predicate is not
+#   equi-joinable and degenerates to a nested-loop over all pairs.
 # --------------------------------------------------------------------------
 
-SH_BITS = 16
+SH_BITS = 32
 SH_HAMMING_MAX = 3
+SH_CHUNKS = 4  # 8-bit chunks; pigeonhole valid while SH_HAMMING_MAX < SH_CHUNKS
 
-# Portable hex16 parser: works verbatim in Spark SQL and DuckDB.
-_HEX16 = (
-    "((instr('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 4096"
-    " + (instr('0123456789abcdef', substr(md5(token), 2, 1)) - 1) * 256"
-    " + (instr('0123456789abcdef', substr(md5(token), 3, 1)) - 1) * 16"
-    " + (instr('0123456789abcdef', substr(md5(token), 4, 1)) - 1))"
+# Portable hex→int parser over the first 8 md5 hex chars.
+_HEX32 = (
+    "("
+    + " + ".join(
+        f"CAST(instr('0123456789abcdef', substr(md5(token), {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ")"
 )
 
 
 def _simhash_agg_sql() -> str:
-    """SUM of +/-cnt per bit, folded into a 16-bit integer."""
+    """SUM of +/-cnt per bit, folded into a 32-bit integer (as BIGINT)."""
     bits = []
     for j in range(SH_BITS):
-        bit = f"(CAST(floor(h16 / {float(2 ** j)}) AS INTEGER) % 2)"
+        bit = f"(CAST(floor(h32 / {float(2 ** j)}) AS BIGINT) % 2)"
         bits.append(
             f"(CASE WHEN SUM(cnt * (2 * {bit} - 1)) > 0 THEN {1 << j} ELSE 0 END)"
         )
-    return "CAST(" + " + ".join(bits) + " AS INTEGER)"
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 
 
 _SIMHASH_DOCS_SQL = f"""
   SELECT doc_id, {_simhash_agg_sql()} AS simhash
   FROM (
-    SELECT doc_id, token, COUNT(*) AS cnt, {_HEX16} AS h16
+    SELECT doc_id, token, COUNT(*) AS cnt, {_HEX32} AS h32
     FROM (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
     )
@@ -541,28 +552,33 @@ _SIMHASH_DOCS_SQL = f"""
   GROUP BY doc_id
 """
 
+_CHUNKS_SQL = ", ".join(
+    f"CAST(floor(simhash / {256 ** c}.0) AS BIGINT) % 256 AS c{c}"
+    for c in range(SH_CHUNKS)
+)
+
 SIMHASH_ORACLE = f"""
 WITH sim AS ({_SIMHASH_DOCS_SQL}),
 chunked AS (
-  SELECT doc_id, simhash,
-         CAST(floor(simhash / 1.0)    AS INTEGER) % 16 AS c0,
-         CAST(floor(simhash / 16.0)   AS INTEGER) % 16 AS c1,
-         CAST(floor(simhash / 256.0)  AS INTEGER) % 16 AS c2,
-         CAST(floor(simhash / 4096.0) AS INTEGER) % 16 AS c3
-  FROM sim
+  SELECT doc_id, simhash, {_CHUNKS_SQL} FROM sim
+),
+bands AS (
+{" UNION ALL ".join(
+    f"  SELECT doc_id, simhash, {c} AS chunk_id, c{c} AS chunk_val FROM chunked"
+    for c in range(SH_CHUNKS)
+)}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
          a.simhash AS sim_a, b.simhash AS sim_b
-  FROM chunked a JOIN chunked b
-    ON a.doc_id < b.doc_id
-   AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+  FROM bands a
+  JOIN bands b ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+             AND a.doc_id < b.doc_id
 )
 SELECT doc_id_a, doc_id_b,
-       CAST(bit_count(xor(CAST(sim_a AS BIGINT), CAST(sim_b AS BIGINT))) AS INTEGER)
-         AS hamming
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
 FROM cand
-WHERE bit_count(xor(CAST(sim_a AS BIGINT), CAST(sim_b AS BIGINT))) <= {SH_HAMMING_MAX}
+WHERE bit_count(xor(sim_a, sim_b)) <= {SH_HAMMING_MAX}
 """
 
 
@@ -574,38 +590,41 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h16", F.expr(_HEX16))
+        .withColumn("h32", F.expr(_HEX32))
     )
     bit_cases = []
     for j in range(SH_BITS):
-        bit = (F.floor(F.col("h16") / float(2**j)).cast("int") % 2)
+        bit = (F.floor(F.col("h32") / float(2**j)).cast("long") % 2)
         s_j = F.sum(F.col("cnt") * (2 * bit - 1))
-        bit_cases.append(F.when(s_j > 0, 1 << j).otherwise(0))
-    simhash = reduce(lambda x, y: x + y, bit_cases).cast("int")
+        bit_cases.append(F.when(s_j > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    simhash = reduce(lambda x, y: x + y, bit_cases).cast("long")
     sim = toks.groupBy("doc_id").agg(simhash.alias("simhash"))
-    chunked = sim.select(
-        "doc_id",
-        "simhash",
+    # explode into (chunk_id, chunk_val) bands → candidate equi-join
+    chunks = F.array(
         *[
-            (F.floor(F.col("simhash") / float(16**c)).cast("int") % 16).alias(f"c{c}")
-            for c in range(4)
-        ],
+            (F.floor(F.col("simhash") / float(256**c)).cast("long") % 256)
+            for c in range(SH_CHUNKS)
+        ]
     )
-    a, b = chunked.alias("a"), chunked.alias("b")
-    chunk_match = reduce(
-        lambda x, y: x | y,
-        [F.col(f"a.c{c}") == F.col(f"b.c{c}") for c in range(4)],
+    bands = sim.select(
+        "doc_id", "simhash", F.posexplode(chunks).alias("chunk_id", "chunk_val")
     )
+    a, b = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(
-        F.col("a.simhash").cast("long").bitwiseXOR(F.col("b.simhash").cast("long"))
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
     return (
-        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & chunk_match)
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
             hamming.cast("int").alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= SH_HAMMING_MAX)
+        .distinct()
     )
