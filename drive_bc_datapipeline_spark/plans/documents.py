@@ -402,17 +402,34 @@ MH_BANDS = 4      # LSH bands (MH_K / MH_BANDS rows each)
 MH_JACCARD = 0.7  # verification threshold
 
 
+# K=16 minhashes from only 4 md5 evaluations: each 128-bit md5 yields
+# four independent 32-bit (8-hex-char) slices. Lexicographic min over
+# fixed-width hex == numeric min — identical in both engines, and 4x
+# less hashing on the O(n·shingles) hot path.
+MH_GROUPS = 4
+MH_PER_GROUP = MH_K // MH_GROUPS
+
+
 def _mh_cols_spark():
-    return [
-        F.min(F.md5(F.concat(F.lit(f"mh{i}|"), F.col("shingle")).cast("binary"))).alias(f"h{i}")
-        for i in range(MH_K)
-    ]
+    cols = []
+    for g in range(MH_GROUPS):
+        h = F.md5(F.concat(F.lit(f"mh{g}|"), F.col("shingle")).cast("binary"))
+        for j in range(MH_PER_GROUP):
+            cols.append(
+                F.min(F.substring(h, 8 * j + 1, 8)).alias(f"h{g * MH_PER_GROUP + j}")
+            )
+    return cols
 
 
 def _mh_cols_sql() -> str:
-    return ",\n         ".join(
-        f"min(md5('mh{i}|' || shingle)) AS h{i}" for i in range(MH_K)
-    )
+    parts = []
+    for g in range(MH_GROUPS):
+        for j in range(MH_PER_GROUP):
+            parts.append(
+                f"min(substr(md5('mh{g}|' || shingle), {8 * j + 1}, 8))"
+                f" AS h{g * MH_PER_GROUP + j}"
+            )
+    return ",\n         ".join(parts)
 
 
 def _band_exprs() -> list[list[str]]:
