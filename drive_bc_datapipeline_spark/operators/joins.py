@@ -1,0 +1,127 @@
+"""Scale-out join utilities: skew salting and bucketed co-location.
+
+These are the 100-TB joins toolbox (SURVEY §6). The registered query
+surface (C5-C7 in plans/) uses plain declarative joins and lets
+Catalyst/AQE pick strategies; these helpers are for the cases where the
+data defeats the defaults:
+
+- ``salted_join``: a hot key (one user, one road, one null) puts its
+  entire partition on one reducer. Salting splits each hot key into
+  ``n_salts`` sub-keys by replicating the SMALL side once per salt and
+  scattering the large side deterministically, so the hot key's rows
+  spread over ``n_salts`` reducers. AQE's skew-join handles moderate
+  skew automatically; salting is for the pathological single-key case.
+- ``salted_groupby``: two-phase aggregation (partial agg on
+  (key, salt), final agg on key) for skewed group-bys whose partial
+  aggregation alone doesn't compact enough.
+- ``write_bucketed`` / co-located joins: pre-shuffling both fact tables
+  into the same bucket layout on the join key makes every future join
+  on that key exchange-free — the classic amortization when one join
+  key dominates a workload (orderkey at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: ``large ⋈ small ON large.key = small.key``.
+
+    The large side gets a deterministic salt in [0, n_salts) derived by
+    hashing the whole row (xxhash64 of all columns — stable across
+    retries, which a rand() salt is not: a recomputed task must land
+    rows on the same reducer or shuffle retries corrupt results). The
+    small side is exploded n_salts×. Join key becomes (key, salt).
+
+    Supports inner/left joins (semantics preserved; each large row
+    carries exactly one salt so no duplication).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(n_salts))
+    l = large.withColumn("__salt", salt).alias("l")
+    s = (
+        small.withColumnRenamed(key, "__rkey")
+        .withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        )
+        .alias("s")
+    )
+    cond = (F.col(f"l.{key}") == F.col("s.__rkey")) & (
+        F.col("l.__salt") == F.col("s.__salt")
+    )
+    keep = [F.col(f"l.{c}") for c in large.columns] + [
+        F.col(f"s.{c}") for c in small.columns if c != key
+    ]
+    return l.join(s, cond, how).select(*keep)
+
+
+def salted_groupby(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Two-phase skew-safe group-by.
+
+    ``aggs`` maps output column -> "sum(col)" | "count(*)" | "max(col)"
+    | "min(col)". Phase 1 aggregates on (keys, salt) — the hot key's
+    rows split across n_salts reducers; phase 2 merges the partials on
+    keys alone (n_salts rows per key, trivially small).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    partial_exprs, final_exprs = [], []
+    for out, spec in aggs.items():
+        fn, _, arg = spec.partition("(")
+        arg = arg.rstrip(")")
+        fn = fn.lower()
+        p = f"__p_{out}"
+        if fn == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(p))
+            final_exprs.append(F.sum(p).alias(out))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(arg).alias(p))
+            final_exprs.append(F.sum(p).alias(out))
+        elif fn == "max":
+            partial_exprs.append(F.max(arg).alias(p))
+            final_exprs.append(F.max(p).alias(out))
+        elif fn == "min":
+            partial_exprs.append(F.min(arg).alias(p))
+            final_exprs.append(F.min(p).alias(out))
+        else:
+            raise ValueError(f"unsupported agg {spec!r}")
+    return (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*partial_exprs)
+        .groupBy(*keys)
+        .agg(*final_exprs)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    n_buckets: int = 16,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) managed table.
+
+    Two tables bucketed on the same key with the same bucket count
+    join with ZERO exchange (and zero sort, if sorted): the layout IS
+    the shuffle, paid once at write. This is the 100-TB answer for the
+    lineitem⋈orders class of repeated fact-fact joins.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
+    if sort:
+        w = w.sortBy(bucket_key)
+    w.format("parquet").saveAsTable(table)

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import (
     DoubleType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -150,6 +151,82 @@ def start_windowed_counts_stream(
     )
     writer = (
         agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_stateful_user_stats_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "user_stats",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user (n_events, total_value, last_ts) maintained in the state
+    store across micro-batches.
+
+    This is the escape hatch for stateful semantics the built-in
+    windowed aggs can't express (reference parity: none — the reference
+    had no custom state; this is the Spark-native extension point the
+    brief calls for). State is partitioned by user_id — at 100 TB/day
+    the state store shards across executors with the shuffle, and
+    eviction would hang off a timeout (GroupStateTimeout) once users go
+    quiet; update-mode emission keeps each micro-batch's output
+    proportional to touched keys, not total state.
+    """
+    import pandas as pd  # local import: only the executors need it
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", StringType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("last_ts_us", LongType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            ts_max = pd.to_datetime(pdf["ts"]).max()
+            if ts_max is not pd.NaT:
+                last_us = max(last_us, ts_max.value // 1000)
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts": [pd.Timestamp(last_us * 1000)],
+            }
+        )
+
+    raw = read_event_stream(spark, source_dir).dropna(subset=["ts"])
+    stats = raw.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        stats.writeStream.outputMode("update")
         .format("memory")
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)

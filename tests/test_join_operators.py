@@ -1,0 +1,125 @@
+"""Tests for the skew/bucketing join toolbox (operators/joins.py).
+
+Salted variants must be RESULT-equal to their plain counterparts (the
+optimization is physical, not logical); the bucketed-join test asserts
+the physical property itself — no Exchange in the plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from drive_bc_datapipeline_spark.operators import joins as J
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # heavy skew: one user owns 5000 rows, 50 users own 10 each
+    hot = spark.range(5000).select(
+        F.lit("hot_user").alias("user_id"), F.col("id").alias("v")
+    )
+    cold = spark.range(500).select(
+        F.concat(F.lit("u"), (F.col("id") % 50)).alias("user_id"),
+        F.col("id").alias("v"),
+    )
+    return hot.unionByName(cold)
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    rows = [("hot_user", "H")] + [(f"u{i}", f"D{i}") for i in range(50)]
+    return spark.createDataFrame(rows, "user_id string, tag string")
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_matches_plain(spark, skewed, dim):
+    plain = skewed.join(dim, "user_id").select("user_id", "v", "tag")
+    salted = J.salted_join(skewed, dim, "user_id", n_salts=8).select(
+        "user_id", "v", "tag"
+    )
+    assert _sorted(salted) == _sorted(plain)
+
+
+def test_salted_left_join_keeps_unmatched(spark, skewed, dim):
+    missing = dim.filter(F.col("user_id") != "hot_user")
+    salted = J.salted_join(skewed, missing, "user_id", n_salts=4, how="left")
+    plain = skewed.join(missing, "user_id", "left")
+    assert salted.count() == plain.count()
+    assert (
+        salted.filter(F.col("user_id") == "hot_user")
+        .filter(F.col("tag").isNull())
+        .count()
+        == 5000
+    )
+
+
+def test_salted_groupby_matches_plain(spark, skewed):
+    plain = {
+        (r.user_id): (r.n, r.s, r.mx)
+        for r in skewed.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.user_id): (r.n, r.s, r.mx)
+        for r in J.salted_groupby(
+            skewed,
+            ["user_id"],
+            {"n": "count(*)", "s": "sum(v)", "mx": "max(v)"},
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_groupby_rejects_unknown_agg(spark, skewed):
+    with pytest.raises(ValueError):
+        J.salted_groupby(skewed, ["user_id"], {"x": "median(v)"})
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    l = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    J.write_bucketed(o, "b_orders", "o_orderkey", n_buckets=8)
+    J.write_bucketed(
+        l.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        "o_orderkey",
+        n_buckets=8,
+    )
+    bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+    # at test SF the planner would (correctly) broadcast instead; force
+    # the sort-merge path to expose the bucket co-location property
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bl, "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert "SortMergeJoin" in plan
+        # (a Sort node may remain: Spark only trusts sortBy when each
+        # bucket holds a single file, which parallel writers don't
+        # guarantee — the exchange elimination is the scale win)
+        # and it still computes the right thing
+        expected = o.join(l, o.o_orderkey == l.l_orderkey).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -109,3 +109,36 @@ def test_deduped_stream(spark, tmp_path):
     q.awaitTermination(120)
     ids = [r.event_id for r in spark.sql("SELECT event_id FROM t_dedup").collect()]
     assert sorted(ids) == ["e1", "e2", "e3"]  # dup e1 dropped, e4 dropped
+
+
+def test_stateful_user_stats_matches_batch(spark, tmp_path):
+    """applyInPandasWithState running totals == batch groupBy at drain."""
+    src = _write_source(tmp_path)
+    q = sp.start_stateful_user_stats_stream(
+        spark, src, str(tmp_path / "ckpt4"), query_name="t_stats",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    # update mode may emit a row per micro-batch per key; last emission
+    # per user carries the final running totals
+    streamed = {
+        r.user_id: (r.n_events, r.total_value, r.last_ts)
+        for r in spark.sql(
+            "SELECT * FROM t_stats"
+        ).orderBy("n_events").collect()  # ascending → final row wins in dict
+    }
+    batch = (
+        spark.read.schema(sp.RAW_EVENT_SCHEMA).json(src)
+        .dropna(subset=["ts"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("tot"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    expected = {
+        r.user_id: (r.n, float(r.tot), r.last_ts) for r in batch.collect()
+    }
+    assert streamed == expected
+    assert len(streamed) == 2  # u1, u2 (u3 has null ts)
