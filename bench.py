@@ -49,6 +49,7 @@ HEADLINE = [
     # similarity search
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "dedup_embedding_cosine",
     # geo + ml features
     "geo_grid_cluster",

@@ -329,3 +329,116 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id_a", "vec_id_b", F.round("cos", 4).alias("cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# G4 — IVF (inverted-file) ANN: the scale path beyond LSH bucketing.
+# Coarse quantizer = the first NLIST vectors (deterministic, so both
+# engines build identical cells); every vector is assigned to its
+# max-cosine centroid (the inverted lists); a query probes its NPROBE
+# best cells and scores only those lists.
+#
+# 100 TB: assignment is one broadcast(centroids) pass over the corpus
+# (written once as a partitioned column → partition pruning turns a
+# probe into a scan of nprobe/nlist of the data); real deployments
+# would Lloyd-iterate the centroids — assignment-join mechanics, and
+# everything downstream, are identical.
+# --------------------------------------------------------------------------
+
+IVF_NLIST = 8
+IVF_NPROBE = 2
+
+_ASSIGN_RANK_SQL = f"""
+  SELECT v.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ({_dot_terms_sql("v.embedding", "c.cemb")})
+                    / (v.nrm * c.cnrm) DESC, c.cid
+         ) AS crnk
+  FROM e v CROSS JOIN cent c
+"""
+
+ANN_IVF_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_norm_sql("embedding")} AS nrm FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+  FROM e WHERE vec_id < {IVF_NLIST}
+),
+assign AS (  -- inverted lists: every vector → its best cell
+  SELECT vec_id, cid FROM ({_ASSIGN_RANK_SQL}) WHERE crnk = 1
+),
+probes AS (  -- each query → its NPROBE best cells
+  SELECT vec_id, cid FROM ({_ASSIGN_RANK_SQL})
+  WHERE crnk <= {IVF_NPROBE} AND vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         ({_dot_terms_sql("q.embedding", "v.embedding")}) / (q.nrm * v.nrm) AS cos
+  FROM probes p
+  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id
+  JOIN e q ON q.vec_id = p.vec_id
+  JOIN e v ON v.vec_id = a.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+  ) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cosine
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@query("ann_ivf_topk", ANN_IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").withColumn("nrm", _norm_spark("embedding"))
+    cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    # rank every (vector, centroid) pair by cosine — NLIST rows per
+    # vector via a broadcast nested-loop; one pass over the corpus
+    ccos = _dot_terms_spark("embedding", "cemb") / (F.col("nrm") * F.col("cnrm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    ranked_cells = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn("crnk", F.row_number().over(w_assign))
+    )
+    assign = ranked_cells.filter(F.col("crnk") == 1).select("vec_id", "cid")
+    probes = ranked_cells.filter(
+        (F.col("crnk") <= IVF_NPROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+
+    qv = e.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    vv = e.select(
+        F.col("vec_id").alias("v_id"),
+        F.col("embedding").alias("v_emb"),
+        F.col("nrm").alias("v_nrm"),
+    )
+    cos = _dot_terms_spark("q_emb", "v_emb") / (F.col("q_nrm") * F.col("v_nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .join(F.broadcast(qv), F.col("query_id") == F.col("q_id"))
+        .join(vv, F.col("neighbor_id") == F.col("v_id"))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
