@@ -410,15 +410,24 @@ MH_GROUPS = 4
 MH_PER_GROUP = MH_K // MH_GROUPS
 
 
-def _mh_cols_spark():
+def _mh_slice_cols():
+    """The 16 per-shingle hash slices as PROJECTION columns. Kept out of
+    the aggregate expressions on purpose: projection codegen dedupes the
+    4 md5 calls via subexpression elimination, while 16 min-aggs each
+    embedding substr(md5(...)) re-hash per aggregate and inflate the
+    generated aggregate method (slow janino compile on the cold path)."""
     cols = []
     for g in range(MH_GROUPS):
         h = F.md5(F.concat(F.lit(f"mh{g}|"), F.col("shingle")).cast("binary"))
         for j in range(MH_PER_GROUP):
             cols.append(
-                F.min(F.substring(h, 8 * j + 1, 8)).alias(f"h{g * MH_PER_GROUP + j}")
+                F.substring(h, 8 * j + 1, 8).alias(f"h{g * MH_PER_GROUP + j}")
             )
     return cols
+
+
+def _mh_cols_spark():
+    return [F.min(f"h{i}").alias(f"h{i}") for i in range(MH_K)]
 
 
 def _mh_cols_sql() -> str:
@@ -480,21 +489,23 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= {MH_JACCA
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     shingles = word_ngrams(d, MH_N).cache()
-    sigs = shingles.groupBy("doc_id").agg(*_mh_cols_spark())
-    band_frames = []
-    for b, cols in enumerate(_band_exprs()):
-        band_frames.append(
-            sigs.select(
-                "doc_id",
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat(*[F.col(c) for c in cols]).cast("binary")).alias(
-                    "band_hash"
-                ),
-            )
-        )
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
+    sigs = (
+        shingles.select("doc_id", *_mh_slice_cols())
+        .groupBy("doc_id")
+        .agg(*_mh_cols_spark())
+    )
+    # ALL band hashes in one projection + posexplode — a union of four
+    # sigs.select(...) branches would re-run the signature aggregation
+    # once per band (union branches don't share subplans).
+    band_arr = F.array(
+        *[
+            F.md5(F.concat(*[F.col(c) for c in cols]).cast("binary"))
+            for cols in _band_exprs()
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_arr).alias("band_id", "band_hash")
+    )
     ba, bb = bands.alias("ba"), bands.alias("bb")
     cand = (
         ba.join(
