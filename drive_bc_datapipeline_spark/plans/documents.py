@@ -56,14 +56,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def word_ngrams(df: DataFrame, n: int) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams, computed JVM-side.
+def word_ngrams(df: DataFrame, n: int, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) word n-grams, computed JVM-side.
 
     Formulation note (perf): grams come from ``slice + array_join`` over
     a pre-split token array. The obvious alternative — n ``element_at``
     references inside the lambda — re-evaluates the un-CSE'd ``split``
     per reference and measured ~5x slower at sf0.1 (9.1s → 1.9s for the
     full explode+distinct). One narrow projection, no extra shuffle.
+
+    ``distinct=False`` skips the dedup shuffle entirely — valid for
+    consumers whose downstream math is duplicate-invariant (min-hash
+    signatures; Jaccard verification via collect_set).
     """
     toks = df.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     # Spark's sequence(1, 0) DESCENDS instead of being empty, so docs
@@ -75,11 +79,10 @@ def word_ngrams(df: DataFrame, n: int) -> DataFrame:
             lambda i: F.array_join(F.slice("toks", i, n), " "),
         ),
     ).otherwise(F.expr("cast(array() as array<string>)"))
-    return (
-        toks.select("doc_id", F.explode(grams).alias("shingle"))
-        .filter(F.col("shingle") != "")
-        .distinct()
+    out = toks.select("doc_id", F.explode(grams).alias("shingle")).filter(
+        F.col("shingle") != ""
     )
+    return out.distinct() if distinct else out
 
 
 def word_ngrams_sql(n: int) -> str:
@@ -488,7 +491,9 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= {MH_JACCA
 @query("dedup_minhash_lsh", MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    shingles = word_ngrams(d, MH_N).cache()
+    # duplicate shingles don't change min-hash mins or collect_set
+    # verification → skip the distinct's 250k-row shuffle
+    shingles = word_ngrams(d, MH_N, distinct=False).cache()
     sigs = (
         shingles.select("doc_id", *_mh_slice_cols())
         .groupBy("doc_id")

@@ -97,3 +97,116 @@ def multimodal_image_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decode_image_stub,
         schema="doc_id long, width int, height int, n_channels int",
     )
+
+
+# --------------------------------------------------------------------------
+# I2-I4 — the remaining multimodal verbs: resize, frame-sample, audio
+# features. Decode cores are deterministic stand-ins (no image/audio
+# libs in this environment); schemas, Arrow batch iteration, and the
+# 1→1 / 1→N / 1→arrays output shapes are the real contracts a
+# PIL/ffmpeg/librosa implementation drops into.
+# --------------------------------------------------------------------------
+
+
+@query("multimodal_resize_stub")  # rows-only
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→1 featurizer: 'image' metadata + target-box resize arithmetic.
+
+    Real version: decode with PIL, thumbnail to (MAX_W, MAX_H), re-emit
+    bytes. The stub derives source dims deterministically from payload
+    length and applies the identical aspect-preserving box math.
+    """
+    MAX_W, MAX_H = 224, 224
+    d = t(spark, sf_dir, "documents")
+    payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            w = (n % 640 + 1).astype("int64")
+            h = (n % 480 + 1).astype("int64")
+            scale = pd.concat([MAX_W / w, MAX_H / h], axis=1).min(axis=1).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_w": w.astype("int32"),
+                    "src_h": h.astype("int32"),
+                    "dst_w": (w * scale).astype("int32").clip(lower=1),
+                    "dst_h": (h * scale).astype("int32").clip(lower=1),
+                }
+            )
+
+    return payload.mapInPandas(
+        _resize, schema="doc_id long, src_w int, src_h int, dst_w int, dst_h int"
+    )
+
+
+@query("multimodal_frame_sample_stub")  # rows-only
+def multimodal_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N featurizer: sample every Kth 'frame' of a 'video' payload.
+
+    Real version: ffmpeg keyframe extraction. The stub treats each
+    1 KiB slice as a frame and emits one output row per sampled frame —
+    the fan-out contract (output rows ≠ input rows) that distinguishes
+    mapInPandas from a scalar pandas_udf.
+    """
+    FRAME_BYTES, EVERY_K = 1024, 4
+    d = t(spark, sf_dir, "documents")
+    payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out_doc, out_idx, out_sig = [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, (len(buf) + FRAME_BYTES - 1) // FRAME_BYTES)
+                for i in range(0, n_frames, EVERY_K):
+                    frame = bytes(buf[i * FRAME_BYTES:(i + 1) * FRAME_BYTES])
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_sig.append(hashlib.md5(frame).hexdigest()[:8])
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "frame_sig": out_sig}
+            )
+
+    return payload.mapInPandas(
+        _sample, schema="doc_id long, frame_idx int, frame_sig string"
+    )
+
+
+@query("multimodal_audio_features_stub")  # rows-only
+def multimodal_audio_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→arrays featurizer: windowed 'audio' energy profile.
+
+    Real version: librosa frame energies / MFCCs. The stub windows the
+    byte stream and emits per-window mean as an array<double> column —
+    the nested-output contract (arrays inside Arrow batches).
+    """
+    WINDOW = 256
+    d = t(spark, sf_dir, "documents")
+    payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for buf in pdf["payload"]:
+                a = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.float64)
+                pad = (-len(a)) % WINDOW
+                if pad:
+                    a = np.pad(a, (0, pad))
+                feats.append(a.reshape(-1, WINDOW).mean(axis=1).round(4).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_windows": [len(f) for f in feats],
+                    "window_energy": feats,
+                }
+            )
+
+    return payload.mapInPandas(
+        _energy,
+        schema="doc_id long, n_windows int, window_energy array<double>",
+    )
