@@ -22,6 +22,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from drive_bc_datapipeline_spark.functions import text as text_fns
 from drive_bc_datapipeline_spark.plans.registry import query, t
 
 # --------------------------------------------------------------------------
@@ -70,18 +71,9 @@ def word_ngrams(df: DataFrame, n: int, distinct: bool = True) -> DataFrame:
     signatures; Jaccard verification via collect_set).
     """
     toks = df.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-    # Spark's sequence(1, 0) DESCENDS instead of being empty, so docs
-    # shorter than n tokens need an explicit empty-array branch.
-    grams = F.when(
-        F.size("toks") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-            lambda i: F.array_join(F.slice("toks", i, n), " "),
-        ),
-    ).otherwise(F.expr("cast(array() as array<string>)"))
-    out = toks.select("doc_id", F.explode(grams).alias("shingle")).filter(
-        F.col("shingle") != ""
-    )
+    out = toks.select(
+        "doc_id", F.explode(text_fns.word_shingles("toks", n)).alias("shingle")
+    ).filter(F.col("shingle") != "")
     return out.distinct() if distinct else out
 
 

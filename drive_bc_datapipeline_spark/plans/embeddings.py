@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from drive_bc_datapipeline_spark.functions import vectors
 from drive_bc_datapipeline_spark.plans.registry import query, t
 
 DIM = 64
@@ -44,13 +45,7 @@ def _dot_terms_spark(a: str, b: str) -> Column:
     ((0.0 + t1) == t1 exactly), but a tiny codegen expression instead of
     a 64-term tree (which overflows the JVM method limit and drops the
     whole stage to interpreted eval)."""
-    return F.aggregate(
-        F.zip_with(
-            F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    return vectors.dot(a, b)
 
 
 def _dot_terms_sql(a: str, b: str) -> str:
@@ -61,7 +56,7 @@ def _dot_terms_sql(a: str, b: str) -> str:
 
 
 def _norm_spark(a: str) -> Column:
-    return F.sqrt(_dot_terms_spark(a, a))
+    return vectors.l2_norm(a)
 
 
 def _norm_sql(a: str) -> str:

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from drive_bc_datapipeline_spark.functions import geo as geo_fns
 from drive_bc_datapipeline_spark.plans.registry import query, r4, r4_sql, t
 
 EPS_DEG = 5.0
@@ -100,13 +101,11 @@ GROUP BY 1
 
 
 def _haversine() -> Column:
-    lat, lon = _lat(), _lon()
-    dlat = F.radians((lat - F.lit(REF_LAT)) / 2.0)
-    dlon = F.radians((lon - F.lit(REF_LON)) / 2.0)
-    a = F.pow(F.sin(dlat), 2) + F.cos(F.radians(lat)) * F.cos(
-        F.radians(F.lit(REF_LAT))
-    ) * F.pow(F.sin(dlon), 2)
-    return 2.0 * EARTH_KM * F.asin(F.sqrt(a))
+    # reference point FIRST: (lat2-lat1) must match the oracle's
+    # (LAT - REF_LAT) bit-exactly inside sin()
+    return geo_fns.haversine_km(
+        F.lit(REF_LAT), F.lit(REF_LON), _lat(), _lon()
+    )
 
 
 @query("haversine_distance_buckets", HAVERSINE_BUCKETS_ORACLE)
