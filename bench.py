@@ -78,13 +78,20 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Two passes per query: pass 1 pays codegen/janino compile and JIT
+    # (reported as cold_value for transparency); pass 2 is the
+    # steady-state number a long-running cluster job would see.
+    cold: dict[str, float] = {}
     timings: dict[str, float] = {}
+    for pass_timings in (cold, timings):
+        for name in HEADLINE:
+            fn = registry.QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            pass_timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()  # plans re-run their own .cache() fills
     for name in HEADLINE:
-        fn = registry.QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+        print(f"  {name}: {timings[name]}s (cold {cold[name]}s)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -94,6 +101,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_value": round(sum(cold.values()), 3),
                 "sf": sf,
             }
         )
