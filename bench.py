@@ -39,6 +39,8 @@ HEADLINE = [
     "hourly_timeseries",
     "sessionize_events",
     "asof_join_orders_events",
+    "pivot_type_by_hour",
+    "cube_type_hourbucket",
     # LLM-pipeline: dedup + text
     "dedup_exact",
     "dedup_minhash_lsh",

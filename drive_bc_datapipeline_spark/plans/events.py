@@ -512,3 +512,88 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B9 — pivot: hour-of-day × event_type count matrix (simple-analyses.py
+# computed these as separate grouped counts; the pivot is the same data
+# as one wide frame). Explicit value list → no extra distinct-scan job
+# and a deterministic column set.
+# --------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+PIVOT_ORACLE = f"""
+SELECT CAST(hour(ts) AS INTEGER) AS hour,
+       {", ".join(
+           f"SUM(CASE WHEN event_type = '{t_}' THEN 1 ELSE 0 END) AS {t_}"
+           for t_ in EVENT_TYPES
+       )}
+FROM events
+GROUP BY 1
+"""
+
+
+@query("pivot_type_by_hour", PIVOT_ORACLE)
+def pivot_type_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select(F.hour("ts").cast("int").alias("hour"), "event_type")
+        .groupBy("hour")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+# --------------------------------------------------------------------------
+# B10 — CUBE: all grouping-set combinations of (event_type, hour-bucket)
+# in one pass (rollup_orders covers ROLLUP; CUBE adds the cross terms).
+# --------------------------------------------------------------------------
+
+CUBE_ORACLE = """
+SELECT event_type,
+       CAST(hour(ts) AS INTEGER) / 6 AS hour_bucket,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY CUBE (event_type, CAST(hour(ts) AS INTEGER) / 6)
+"""
+
+
+@query("cube_type_hourbucket", CUBE_ORACLE)
+def cube_type_hourbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            (F.hour("ts").cast("int") / 6).alias("hour_bucket"),
+            "value",
+        )
+        .cube("event_type", "hour_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B11 — approximate quantile sketch (rows-only: Spark's KLL-style
+# percentile_approx has no DuckDB twin; the unit test bounds its error
+# against exact quantiles instead).
+# --------------------------------------------------------------------------
+
+
+@query("approx_value_quantiles")  # rows-only
+def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch per event_type — the scalable way to
+    get percentiles at 100 TB (exact percentile needs a full sort;
+    the sketch is one map-side pass + tiny merge)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.25, 0.5, 0.9, 0.99], 10_000).alias(
+            "q_approx"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
