@@ -41,6 +41,8 @@ HEADLINE = [
     "asof_join_orders_events",
     "pivot_type_by_hour",
     "cube_type_hourbucket",
+    "sliding_hourly_counts",
+    "range_join_clicks_near_errors",
     # LLM-pipeline: dedup + text
     "dedup_exact",
     "dedup_minhash_lsh",

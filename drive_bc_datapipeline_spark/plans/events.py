@@ -597,3 +597,103 @@ def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# C19 — range (interval) join: clicks within ±300 s of each error, per
+# user. Scalable pattern: bin timestamps to 300-s buckets, replicate
+# the probe side into its 3 adjacent bins, EQUI-join on (user, bin),
+# then apply the exact |Δt| predicate. A raw theta-join on the time
+# difference cannot hash-partition and degenerates to per-key
+# nested-loops; the binning makes it a keyed shuffle whose fan-out is
+# bounded by bucket occupancy (bin width == radius → ±1 bin suffices).
+# --------------------------------------------------------------------------
+
+RANGE_SEC = 300
+
+RANGE_JOIN_ORACLE = f"""
+SELECT e.event_id, e.user_id,
+       COUNT(c.ts) AS n_clicks_near
+FROM events e
+LEFT JOIN events c
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click'
+ AND abs(epoch(e.ts) - epoch(c.ts)) <= {RANGE_SEC}.0
+WHERE e.event_type = 'error'
+GROUP BY e.event_id, e.user_id
+"""
+
+
+@query("range_join_clicks_near_errors", RANGE_JOIN_ORACLE)
+def range_join_clicks_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        us.alias("e_us"),
+        F.floor(us / (RANGE_SEC * 1_000_000)).alias("bin"),
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        us.alias("c_us"),
+        F.floor(us / (RANGE_SEC * 1_000_000)).alias("c_bin"),
+    )
+    clk3 = clk.withColumn(
+        "probe_bin",
+        F.explode(F.array(F.col("c_bin") - 1, F.col("c_bin"), F.col("c_bin") + 1)),
+    ).drop("c_bin")
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("bin") == F.col("probe_bin"))
+        & (F.abs(F.col("e_us") - F.col("c_us")) <= RANGE_SEC * 1_000_000)
+    )
+    return (
+        err.join(clk3, cond, "left")
+        .groupBy("event_id", "user_id")
+        .agg(F.count("c_us").alias("n_clicks_near"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B12 — sliding window: 1-hour windows sliding every 30 minutes (each
+# event belongs to 2 windows). Spark's window(slide=...) materializes
+# the window list per row; the oracle unions the k=0,1 window starts
+# with identical epoch-aligned micros arithmetic.
+# --------------------------------------------------------------------------
+
+SLIDE_US = 30 * 60 * 1_000_000  # 30 min
+WIN_US = 2 * SLIDE_US           # 1 hour
+
+SLIDING_ORACLE = f"""
+WITH starts AS (
+  SELECT make_timestamp((epoch_us(ts) // {SLIDE_US}) * {SLIDE_US}) AS w_start,
+         event_type FROM events
+  UNION ALL
+  SELECT make_timestamp((epoch_us(ts) // {SLIDE_US}) * {SLIDE_US} - {SLIDE_US}),
+         event_type FROM events
+)
+SELECT w_start AS window_start,
+       w_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS cnt
+FROM starts
+GROUP BY 1, 2, 3
+"""
+
+
+@query("sliding_hourly_counts", SLIDING_ORACLE)
+def sliding_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+        )
+    )
