@@ -1,0 +1,50 @@
+"""End-to-end pipeline runner test: the reference's ETL → analyses →
+parquet-outputs flow in one call, outputs re-readable and partitioned."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from drive_bc_datapipeline_spark.jobs import run_pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_run_pipeline_writes_all_outputs(spark, tmp_path):
+    out = str(tmp_path / "out")
+    manifest = run_pipeline(spark, SF, out)
+    assert set(manifest["jobs"]) == {
+        "etl_events_clean",
+        "counts_by_type",
+        "counts_by_type_month_year",
+        "counts_by_day_month_year",
+        "counts_by_hour",
+        "top_users_by_events",
+        "hourly_timeseries",
+        "event_value_stats",
+    }
+    # every output is non-empty, re-readable parquet
+    for name, info in manifest["jobs"].items():
+        assert info["rows"] > 0, name
+        assert spark.read.parquet(info["path"]).count() == info["rows"]
+    # the big ETL output is partitioned for pruning
+    etl_dir = os.path.join(out, "etl_events_clean")
+    assert any(d.startswith("year=") for d in os.listdir(etl_dir))
+    # manifest persisted
+    disk = json.load(open(os.path.join(out, "manifest.json")))
+    assert disk["jobs"].keys() == manifest["jobs"].keys()
+
+
+def test_run_pipeline_rejects_unknown_job(spark, tmp_path):
+    with pytest.raises(KeyError):
+        run_pipeline(spark, SF, str(tmp_path / "x"), jobs=["nope"])
+
+
+def test_run_pipeline_subset_and_rerun_overwrites(spark, tmp_path):
+    out = str(tmp_path / "out2")
+    m1 = run_pipeline(spark, SF, out, jobs=["counts_by_type"])
+    m2 = run_pipeline(spark, SF, out, jobs=["counts_by_type"])
+    assert m1["jobs"]["counts_by_type"]["rows"] == m2["jobs"]["counts_by_type"]["rows"]
