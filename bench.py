@@ -82,18 +82,21 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Two passes per query: pass 1 pays codegen/janino compile and JIT
-    # (reported as cold_value for transparency); pass 2 is the
-    # steady-state number a long-running cluster job would see.
+    # Pass 1 pays codegen/janino compile and JIT (reported as cold_value
+    # for transparency); passes 2-3 are steady state, and the per-query
+    # MIN of the two is reported — this box shares hardware and a single
+    # noisy pass otherwise dominates the total.
     cold: dict[str, float] = {}
-    timings: dict[str, float] = {}
-    for pass_timings in (cold, timings):
+    steady1: dict[str, float] = {}
+    steady2: dict[str, float] = {}
+    for pass_timings in (cold, steady1, steady2):
         for name in HEADLINE:
             fn = registry.QUERIES[name]
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             pass_timings[name] = round(time.time() - t0, 3)
         spark.catalog.clearCache()  # plans re-run their own .cache() fills
+    timings = {n: min(steady1[n], steady2[n]) for n in HEADLINE}
     for name in HEADLINE:
         print(f"  {name}: {timings[name]}s (cold {cold[name]}s)", file=sys.stderr)
 
