@@ -653,3 +653,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SH_HAMMING_MAX)
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# F6 — near-dup pairs → duplicate CLUSTERS via distributed connected
+# components (operators/graph.py iterative label propagation; oracle =
+# recursive-CTE transitive closure over the identical edge set).
+# Near-dup similarity is not transitive, so this is the step that turns
+# pairwise Jaccard hits into "keep one doc per cluster" decisions.
+# --------------------------------------------------------------------------
+
+CC_ORACLE = f"""
+WITH RECURSIVE pairs AS ({NGRAM_JACCARD_ORACLE}),
+sym AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs
+  UNION
+  SELECT doc_id_a, doc_id_a FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_b FROM pairs
+),
+reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+)
+SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+"""
+
+
+@query("dedup_connected_components", CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from drive_bc_datapipeline_spark.operators.graph import connected_components
+
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    cc = connected_components(edges, src="doc_id_a", dst="doc_id_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

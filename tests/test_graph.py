@@ -1,0 +1,45 @@
+"""Unit tests for distributed connected components on hand-built
+graphs (chains, cliques, singleton self-loops, disjoint parts)."""
+
+from __future__ import annotations
+
+import pytest
+
+from drive_bc_datapipeline_spark.operators.graph import connected_components
+
+
+def cc(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r.node: r.component
+        for r in connected_components(df, "src", "dst").collect()
+    }
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2-3-4-5 chain: diameter > 1 forces multiple propagation rounds
+    got = cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_disjoint_components(spark):
+    got = cc(spark, [(1, 2), (2, 3), (10, 11), (20, 20)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_clique_and_bridge(spark):
+    clique = [(a, b) for a in range(5, 9) for b in range(a + 1, 9)]
+    got = cc(spark, clique + [(8, 100), (100, 101)])
+    assert {got[n] for n in (5, 6, 7, 8, 100, 101)} == {5}
+
+
+def test_long_chain_needs_many_rounds(spark):
+    # rounds needed ≈ chain length (one hop per round): 15 < max_iter=25
+    n = 15
+    got = cc(spark, [(i, i + 1) for i in range(n)])
+    assert set(got.values()) == {0}
+    with pytest.raises(RuntimeError):
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "src long, dst long"
+        )
+        connected_components(df, "src", "dst", max_iter=2)
