@@ -42,6 +42,8 @@ HEADLINE = [
     "pivot_type_by_hour",
     "cube_type_hourbucket",
     "sliding_hourly_counts",
+    "cohort_retention",
+    "funnel_signup_click_purchase",
     "range_join_clicks_near_errors",
     # LLM-pipeline: dedup + text
     "dedup_exact",

@@ -697,3 +697,86 @@ def sliding_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B13 — cohort retention: users grouped by first-seen week, distinct
+# activity counted per weeks-since-cohort. Two aggregations: min-ts per
+# user (map-side partial min), then distinct users per (cohort, offset).
+# --------------------------------------------------------------------------
+
+COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+       CAST(date_diff('week', date_trunc('week', f.first_ts),
+                      date_trunc('week', e.ts)) AS INTEGER) AS weeks_since,
+       COUNT(DISTINCT e.user_id) AS active_users
+FROM events e JOIN firsts f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@query("cohort_retention", COHORT_ORACLE)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohort = F.date_trunc("week", "first_ts")
+    week = F.date_trunc("week", "ts")
+    return (
+        e.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            cohort.cast("date").alias("cohort_week"),
+            ((F.unix_date(week.cast("date")) - F.unix_date(cohort.cast("date"))) / 7)
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B14 — ordered funnel: users who signed up, then clicked AFTER the
+# signup, then purchased AFTER the click (min-ts per stage, ordered).
+# One grouped pivot of min timestamps — no self-joins, no explode.
+# --------------------------------------------------------------------------
+
+FUNNEL_ORACLE = """
+WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) FILTER (t_signup IS NOT NULL) AS n_signup,
+       COUNT(*) FILTER (t_click > t_signup) AS n_clicked_after,
+       COUNT(*) FILTER (t_purchase > t_click AND t_click > t_signup)
+         AS n_purchased_after
+FROM stages
+"""
+
+
+@query("funnel_signup_click_purchase", FUNNEL_ORACLE)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    stage = lambda s: F.min(F.when(F.col("event_type") == s, F.col("ts")))  # noqa: E731
+    stages = e.groupBy("user_id").agg(
+        stage("signup").alias("t_signup"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count(F.when(F.col("t_signup").isNotNull(), 1)).alias("n_signup"),
+        F.count(F.when(F.col("t_click") > F.col("t_signup"), 1)).alias(
+            "n_clicked_after"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_signup")),
+                1,
+            )
+        ).alias("n_purchased_after"),
+    )
