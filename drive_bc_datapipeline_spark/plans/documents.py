@@ -692,3 +692,90 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# H5 — deterministic train/eval split. Training pipelines need splits
+# that are REPRODUCIBLE (same doc always lands in the same split, on
+# any cluster, any run — rand()-based sampleBy is neither) and
+# JOIN-FREE (the split is a pure function of the key). Bucket =
+# md5(doc_id) mod 100, identical arithmetic in both engines.
+# --------------------------------------------------------------------------
+
+TRAIN_PCT = 80
+
+# first 8 md5 hex chars of the doc_id string → int, mod 100
+_SPLIT_BUCKET_SQL = (
+    "(("
+    + " + ".join(
+        "CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), "
+        f"{i + 1}, 1)) - 1 AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ") % 100)"
+)
+
+SPLIT_ORACLE = f"""
+SELECT CASE WHEN {_SPLIT_BUCKET_SQL} < {TRAIN_PCT} THEN 'train' ELSE 'eval' END
+         AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@query("split_train_eval", SPLIT_ORACLE)
+def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        _SPLIT_BUCKET_SQL.replace("CAST(doc_id AS VARCHAR)", "CAST(doc_id AS STRING)")
+    )
+    return (
+        d.withColumn(
+            "split",
+            F.when(bucket < TRAIN_PCT, "train").otherwise("eval"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# H6 — table profiling: per-column null/distinct/extent statistics in
+# ONE pass (training-data validation gate; the reference eyeballed
+# printSchema + counts).
+# --------------------------------------------------------------------------
+
+PROFILE_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT doc_id) AS distinct_doc_id,
+       SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+       COUNT(DISTINCT lang) AS distinct_lang,
+       COUNT(DISTINCT source) AS distinct_source,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       MIN(length(text)) AS min_len,
+       MAX(length(text)) AS max_len
+FROM documents
+"""
+
+
+@query("table_profile_documents", PROFILE_ORACLE)
+def table_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("distinct_doc_id"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("null_text"),
+        F.countDistinct("lang").alias("distinct_lang"),
+        F.countDistinct("source").alias("distinct_source"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.min(F.length("text")).alias("min_len"),
+        F.max(F.length("text")).alias("max_len"),
+    )
