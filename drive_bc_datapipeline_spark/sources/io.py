@@ -104,3 +104,46 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    sort_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite `path` as `target_files` files,
+    optionally sorted within files for better row-group min/max pruning.
+
+    The small-files problem is the canonical streaming-sink pathology:
+    foreachBatch appends a file per partition per micro-batch, and a
+    year later the directory has 10^6 files whose open/footer overhead
+    dominates every scan. Compaction = one read + one clustered write.
+    Writes to a staging dir first, then swaps — a crash mid-compact
+    leaves the original intact (poor-man's atomicity; table formats do
+    this transactionally).
+
+    Returns (files_before, files_after).
+    """
+    import shutil
+
+    def _count_files(p: str) -> int:
+        return sum(
+            1
+            for root, _, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = _count_files(path)
+    df = spark.read.parquet(path)
+    out = df.repartition(target_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    staging = path.rstrip("/") + "__compacting"
+    out.write.mode("overwrite").parquet(staging)
+    backup = path.rstrip("/") + "__old"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return before, _count_files(path)

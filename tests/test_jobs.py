@@ -48,3 +48,25 @@ def test_run_pipeline_subset_and_rerun_overwrites(spark, tmp_path):
     m1 = run_pipeline(spark, SF, out, jobs=["counts_by_type"])
     m2 = run_pipeline(spark, SF, out, jobs=["counts_by_type"])
     assert m1["jobs"]["counts_by_type"]["rows"] == m2["jobs"]["counts_by_type"]["rows"]
+
+
+def test_incremental_etl_is_idempotent(spark, tmp_path):
+    from drive_bc_datapipeline_spark.jobs import run_incremental_events
+
+    src = f"{SF}/events.parquet"
+    out = str(tmp_path / "inc_out")
+    state = str(tmp_path / "state.json")
+
+    r1 = run_incremental_events(spark, src, out, state)
+    assert r1["processed"] > 0
+    n_after_first = spark.read.parquet(out).count()
+    assert n_after_first == r1["processed"]
+
+    # unchanged input → nothing reprocessed, nothing duplicated
+    r2 = run_incremental_events(spark, src, out, state)
+    assert r2["processed"] == 0
+    assert spark.read.parquet(out).count() == n_after_first
+    # date-partitioned layout for pruning
+    import os as _os
+
+    assert any(d.startswith("event_date=") for d in _os.listdir(out))

@@ -96,3 +96,16 @@ def test_csv_infer_schema(spark, tmp_path):
     back = sio.read_csv(spark, path)
     assert back.count() == len(ROWS)
     assert set(back.columns) == {"id", "name", "val"}
+
+
+def test_compact_parquet_reduces_files_and_preserves_data(spark, tmp_path):
+    path = str(tmp_path / "many")
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS k", "id * 1.5 AS v")
+    df.repartition(40).write.parquet(path)
+    before_rows = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    before, after = sio.compact_parquet(spark, path, target_files=4, sort_cols=["k"])
+    assert before >= 40 and after == 4
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before_rows
+    assert not os.path.exists(path + "__compacting")
+    assert not os.path.exists(path + "__old")
