@@ -36,17 +36,28 @@ BROADCAST_DIMS = {"region", "nation", "supplier"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one table. ``events.ts`` is parquet TIMESTAMP(NANOS), which
+    the vectorized reader rejects — read it as raw nanos and truncate
+    to micros (same dance as ``plans.registry.t``)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load every testdata table and register ``<name>`` temp views."""
+    """Load every testdata table and register ``<name>`` temp views so
+    users can address the catalog through raw ``spark.sql`` too."""
     out: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if not os.path.exists(path):
+        if not os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
