@@ -780,3 +780,42 @@ def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_purchased_after"),
     )
+
+
+# --------------------------------------------------------------------------
+# B15 — NTILE quartile banding: per-type value quartiles (deterministic
+# via (value, event_id) tiebreak), then per-band stats. Covers the
+# ntile window shape the rank/lag queries don't.
+# --------------------------------------------------------------------------
+
+NTILE_ORACLE = """
+WITH banded AS (
+  SELECT event_type, value,
+         NTILE(4) OVER (
+           PARTITION BY event_type ORDER BY value, event_id
+         ) AS quartile
+  FROM events
+)
+SELECT event_type,
+       CAST(quartile AS INTEGER) AS quartile,
+       COUNT(*) AS n,
+       ROUND(MIN(value), 2) AS lo,
+       ROUND(MAX(value), 2) AS hi
+FROM banded
+GROUP BY event_type, quartile
+"""
+
+
+@query("ntile_value_quartiles", NTILE_ORACLE)
+def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.select("event_type", "value", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("event_type", F.col("quartile").cast("int").alias("quartile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
