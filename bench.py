@@ -38,6 +38,7 @@ HEADLINE = [
     "etl_events_clean",
     "hourly_timeseries",
     "sessionize_events",
+    "session_window_stats",
     "asof_join_orders_events",
     "pivot_type_by_hour",
     "cube_type_hourbucket",

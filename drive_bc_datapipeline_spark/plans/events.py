@@ -819,3 +819,63 @@ def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("hi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B16 — built-in session windows: F.session_window(ts, gap) merges a
+# user's events whose gaps are < GAP into one window (the native twin
+# of the manual lag+cumsum sessionization in B7 — and the construct
+# that works unchanged in Structured Streaming with state eviction).
+# Oracle: gaps-and-islands SQL — new session when ts - prev_ts >= GAP;
+# session end = max ts + gap (Spark's session_window end semantics).
+# --------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+SESSION_WINDOW_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_no
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM sess
+GROUP BY user_id, session_no
+"""
+
+
+@query("session_window_stats", SESSION_WINDOW_ORACLE)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -234,3 +234,59 @@ def start_stateful_user_stats_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_stream_stream_join(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "click_purchase_join",
+    max_gap_minutes: int = 60,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """J6: watermarked stream-stream inner join — each purchase joined
+    to the same user's clicks in the preceding ``max_gap_minutes``.
+
+    Stream-stream joins buffer BOTH sides in the state store; the
+    watermarks plus the time-range join condition bound that state
+    (rows older than watermark+gap are evicted). This is the streaming
+    twin of the batch binned range join (C19) — same semantics, state
+    store instead of bucket replication.
+    """
+    raw = read_event_stream(spark, source_dir).dropna(subset=["ts"])
+    clicks = (
+        raw.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        raw.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
+        ),
+        "inner",
+    ).select("event_id", F.col("p_user").alias("user_id"), "purchase_ts", "click_ts")
+    writer = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -142,3 +142,37 @@ def test_stateful_user_stats_matches_batch(spark, tmp_path):
     }
     assert streamed == expected
     assert len(streamed) == 2  # u1, u2 (u3 has null ts)
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """J6: watermarked stream-stream join == equivalent batch join."""
+    import json as _json
+
+    events = []
+    base = "2024-01-01T"
+    rows = [
+        ("c1", "00:10", "u1", "click"),
+        ("c2", "00:50", "u1", "click"),
+        ("p1", "01:00", "u1", "purchase"),   # joins c1 (50m) + c2 (10m)
+        ("c3", "02:30", "u1", "click"),
+        ("p2", "04:00", "u1", "purchase"),   # c3 is 90m before → outside 60m
+        ("c4", "03:55", "u2", "click"),
+        ("p3", "04:05", "u2", "purchase"),   # joins c4 (10m), not u1's clicks
+    ]
+    for eid, hm, user, etype in rows:
+        events.append({"event_id": eid, "ts": f"{base}{hm}:00", "user_id": user,
+                       "event_type": etype, "value": 1.0, "props": "{}"})
+    src = tmp_path / "ssj_src"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(_json.dumps(e) for e in events))
+
+    q = sp.start_stream_stream_join(
+        spark, str(src), str(tmp_path / "ssj_ckpt"), query_name="t_ssj",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.click_ts.strftime("%H:%M"))
+        for r in spark.sql("SELECT * FROM t_ssj").collect()
+    }
+    assert got == {("p1", "00:10"), ("p1", "00:50"), ("p3", "03:55")}
