@@ -779,3 +779,55 @@ def table_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("text")).alias("min_len"),
         F.max(F.length("text")).alias("max_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# F7 — edit-distance near-match on document prefixes, with exact-prefix
+# blocking. Levenshtein is the classic "typo-level" dedup primitive
+# (catches char-level variants that token-level Jaccard misses). The
+# O(len²) DP cost per pair is only affordable on CANDIDATES, so pairs
+# are blocked on a shared exact 8-char prefix — one equi-join — and the
+# distance runs on 40-char prefixes of candidates only.
+# --------------------------------------------------------------------------
+
+LEV_BLOCK = 8
+LEV_PREFIX = 40
+LEV_MAX = 5
+
+LEV_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         substr(text, 1, {LEV_BLOCK}) AS blk,
+         substr(text, 1, {LEV_PREFIX}) AS prefix
+  FROM documents
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist
+FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= {LEV_MAX}
+"""
+
+
+@query("dedup_levenshtein_prefix", LEV_ORACLE)
+def dedup_levenshtein_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.substring("text", 1, LEV_BLOCK).alias("blk"),
+        F.substring("text", 1, LEV_PREFIX).alias("prefix"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= LEV_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )
