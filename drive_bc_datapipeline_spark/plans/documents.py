@@ -831,3 +831,46 @@ def dedup_levenshtein_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("edit_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# H7 — stratified sampling with per-group rates (e.g. downsample
+# dominant languages, keep the tail whole). Deterministic: the same
+# hash bucket as H5 compared against a per-lang rate — reproducible on
+# any run/cluster, no RNG, no join.
+# --------------------------------------------------------------------------
+
+STRATA_RATES = {"en": 50, "de": 30}  # pct kept; default for the tail
+STRATA_DEFAULT = 100
+
+_RATE_CASE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in STRATA_RATES.items())
+    + f" ELSE {STRATA_DEFAULT} END"
+)
+
+STRATIFIED_ORACLE = f"""
+SELECT lang,
+       COUNT(*) AS n_total,
+       SUM(CASE WHEN {_SPLIT_BUCKET_SQL} < {_RATE_CASE_SQL} THEN 1 ELSE 0 END)
+         AS n_sampled
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("stratified_sample_documents", STRATIFIED_ORACLE)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        _SPLIT_BUCKET_SQL.replace("CAST(doc_id AS VARCHAR)", "CAST(doc_id AS STRING)")
+    )
+    rate = F.expr(_RATE_CASE_SQL)
+    return (
+        d.withColumn("keep", (bucket < rate).cast("int"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("keep").alias("n_sampled"),
+        )
+    )

@@ -879,3 +879,50 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B17 — IQR outlier detection: per-type Tukey fences from exact
+# quartiles (one grouped percentile pass, broadcast back, one filter
+# pass). Standard data-validation op before training ingestion.
+# --------------------------------------------------------------------------
+
+IQR_ORACLE = """
+WITH fences AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n_outliers,
+       ROUND(MIN(e.value), 2) AS min_outlier,
+       ROUND(MAX(e.value), 2) AS max_outlier
+FROM events e JOIN fences f ON e.event_type = f.event_type
+WHERE e.value > f.q3 + 1.5 * (f.q3 - f.q1)
+   OR e.value < f.q1 - 1.5 * (f.q3 - f.q1)
+GROUP BY e.event_type
+"""
+
+
+@query("value_outliers_iqr", IQR_ORACLE)
+def value_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    fences = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        e.join(F.broadcast(fences), "event_type")
+        .filter(
+            (F.col("value") > F.col("q3") + 1.5 * iqr)
+            | (F.col("value") < F.col("q1") - 1.5 * iqr)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.round(F.min("value"), 2).alias("min_outlier"),
+            F.round(F.max("value"), 2).alias("max_outlier"),
+        )
+    )
