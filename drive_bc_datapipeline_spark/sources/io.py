@@ -147,3 +147,44 @@ def compact_parquet(
     os.rename(staging, path)
     shutil.rmtree(backup)
     return before, _count_files(path)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """K3 hardened: JSONL read that SPLITS clean rows from corrupt ones.
+
+    PERMISSIVE mode parks any unparseable line in ``_corrupt_record``
+    and nulls the data columns; returning (clean, quarantined) lets the
+    pipeline land good rows while the quarantine goes to a dead-letter
+    dir for inspection — dropping corrupt records silently (the
+    reference's implicit behavior) destroys the audit trail at scale.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField as SF_
+
+    full = StructType(
+        list(schema.fields) + [SF_("_corrupt_record", StringType())]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()  # Spark requires caching before filtering on _corrupt_record
+    )
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantined = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return clean, quarantined
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """K1 hardened: read a parquet dir whose files have EVOLVED schemas
+    (columns added over time) — ``mergeSchema`` unions the footers so
+    old files surface the new columns as NULL. Off by default in Spark
+    because footer-merging costs a pass over file metadata; turn it on
+    only at ingestion boundaries, then rewrite to one schema.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -109,3 +109,32 @@ def test_compact_parquet_reduces_files_and_preserves_data(spark, tmp_path):
     assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before_rows
     assert not os.path.exists(path + "__compacting")
     assert not os.path.exists(path + "__old")
+
+
+def test_jsonl_quarantine_splits_corrupt_rows(spark, tmp_path):
+    src = tmp_path / "q"
+    src.mkdir()
+    (src / "data.json").write_text(
+        '{"id": 1, "name": "ok", "val": 1.0}\n'
+        "this is not json at all\n"
+        '{"id": 2, "name": "ok2", "val": 2.0}\n'
+        '{"id": "NOT_AN_INT", "name": "bad-type", "val": 3.0}\n'
+    )
+    clean, quarantined = sio.read_jsonl_quarantine(spark, str(src), SCHEMA)
+    assert sorted(r.id for r in clean.collect()) == [1, 2]
+    bad = [r._corrupt_record for r in quarantined.collect()]
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(path)
+    # a later writer adds a column
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+    merged = sio.read_parquet_merged(spark, path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
