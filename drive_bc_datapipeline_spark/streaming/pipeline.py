@@ -290,3 +290,32 @@ def start_stream_stream_join(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_enriched_stream(
+    spark: SparkSession,
+    source_dir: str,
+    dim_df: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "enriched",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """J7: stream-static enrichment — each micro-batch joins the
+    (small, broadcast) static dimension; no streaming state at all.
+
+    The workhorse production pattern: events enriched with user/region
+    attributes as they arrive. The static side is re-resolvable per
+    micro-batch, so a dim refresh (new parquet snapshot) is picked up
+    without restarting the query when the dim is read from a path.
+    """
+    raw = read_event_stream(spark, source_dir).dropna(subset=["ts"])
+    enriched = raw.join(F.broadcast(dim_df), "user_id", "left")
+    writer = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -176,3 +176,21 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_ssj").collect()
     }
     assert got == {("p1", "00:10"), ("p1", "00:50"), ("p3", "03:55")}
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """J7: micro-batches left-join a broadcast static dim."""
+    src = _write_source(tmp_path)
+    dim = spark.createDataFrame(
+        [("u1", "gold"), ("u2", "silver")], "user_id string, tier string"
+    )
+    q = sp.start_enriched_stream(
+        spark, src, dim, str(tmp_path / "ckpt5"), query_name="t_enrich",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    rows = {r.event_id: r.tier for r in spark.sql(
+        "SELECT event_id, tier FROM t_enrich").collect()}
+    # e1 appears twice (no dedup in this path) but maps consistently
+    assert rows["e1"] == "gold" and rows["e3"] == "gold"
+    assert rows["e2"] == "silver"
