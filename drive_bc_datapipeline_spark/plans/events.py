@@ -926,3 +926,39 @@ def value_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("max_outlier"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B18 — ordered per-user event sequences (training-sequence
+# construction: the "user history as a token string" input LLM-style
+# models train on). Ordering inside collect_list is NOT guaranteed, so
+# the struct-sort trick makes it deterministic: collect structs keyed
+# by (ts, event_id), sort_array orders lexicographically by those
+# fields, then project the payload.
+# --------------------------------------------------------------------------
+
+SEQUENCE_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS type_sequence
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("user_event_sequences", SEQUENCE_ORACLE)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s.getField("event_type"),
+        ),
+        ">",
+    )
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        seq.alias("type_sequence"),
+    )
