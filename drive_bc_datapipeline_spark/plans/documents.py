@@ -874,3 +874,58 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("keep").alias("n_sampled"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# F8 — train/eval decontamination: eval documents sharing at least one
+# 8-gram with ANY train document, with the shared-shingle count as the
+# contamination score. The standard benchmark-decontamination op: a
+# model must not be evaluated on text its training split contains.
+# Splits reuse the deterministic H5 hash buckets; the check is one
+# semi-style join on the shingle key (train side deduped — the 100 TB
+# cost is |shingles| shuffled once, not train x eval).
+# --------------------------------------------------------------------------
+
+DECON_N = 8
+
+DECON_ORACLE = f"""
+WITH sh AS ({word_ngrams_sql(DECON_N)}),
+b AS (
+  SELECT doc_id, {_SPLIT_BUCKET_SQL} AS bucket FROM documents
+),
+train_sh AS (
+  SELECT DISTINCT shingle FROM sh JOIN b USING (doc_id)
+  WHERE b.bucket < {TRAIN_PCT}
+),
+eval_sh AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN b USING (doc_id)
+  WHERE b.bucket >= {TRAIN_PCT}
+)
+SELECT doc_id AS eval_doc_id, COUNT(*) AS n_shared_shingles
+FROM eval_sh
+WHERE shingle IN (SELECT shingle FROM train_sh)
+GROUP BY doc_id
+"""
+
+
+@query("decontaminate_eval", DECON_ORACLE)
+def decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        _SPLIT_BUCKET_SQL.replace("CAST(doc_id AS VARCHAR)", "CAST(doc_id AS STRING)")
+    )
+    with_bucket = d.withColumn("bucket", bucket)
+    sh = word_ngrams(with_bucket, DECON_N)
+    buckets = with_bucket.select("doc_id", "bucket")
+    sh_b = sh.join(buckets, "doc_id")
+    train_sh = (
+        sh_b.filter(F.col("bucket") < TRAIN_PCT).select("shingle").distinct()
+    )
+    eval_sh = sh_b.filter(F.col("bucket") >= TRAIN_PCT).select(
+        "doc_id", "shingle"
+    )
+    return (
+        eval_sh.join(train_sh, "shingle", "left_semi")
+        .groupBy(F.col("doc_id").alias("eval_doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
