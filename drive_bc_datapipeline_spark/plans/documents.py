@@ -929,3 +929,53 @@ def decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("doc_id").alias("eval_doc_id"))
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
+
+
+# --------------------------------------------------------------------------
+# H8 — intra-document repetition score: repeated-trigram mass per doc
+# (repetitive boilerplate is low-quality training text; this is the
+# doc-level counterpart of corpus-level dedup). One narrow pass: all
+# trigrams vs distinct trigrams per doc.
+# --------------------------------------------------------------------------
+
+REP_N = 3
+
+REPETITION_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, greatest(len(tokens) - {REP_N - 1}, 0)),
+             i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]
+         )) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(DISTINCT g) AS n_distinct,
+       ROUND(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 4)
+         AS repetition
+FROM grams
+WHERE g <> ''
+GROUP BY doc_id
+"""
+
+
+@query("doc_repetition_score", REPETITION_ORACLE)
+def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    grams = word_ngrams(d, REP_N, distinct=False)
+    return (
+        grams.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("shingle").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            F.round(
+                1.0 - F.col("n_distinct").cast("double") / F.col("n_grams"), 4
+            ).alias("repetition"),
+        )
+    )
