@@ -962,3 +962,39 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         seq.alias("type_sequence"),
     )
+
+
+# --------------------------------------------------------------------------
+# B19 — event-type transition matrix (first-order Markov counts): for
+# each user-consecutive pair of events, count (from_type → to_type).
+# LAG over (user_id, ts) — sequence-model feature extraction.
+# --------------------------------------------------------------------------
+
+TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS to_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS from_type
+  FROM events
+)
+SELECT from_type, to_type, COUNT(*) AS n
+FROM seq
+WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
+@query("event_type_transitions", TRANSITIONS_ORACLE)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

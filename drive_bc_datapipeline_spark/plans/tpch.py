@@ -603,3 +603,60 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# C20 — TPC-H Q8 shape: market share — the share of yearly revenue
+# (from one region's customers) supplied by one target nation.
+# Percentage-of-total over a multi-join star, per year.
+# --------------------------------------------------------------------------
+
+Q8_REGION, Q8_NATION = "ASIA", "NATION_1"
+
+Q8_ORACLE = f"""
+SELECT l_year,
+       ROUND(SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN volume ELSE 0 END)
+             / SUM(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+         ns.n_name AS supp_nation,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM lineitem l
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = nc.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+  WHERE r.r_name = '{Q8_REGION}'
+)
+GROUP BY l_year
+"""
+
+
+@query("q8_market_share", Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == Q8_NATION, volume).otherwise(0.0)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.round(F.sum(target) / F.sum(volume), 6).alias("mkt_share"))
+    )
