@@ -468,3 +468,65 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# F9 — LSH-bucketed embedding near-dup: the oracle-checked SCALE path
+# for F5. Candidates limited to same-hyperplane-bucket pairs (an
+# equi-join on the signature — no broadcast of the corpus, no
+# all-pairs); same scoring expression as the brute-force twin. Recall
+# trades against the bucket count exactly as in ann_lsh_topk.
+# --------------------------------------------------------------------------
+
+EMB_LSH_DEDUP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {_norm_sql("embedding")} AS nrm,
+         {_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       ROUND(({_dot_terms_sql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm), 4)
+         AS cosine
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ({_dot_terms_sql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm)
+      >= {NEAR_DUP_COS}
+"""
+
+
+@query("dedup_embedding_lsh", EMB_LSH_DEDUP_ORACLE)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .withColumn("emb_d", F.transform("embedding", lambda x: x.cast("double")))
+        .withColumn("nrm", _norm_spark("embedding"))
+        .withColumn("bucket", _bucket_spark("embedding"))
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("emb_d").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+        "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("emb_d").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        F.col("bucket").alias("b_bucket"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a_emb"), F.col("b_emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (F.col("a_nrm") * F.col("b_nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("b_bucket"))
+            & (F.col("vec_id_a") < F.col("vec_id_b")),
+        )
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= NEAR_DUP_COS)
+        .select("vec_id_a", "vec_id_b", F.round("cos", 4).alias("cosine"))
+    )
