@@ -998,3 +998,39 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# B20 — per-user latest-event snapshot (argmax). max_by is tie-unstable,
+# so the struct-max trick makes it deterministic: max over structs
+# ordered by (ts, event_id) lexicographically, then project. Oracle:
+# ROW_NUMBER() = 1 with the same ordering.
+# --------------------------------------------------------------------------
+
+SNAPSHOT_ORACLE = """
+SELECT user_id, ts AS last_ts, event_type AS last_type,
+       ROUND(value, 2) AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@query("user_latest_snapshot", SNAPSHOT_ORACLE)
+def user_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    latest = F.max(F.struct("ts", "event_id", "event_type", "value"))
+    return (
+        e.groupBy("user_id")
+        .agg(latest.alias("s"))
+        .select(
+            "user_id",
+            F.col("s.ts").alias("last_ts"),
+            F.col("s.event_type").alias("last_type"),
+            F.round(F.col("s.value"), 2).alias("last_value"),
+        )
+    )
