@@ -47,6 +47,20 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
 
     right_vals = [c for c in right.columns if c not in keys]
+    if tolerance_seconds is not None and right_ts not in right_vals:
+        # right_ts is a join key: every match has gap 0, so a tolerance
+        # is meaningless — and silently returning unfiltered matches
+        # would look like the tolerance was applied. Fail loudly.
+        raise ValueError(
+            f"tolerance_seconds requires right_ts ({right_ts!r}) to be a "
+            "value column, but it is one of the join keys"
+        )
+    collisions = {f"{c}{suffix}" for c in right_vals} & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"suffixed right columns collide with left columns: "
+            f"{sorted(collisions)}; pass a different suffix"
+        )
     lhs = left.withColumn("__t", F.col(left_ts)).withColumn(
         "__is_left", F.lit(True)
     )
@@ -83,7 +97,7 @@ def asof_join(
         )
     matched = matched.filter(F.col("__is_left"))
 
-    if tolerance_seconds is not None and right_ts in right_vals:
+    if tolerance_seconds is not None:
         gap = F.abs(
             F.unix_micros(F.col("__t")) - F.unix_micros(F.col(f"__m_{right_ts}"))
         ) / 1e6

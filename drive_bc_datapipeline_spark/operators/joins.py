@@ -26,6 +26,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(df: DataFrame, n_salts: int) -> Column:
+    """Deterministic per-row salt in [0, n_salts).
+
+    xxhash64 over every column mixed with spark_partition_id(): stable
+    under task retries (a recomputed map task reads the same input
+    split, so every row re-hashes to the same salt), yet identical
+    duplicate rows in DIFFERENT input partitions get different salts —
+    the duplicate-heavy hot key actually spreads across reducers.
+    """
+    cols = [F.col(c) for c in df.columns]
+    return F.pmod(F.xxhash64(*cols, F.spark_partition_id()), F.lit(n_salts))
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,
@@ -36,17 +49,23 @@ def salted_join(
     """Skew-resistant equi-join: ``large ⋈ small ON large.key = small.key``.
 
     The large side gets a deterministic salt in [0, n_salts) derived by
-    hashing the whole row (xxhash64 of all columns — stable across
-    retries, which a rand() salt is not: a recomputed task must land
-    rows on the same reducer or shuffle retries corrupt results). The
-    small side is exploded n_salts×. Join key becomes (key, salt).
+    hashing the whole row PLUS the shuffle-map partition id
+    (xxhash64(all cols, spark_partition_id()) — stable across retries,
+    which a rand() salt is not: a recomputed task reads the same input
+    partition and lands rows on the same reducer). The partition-id
+    component matters for the common hot-key pathology of fully
+    IDENTICAL duplicate rows: a row-content-only hash sends every copy
+    to ONE salt (one reducer), defeating the mitigation; mixing in the
+    map partition spreads copies across salts while staying
+    deterministic per task. The small side is exploded n_salts×. Join
+    key becomes (key, salt).
 
     Supports inner/left joins (semantics preserved; each large row
     carries exactly one salt so no duplication).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(n_salts))
+    salt = _row_salt(large, n_salts)
     l = large.withColumn("__salt", salt).alias("l")
     s = (
         small.withColumnRenamed(key, "__rkey")
@@ -75,9 +94,11 @@ def salted_groupby(
     ``aggs`` maps output column -> "sum(col)" | "count(*)" | "max(col)"
     | "min(col)". Phase 1 aggregates on (keys, salt) — the hot key's
     rows split across n_salts reducers; phase 2 merges the partials on
-    keys alone (n_salts rows per key, trivially small).
+    keys alone (n_salts rows per key, trivially small). Salt derivation
+    mixes in spark_partition_id() so identical duplicate rows still
+    spread (see ``salted_join``).
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    salt = _row_salt(df, n_salts)
     partial_exprs, final_exprs = [], []
     for out, spec in aggs.items():
         fn, _, arg = spec.partition("(")

@@ -720,7 +720,7 @@ SELECT CASE WHEN {_SPLIT_BUCKET_SQL} < {TRAIN_PCT} THEN 'train' ELSE 'eval' END
          AS split,
        lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1, 2
 """
@@ -754,7 +754,7 @@ def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROFILE_ORACLE = """
 SELECT COUNT(*) AS n_rows,
        COUNT(DISTINCT doc_id) AS distinct_doc_id,
-       SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
        COUNT(DISTINCT lang) AS distinct_lang,
        COUNT(DISTINCT source) AS distinct_source,
        MIN(n_chars) AS min_chars,
@@ -852,8 +852,8 @@ _RATE_CASE_SQL = (
 STRATIFIED_ORACLE = f"""
 SELECT lang,
        COUNT(*) AS n_total,
-       SUM(CASE WHEN {_SPLIT_BUCKET_SQL} < {_RATE_CASE_SQL} THEN 1 ELSE 0 END)
-         AS n_sampled
+       CAST(SUM(CASE WHEN {_SPLIT_BUCKET_SQL} < {_RATE_CASE_SQL} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sampled
 FROM documents
 GROUP BY lang
 """

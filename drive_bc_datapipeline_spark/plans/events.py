@@ -101,7 +101,7 @@ def etl_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_EXTRACT_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER)) AS sum_k,
+       CAST(SUM(TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
        ROUND(AVG(TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER)), 4) AS avg_k
 FROM events
 GROUP BY event_type
@@ -526,7 +526,7 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 PIVOT_ORACLE = f"""
 SELECT CAST(hour(ts) AS INTEGER) AS hour,
        {", ".join(
-           f"SUM(CASE WHEN event_type = '{t_}' THEN 1 ELSE 0 END) AS {t_}"
+           f"CAST(SUM(CASE WHEN event_type = '{t_}' THEN 1 ELSE 0 END) AS BIGINT) AS {t_}"
            for t_ in EVENT_TYPES
        )}
 FROM events
@@ -589,13 +589,27 @@ def cube_type_hourbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch per event_type — the scalable way to
     get percentiles at 100 TB (exact percentile needs a full sort;
-    the sketch is one map-side pass + tiny merge)."""
+    the sketch is one map-side pass + tiny merge).
+
+    Quantiles are emitted as four scalar columns (not one array column)
+    so downstream row canonicalizers — which hash flat cells — can
+    consume the result.
+    """
     e = t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.25, 0.5, 0.9, 0.99], 10_000).alias(
-            "q_approx"
-        ),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.25, 0.5, 0.9, 0.99], 10_000).alias("qs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.element_at("qs", 1).alias("q25"),
+            F.element_at("qs", 2).alias("q50"),
+            F.element_at("qs", 3).alias("q90"),
+            F.element_at("qs", 4).alias("q99"),
+            "n",
+        )
     )
 
 
