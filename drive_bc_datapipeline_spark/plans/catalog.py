@@ -1,0 +1,93 @@
+"""Catalog serving layer (SURVEY §2 K: catalog DDL parity).
+
+Reference parity: athena.sql:1-17 — the reference's entire serving
+layer is `CREATE DATABASE` + `CREATE EXTERNAL TABLE ... STORED AS
+PARQUET LOCATION ...` followed by aggregate queries addressed BY
+CATALOG NAME (not by path). Here the same lifecycle runs through
+Spark's catalog: `saveAsTable` registers a partitioned parquet table
+in the metastore, `spark.table(name)` re-reads it, and a
+partition-value filter prunes at plan time (`PartitionFilters` in the
+scan node — asserted by tests/test_catalog.py).
+
+100 TB notes:
+- Partitioning on the query-predicate column (event_type here; date in
+  a time-series deployment) turns every BI filter into a directory
+  prune — the scan touches 2/5ths of the corpus below, and a
+  date-partitioned table touches 1/365th per day-query.
+- `saveAsTable` writes once; every downstream consumer (SQL, BI,
+  DataFrame) shares the single catalog entry instead of re-declaring
+  paths — exactly the Athena/Glue split the reference relies on.
+- The write itself is a one-pass repartition-free append per
+  partition; at scale you'd add `maxRecordsPerFile` (sources/io.py)
+  to bound file sizes under skewed partition values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drive_bc_datapipeline_spark.plans.registry import query, r2, r2_sql, t
+
+CATALOG_DB = "analytics"
+CATALOG_TABLE = f"{CATALOG_DB}.events_by_type"
+
+CATALOG_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {r2_sql("SUM(value)")} AS total_value
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+"""
+
+
+def create_events_table(
+    spark: SparkSession, events: DataFrame, table: str = CATALOG_TABLE
+) -> None:
+    """athena.sql:1-17 DDL twin: register `events` as a catalog-managed
+    parquet table partitioned by event_type (SNAPPY is Spark's parquet
+    default, matching the reference's tblproperties)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {CATALOG_DB}")
+    # Idempotent DDL across PROCESSES, matching the reference's
+    # `DROP TABLE IF EXISTS` (athena.sql:3): the default catalog is
+    # in-memory per session, but the managed location on disk survives —
+    # a fresh session's saveAsTable would fail LOCATION_ALREADY_EXISTS
+    # unless the orphaned directory is cleared first.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    db, name = table.split(".")
+    shutil.rmtree(f"{warehouse}/{db}.db/{name}", ignore_errors=True)
+    (
+        events.write.mode("overwrite")
+        .format("parquet")
+        .partitionBy("event_type")
+        .saveAsTable(table)
+    )
+
+
+@query("catalog_table_roundtrip", CATALOG_ORACLE)
+def catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL → catalog-name query roundtrip with partition pruning.
+
+    Writes the partitioned table, re-reads it via `spark.table`, and
+    answers an athena.sql:18-21-style severity/type rollup over two
+    partition values. The returned plan's scan carries
+    `PartitionFilters: [event_type IN (click,purchase)]` — the pruning
+    contract that makes a catalog table the right serving layer.
+    """
+    create_events_table(spark, t(spark, sf_dir, "events"))
+    cat = spark.table(CATALOG_TABLE)
+    return (
+        cat.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            r2(F.sum("value")).alias("total_value"),
+        )
+    )

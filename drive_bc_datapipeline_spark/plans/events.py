@@ -611,9 +611,12 @@ def cube_type_hourbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark's KLL-style percentile_approx has no DuckDB twin, so the query
 # emits EXACT quantiles (hash-comparable; DuckDB quantile_cont uses the
 # same p*(n-1) linear interpolation as Spark's percentile) plus a
-# sketch_ok flag asserting the sketch landed within 2% of the value
-# span. A broken sketch flips the flag and fails the driver hash.
+# sketch_ok flag asserting the sketch honored its RANK-error guarantee.
+# A broken sketch flips the flag and fails the driver hash.
 # --------------------------------------------------------------------------
+
+QUANTILE_ACCURACY = 10_000
+QUANTILE_PS = [0.25, 0.5, 0.9, 0.99]
 
 QUANTILE_ORACLE = f"""
 SELECT event_type,
@@ -635,34 +638,56 @@ def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Verification design: the sketch estimate itself is engine-specific,
     so the hashed columns are the EXACT percentiles (both engines use
-    linear interpolation at p*(n-1)) and ``sketch_ok`` — 1 iff every
-    percentile_approx estimate is within 2% of the group's value span
-    of its exact twin. The exact percentiles exist only to anchor the
-    check; the 100 TB production path is the sketch alone.
+    linear interpolation at p*(n-1)) and ``sketch_ok``. The sketch's
+    contract is on RANK error — percentile_approx(accuracy=a) returns a
+    value whose rank is within n/a of p·n — so the flag checks ranks,
+    not values: #{v < est} ≤ ⌈p·n⌉ + slack and #{v ≤ est} ≥ ⌊p·n⌋ −
+    slack, slack = max(2, n/a). (A value-distance bound is scale-fragile:
+    at n≈200/group the q99 neighborhood is one sparse order statistic
+    and any fixed fraction-of-span tolerance breaks.) NULL-only groups
+    coalesce to 1 — both engines agree there is nothing to check.
+
+    The rank check joins the tiny per-group sketch row back against the
+    events scan (broadcast, one extra pass). That second pass is the
+    VERIFICATION harness only; the 100 TB production path is the first
+    aggregation alone.
     """
-    e = t(spark, sf_dir, "events")
+    e = t(spark, sf_dir, "events").select("event_type", "value")
     agg = e.groupBy("event_type").agg(
         F.expr("percentile(value, array(0.25, 0.5, 0.9, 0.99))").alias("qx"),
-        F.percentile_approx("value", [0.25, 0.5, 0.9, 0.99], 10_000).alias("qa"),
+        F.percentile_approx("value", QUANTILE_PS, QUANTILE_ACCURACY).alias("qa"),
         F.count("value").alias("n"),
-        (F.max("value") - F.min("value")).alias("span"),
     )
-    within = [
-        F.abs(F.element_at("qa", i) - F.element_at("qx", i))
-        <= 0.02 * F.col("span")
-        for i in range(1, 5)
-    ]
-    ok = within[0]
-    for w in within[1:]:
-        ok = ok & w
-    return agg.select(
+    rank_aggs = []
+    for i in range(1, 5):
+        qa_i = F.element_at("qa", i)
+        rank_aggs.append(
+            F.sum((F.col("value") < qa_i).cast("long")).alias(f"lt{i}")
+        )
+        rank_aggs.append(
+            F.sum((F.col("value") <= qa_i).cast("long")).alias(f"le{i}")
+        )
+    ranks = e.join(F.broadcast(agg), "event_type").groupBy("event_type").agg(
+        *rank_aggs
+    )
+    res = agg.join(ranks, "event_type", "left")
+    slack = F.greatest(F.lit(2.0), F.col("n") / QUANTILE_ACCURACY)
+    ok = F.lit(True)
+    for i, p in enumerate(QUANTILE_PS, start=1):
+        target = F.lit(p) * F.col("n")
+        ok = (
+            ok
+            & (F.col(f"lt{i}") <= F.ceil(target) + slack)
+            & (F.col(f"le{i}") >= F.floor(target) - slack)
+        )
+    return res.select(
         "event_type",
         r6(F.element_at("qx", 1)).alias("q25"),
         r6(F.element_at("qx", 2)).alias("q50"),
         r6(F.element_at("qx", 3)).alias("q90"),
         r6(F.element_at("qx", 4)).alias("q99"),
         "n",
-        ok.cast("int").alias("sketch_ok"),
+        F.coalesce(ok.cast("int"), F.lit(1)).alias("sketch_ok"),
     )
 
 

@@ -70,13 +70,24 @@ def multimodal_bytes_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_binary_features(with_payload)
 
 
-@query("multimodal_image_stub")  # rows-only: decode stub, no SQL equivalent
+IMAGE_STUB_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels
+FROM documents
+"""
+
+
+@query("multimodal_image_stub", IMAGE_STUB_ORACLE)
 def multimodal_image_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed multimodal record with a stubbed image decode.
 
     Produces (doc_id, width, height, n_channels) from a deterministic
     fake header; a real deployment swaps ``_decode_image_stub`` for a
-    PIL/ffmpeg call with the identical mapInPandas contract.
+    PIL/ffmpeg call with the identical mapInPandas contract. The decode
+    core is length arithmetic, so the oracle replays it in SQL — the
+    Spark plumbing (Arrow batches, schema, 1→1 shape) is what's tested.
     """
     d = t(spark, sf_dir, "documents")
     payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
@@ -104,11 +115,32 @@ def multimodal_image_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # features. Decode cores are deterministic stand-ins (no image/audio
 # libs in this environment); schemas, Arrow batch iteration, and the
 # 1→1 / 1→N / 1→arrays output shapes are the real contracts a
-# PIL/ffmpeg/librosa implementation drops into.
+# PIL/ffmpeg/librosa implementation drops into. Because each stand-in
+# is pure byte/length arithmetic, every one gets a full DuckDB oracle
+# (documents.text is ASCII in the testdata, so VARCHAR substr/ord/md5
+# equal the byte-level operations on the utf-8 payload).
 # --------------------------------------------------------------------------
 
+RESIZE_ORACLE = """
+WITH src AS (
+  SELECT doc_id,
+         octet_length(encode(text)) % 640 + 1 AS w,
+         octet_length(encode(text)) % 480 + 1 AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id, w, h, least(224.0 / w, 224.0 / h, 1.0) AS scale FROM src
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS src_w,
+       CAST(h AS INTEGER) AS src_h,
+       CAST(greatest(1, trunc(w * scale)) AS INTEGER) AS dst_w,
+       CAST(greatest(1, trunc(h * scale)) AS INTEGER) AS dst_h
+FROM s
+"""
 
-@query("multimodal_resize_stub")  # rows-only
+
+@query("multimodal_resize_stub", RESIZE_ORACLE)
 def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→1 featurizer: 'image' metadata + target-box resize arithmetic.
 
@@ -141,7 +173,25 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample_stub")  # rows-only
+FRAME_SAMPLE_ORACLE = """
+WITH f AS (
+  SELECT doc_id, text,
+         greatest(
+           1, CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT)
+         ) AS n_frames
+  FROM documents
+),
+x AS (
+  SELECT doc_id, text, unnest(range(0, n_frames, 4)) AS i FROM f
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       substr(md5(substr(text, i * 1024 + 1, 1024)), 1, 8) AS frame_sig
+FROM x
+"""
+
+
+@query("multimodal_frame_sample_stub", FRAME_SAMPLE_ORACLE)
 def multimodal_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N featurizer: sample every Kth 'frame' of a 'video' payload.
 
@@ -175,13 +225,43 @@ def multimodal_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_audio_features_stub")  # rows-only
+AUDIO_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(range(1, octet_length(encode(text)) + 1)) AS p
+  FROM documents
+),
+w AS (
+  SELECT doc_id, (p - 1) // 256 AS win,
+         CAST(SUM(ord(substr(text, p, 1))) AS BIGINT) AS s
+  FROM pos GROUP BY doc_id, win
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_windows,
+         to_json(list(s ORDER BY win)) AS window_energy
+  FROM w GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_windows, 0) AS INTEGER) AS n_windows,
+       COALESCE(a.window_energy, '[]') AS window_energy
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("multimodal_audio_features_stub", AUDIO_ORACLE)
 def multimodal_audio_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1→arrays featurizer: windowed 'audio' energy profile.
+    """1→nested featurizer: windowed 'audio' energy profile.
 
     Real version: librosa frame energies / MFCCs. The stub windows the
-    byte stream and emits per-window mean as an array<double> column —
-    the nested-output contract (arrays inside Arrow batches).
+    byte stream (256-byte windows, zero-padded tail) and emits the
+    per-window byte SUM — integer, so it is bit-exact across engines —
+    serialized as a compact JSON array string. (A raw ``array<double>``
+    output crashes pandas-based canonicalizers — lists are unhashable —
+    and float window means hit round-half ties between numpy's
+    half-to-even and SQL's half-away rounding; integer sums dodge both
+    while keeping the nested-output contract: variable-length features
+    inside Arrow batches.) Zero-padding leaves sums unchanged, so the
+    oracle needs no pad modeling.
     """
     WINDOW = 256
     d = t(spark, sf_dir, "documents")
@@ -191,22 +271,24 @@ def multimodal_audio_features_stub(spark: SparkSession, sf_dir: str) -> DataFram
         import numpy as np
 
         for pdf in batches:
-            feats = []
+            n_windows, feats = [], []
             for buf in pdf["payload"]:
-                a = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.float64)
+                a = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.int64)
                 pad = (-len(a)) % WINDOW
                 if pad:
                     a = np.pad(a, (0, pad))
-                feats.append(a.reshape(-1, WINDOW).mean(axis=1).round(4).tolist())
+                sums = a.reshape(-1, WINDOW).sum(axis=1)
+                n_windows.append(len(sums))
+                feats.append("[" + ",".join(str(int(s)) for s in sums) + "]")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_windows": [len(f) for f in feats],
+                    "n_windows": n_windows,
                     "window_energy": feats,
                 }
             )
 
     return payload.mapInPandas(
         _energy,
-        schema="doc_id long, n_windows int, window_energy array<double>",
+        schema="doc_id long, n_windows int, window_energy string",
     )

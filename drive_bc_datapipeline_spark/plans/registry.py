@@ -184,6 +184,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_all_plans() -> None:
     """Import every plans module so registration side-effects run."""
     from drive_bc_datapipeline_spark.plans import (  # noqa: F401
+        catalog,
         documents,
         embeddings,
         events,

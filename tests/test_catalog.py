@@ -1,0 +1,53 @@
+"""Catalog serving layer: DDL roundtrip + partition pruning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from drive_bc_datapipeline_spark.plans.catalog import (
+    CATALOG_TABLE,
+    catalog_table_roundtrip,
+)
+from drive_bc_datapipeline_spark.plans.registry import t
+from tests.conftest import SF_SMOKE
+
+
+def test_catalog_roundtrip_counts(spark):
+    out = catalog_table_roundtrip(spark, SF_SMOKE).collect()
+    src = t(spark, SF_SMOKE, "events")
+    expected = {
+        r.event_type: r.n
+        for r in src.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {r.event_type: r.n_events for r in out}
+    assert got == expected and len(got) == 2
+
+
+def test_catalog_partition_pruning(spark):
+    catalog_table_roundtrip(spark, SF_SMOKE)  # ensures the table exists
+    pruned = spark.table(CATALOG_TABLE).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the partition-value predicate must land in PartitionFilters (plan-
+    # time directory prune), not as a post-scan data Filter
+    assert "PartitionFilters" in plan
+    prune_line = next(
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    )
+    assert "event_type" in prune_line
+
+
+def test_catalog_schema_preserved(spark):
+    catalog_table_roundtrip(spark, SF_SMOKE)
+    src = t(spark, SF_SMOKE, "events")
+    cat = spark.table(CATALOG_TABLE)
+    # partitionBy moves the partition column to the end; the SET of
+    # (name, type) pairs must survive the roundtrip
+    assert {(f.name, f.dataType) for f in cat.schema.fields} == {
+        (f.name, f.dataType) for f in src.schema.fields
+    }
+    assert cat.count() == src.count()

@@ -53,8 +53,12 @@ def test_frame_sample_fanout(spark):
 
 
 def test_audio_windows_shape(spark):
+    import json
+
     df = QUERIES["multimodal_audio_features_stub"](spark, SF)
     sample = df.limit(10).collect()
     for r in sample:
-        assert r.n_windows == len(r.window_energy)
-        assert all(0.0 <= e <= 255.0 for e in r.window_energy)
+        energy = json.loads(r.window_energy)
+        assert r.n_windows == len(energy)
+        # each window sums ≤ 256 bytes of value ≤ 255
+        assert all(0 <= e <= 255 * 256 for e in energy)
