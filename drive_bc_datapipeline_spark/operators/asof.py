@@ -46,8 +46,16 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
 
+    if left_ts not in left.columns:
+        raise ValueError(
+            f"left_ts {left_ts!r} is not a column of left: {left.columns}"
+        )
+    if right_ts not in right.columns:
+        raise ValueError(
+            f"right_ts {right_ts!r} is not a column of right: {right.columns}"
+        )
     right_vals = [c for c in right.columns if c not in keys]
-    if tolerance_seconds is not None and right_ts not in right_vals:
+    if tolerance_seconds is not None and right_ts in keys:
         # right_ts is a join key: every match has gap 0, so a tolerance
         # is meaningless — and silently returning unfiltered matches
         # would look like the tolerance was applied. Fail loudly.

@@ -34,6 +34,14 @@ def _row_salt(df: DataFrame, n_salts: int) -> Column:
     split, so every row re-hashes to the same salt), yet identical
     duplicate rows in DIFFERENT input partitions get different salts —
     the duplicate-heavy hot key actually spreads across reducers.
+
+    PRECONDITION: ``df``'s partitioning must itself be deterministic —
+    a file scan, a hash ``repartition(cols)``, or any shuffle keyed on
+    data. After a round-robin ``repartition(n)`` or ``coalesce`` whose
+    input order isn't stable, spark_partition_id() can differ between
+    the original task and its retry (rows land in different partitions
+    on recompute), and the salt — hence the join output — is no longer
+    retry-stable. Salt the scan output, not a rebalanced intermediate.
     """
     cols = [F.col(c) for c in df.columns]
     return F.pmod(F.xxhash64(*cols, F.spark_partition_id()), F.lit(n_salts))

@@ -170,26 +170,38 @@ def _verify_jaccard(
 
 @query("dedup_ngram_jaccard", NGRAM_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate shape: df-count pass → keep shingles held by 2..DF_CAP
+    docs (df=1 can't pair, so the broadcast set drops the unique-shingle
+    majority) → per-shingle doc lists → in-array ordered-pair expansion.
+
+    Versus a rare⋈shingles⋈shingles self-join (the previous plan), this
+    never shuffles the full exploded shingle table a second time: after
+    the df aggregate, only rare-shingle occurrences (each contributing
+    ≤ DF_CAP(DF_CAP−1)/2 pairs) move. collect_set stays bounded because
+    it only ever aggregates rare shingles — no hot-key array blowup. At
+    a corpus where even the [2, DF_CAP] shingle set outgrows broadcast,
+    drop the hint and let the filter run as a shuffle join — semantics
+    unchanged.
+    """
     d = t(spark, sf_dir, "documents")
     shingles = word_ngrams(d, NGRAM_N).cache()
     rare = (
         shingles.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= DF_CAP)
+        .filter((F.col("df") >= 2) & (F.col("df") <= DF_CAP))
         .select("shingle")
     )
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    pair_expr = F.expr(
+        "flatten(transform(docs, (a, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), "
+        "b -> named_struct('doc_id_a', a, 'doc_id_b', b))))"
+    )
     cand = (
-        a.join(F.broadcast(rare.alias("r")), F.col("a.shingle") == F.col("r.shingle"))
-        .join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
-        )
+        shingles.join(F.broadcast(rare), "shingle")
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_id_a", "p.doc_id_b")
         .distinct()
     )
     return _verify_jaccard(shingles, cand, JACCARD_MIN)

@@ -281,6 +281,11 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # this runs behind the LSH bucketing above — same scoring expression).
 # --------------------------------------------------------------------------
 
+# All-pairs ceiling: 200k rows × 32 dims × 8 B ≈ 50 MB broadcast and
+# 4·10¹⁰ candidate pairs — already the outer limit of sane for a
+# verification pass; anything bigger must go through F9's LSH buckets.
+EMB_ALLPAIRS_MAX_ROWS = 200_000
+
 EMB_DEDUP_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, embedding, {_norm_sql("embedding")} AS nrm FROM embeddings
@@ -314,7 +319,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = e.collect()  # small at analytics SF; see docstring for scale path
+    # Hard guard on the driver collect: this query is the exact-verify
+    # baseline and must never silently run its O(n²) all-pairs shape on
+    # a production-sized corpus. The probe prunes to one narrow column
+    # and stops at threshold+1 rows, so the check itself stays cheap.
+    n = e.select("vec_id").limit(EMB_ALLPAIRS_MAX_ROWS + 1).count()
+    if n > EMB_ALLPAIRS_MAX_ROWS:
+        raise ValueError(
+            f"dedup_embedding_cosine is the all-pairs verification "
+            f"baseline and refuses corpora over {EMB_ALLPAIRS_MAX_ROWS:,} "
+            f"rows; use dedup_embedding_lsh — same scoring, "
+            "hyperplane-bucketed candidates, no driver collect."
+        )
+    rows = e.collect()  # guarded above; see docstring for the scale path
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     B = np.array([r.embedding for r in rows], dtype=np.float64)
     bc = spark.sparkContext.broadcast((ids, B))

@@ -106,6 +106,11 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _swap_paths(path: str) -> tuple[str, str, str]:
+    base = path.rstrip("/")
+    return base + "__compacting", base + "__old", base + "__swap_pending"
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -119,9 +124,19 @@ def compact_parquet(
     foreachBatch appends a file per partition per micro-batch, and a
     year later the directory has 10^6 files whose open/footer overhead
     dominates every scan. Compaction = one read + one clustered write.
-    Writes to a staging dir first, then swaps — a crash mid-compact
-    leaves the original intact (poor-man's atomicity; table formats do
-    this transactionally).
+
+    Swap protocol (RECOVERABLE, not atomic — POSIX has no two-dir
+    atomic swap; table formats solve this with a transaction log):
+      1. write staging dir          (crash → original untouched)
+      2. create marker file         (crash → original untouched)
+      3. rename path    -> backup   (crash → no `path`, but marker +
+      4. rename staging -> path        staging/backup survive)
+      5. remove marker              (crash → extra backup dir only)
+      6. remove backup
+    Every crash window leaves a state `recover_compact(path)` can roll
+    forward (marker + no `path`: finish the swap) or clean up (marker +
+    `path` present: drop leftovers). Readers between 3 and 4 see a
+    missing dir — the same exposure `mode("overwrite")` has natively.
 
     Returns (files_before, files_after).
     """
@@ -140,13 +155,59 @@ def compact_parquet(
     out = df.repartition(target_files)
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
-    staging = path.rstrip("/") + "__compacting"
+    staging, backup, marker = _swap_paths(path)
     out.write.mode("overwrite").parquet(staging)
-    backup = path.rstrip("/") + "__old"
+    with open(marker, "w") as fh:
+        fh.write(path)  # swap in flight: staging is complete and valid
     os.rename(path, backup)
     os.rename(staging, path)
+    os.remove(marker)
     shutil.rmtree(backup)
     return before, _count_files(path)
+
+
+def recover_compact(path: str) -> str:
+    """Repair an interrupted `compact_parquet` swap on `path`.
+
+    Returns one of:
+    - "clean"        — no marker: nothing to do.
+    - "rolled_forward" — the crash hit between the two renames (marker
+      present, `path` missing): the completed staging dir — or, if the
+      crash landed after rename 1 of 2, the backup — becomes `path`.
+    - "cleaned_up"   — the crash hit after the swap completed but
+      before marker/backup removal: leftovers are deleted.
+
+    Idempotent; call at job start (the same place a table format would
+    replay its log).
+    """
+    import shutil
+
+    staging, backup, marker = _swap_paths(path)
+    if not os.path.exists(marker):
+        return "clean"
+    if not os.path.exists(path):
+        # mid-swap: prefer the fully-written staging output; fall back
+        # to the backup (crash after `path`->backup but the staging dir
+        # was already renamed — then `path` exists, not this branch)
+        if os.path.exists(staging):
+            os.rename(staging, path)
+        elif os.path.exists(backup):
+            os.rename(backup, path)
+        else:
+            raise RuntimeError(
+                f"unrecoverable compact state for {path}: marker present "
+                "but neither path, staging, nor backup exists"
+            )
+        os.remove(marker)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+        return "rolled_forward"
+    # path exists: swap finished (or never started) — drop leftovers
+    os.remove(marker)
+    for leftover in (staging, backup):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    return "cleaned_up"
 
 
 def read_jsonl_quarantine(

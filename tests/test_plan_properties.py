@@ -84,3 +84,15 @@ def test_no_cartesian_products_anywhere(spark):
         df = QUERIES[name](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+
+
+def test_embedding_allpairs_guard_refuses_large_corpus(spark, monkeypatch):
+    """F5's driver collect is gated: above the row ceiling it must fail
+    loudly and point at the LSH scale path, never silently broadcast."""
+    import pytest
+
+    from drive_bc_datapipeline_spark.plans import embeddings as emb
+
+    monkeypatch.setattr(emb, "EMB_ALLPAIRS_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="dedup_embedding_lsh"):
+        emb.dedup_embedding_cosine(spark, "/root/testdata/sf0.001")

@@ -109,6 +109,55 @@ def test_compact_parquet_reduces_files_and_preserves_data(spark, tmp_path):
     assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before_rows
     assert not os.path.exists(path + "__compacting")
     assert not os.path.exists(path + "__old")
+    assert not os.path.exists(path + "__swap_pending")
+
+
+def test_compact_parquet_crash_recovery(spark, tmp_path, monkeypatch):
+    """Simulate a crash in every swap window and assert recover_compact
+    restores a complete, readable dataset each time."""
+    import shutil
+
+    def make_dataset(name):
+        p = str(tmp_path / name)
+        spark.range(1_000).selectExpr("id", "id % 3 AS k").repartition(
+            8
+        ).write.parquet(p)
+        return p, sorted(tuple(r) for r in spark.read.parquet(p).collect())
+
+    # crash window A: after `path`->backup, before staging->`path`
+    # (the window the old implementation left fatal: no dataset dir)
+    path, rows = make_dataset("crashA")
+    real_rename = os.rename
+
+    def rename_crash_on_second(src, dst):
+        real_rename(src, dst)
+        if dst.endswith("__old"):
+            raise RuntimeError("simulated crash between renames")
+
+    monkeypatch.setattr(os, "rename", rename_crash_on_second)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sio.compact_parquet(spark, path, target_files=2)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert not os.path.exists(path)  # dataset gone — the bad window
+    assert sio.recover_compact(path) == "rolled_forward"
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == rows
+    for suffix in ("__compacting", "__old", "__swap_pending"):
+        assert not os.path.exists(path + suffix)
+
+    # crash window B: swap complete, marker/backup cleanup didn't run
+    path, rows = make_dataset("crashB")
+    staging, backup, marker = sio._swap_paths(path)
+    shutil.copytree(path, backup)
+    with open(marker, "w") as fh:
+        fh.write(path)
+    assert sio.recover_compact(path) == "cleaned_up"
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == rows
+    assert not os.path.exists(backup) and not os.path.exists(marker)
+
+    # no marker: recovery is a no-op
+    assert sio.recover_compact(path) == "clean"
 
 
 def test_jsonl_quarantine_splits_corrupt_rows(spark, tmp_path):
