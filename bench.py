@@ -61,10 +61,17 @@ HEADLINE = [
     # geo + ml features
     "geo_grid_cluster",
     "ml_duration_features",
+    # round-4 additions (keep totals comparable: r1-r3 ran the 37 keys
+    # above; subtract the keys below when comparing across rounds)
+    "dedup_keep_canonical",
+    "term_relevance_topk",
+    "embedding_quantize_int8",
+    "ann_recall_at_k",
 ]
 
 
 def main() -> None:
+    load_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -104,6 +111,9 @@ def main() -> None:
         print(f"  {name}: {timings[name]}s (cold {cold[name]}s)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Context for reading the numbers: this box shares hardware and
+    # single-pass timings swing 2-3x under external load; the 1-minute
+    # load average at start and end lets a reader discount a noisy run.
     print(
         json.dumps(
             {
@@ -113,6 +123,9 @@ def main() -> None:
                 "queries": timings,
                 "cold_value": round(sum(cold.values()), 3),
                 "sf": sf,
+                "n_queries": len(HEADLINE),
+                "load_avg_start": load_start,
+                "load_avg_end": round(os.getloadavg()[0], 2),
             }
         )
     )

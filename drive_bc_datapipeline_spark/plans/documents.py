@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from drive_bc_datapipeline_spark.functions import text as text_fns
-from drive_bc_datapipeline_spark.plans.registry import query, t
+from drive_bc_datapipeline_spark.plans.registry import query, r4, r4_sql, t
 
 # --------------------------------------------------------------------------
 # F1 — exact dedup via content hash.
@@ -989,5 +989,138 @@ def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 1.0 - F.col("n_distinct").cast("double") / F.col("n_grams"), 4
             ).alias("repetition"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# F10 — canonical selection: turn exact-dup groups (F1's hash-groupBy)
+# into an explicit keep/drop mapping. Canonical = longest text, then
+# lowest doc_id — the "keep the richest copy" policy a training-data
+# pipeline applies before dropping duplicates.
+#
+# 100 TB: one hash shuffle + per-group window; group width = copies of
+# one exact text, naturally bounded (and the window never sees more
+# than a group at once).
+# --------------------------------------------------------------------------
+
+CANONICAL_ORACLE = """
+WITH g AS (
+  SELECT doc_id, n_chars, md5(text) AS text_hash FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_chars, text_hash,
+         ROW_NUMBER() OVER (
+           PARTITION BY text_hash ORDER BY n_chars DESC, doc_id
+         ) AS rn
+  FROM g
+),
+canon AS (
+  SELECT text_hash, doc_id AS canonical_id FROM ranked WHERE rn = 1
+)
+SELECT g.doc_id, c.canonical_id,
+       CAST(CASE WHEN g.doc_id = c.canonical_id THEN 0 ELSE 1 END
+            AS INTEGER) AS is_dupe
+FROM g JOIN canon c ON c.text_hash = g.text_hash
+"""
+
+
+@query("dedup_keep_canonical", CANONICAL_ORACLE)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+    )
+    w = Window.partitionBy("text_hash").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    canonical = F.first("doc_id").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return g.select(
+        "doc_id",
+        canonical.alias("canonical_id"),
+        (F.col("doc_id") != canonical).cast("int").alias("is_dupe"),
+    )
+
+
+# --------------------------------------------------------------------------
+# H10 — per-document top terms by tf·(N/df) — a tf-idf-style relevance
+# rank using EXACT rational arithmetic (tf·N/df is one IEEE division;
+# ln()-based idf is libm-dependent and can differ in the last ulp
+# between engines, which flips ranks on near-ties). Ranks break ties on
+# the token string, so the top-k is fully deterministic.
+#
+# 100 TB: tf is one (doc, token) shuffle with map-side combine, df one
+# token shuffle; the df side is orders smaller than the tf side
+# (vocabulary vs corpus) and AQE broadcasts it when it fits. The final
+# per-doc window shuffles on doc_id. No driver-side state: the corpus
+# size joins in as a broadcast single-row aggregate.
+# --------------------------------------------------------------------------
+
+TOP_TERMS_K = 3
+
+TERM_RELEVANCE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) * nd.n_docs / df.df AS score
+  FROM tf JOIN df ON df.token = tf.token CROSS JOIN nd
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, token
+  ) AS rnk
+  FROM scored
+)
+SELECT doc_id, token, CAST(rnk AS INTEGER) AS rnk,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       {r4_sql("score")} AS score
+FROM ranked WHERE rnk <= {TOP_TERMS_K}
+"""
+
+
+@query("term_relevance_topk", TERM_RELEVANCE_ORACLE)
+def term_relevance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf").cast("double") * F.col("n_docs") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("score", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_TERMS_K)
+        .select(
+            "doc_id",
+            "token",
+            F.col("rnk").cast("int").alias("rnk"),
+            "tf",
+            "df",
+            r4(F.col("score")).alias("score"),
         )
     )

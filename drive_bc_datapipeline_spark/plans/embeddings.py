@@ -30,7 +30,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from drive_bc_datapipeline_spark.functions import vectors
-from drive_bc_datapipeline_spark.plans.registry import query, t
+from drive_bc_datapipeline_spark.plans.registry import (
+    query,
+    r4,
+    r4_sql,
+    r6,
+    r6_sql,
+    t,
+)
 
 DIM = 64
 N_QUERIES = 5  # query set = vec_id < 5
@@ -546,4 +553,186 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos", cos)
         .filter(F.col("cos") >= NEAR_DUP_COS)
         .select("vec_id_a", "vec_id_b", F.round("cos", 4).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
+# G5 — int8 scalar quantization: per-vector (min, step) affine codes,
+# the standard 4x compression before ANN serving (f32 -> u8). Codes are
+# floor((x - min)/step + 0.5) — floor of a half-offset avoids the
+# round-half-to-even vs half-away split between numpy/JVM and SQL. All
+# arithmetic is elementwise IEEE double (exact same ops both engines),
+# and the emitted checksum (code_sum) is an integer, so it is
+# order-insensitive and bit-exact.
+#
+# 100 TB: narrow per-row transform, no shuffle at all; at scale the
+# codes column would be written back as the serving artifact and the
+# floats dropped (this query emits per-vector stats instead of 64-col
+# codes to keep the verification surface small).
+# --------------------------------------------------------------------------
+
+QUANT_LEVELS = 255
+
+QUANT_ORACLE = f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS vmin,
+         greatest(
+           (CAST(list_max(embedding) AS DOUBLE)
+            - CAST(list_min(embedding) AS DOUBLE)) / {QUANT_LEVELS}.0,
+           1e-12
+         ) AS vstep
+  FROM embeddings
+),
+codes AS (
+  SELECT vec_id, vmin, vstep,
+         list_transform(
+           embedding,
+           x -> CAST(floor((CAST(x AS DOUBLE) - vmin) / vstep + 0.5) AS BIGINT)
+         ) AS c
+  FROM s
+)
+SELECT vec_id,
+       CAST(len(c) AS INTEGER) AS dim,
+       {r6_sql("vmin")} AS vmin,
+       {r6_sql("vstep")} AS vstep,
+       CAST(list_sum(c) AS BIGINT) AS code_sum,
+       CAST(c[1] AS BIGINT) AS code0,
+       CAST(list_max(c) AS BIGINT) AS code_max
+FROM codes
+"""
+
+
+@query("embedding_quantize_int8", QUANT_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    vmin = F.array_min("embedding").cast("double")
+    vmax = F.array_max("embedding").cast("double")
+    s = e.select(
+        "vec_id",
+        "embedding",
+        vmin.alias("vmin"),
+        F.greatest(
+            (vmax - vmin) / float(QUANT_LEVELS), F.lit(1e-12)
+        ).alias("vstep"),
+    )
+    codes = F.transform(
+        "embedding",
+        lambda x: F.floor(
+            (x.cast("double") - F.col("vmin")) / F.col("vstep") + F.lit(0.5)
+        ).cast("long"),
+    )
+    c = s.select("vec_id", "vmin", "vstep", codes.alias("c"))
+    code_sum = F.aggregate("c", F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return c.select(
+        "vec_id",
+        F.size("c").cast("int").alias("dim"),
+        r6(F.col("vmin")).alias("vmin"),
+        r6(F.col("vstep")).alias("vstep"),
+        code_sum.alias("code_sum"),
+        F.element_at("c", 1).alias("code0"),
+        F.array_max("c").alias("code_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# G6 — ANN quality metric: recall@k of the LSH path (G2) against the
+# exact brute-force ranking (G1), per query. THE diagnostic every ANN
+# deployment runs before trading recall for cost; here both rankings
+# share the (cos DESC, neighbor_id) tiebreak so the comparison is
+# deterministic.
+#
+# 100 TB: exact side is the one-pass broadcast-query scan (run on a
+# sample at real scale); LSH side touches only same-bucket rows. The
+# final compare joins two k-row-per-query sets — negligible.
+# --------------------------------------------------------------------------
+
+ANN_RECALL_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {_norm_sql("embedding")} AS nrm,
+         {_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ({_dot_terms_sql("q.embedding", "v.embedding")})
+                      / (q.nrm * v.nrm) DESC, v.vec_id
+           ) AS rnk
+    FROM e q JOIN e v ON v.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rnk <= {TOP_K}
+),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ({_dot_terms_sql("q.embedding", "v.embedding")})
+                      / (q.nrm * v.nrm) DESC, v.vec_id
+           ) AS rnk
+    FROM e q JOIN e v ON v.bucket = q.bucket AND v.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rnk <= {TOP_K}
+)
+SELECT x.query_id,
+       COUNT(l.neighbor_id) AS n_hits,
+       {r4_sql(f"COUNT(l.neighbor_id) / {TOP_K}.0")} AS recall_at_k
+FROM exact x
+LEFT JOIN lsh l
+  ON l.query_id = x.query_id AND l.neighbor_id = x.neighbor_id
+GROUP BY x.query_id
+"""
+
+
+@query("ann_recall_at_k", ANN_RECALL_ORACLE)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .withColumn("nrm", _norm_spark("embedding"))
+        .withColumn("bucket", _bucket_spark("embedding"))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    v = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("v_emb"),
+        F.col("nrm").alias("v_nrm"),
+        F.col("bucket").alias("v_bucket"),
+    )
+    cos = _dot_terms_spark("q_emb", "v_emb") / (F.col("q_nrm") * F.col("v_nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+
+    def topk(joined: DataFrame) -> DataFrame:
+        return (
+            joined.withColumn("cos", cos)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    exact = topk(
+        v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    )
+    lsh = topk(
+        v.join(
+            F.broadcast(q),
+            (F.col("v_bucket") == F.col("q_bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+    )
+    return (
+        exact.join(lsh.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            r4(F.count("hit") / float(TOP_K)).alias("recall_at_k"),
+        )
     )

@@ -61,6 +61,11 @@ GATE_PIN: list[str] = [
     "multimodal_audio_features_stub",
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
+    # new queries this round (r4)
+    "dedup_keep_canonical",
+    "term_relevance_topk",
+    "embedding_quantize_int8",
+    "ann_recall_at_k",
 ]
 
 

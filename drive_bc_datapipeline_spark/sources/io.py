@@ -102,6 +102,32 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """K12: ORC scan — the other columnar format big-data estates carry
+    (Hive-era tables). Same lazy-scan/pushdown contract as parquet:
+    filters and projections composed on top reach the ORC reader."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
+) -> None:
+    """K12: ORC sink with the same partition-pruning contract as
+    `write_parquet`."""
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.orc(path)
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 

@@ -187,3 +187,19 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: r.score for r in merged.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "orc")
+    sio.write_orc(df, path)
+    back = sio.read_orc(spark, path)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    # filter composed on the scan must reach the ORC reader as a
+    # pushed predicate, same contract as parquet
+    plan = (
+        back.filter(back.id > 1)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters")[1][:60]
