@@ -1124,3 +1124,194 @@ def term_relevance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("score")).alias("score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# H10 — corpus vocabulary statistics: total tokens, vocabulary size,
+# hapax count (df=1 — the long tail that dominates LLM tokenizer
+# training decisions), and the most frequent token (lexicographic
+# tiebreak). One (doc,token)-free aggregation chain: token counts with
+# map-side combine, then a tiny second agg.
+#
+# 100 TB: the token shuffle is the only big exchange; everything after
+# it is vocabulary-sized (orders smaller than the corpus).
+# --------------------------------------------------------------------------
+
+VOCAB_STATS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
+  FROM toks WHERE token <> '' GROUP BY token
+),
+top AS (
+  SELECT token FROM counts ORDER BY n DESC, token LIMIT 1
+)
+SELECT CAST((SELECT SUM(n) FROM counts) AS BIGINT) AS n_tokens,
+       CAST((SELECT COUNT(*) FROM counts) AS BIGINT) AS vocab_size,
+       CAST((SELECT COUNT(*) FROM counts WHERE df = 1) AS BIGINT) AS n_hapax_docs,
+       CAST((SELECT MAX(n) FROM counts) AS BIGINT) AS max_count,
+       (SELECT token FROM top) AS top_token
+"""
+
+
+@query("vocab_stats", VOCAB_STATS_ORACLE)
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+    # max_by with an explicit (n, token-reversed) struct order would
+    # need a custom ordering; (n DESC, token ASC) via min over a struct
+    # with negated count is opaque — a 1-row sort-limit is clearer and
+    # the input is vocabulary-sized, not corpus-sized.
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(1).select("token")
+    return counts.agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum((F.col("df") == 1).cast("long")).alias("n_hapax_docs"),
+        F.max("n").alias("max_count"),
+    ).crossJoin(F.broadcast(top.withColumnRenamed("token", "top_token")))
+
+
+# --------------------------------------------------------------------------
+# F11 — MinHash sketch quality gate: for every LSH candidate pair,
+# the signature-estimated Jaccard (matching minhash components / k)
+# against the exact Jaccard — the same estimator-vs-truth audit
+# ann_recall_at_k runs for the ANN path. est is an exact multiple of
+# 1/16 and exact Jaccard is one rational division, so both engines
+# agree bit-for-bit.
+#
+# 100 TB: runs on candidate pairs only (the banding join's output), so
+# its cost is the sketch pipeline's own cost plus one docset join —
+# the audit never touches non-candidate pairs.
+# --------------------------------------------------------------------------
+
+MINHASH_QUALITY_ORACLE = f"""
+WITH shingles AS ({word_ngrams_sql(MH_N)}),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id,
+         {_mh_cols_sql()}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+{" UNION ALL ".join(
+    f"  SELECT doc_id, {b} AS band_id, md5({' || '.join(cols)}) AS band_hash FROM sigs"
+    for b, cols in enumerate(_band_exprs())
+)}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_id_a
+  JOIN shingles b ON b.doc_id = c.doc_id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT c.doc_id_a, c.doc_id_b,
+         ({" + ".join(
+             f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+             for i in range(MH_K)
+         )}) / {MH_K}.0 AS est_jac
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_id_a
+  JOIN sigs sb ON sb.doc_id = c.doc_id_b
+)
+SELECT e.doc_id_a, e.doc_id_b,
+       ROUND(e.est_jac, 4) AS est_jaccard,
+       ROUND(CAST(i.n_common AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - i.n_common), 4) AS jaccard,
+       ROUND(abs(e.est_jac - CAST(i.n_common AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - i.n_common)), 4) AS est_err
+FROM est e
+JOIN inter i ON i.doc_id_a = e.doc_id_a AND i.doc_id_b = e.doc_id_b
+JOIN sizes sa ON sa.doc_id = e.doc_id_a
+JOIN sizes sb ON sb.doc_id = e.doc_id_b
+"""
+
+
+@query("minhash_estimate_quality", MINHASH_QUALITY_ORACLE)
+def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    shingles = word_ngrams(d, MH_N, distinct=False).cache()
+    sigs = (
+        shingles.select("doc_id", *_mh_slice_cols())
+        .groupBy("doc_id")
+        .agg(*_mh_cols_spark())
+    )
+    band_arr = F.array(
+        *[
+            F.md5(F.concat(*[F.col(c) for c in cols]).cast("binary"))
+            for cols in _band_exprs()
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_arr).alias("band_id", "band_hash")
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_id_a"),
+            F.col("bb.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_id_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(MH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_id_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(MH_K)],
+    )
+    est = reduce(
+        lambda x, y: x + y,
+        [(F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(MH_K)],
+    ) / float(MH_K)
+    # exact Jaccard for the same candidate pairs (no threshold filter —
+    # this is the audit, not the dedup decision)
+    docsets = (
+        shingles.select("doc_id", F.xxhash64("shingle").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("h")).alias("hs"))
+    )
+    da, db = docsets.alias("da"), docsets.alias("db")
+    n_common = F.size(F.array_intersect(F.col("da.hs"), F.col("db.hs")))
+    n_union = F.size("da.hs") + F.size("db.hs") - n_common
+    jac = n_common.cast("double") / n_union
+    return (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn("est_jac", est)
+        .join(da, F.col("doc_id_a") == F.col("da.doc_id"))
+        .join(db, F.col("doc_id_b") == F.col("db.doc_id"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round("est_jac", 4).alias("est_jaccard"),
+            F.round(jac, 4).alias("jaccard"),
+            F.round(F.abs(F.col("est_jac") - jac), 4).alias("est_err"),
+        )
+    )

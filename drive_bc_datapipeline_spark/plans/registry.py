@@ -66,6 +66,8 @@ GATE_PIN: list[str] = [
     "term_relevance_topk",
     "embedding_quantize_int8",
     "ann_recall_at_k",
+    "vocab_stats",
+    "minhash_estimate_quality",
 ]
 
 

@@ -4,7 +4,13 @@ their FINAL (post-AQE) physical plans with short annotations."""
 
 from __future__ import annotations
 
+import os
 import re
+import sys
+
+# runnable as `python tools/dump_plans.py` — the script dir (tools/) is
+# on sys.path but the repo root, which holds the package, is not
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PICKS = {
     "q1_pricing_summary": "Scan→filter→partial agg→exchange→final agg, all in whole-stage codegen. Filter and 7-column pruning reach the parquet scan.",
@@ -15,6 +21,10 @@ PICKS = {
     "ann_cosine_topk": "Broadcast query set; one corpus scan; map-side partial top-k (mapInPandas) before the exchange.",
     "range_join_clicks_near_errors": "Bucket replication turns the interval predicate into an equi-join; exact Δt filter applied post-join.",
     "dedup_connected_components": "Iterative min-label propagation (plan shown = final iteration's step).",
+    "dedup_ngram_jaccard": "df-count agg → broadcast of pair-capable shingles → per-shingle doc lists → in-array pair expansion; the exploded shingle table is never shuffled a second time.",
+    "catalog_table_roundtrip": "Catalog-name read with the partition-value predicate as PartitionFilters (plan-time directory prune, no data filter).",
+    "term_relevance_topk": "tf shuffle with map-side combine; df side broadcast; WindowGroupLimit prunes per-doc rank before the final sort.",
+    "ann_recall_at_k": "Both rankings broadcast the query set; LSH side scores same-bucket rows only; final compare joins two k-row-per-query sets.",
 }
 
 HEADER = """# PLANS — physical-plan audit (generated from live `explain`)
