@@ -182,12 +182,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a corpus where even the [2, DF_CAP] shingle set outgrows broadcast,
     drop the hint and let the filter run as a shuffle join — semantics
     unchanged.
+
+    The shingle table is kept NON-distinct (like minhash): df uses
+    countDistinct (one exchange, two-level agg — cheaper than a
+    distinct shuffle followed by a count shuffle) and every downstream
+    consumer (collect_set doc lists, collect_set verification) is
+    duplicate-invariant.
     """
     d = t(spark, sf_dir, "documents")
-    shingles = word_ngrams(d, NGRAM_N).cache()
+    shingles = word_ngrams(d, NGRAM_N, distinct=False).cache()
     rare = (
         shingles.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.countDistinct("doc_id").alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= DF_CAP))
         .select("shingle")
     )
@@ -1313,5 +1319,47 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("est_jac", 4).alias("est_jaccard"),
             F.round(jac, 4).alias("jaccard"),
             F.round(F.abs(F.col("est_jac") - jac), 4).alias("est_err"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# H11 — per-source dedup / quality rollup: for each ingestion source,
+# document count, distinct-text count, duplicate ratio, and mean doc
+# length — the triage table that decides which feeds get dropped or
+# re-crawled before training. One hash aggregation (count-distinct of
+# the 128-bit content hash per source).
+#
+# 100 TB: single shuffle keyed by source; count(distinct md5) runs as
+# a two-level aggregate (partial dedup map-side). Sources are few, so
+# the final exchange is tiny; a pathological single-source corpus
+# would fall back to the partial-agg tree without a hot reducer.
+# --------------------------------------------------------------------------
+
+SOURCE_ROLLUP_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_unique,
+       ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 4)
+         AS dup_ratio,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+FROM documents
+GROUP BY source
+"""
+
+
+@query("dedup_rate_by_source", SOURCE_ROLLUP_ORACLE)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(h).alias("n_unique"),
+            F.round(
+                1.0 - F.countDistinct(h).cast("double") / F.count(F.lit(1)), 4
+            ).alias("dup_ratio"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
         )
     )

@@ -68,6 +68,7 @@ GATE_PIN: list[str] = [
     "ann_recall_at_k",
     "vocab_stats",
     "minhash_estimate_quality",
+    "dedup_rate_by_source",
 ]
 
 
