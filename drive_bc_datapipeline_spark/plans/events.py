@@ -23,7 +23,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from drive_bc_datapipeline_spark.plans.registry import query, r6, r6_sql, t
+from drive_bc_datapipeline_spark.plans.registry import (
+    query,
+    r4,
+    r4_sql,
+    r6,
+    r6_sql,
+    t,
+)
 
 # --------------------------------------------------------------------------
 # A1 — keyed dedup + timestamp/JSON normalization (etl.py clean_df parity).
@@ -1125,4 +1132,83 @@ def user_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.event_type").alias("last_type"),
             F.round(F.col("s.value"), 2).alias("last_value"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# B21 — daily volume anomaly flags: per event_type, days whose count
+# exceeds mean + 3σ of that type's daily series. Variance is computed
+# from exact integer sums ((Σx², Σx, n) → (ss − s·s/n)/n with the
+# division order written identically in both engines), NOT stddev_samp:
+# the built-in one-pass variance is numerically-stable but its
+# accumulation order is engine-defined, which flips the 3σ flag on
+# boundary days. sqrt is IEEE correctly-rounded, so σ is bit-exact too.
+#
+# 100 TB: two aggregations (events → daily counts, daily counts →
+# per-type moments) and a broadcast join of the per-type moment row
+# back onto the daily series. The second agg input is days×types —
+# trivially small no matter the corpus. s is cast to double BEFORE
+# s·s (a BIGINT square overflows once daily counts pass ~3e9).
+# --------------------------------------------------------------------------
+
+ANOMALY_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+moments AS (
+  SELECT event_type,
+         COUNT(*) AS n_days,
+         SUM(n_events) AS s,
+         SUM(n_events * n_events) AS ss
+  FROM daily GROUP BY event_type
+),
+stats AS (
+  SELECT event_type,
+         CAST(s AS DOUBLE) / n_days AS mu,
+         sqrt(greatest(
+           (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days) / n_days,
+           0.0
+         )) AS sigma
+  FROM moments
+)
+SELECT d.event_type, d.day, d.n_events,
+       {r4_sql("st.mu")} AS mean_daily,
+       {r4_sql("st.sigma")} AS sigma_daily,
+       CAST(CASE WHEN d.n_events > st.mu + 3.0 * st.sigma
+            THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+FROM daily d JOIN stats st ON st.event_type = d.event_type
+"""
+
+
+@query("daily_count_anomalies", ANOMALY_ORACLE)
+def daily_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    moments = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("ss"),
+    )
+    mu = F.col("s").cast("double") / F.col("n_days")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n_days")
+    ) / F.col("n_days")
+    stats = moments.select(
+        "event_type",
+        mu.alias("mu"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("sigma"),
+    )
+    return daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n_events",
+        r4(F.col("mu")).alias("mean_daily"),
+        r4(F.col("sigma")).alias("sigma_daily"),
+        (F.col("n_events") > F.col("mu") + 3.0 * F.col("sigma"))
+        .cast("int")
+        .alias("is_anomaly"),
     )

@@ -69,6 +69,7 @@ GATE_PIN: list[str] = [
     "vocab_stats",
     "minhash_estimate_quality",
     "dedup_rate_by_source",
+    "daily_count_anomalies",
 ]
 
 

@@ -1,0 +1,39 @@
+"""Registry invariants: oracle coverage and gate-window rotation."""
+
+from __future__ import annotations
+
+from drive_bc_datapipeline_spark.plans import registry
+
+registry.load_all_plans()
+
+
+def test_every_query_has_an_oracle():
+    """The driver's correctness gate is only as strong as oracle
+    coverage — a registered query without an oracle silently downgrades
+    to a rows-only check. As of round 4 every query has one; keep it
+    that way (add here deliberately if a future op is truly
+    non-SQL-expressible)."""
+    missing = sorted(set(registry.QUERIES) - set(registry.ORACLES))
+    assert missing == []
+
+
+def test_pinned_keys_lead_the_window():
+    ordered = list(registry.ordered_queries())
+    pinned = [k for k in registry.GATE_PIN if k in registry.QUERIES]
+    assert ordered[: len(pinned)] == pinned
+    assert len(pinned) < registry.GATE_WINDOW
+    assert set(ordered) == set(registry.QUERIES)
+
+
+def test_rotation_covers_every_query_within_three_rounds(monkeypatch):
+    """The unpinned tail must cycle through the driver's GATE_WINDOW
+    slots as rounds advance, so no query stays unverified forever."""
+    seen: set[str] = set()
+    for r in range(3):
+        monkeypatch.setattr(registry, "_round_index", lambda r=r: r)
+        seen.update(list(registry.ordered_queries())[: registry.GATE_WINDOW])
+    assert seen == set(registry.QUERIES)
+
+
+def test_rotation_is_deterministic_within_a_round():
+    assert list(registry.ordered_queries()) == list(registry.ordered_queries())
