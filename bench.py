@@ -67,6 +67,11 @@ HEADLINE = [
     "term_relevance_topk",
     "embedding_quantize_int8",
     "ann_recall_at_k",
+    "q9_profit_by_nation",
+    "q13_custdist",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
 ]
 
 

@@ -70,6 +70,11 @@ GATE_PIN: list[str] = [
     "minhash_estimate_quality",
     "dedup_rate_by_source",
     "daily_count_anomalies",
+    "q13_custdist",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q9_profit_by_nation",
 ]
 
 

@@ -660,3 +660,238 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("l_shipdate").cast("int").alias("l_year"))
         .agg(F.round(F.sum(target) / F.sum(volume), 6).alias("mkt_share"))
     )
+
+
+# --------------------------------------------------------------------------
+# C21 — TPC-H Q13 (customer order-count distribution): the left-join +
+# double-aggregation shape. The testdata schema carries no o_comment,
+# so the original comment exclusion is omitted (noted; the plan shape —
+# outer join preserving 0-order customers, then a distribution agg —
+# is the point).
+#
+# 100 TB: orders shuffle on custkey against customer; the second
+# aggregation's input is one row per customer and its output one row
+# per distinct order count — both tiny relative to the fact table.
+# --------------------------------------------------------------------------
+
+Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@query("q13_custdist", Q13_ORACLE)
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, o["o_custkey"] == c["c_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# C22 — TPC-H Q15 (top supplier by quarterly revenue): the
+# "view + scalar-subquery max" shape. The max-revenue equality filter is
+# evaluated against the engine's own revenue view on both sides, so a
+# cross-engine ulp difference cannot desynchronize the selection unless
+# two suppliers tie within one ulp.
+#
+# 100 TB: revenue view = one filtered lineitem aggregation (per-supplier
+# partial sums map-side); the max is a single-row broadcast.
+# --------------------------------------------------------------------------
+
+Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 2) AS total_revenue
+FROM supplier s JOIN revenue r ON r.supplier_no = s.s_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("q15_top_supplier", Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    revenue = (
+        l.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).alias("total_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C23 — TPC-H Q16 (supplier variety per part attribute): distinct-count
+# + NOT-IN exclusion. Adapted to the testdata schema: lineitem stands
+# in for partsupp as the part↔supplier relation, and the "customer
+# complaints" comment filter becomes a negative-balance supplier
+# exclusion (supplier has no comment column).
+#
+# 100 TB: the exclusion list is dim-sized (broadcast anti join — NOT IN
+# with a guaranteed-non-null key); the distinct count shuffles
+# (brand, type, size, suppkey) with partial dedup map-side.
+# --------------------------------------------------------------------------
+
+Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@query("q16_supplier_variety", Q16_ORACLE)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    excluded = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = p.filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    return (
+        l.join(
+            F.broadcast(excluded),
+            l["l_suppkey"] == excluded["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(pf), l["l_partkey"] == pf["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# C24 — TPC-H Q17 (small-quantity revenue): the correlated-aggregate
+# shape (per-part average quantity feeding a per-line predicate),
+# decorrelated into an aggregate + join. Quantities are integer-valued
+# doubles, so per-part sums are EXACT regardless of accumulation order
+# and the 0.2·avg threshold cannot flip across engines.
+#
+# 100 TB: per-part avg is one partial-agg shuffle over the filtered
+# brand's lines; the join back is brand-selective (broadcastable).
+# --------------------------------------------------------------------------
+
+Q17_ORACLE = """
+WITH target AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'
+),
+avgq AS (
+  SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_limit
+  FROM lineitem JOIN target ON p_partkey = l_partkey
+  GROUP BY l_partkey
+)
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN avgq a ON a.l_partkey = l.l_partkey
+WHERE l.l_quantity < a.qty_limit
+"""
+
+
+@query("q17_small_qty_revenue", Q17_ORACLE)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    target = p.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    brand_lines = l.join(
+        F.broadcast(target), l["l_partkey"] == target["p_partkey"]
+    )
+    avgq = brand_lines.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_limit")
+    )
+    return (
+        l.join(
+            F.broadcast(avgq.withColumnRenamed("l_partkey", "a_partkey")),
+            l["l_partkey"] == F.col("a_partkey"),
+        )
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# C25 — TPC-H Q9 (profit by nation and year), adapted: the testdata
+# has no partsupp/ps_supplycost, so profit reduces to discounted
+# revenue attributed to the SUPPLIER's nation — the 5-way join +
+# two-level group-by is the shape being exercised.
+#
+# 100 TB: lineitem⋈orders is the genuine shuffle (orderkey);
+# part/supplier/nation broadcast; the p_name LIKE filter prunes parts
+# before the broadcast.
+# --------------------------------------------------------------------------
+
+Q9_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN part p     ON p.p_partkey  = l.l_partkey
+JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
+@query("q9_profit_by_nation", Q9_ORACLE)
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit")
+        )
+    )
