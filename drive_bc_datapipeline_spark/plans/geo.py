@@ -152,3 +152,71 @@ def linestring_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.avg("lat")).alias("centroid_lat"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D5 — nearest-hub assignment (nearest-facility spatial join): each
+# event point is assigned its closest "hub" (the points of the first 8
+# event_ids — a deterministic stand-in for a facility table). Proximity
+# is squared degree-space distance, NOT haversine: the argmin must be
+# engine-exact, and (Δlat·Δlat + Δlon·Δlon) with identical operand
+# order is bit-identical IEEE on both engines, while trig is libm-
+# dependent and an ulp difference flips near-equidistant assignments.
+# Ties break on hub_id.
+#
+# 100 TB: the hub table is broadcast (facility sets are dim-sized); the
+# scored rows collapse map-side via partial min(struct) BEFORE the
+# per-event exchange, so the shuffle moves one row per event, not one
+# per (event, hub). The same shape serves geofencing / store-assignment
+# at any corpus size.
+# --------------------------------------------------------------------------
+
+N_HUBS = 8
+
+NEAREST_HUB_ORACLE = f"""
+WITH pts AS (
+  SELECT event_id, {LAT_SQL} AS lat, {LON_SQL} AS lon FROM events
+),
+hubs AS (
+  SELECT event_id AS hub_id, lat AS h_lat, lon AS h_lon
+  FROM pts WHERE event_id < {N_HUBS}
+),
+scored AS (
+  SELECT p.event_id, h.hub_id,
+         (p.lat - h.h_lat) * (p.lat - h.h_lat)
+         + (p.lon - h.h_lon) * (p.lon - h.h_lon) AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.event_id
+           ORDER BY (p.lat - h.h_lat) * (p.lat - h.h_lat)
+                    + (p.lon - h.h_lon) * (p.lon - h.h_lon), h.hub_id
+         ) AS rnk
+  FROM pts p CROSS JOIN hubs h
+)
+SELECT event_id, hub_id AS nearest_hub, {r4_sql("d2")} AS dist2
+FROM scored WHERE rnk = 1
+"""
+
+
+@query("geo_nearest_hub", NEAREST_HUB_ORACLE)
+def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    pts = e.select("event_id", _lat().alias("lat"), _lon().alias("lon"))
+    hubs = pts.filter(F.col("event_id") < N_HUBS).select(
+        F.col("event_id").alias("hub_id"),
+        F.col("lat").alias("h_lat"),
+        F.col("lon").alias("h_lon"),
+    )
+    dlat = F.col("lat") - F.col("h_lat")
+    dlon = F.col("lon") - F.col("h_lon")
+    d2 = dlat * dlat + dlon * dlon
+    best = (
+        pts.crossJoin(F.broadcast(hubs))
+        .select("event_id", F.struct(d2.alias("d2"), "hub_id").alias("c"))
+        .groupBy("event_id")
+        .agg(F.min("c").alias("c"))
+    )
+    return best.select(
+        "event_id",
+        F.col("c.hub_id").alias("nearest_hub"),
+        r4(F.col("c.d2")).alias("dist2"),
+    )

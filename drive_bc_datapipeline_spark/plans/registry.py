@@ -75,6 +75,7 @@ GATE_PIN: list[str] = [
     "q16_supplier_variety",
     "q17_small_qty_revenue",
     "q9_profit_by_nation",
+    "geo_nearest_hub",
 ]
 
 

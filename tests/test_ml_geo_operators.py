@@ -116,3 +116,15 @@ def test_ml_save_load_score(spark, duration_df, tmp_path):
 
     oddball = duration_df.limit(5).withColumn("o_orderstatus", F.lit("ZZ"))
     assert ml_ops.score(loaded, oddball).count() == 5
+
+
+def test_nearest_hub_self_assignment(spark):
+    """A hub's own point is distance 0 from itself, so every hub must be
+    assigned to itself (tiebreak can't steal an exact-zero match)."""
+    from drive_bc_datapipeline_spark.plans.geo import N_HUBS, geo_nearest_hub
+
+    out = geo_nearest_hub(spark, "/root/testdata/sf0.001")
+    hubs = {r.event_id: r for r in out.collect() if r.event_id < N_HUBS}
+    assert len(hubs) == N_HUBS
+    for eid, r in hubs.items():
+        assert r.nearest_hub == eid and r.dist2 == 0.0
