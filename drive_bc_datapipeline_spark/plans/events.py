@@ -1212,3 +1212,66 @@ def daily_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+# B22 — per-type OLS trend: closed-form linear regression of value on
+# hour-of-day from one pass of exact moment sums (n, Σx, Σx², Σxy, Σy):
+# slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²). x is an integer hour, so
+# every x-moment is exact; y-sums carry the usual last-ulp summation
+# noise that ROUND(…,4)+ε absorbs. THE scale pattern for model fitting
+# inside the engine: a regression per group with no iteration, no
+# driver round-trips, map-side partial aggregation all the way.
+#
+# (regr_slope/regr_intercept exist in both engines but use one-pass
+# covariance updates whose accumulation order is engine-defined; the
+# explicit-moments form keeps the arithmetic identical.)
+# --------------------------------------------------------------------------
+
+OLS_ORACLE = f"""
+WITH m AS (
+  SELECT event_type,
+         COUNT(value) AS n,
+         SUM(CASE WHEN value IS NOT NULL
+             THEN CAST(hour(ts) AS BIGINT) END) AS sx,
+         SUM(CASE WHEN value IS NOT NULL
+             THEN CAST(hour(ts) AS BIGINT) * hour(ts) END) AS sxx,
+         SUM(hour(ts) * value) AS sxy,
+         SUM(value) AS sy
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       {r4_sql(
+           "(n * sxy - sx * sy) / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)"
+       )} AS slope,
+       {r4_sql(
+           "(sy - sx * ((n * sxy - sx * sy)"
+           " / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))) / n"
+       )} AS intercept
+FROM m
+"""
+
+
+@query("ols_value_by_hour", OLS_ORACLE)
+def ols_value_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    hour = F.hour("ts").cast("long")
+    nn = F.col("value").isNotNull()
+    m = e.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(F.when(nn, hour)).alias("sx"),
+        F.sum(F.when(nn, hour * F.hour("ts"))).alias("sxx"),
+        F.sum(hour * F.col("value")).alias("sxy"),
+        F.sum("value").alias("sy"),
+    )
+    n, sx, sxx, sxy, sy = (F.col(c) for c in ("n", "sx", "sxx", "sxy", "sy"))
+    slope = (n * sxy - sx * sy) / (
+        n * sxx.cast("double") - sx.cast("double") * sx
+    )
+    intercept = (sy - sx * slope) / n
+    return m.select(
+        "event_type",
+        "n",
+        r4(slope).alias("slope"),
+        r4(intercept).alias("intercept"),
+    )

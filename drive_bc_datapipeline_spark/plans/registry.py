@@ -76,6 +76,7 @@ GATE_PIN: list[str] = [
     "q17_small_qty_revenue",
     "q9_profit_by_nation",
     "geo_nearest_hub",
+    "ols_value_by_hour",
 ]
 
 
