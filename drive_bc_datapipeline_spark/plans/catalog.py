@@ -24,6 +24,8 @@ scan node — asserted by tests/test_catalog.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,28 +45,39 @@ GROUP BY event_type
 """
 
 
+def _table_location(table: str) -> str:
+    """Explicit EXTERNAL-table location under the repo's warehouse dir.
+
+    Derived from this module's path, NOT the session's
+    spark.sql.warehouse.dir: that conf defaults to the calling
+    process's cwd, and an external driver running from elsewhere would
+    otherwise scatter managed-table data outside the repo."""
+    pkg_root = os.path.dirname(  # .../drive_bc_datapipeline_spark
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    repo_root = os.path.dirname(pkg_root)
+    return os.path.join(repo_root, "spark-warehouse", table.replace(".", "_"))
+
+
 def create_events_table(
     spark: SparkSession, events: DataFrame, table: str = CATALOG_TABLE
 ) -> None:
-    """athena.sql:1-17 DDL twin: register `events` as a catalog-managed
-    parquet table partitioned by event_type (SNAPPY is Spark's parquet
-    default, matching the reference's tblproperties)."""
+    """athena.sql:1-17 DDL twin: register `events` as an EXTERNAL
+    parquet table (explicit LOCATION, like the reference's `CREATE
+    EXTERNAL TABLE ... LOCATION 's3://...'`) partitioned by event_type
+    (SNAPPY is Spark's parquet default, matching the reference's
+    tblproperties)."""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {CATALOG_DB}")
     # Idempotent DDL across PROCESSES, matching the reference's
-    # `DROP TABLE IF EXISTS` (athena.sql:3): the default catalog is
-    # in-memory per session, but the managed location on disk survives —
-    # a fresh session's saveAsTable would fail LOCATION_ALREADY_EXISTS
-    # unless the orphaned directory is cleared first.
+    # `DROP TABLE IF EXISTS` (athena.sql:3): the catalog entry is
+    # in-memory per session while the data location on disk survives;
+    # dropping the stale entry and overwriting the external location
+    # keeps re-runs clean from any process.
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    import shutil
-    from urllib.parse import urlparse
-
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    db, name = table.split(".")
-    shutil.rmtree(f"{warehouse}/{db}.db/{name}", ignore_errors=True)
     (
         events.write.mode("overwrite")
         .format("parquet")
+        .option("path", _table_location(table))
         .partitionBy("event_type")
         .saveAsTable(table)
     )
