@@ -203,3 +203,20 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
         back.filter(back.id > 1)._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters")[1][:60]
+
+
+def test_recover_compact_backup_fallback(spark, tmp_path):
+    """Marker present, dataset and staging both gone, backup intact —
+    recovery must restore from the backup."""
+    import shutil
+
+    path = str(tmp_path / "fallback")
+    spark.range(100).write.parquet(path)
+    rows = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    staging, backup, marker = sio._swap_paths(path)
+    shutil.move(path, backup)
+    with open(marker, "w") as fh:
+        fh.write(path)
+    assert sio.recover_compact(path) == "rolled_forward"
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == rows
+    assert not os.path.exists(backup) and not os.path.exists(marker)
