@@ -1275,3 +1275,99 @@ def ols_value_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(slope).alias("slope"),
         r4(intercept).alias("intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+# B23 — per-user inter-arrival statistics: gaps between consecutive
+# events (lag window ordered by (ts, event_id) — the explicit id
+# tiebreak makes equal-timestamp ordering engine-identical). Gaps are
+# integer MICROSECONDS end-to-end (exact BIGINT sums; the only
+# division is the final seconds conversion), so every stat is
+# bit-exact across engines.
+#
+# 100 TB: one shuffle on user_id, linear within partition — the same
+# shape as sessionization; AQE splits a pathological power user.
+# --------------------------------------------------------------------------
+
+INTERARRIVAL_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       COUNT(gap_us) AS n_gaps,
+       {r4_sql("SUM(gap_us) / COUNT(gap_us) / 1e6")} AS avg_gap_sec,
+       {r4_sql("MIN(gap_us) / 1e6")} AS min_gap_sec,
+       {r4_sql("MAX(gap_us) / 1e6")} AS max_gap_sec
+FROM ordered
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@query("user_interarrival_stats", INTERARRIVAL_ORACLE)
+def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = e.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        r4(F.sum("gap_us") / F.count("gap_us") / 1e6).alias("avg_gap_sec"),
+        r4(F.min("gap_us") / 1e6).alias("min_gap_sec"),
+        r4(F.max("gap_us") / 1e6).alias("max_gap_sec"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B24 — month-over-month percent change per event_type: the reporting
+# staple (lag over a monthly series). Counts are exact integers; the
+# percent change is one division, rounded identically in both engines.
+# First month per type carries NULL (no prior period) — identical
+# semantics both sides.
+#
+# 100 TB: the lag window runs over the AGGREGATED monthly series
+# (types × months rows), not the fact table — the expensive part is
+# the single count shuffle with map-side combine.
+# --------------------------------------------------------------------------
+
+MOM_CHANGE_ORACLE = f"""
+WITH monthly AS (
+  SELECT event_type,
+         CAST(year(ts) AS INTEGER) AS year,
+         CAST(month(ts) AS INTEGER) AS month,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, year, month, n_events,
+       {r4_sql(
+           "100.0 * (n_events - lag(n_events) OVER w)"
+           " / lag(n_events) OVER w"
+       )} AS pct_change
+FROM monthly
+WINDOW w AS (PARTITION BY event_type ORDER BY year, month)
+"""
+
+
+@query("monthly_pct_change", MOM_CHANGE_ORACLE)
+def monthly_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    monthly = e.groupBy(
+        "event_type",
+        F.year("ts").cast("int").alias("year"),
+        F.month("ts").cast("int").alias("month"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("year", "month")
+    prev = F.lag("n_events").over(w)
+    return monthly.select(
+        "event_type",
+        "year",
+        "month",
+        "n_events",
+        r4(100.0 * (F.col("n_events") - prev) / prev).alias("pct_change"),
+    )

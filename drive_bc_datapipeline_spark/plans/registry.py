@@ -77,6 +77,8 @@ GATE_PIN: list[str] = [
     "q9_profit_by_nation",
     "geo_nearest_hub",
     "ols_value_by_hour",
+    "user_interarrival_stats",
+    "monthly_pct_change",
 ]
 
 
