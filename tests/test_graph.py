@@ -43,3 +43,52 @@ def test_long_chain_needs_many_rounds(spark):
             [(i, i + 1) for i in range(n)], "src long, dst long"
         )
         connected_components(df, "src", "dst", max_iter=2)
+
+
+def _union_find_reference(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        for v in (a, b):
+            parent.setdefault(v, v)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for s, d in edges:
+        union(s, d)
+    # canonicalize: every node → min node of its component
+    comp: dict[int, int] = {}
+    for v in parent:
+        root = find(v)
+        comp[v] = min(comp.get(root, root), root)
+    roots: dict[int, int] = {}
+    for v in parent:
+        roots.setdefault(find(v), v)
+        roots[find(v)] = min(roots[find(v)], v)
+    return {v: roots[find(v)] for v in parent}
+
+
+def test_random_graphs_match_union_find(spark):
+    """Distributed min-label propagation must equal a sequential
+    union-find on arbitrary graphs (stars, cycles, chains, islands) —
+    20 seeded random graphs stand in for a hypothesis sweep (one Spark
+    iteration cascade per example is too slow for full shrinking)."""
+    import random
+
+    for seed in range(20):
+        rng = random.Random(seed)
+        n = rng.randint(2, 30)
+        m = rng.randint(1, 40)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        expected = _union_find_reference(edges)
+        got = cc(spark, edges)
+        assert got == expected, f"seed {seed}: {got} != {expected}"
