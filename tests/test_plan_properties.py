@@ -96,3 +96,39 @@ def test_embedding_allpairs_guard_refuses_large_corpus(spark, monkeypatch):
     monkeypatch.setattr(emb, "EMB_ALLPAIRS_MAX_ROWS", 10)
     with pytest.raises(ValueError, match="dedup_embedding_lsh"):
         emb.dedup_embedding_cosine(spark, "/root/testdata/sf0.001")
+
+
+def test_q9_broadcasts_all_dims(spark):
+    """part/supplier/nation ride broadcast joins; only lineitem⋈orders
+    may shuffle."""
+    plan = plan_of(spark, "q9_profit_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark):
+    plan = plan_of(spark, "q16_supplier_variety")
+    assert "LeftAnti" in plan and "Broadcast" in plan
+
+
+def test_nearest_hub_partial_min_before_exchange(spark):
+    """The argmin must collapse map-side: a partial_min aggregate runs
+    BEFORE the per-event exchange, so the shuffle moves one row per
+    event rather than one per (event, hub) pair."""
+    plan = plan_of(spark, "geo_nearest_hub")
+    assert "partial_min" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_term_relevance_df_side_broadcast(spark):
+    """The vocabulary-sized df table must broadcast against tf; the
+    WindowGroupLimit rank pushdown must trim before the full sort."""
+    plan = plan_of(spark, "term_relevance_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_ngram_jaccard_rare_set_broadcast(spark):
+    plan = plan_of(spark, "dedup_ngram_jaccard")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
