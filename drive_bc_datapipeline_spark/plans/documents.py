@@ -1174,17 +1174,19 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("df"),
         )
     )
-    # max_by with an explicit (n, token-reversed) struct order would
-    # need a custom ordering; (n DESC, token ASC) via min over a struct
-    # with negated count is opaque — a 1-row sort-limit is clearer and
-    # the input is vocabulary-sized, not corpus-sized.
-    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(1).select("token")
+    # top token in the SAME aggregation: min over a (-n, token) struct
+    # is lexicographic (highest count, then smallest token) — a
+    # separate sort-limit branch would re-execute the corpus-wide
+    # token explode+shuffle a second time (no exchange reuse across
+    # the crossJoin's independent subtrees).
+    top = F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("token").alias("t")))
     return counts.agg(
         F.sum("n").alias("n_tokens"),
         F.count(F.lit(1)).alias("vocab_size"),
         F.sum((F.col("df") == 1).cast("long")).alias("n_hapax_docs"),
         F.max("n").alias("max_count"),
-    ).crossJoin(F.broadcast(top.withColumnRenamed("token", "top_token")))
+        top.getField("t").alias("top_token"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -660,11 +660,15 @@ def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation alone.
     """
     e = t(spark, sf_dir, "events").select("event_type", "value")
+    # cache: the tiny per-type sketch frame feeds BOTH the broadcast
+    # rank-scan and the final select; the broadcast exchange and the
+    # plain join input don't exchange-reuse, so without the cache the
+    # full-table aggregation would execute twice.
     agg = e.groupBy("event_type").agg(
         F.expr("percentile(value, array(0.25, 0.5, 0.9, 0.99))").alias("qx"),
         F.percentile_approx("value", QUANTILE_PS, QUANTILE_ACCURACY).alias("qa"),
         F.count("value").alias("n"),
-    )
+    ).cache()
     rank_aggs = []
     for i in range(1, 5):
         qa_i = F.element_at("qa", i)
@@ -1242,11 +1246,13 @@ WITH m AS (
 )
 SELECT event_type, n,
        {r4_sql(
-           "(n * sxy - sx * sy) / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)"
+           "(n * sxy - sx * sy)"
+           " / NULLIF(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx, 0.0)"
        )} AS slope,
        {r4_sql(
            "(sy - sx * ((n * sxy - sx * sy)"
-           " / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))) / n"
+           " / NULLIF(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx, 0.0)))"
+           " / n"
        )} AS intercept
 FROM m
 """
@@ -1265,9 +1271,13 @@ def ols_value_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").alias("sy"),
     )
     n, sx, sxx, sxy, sy = (F.col(c) for c in ("n", "sx", "sxx", "sxy", "sy"))
-    slope = (n * sxy - sx * sy) / (
-        n * sxx.cast("double") - sx.cast("double") * sx
+    # x-variance can be exactly 0 (all valued events in one hour, or
+    # n<=1): Spark's 0/0 is NULL but DuckDB's IEEE mode yields NaN —
+    # nullify the denominator identically on both sides instead.
+    den = F.nullif(
+        n * sxx.cast("double") - sx.cast("double") * sx, F.lit(0.0)
     )
+    slope = (n * sxy - sx * sy) / den
     intercept = (sy - sx * slope) / n
     return m.select(
         "event_type",

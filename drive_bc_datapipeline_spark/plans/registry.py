@@ -40,7 +40,10 @@ ORACLES: dict[str, str] = {}
 # (new queries and any whose plan changed); every other registered key
 # rotates through the remaining window slots, advancing by a full
 # window-width per round — so the whole registry re-passes the driver
-# gate every ceil(rest / (GATE_WINDOW - len(pin))) ≈ 2 rounds. The
+# gate every ceil(rest / (GATE_WINDOW - len(pin))) rounds (3 at the
+# current 27-pin/67-rest split; tests/test_registry.py computes the
+# bound from the live registry, so growing GATE_PIN past the window's
+# capacity fails loudly instead of silently stretching staleness). The
 # round index is recovered from the CORRECTNESS_r*.json artifacts the
 # driver leaves at the repo root (deterministic within a round; local
 # pytest still covers everything every run regardless of order).

@@ -698,14 +698,17 @@ def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# C22 — TPC-H Q15 (top supplier by quarterly revenue): the
-# "view + scalar-subquery max" shape. The max-revenue equality filter is
-# evaluated against the engine's own revenue view on both sides, so a
-# cross-engine ulp difference cannot desynchronize the selection unless
-# two suppliers tie within one ulp.
+# C22 — TPC-H Q15 (top supplier by quarterly revenue). The original
+# "WHERE revenue = (SELECT MAX...)" shape re-executes the float
+# aggregation twice; on a cluster the two merges can differ in the
+# last ulp (shuffle-fetch arrival order) and the equality then matches
+# NOTHING. Both plans instead RANK one materialization of the view —
+# self-consistent by construction, ties (rank 1) all kept like the
+# original.
 #
 # 100 TB: revenue view = one filtered lineitem aggregation (per-supplier
-# partial sums map-side); the max is a single-row broadcast.
+# partial sums map-side); the rank window runs on the supplier-sized
+# aggregate (single-partition window over a dim-sized frame).
 # --------------------------------------------------------------------------
 
 Q15_ORACLE = """
@@ -716,10 +719,15 @@ WITH revenue AS (
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate <  TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT supplier_no, total_revenue,
+         RANK() OVER (ORDER BY total_revenue DESC) AS rnk
+  FROM revenue
 )
 SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 2) AS total_revenue
-FROM supplier s JOIN revenue r ON r.supplier_no = s.s_suppkey
-WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+FROM supplier s JOIN ranked r ON r.supplier_no = s.s_suppkey
+WHERE r.rnk = 1
 """
 
 
@@ -739,10 +747,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
-    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    w = Window.orderBy(F.desc("total_revenue"))
     return (
-        revenue.crossJoin(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("mx"))
+        revenue.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") == 1)
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",

@@ -182,6 +182,14 @@ def compact_parquet(
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
     staging, backup, marker = _swap_paths(path)
+    # A crash after marker removal but before backup removal leaves a
+    # stale backup with NO marker; `path` is then authoritative, and
+    # the stale dir would make rename 3 below fail. Sweep leftovers
+    # up front (no marker + path present ⇒ they are garbage).
+    if not os.path.exists(marker):
+        for leftover in (staging, backup):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
     out.write.mode("overwrite").parquet(staging)
     with open(marker, "w") as fh:
         fh.write(path)  # swap in flight: staging is complete and valid
@@ -210,7 +218,14 @@ def recover_compact(path: str) -> str:
 
     staging, backup, marker = _swap_paths(path)
     if not os.path.exists(marker):
-        return "clean"
+        # no marker ⇒ `path` is authoritative; a crash between marker
+        # and backup removal can still leave garbage dirs — sweep them
+        swept = False
+        for leftover in (staging, backup):
+            if os.path.exists(path) and os.path.exists(leftover):
+                shutil.rmtree(leftover)
+                swept = True
+        return "cleaned_up" if swept else "clean"
     if not os.path.exists(path):
         # mid-swap: prefer the fully-written staging output; fall back
         # to the backup (crash after `path`->backup but the staging dir

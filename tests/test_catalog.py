@@ -32,13 +32,13 @@ def test_catalog_partition_pruning(spark):
         F.col("event_type").isin("click", "purchase")
     )
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    # the partition-value predicate must land in PartitionFilters (plan-
-    # time directory prune), not as a post-scan data Filter
-    assert "PartitionFilters" in plan
-    prune_line = next(
-        line for line in plan.splitlines() if "PartitionFilters" in line
-    )
-    assert "event_type" in prune_line
+    # the partition-value predicate must land INSIDE the
+    # PartitionFilters brackets (plan-time directory prune) — matching
+    # the whole line would pass vacuously, since the scan line also
+    # carries event_type in its output column list
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*event_type", plan), plan
 
 
 def test_catalog_schema_preserved(spark):

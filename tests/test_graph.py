@@ -63,16 +63,9 @@ def _union_find_reference(edges):
 
     for s, d in edges:
         union(s, d)
-    # canonicalize: every node → min node of its component
-    comp: dict[int, int] = {}
-    for v in parent:
-        root = find(v)
-        comp[v] = min(comp.get(root, root), root)
-    roots: dict[int, int] = {}
-    for v in parent:
-        roots.setdefault(find(v), v)
-        roots[find(v)] = min(roots[find(v)], v)
-    return {v: roots[find(v)] for v in parent}
+    # union always parents the larger root under the smaller, so the
+    # root IS the component's minimum node
+    return {v: find(v) for v in parent}
 
 
 def test_random_graphs_match_union_find(spark):

@@ -4,6 +4,8 @@ frames; the oracle gate can't cover model fitting / iterative ops)."""
 
 from __future__ import annotations
 
+from tests.conftest import SF_SMOKE
+
 import pytest
 from pyspark.sql import Row
 
@@ -82,7 +84,7 @@ def test_dbscan_rejects_bad_tiling(spark):
 @pytest.fixture(scope="module")
 def duration_df(spark):
     return QUERIES["ml_duration_features"](
-        spark, "/root/testdata/sf0.001"
+        spark, SF_SMOKE
     ).cache()
 
 
@@ -123,7 +125,7 @@ def test_nearest_hub_self_assignment(spark):
     assigned to itself (tiebreak can't steal an exact-zero match)."""
     from drive_bc_datapipeline_spark.plans.geo import N_HUBS, geo_nearest_hub
 
-    out = geo_nearest_hub(spark, "/root/testdata/sf0.001")
+    out = geo_nearest_hub(spark, SF_SMOKE)
     hubs = {r.event_id: r for r in out.collect() if r.event_id < N_HUBS}
     assert len(hubs) == N_HUBS
     for eid, r in hubs.items():

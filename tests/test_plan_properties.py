@@ -6,6 +6,8 @@ notices.
 
 from __future__ import annotations
 
+from tests.conftest import SF_SMOKE
+
 import re
 
 import pytest
@@ -15,7 +17,7 @@ from drive_bc_datapipeline_spark.plans.registry import QUERIES
 
 registry.load_all_plans()
 
-SF = "/root/testdata/sf0.001"
+SF = SF_SMOKE
 
 
 def plan_of(spark, name: str) -> str:
@@ -95,7 +97,7 @@ def test_embedding_allpairs_guard_refuses_large_corpus(spark, monkeypatch):
 
     monkeypatch.setattr(emb, "EMB_ALLPAIRS_MAX_ROWS", 10)
     with pytest.raises(ValueError, match="dedup_embedding_lsh"):
-        emb.dedup_embedding_cosine(spark, "/root/testdata/sf0.001")
+        emb.dedup_embedding_cosine(spark, SF_SMOKE)
 
 
 def test_q9_broadcasts_all_dims(spark):

@@ -25,11 +25,21 @@ def test_pinned_keys_lead_the_window():
     assert set(ordered) == set(registry.QUERIES)
 
 
-def test_rotation_covers_every_query_within_three_rounds(monkeypatch):
+def test_rotation_covers_every_query_within_bound(monkeypatch):
     """The unpinned tail must cycle through the driver's GATE_WINDOW
-    slots as rounds advance, so no query stays unverified forever."""
+    slots as rounds advance, so no query stays unverified forever. The
+    bound is computed from the live registry (ceil(rest/stride)) and
+    capped: if GATE_PIN ever grows so large that full coverage needs
+    more than 4 rounds, this fails and the pin list must shrink."""
+    pinned = [k for k in registry.GATE_PIN if k in registry.QUERIES]
+    rest = len(registry.QUERIES) - len(pinned)
+    stride = registry.GATE_WINDOW - len(pinned)
+    rounds_needed = -(-rest // stride)  # ceil
+    assert rounds_needed <= 4, (
+        f"gate rotation needs {rounds_needed} rounds; shrink GATE_PIN"
+    )
     seen: set[str] = set()
-    for r in range(3):
+    for r in range(rounds_needed):
         monkeypatch.setattr(registry, "_round_index", lambda r=r: r)
         seen.update(list(registry.ordered_queries())[: registry.GATE_WINDOW])
     assert seen == set(registry.QUERIES)

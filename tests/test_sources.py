@@ -220,3 +220,25 @@ def test_recover_compact_backup_fallback(spark, tmp_path):
     assert sio.recover_compact(path) == "rolled_forward"
     assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == rows
     assert not os.path.exists(backup) and not os.path.exists(marker)
+
+
+def test_compact_survives_stale_backup_without_marker(spark, tmp_path):
+    """Crash window between marker removal and backup removal: marker
+    gone, stale __old dir present. recover_compact must sweep it, and
+    compact_parquet itself must also tolerate it (the rename into
+    `backup` would otherwise fail on the non-empty leftover)."""
+    import shutil
+
+    path = str(tmp_path / "stale")
+    spark.range(500).write.parquet(path)
+    rows = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    staging, backup, marker = sio._swap_paths(path)
+
+    shutil.copytree(path, backup)  # stale leftover, NO marker
+    assert sio.recover_compact(path) == "cleaned_up"
+    assert not os.path.exists(backup)
+
+    shutil.copytree(path, backup)  # again — this time compact directly
+    before, after = sio.compact_parquet(spark, path, target_files=2)
+    assert after == 2
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == rows
