@@ -30,6 +30,7 @@ from pyspark.ml.feature import StandardScaler, StringIndexer, VectorAssembler
 from pyspark.ml.regression import GBTRegressor, RandomForestRegressor
 from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 LABEL = "duration_days"
 NUMERIC = ["num_items", "total_qty", "total_price"]
@@ -114,3 +115,105 @@ def score(model: PipelineModel, batch: DataFrame) -> DataFrame:
     return model.transform(batch).select(
         "o_orderkey", *CATEGORICAL, *NUMERIC, "prediction"
     )
+
+
+# --------------------------------------------------------------------------
+# E4 — MLP regressor stand-in (ml-tensorflow.py parity). The reference
+# assembles features in Spark, collects to pandas, trains a keras MLP,
+# and evaluates with sklearn (ml-tensorflow.py:22-60). TF/keras/sklearn
+# aren't in this environment, so the network is a small numpy MLP with
+# the identical pipeline shape: feature assembly stays a Spark plan,
+# training runs driver-side on a COLLECTED SAMPLE (the reference
+# collects everything — at 100 TB you sample; the flag makes that
+# explicit), and scoring is distributed via an Arrow-batched pandas
+# iterator with the weights broadcast once per executor.
+# --------------------------------------------------------------------------
+
+
+def train_mlp_numpy(
+    train: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    hidden: int = 16,
+    epochs: int = 200,
+    lr: float = 0.01,
+    seed: int = 7,
+    max_train_rows: int = 100_000,
+) -> dict:
+    """Train a 1-hidden-layer MLP (tanh) with full-batch gradient
+    descent on standardized features. Returns a plain-dict model
+    (weights + feature scaling) — JSON-serializable, broadcastable.
+
+    Driver-side by design, like the reference's TF flow; the
+    ``max_train_rows`` guard forces callers to sample first at scale.
+    """
+    import numpy as np
+
+    n = train.count()
+    if n > max_train_rows:
+        raise ValueError(
+            f"driver-side MLP training capped at {max_train_rows:,} rows "
+            f"(got {n:,}); sample the training frame first"
+        )
+    pdf = train.select(*feature_cols, label_col).toPandas()
+    X = pdf[feature_cols].to_numpy(dtype=np.float64)
+    y = pdf[label_col].to_numpy(dtype=np.float64)
+    mu, sd = X.mean(axis=0), np.maximum(X.std(axis=0), 1e-9)
+    Xs = (X - mu) / sd
+    rng = np.random.default_rng(seed)
+    w1 = rng.normal(0, 0.5, size=(X.shape[1], hidden))
+    b1 = np.zeros(hidden)
+    w2 = rng.normal(0, 0.5, size=hidden)
+    b2 = 0.0
+    for _ in range(epochs):
+        h = np.tanh(Xs @ w1 + b1)
+        pred = h @ w2 + b2
+        err = pred - y
+        gw2 = h.T @ err / len(y)
+        gb2 = err.mean()
+        dh = np.outer(err, w2) * (1 - h * h)
+        gw1 = Xs.T @ dh / len(y)
+        gb1 = dh.mean(axis=0)
+        w1 -= lr * gw1
+        b1 -= lr * gb1
+        w2 -= lr * gw2
+        b2 -= lr * gb2
+    return {
+        "feature_cols": list(feature_cols),
+        "mu": mu.tolist(),
+        "sd": sd.tolist(),
+        "w1": w1.tolist(),
+        "b1": b1.tolist(),
+        "w2": w2.tolist(),
+        "b2": float(b2),
+    }
+
+
+def score_mlp_numpy(df: DataFrame, model: dict) -> DataFrame:
+    """Distributed batch scoring: weights ship once (closure/broadcast),
+    each Arrow batch is one vectorized numpy forward pass — the same
+    mapInPandas contract a real TF/ONNX scorer drops into."""
+    import pandas as pd
+
+    cols = model["feature_cols"]
+    schema = ", ".join(f"{c} double" for c in cols) + ", prediction double"
+
+    def _score(batches):
+        import numpy as np
+
+        mu = np.array(model["mu"])
+        sd = np.array(model["sd"])
+        w1 = np.array(model["w1"])
+        b1 = np.array(model["b1"])
+        w2 = np.array(model["w2"])
+        b2 = model["b2"]
+        for pdf in batches:
+            X = pdf[cols].to_numpy(dtype="float64")
+            h = np.tanh((X - mu) / sd @ w1 + b1)
+            out = pd.DataFrame({c: pdf[c] for c in cols})
+            out["prediction"] = h @ w2 + b2
+            yield out
+
+    return df.select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    ).mapInPandas(_score, schema)

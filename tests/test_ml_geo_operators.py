@@ -130,3 +130,32 @@ def test_nearest_hub_self_assignment(spark):
     assert len(hubs) == N_HUBS
     for eid, r in hubs.items():
         assert r.nearest_hub == eid and r.dist2 == 0.0
+
+
+def test_numpy_mlp_learns_linear_signal(spark):
+    """E4: the MLP stand-in must learn an easy y = 2a - 3b + 1 signal
+    (driver-side training, distributed Arrow-batched scoring), and the
+    row-count guard must refuse oversized driver collections."""
+    import pytest
+
+    from drive_bc_datapipeline_spark.operators.ml import (
+        score_mlp_numpy,
+        train_mlp_numpy,
+    )
+
+    df = (
+        spark.range(600)
+        .selectExpr(
+            "CAST(id % 17 AS DOUBLE) / 17 AS a",
+            "CAST(id % 7 AS DOUBLE) / 7 AS b",
+        )
+        .selectExpr("a", "b", "2*a - 3*b + 1 AS y")
+    )
+    model = train_mlp_numpy(df, ["a", "b"], "y", epochs=400, lr=0.05)
+    scored = score_mlp_numpy(df, model).join(df, ["a", "b"])
+    rows = scored.select("prediction", "y").collect()
+    mae = sum(abs(r.prediction - r.y) for r in rows) / len(rows)
+    assert mae < 0.15, f"MLP failed to fit linear signal, MAE={mae}"
+
+    with pytest.raises(ValueError, match="sample the training frame"):
+        train_mlp_numpy(df, ["a", "b"], "y", max_train_rows=10)
