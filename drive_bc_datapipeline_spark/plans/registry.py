@@ -82,6 +82,8 @@ GATE_PIN: list[str] = [
     "ols_value_by_hour",
     "user_interarrival_stats",
     "monthly_pct_change",
+    "salted_join_brand_revenue",
+    "salted_groupby_priority",
 ]
 
 

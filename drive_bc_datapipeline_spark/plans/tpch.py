@@ -903,3 +903,76 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("profit")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L1/L2 as driver-gated queries: the skew toolbox operators were
+# previously covered only by unit tests; routing real aggregations
+# through them puts their SEMANTICS (identical results to the plain
+# plans) under the external oracle gate every round.
+#
+# 100 TB: this is exactly how a skewed partkey (a handful of mega-SKUs
+# dominating lineitem) would be handled — the salt splits each hot
+# key's rows across n_salts reducers while the small side replicates
+# n_salts×; the two-phase group-by merges per-salt partials whose
+# second exchange is n_salts rows per key.
+# --------------------------------------------------------------------------
+
+SALTED_JOIN_ORACLE = """
+SELECT p.p_brand,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l.l_extendedprice), 2) AS total_price
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+"""
+
+
+@query("salted_join_brand_revenue", SALTED_JOIN_ORACLE)
+def salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from drive_bc_datapipeline_spark.operators.joins import salted_join
+
+    l = t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    p = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    return (
+        salted_join(l, p, key="l_partkey", n_salts=8)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+SALTED_GROUPBY_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("salted_groupby_priority", SALTED_GROUPBY_ORACLE)
+def salted_groupby_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from drive_bc_datapipeline_spark.operators.joins import salted_groupby
+
+    o = t(spark, sf_dir, "orders")
+    out = salted_groupby(
+        o,
+        keys=["o_orderpriority"],
+        aggs={
+            "n_orders": "count(*)",
+            "total_price": "sum(o_totalprice)",
+            "max_price": "max(o_totalprice)",
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round("total_price", 2).alias("total_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )
