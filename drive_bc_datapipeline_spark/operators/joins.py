@@ -142,15 +142,23 @@ def write_bucketed(
     bucket_key: str,
     n_buckets: int = 16,
     sort: bool = True,
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a bucketed (and bucket-sorted) managed table.
+    """Persist ``df`` as a bucketed (and bucket-sorted) table.
 
     Two tables bucketed on the same key with the same bucket count
     join with ZERO exchange (and zero sort, if sorted): the layout IS
     the shuffle, paid once at write. This is the 100-TB answer for the
     lineitem⋈orders class of repeated fact-fact joins.
+
+    ``path`` makes the table EXTERNAL at an explicit location —
+    without it the managed location follows the session warehouse dir
+    (cwd-relative by default), and a stale location from a previous
+    process fails saveAsTable with LOCATION_ALREADY_EXISTS.
     """
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
     if sort:
         w = w.sortBy(bucket_key)
+    if path is not None:
+        w = w.option("path", path)
     w.format("parquet").saveAsTable(table)

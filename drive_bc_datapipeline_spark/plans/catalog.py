@@ -104,3 +104,61 @@ def catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum("value")).alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# K5 as a driver-gated query: write lineitem + orders bucketed on the
+# join key, re-read via the catalog, join WITHOUT any exchange, and
+# aggregate. The correctness gate checks result-equivalence to the
+# plain join; tests/test_catalog.py asserts the no-Exchange plan.
+#
+# 100 TB: bucketing pays the shuffle ONCE at write; every subsequent
+# fact-fact join on the bucket key is exchange-free (and sort-free,
+# since the buckets are sorted). This query is the end-to-end proof of
+# that contract through the catalog serving layer.
+# --------------------------------------------------------------------------
+
+BUCKETED_JOIN_ORACLE = f"""
+SELECT o.o_orderstatus,
+       COUNT(*) AS n_lines,
+       {r2_sql("SUM(l.l_extendedprice)")} AS total_price
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+BUCKETED_TABLES = (
+    f"{CATALOG_DB}.gate_lineitem_b",
+    f"{CATALOG_DB}.gate_orders_b",
+)
+N_BUCKETS = 8
+
+
+def _write_gate_buckets(spark: SparkSession, sf_dir: str) -> None:
+    from drive_bc_datapipeline_spark.operators.joins import write_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {CATALOG_DB}")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    for table, df, key in (
+        (BUCKETED_TABLES[0], l, "l_orderkey"),
+        (BUCKETED_TABLES[1], o, "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        write_bucketed(
+            df, table, key, n_buckets=N_BUCKETS, path=_table_location(table)
+        )
+
+
+@query("bucketed_join_order_totals", BUCKETED_JOIN_ORACLE)
+def bucketed_join_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _write_gate_buckets(spark, sf_dir)
+    lb = spark.table(BUCKETED_TABLES[0])
+    ob = spark.table(BUCKETED_TABLES[1])
+    return (
+        lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            r2(F.sum("l_extendedprice")).alias("total_price"),
+        )
+    )

@@ -84,6 +84,7 @@ GATE_PIN: list[str] = [
     "monthly_pct_change",
     "salted_join_brand_revenue",
     "salted_groupby_priority",
+    "bucketed_join_order_totals",
 ]
 
 

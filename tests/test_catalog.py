@@ -51,3 +51,27 @@ def test_catalog_schema_preserved(spark):
         (f.name, f.dataType) for f in src.schema.fields
     }
     assert cat.count() == src.count()
+
+
+def test_bucketed_gate_join_has_no_exchange(spark):
+    """The bucketed fact-fact join must plan with ZERO Exchange: the
+    bucket layout IS the shuffle, paid once at write time."""
+    from drive_bc_datapipeline_spark.plans.catalog import (
+        BUCKETED_TABLES,
+        _write_gate_buckets,
+    )
+
+    _write_gate_buckets(spark, SF_SMOKE)
+    lb = spark.table(BUCKETED_TABLES[0])
+    ob = spark.table(BUCKETED_TABLES[1])
+    # at test SF the planner (correctly) prefers a broadcast and skips
+    # bucketing; force the sort-merge path the contract is about
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan, plan
