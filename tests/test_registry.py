@@ -47,3 +47,22 @@ def test_rotation_covers_every_query_within_bound(monkeypatch):
 
 def test_rotation_is_deterministic_within_a_round():
     assert list(registry.ordered_queries()) == list(registry.ordered_queries())
+
+
+def test_every_query_output_is_atomic(spark):
+    """The external correctness gate canonicalizes results with pandas
+    hashing, which crashes on array/map/struct cells (round-3's only
+    hard error was an array<double> column). Every registered query
+    must emit atomic columns only — nested features belong serialized
+    (JSON/signature) before they reach the output schema."""
+    from pyspark.sql.types import AtomicType
+
+    from tests.conftest import SF_SMOKE
+
+    offenders = []
+    for name, fn in registry.QUERIES.items():
+        schema = fn(spark, SF_SMOKE).schema
+        for field in schema.fields:
+            if not isinstance(field.dataType, AtomicType):
+                offenders.append((name, field.name, str(field.dataType)))
+    assert offenders == []
