@@ -102,10 +102,9 @@ def run_incremental_events(
         with open(state_path) as f:
             wm_us = json.load(f)["watermark_us"]
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(source_path).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from drive_bc_datapipeline_spark.tables import read_events
+
+    raw = read_events(spark, source_path)
     fresh = raw.filter(F.unix_micros("ts") > wm_us).dropna(
         subset=["event_id", "ts"]
     )

@@ -170,19 +170,15 @@ def query(name: str, oracle: str | None = None):
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (lazy parquet scan).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read it as raw nanos (``nanosAsLong``) and
-    truncate to microseconds — bit-identical to DuckDB's ns→µs
-    truncation, so oracles stay exact.
+    ``events.ts`` is normalized to TIMESTAMP(µs) regardless of the
+    on-disk encoding (µs timestamps pass through; NANOS files are read
+    as raw longs and truncated) — see ``tables.read_events``.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
+        from drive_bc_datapipeline_spark.tables import read_events
 
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        return read_events(spark, path)
     return spark.read.parquet(path)
 
 

@@ -35,18 +35,36 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_DIMS = {"region", "nation", "supplier"}
 
 
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read an events parquet with ``ts`` normalized to TIMESTAMP(µs).
+
+    Handles both on-disk encodings the driver has shipped: plain
+    TIMESTAMP(MICROS) (pass-through) and TIMESTAMP(NANOS), which the
+    vectorized reader rejects — for that one we read raw nanos via
+    ``nanosAsLong`` and truncate to micros, bit-identical to DuckDB's
+    ns→µs truncation so oracles stay exact.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    df = spark.read.parquet(path)
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, (TimestampType, TimestampNTZType)):
+        return df
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NANOS rejected by the vectorized reader: re-read as raw longs.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table. ``events.ts`` is parquet TIMESTAMP(NANOS), which
-    the vectorized reader rejects — read it as raw nanos and truncate
-    to micros (same dance as ``plans.registry.t``)."""
+    """Load one table, normalizing ``events.ts`` (see ``read_events``)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        from pyspark.sql import functions as F
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        return read_events(spark, path)
     return spark.read.parquet(path)
 
 
