@@ -49,8 +49,13 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
 
     df = spark.read.parquet(path)
     ts_type = df.schema["ts"].dataType
-    if isinstance(ts_type, (TimestampType, TimestampNTZType)):
+    if isinstance(ts_type, TimestampType):
         return df
+    if isinstance(ts_type, TimestampNTZType):
+        # timestamp[us] without isAdjustedToUTC lands as TIMESTAMP_NTZ;
+        # session tz is pinned to UTC so the cast is a bit-identity and
+        # downstream unix_micros()/window() keep working.
+        return df.withColumn("ts", F.col("ts").cast(TimestampType()))
     if isinstance(ts_type, LongType):
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # NANOS rejected by the vectorized reader: re-read as raw longs.
