@@ -52,39 +52,11 @@ ORACLES: dict[str, str] = {}
 GATE_WINDOW = 50
 
 GATE_PIN: list[str] = [
-    # changed this round (r4): rank-aware sketch bound, new catalog
-    # roundtrip, multimodal stubs' new oracles, F5 collect guard
-    "approx_value_quantiles",
-    "approx_distinct_users",
-    "catalog_table_roundtrip",
-    "multimodal_bytes_meta",
-    "multimodal_image_stub",
-    "multimodal_resize_stub",
-    "multimodal_frame_sample_stub",
-    "multimodal_audio_features_stub",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    # new queries this round (r4)
-    "dedup_keep_canonical",
-    "term_relevance_topk",
-    "embedding_quantize_int8",
-    "ann_recall_at_k",
-    "vocab_stats",
-    "minhash_estimate_quality",
-    "dedup_rate_by_source",
-    "daily_count_anomalies",
-    "q13_custdist",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q9_profit_by_nation",
-    "geo_nearest_hub",
-    "ols_value_by_hour",
-    "user_interarrival_stats",
-    "monthly_pct_change",
-    "salted_join_brand_revenue",
-    "salted_groupby_priority",
-    "bucketed_join_order_totals",
+    # new queries this round (r5): the TPC-H completion set
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_promotable_parts",
+    "q21_waiting_supplier",
 ]
 
 

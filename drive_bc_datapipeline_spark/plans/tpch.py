@@ -976,3 +976,314 @@ def salted_groupby_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_price", 2).alias("total_price"),
         F.round("max_price", 2).alias("max_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# C26 — TPC-H Q2 shape (minimum-cost supplier): correlated "supplier
+# achieving the minimum supply cost per part" decorrelated into an
+# aggregate + window rank. Adapted to the testdata schema (no partsupp):
+# the part↔supplier cost relation is derived from lineitem as the
+# minimum observed unit price MIN(l_extendedprice / l_quantity) per
+# (part, supplier); the region predicate keeps only EUROPE suppliers
+# and the part predicate keeps mid-range sizes.
+#
+# The original "WHERE cost = (SELECT MIN(...))" float-equality re-runs
+# the subquery; like q15 we rank ONE materialization (row_number with a
+# suppkey tiebreak) so the pick is deterministic cross-engine.
+#
+# 100 TB: the cost relation is one (partkey, suppkey)-keyed partial agg
+# of lineitem (map-side combine); supplier⋈nation⋈region is a broadcast
+# chain, and the per-part row_number windows over the aggregated
+# (part×supplier-in-region) relation, not the fact table.
+# Reference parity: athena.sql's grouped-lookup pattern at OLAP
+# complexity (drive-bc-datapipeline has no join engine of its own).
+# --------------------------------------------------------------------------
+
+Q2_ORACLE = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+ranked AS (
+  SELECT c.l_partkey, c.l_suppkey, c.unit_cost,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.l_partkey
+           ORDER BY c.unit_cost, c.l_suppkey
+         ) AS rn
+  FROM cost c JOIN eu ON c.l_suppkey = eu.s_suppkey
+)
+SELECT p.p_partkey, p.p_type,
+       eu.s_name, eu.n_name,
+       ROUND(eu.s_acctbal, 2)   AS s_acctbal,
+       ROUND(r.unit_cost, 4)    AS unit_cost
+FROM ranked r
+JOIN part p ON p.p_partkey = r.l_partkey
+JOIN eu     ON eu.s_suppkey = r.l_suppkey
+WHERE r.rn = 1 AND p.p_size BETWEEN 10 AND 20
+"""
+
+
+@query("q2_min_cost_supplier", Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_size").between(10, 20))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_cost"
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = (
+        cost.join(F.broadcast(eu), cost.l_suppkey == eu.s_suppkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return best.join(F.broadcast(p), best.l_partkey == p.p_partkey).select(
+        "p_partkey",
+        "p_type",
+        "s_name",
+        "n_name",
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+        F.round("unit_cost", 4).alias("unit_cost"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C27 — TPC-H Q11 shape (important stock): grouped inventory value per
+# part + scalar-subquery threshold. Adapted: "inventory value" is
+# SUM(l_extendedprice * l_quantity) of lines supplied by NATION_7
+# suppliers, and the original fixed fraction (which is SF-dependent)
+# becomes value > 1.05 × the mean per-part value — scale-invariant, so
+# the query returns a meaningful subset at every SF.
+#
+# 100 TB: one shuffle on l_partkey after a broadcast semi-join against
+# the nation-filtered supplier dim; the scalar total is a second agg of
+# the SAME grouped relation (tiny), cross-joined broadcast — the fact
+# table is scanned once.
+# --------------------------------------------------------------------------
+
+Q11_ORACLE = """
+WITH nat AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+),
+value_per_part AS (
+  SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS part_value
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM nat)
+  GROUP BY l_partkey
+)
+SELECT l_partkey, ROUND(part_value, 2) AS part_value
+FROM value_per_part
+WHERE part_value > 1.05 * (
+  SELECT SUM(part_value) / COUNT(*) FROM value_per_part
+)
+"""
+
+
+@query("q11_important_stock", Q11_ORACLE)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+
+    nat = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    per_part = (
+        l.join(F.broadcast(nat), l.l_suppkey == nat.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias(
+                "part_value"
+            )
+        )
+    )
+    threshold = per_part.agg(
+        (F.sum("part_value") / F.count(F.lit(1))).alias("mean_value")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value") > 1.05 * F.col("mean_value"))
+        .select(
+            "l_partkey", F.round("part_value", 2).alias("part_value")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C28 — TPC-H Q20 shape (part promotion): nested semi-join chain into
+# a correlated quantity threshold. Adapted (no partsupp/availqty): a
+# (supplier, part) pair is "promotable" when its 1997 shipments of a
+# 'large%' part exceed half of that pair's all-time shipments — the
+# same agg-vs-agg correlated comparison, decorrelated into ONE
+# conditional aggregation. Suppliers with any promotable pair survive
+# the semi join.
+#
+# 100 TB: part filter broadcast-semi-joins into the fact scan BEFORE
+# the (suppkey, partkey) aggregation (one shuffle on the pair key);
+# both the year-window sum and the all-time sum come from the same
+# single pass (conditional agg, no self-join); the final supplier
+# lookup is dim-sized.
+# --------------------------------------------------------------------------
+
+Q20_ORACLE = """
+WITH pairs AS (
+  SELECT l_suppkey,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate <  TIMESTAMP '1998-01-01'
+                  THEN l_quantity ELSE 0 END) AS qty_1997,
+         SUM(l_quantity) AS qty_total
+  FROM lineitem
+  WHERE l_partkey IN (
+    SELECT p_partkey FROM part WHERE p_name LIKE 'large%'
+  )
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate <  TIMESTAMP '1998-01-01'
+                  THEN l_quantity ELSE 0 END) > 0.5 * SUM(l_quantity)
+)
+SELECT s.s_suppkey, s.s_name, n.n_name,
+       ROUND(s.s_acctbal, 2) AS s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM pairs)
+"""
+
+
+@query("q20_promotable_parts", Q20_ORACLE)
+def q20_promotable_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("large%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+
+    in_1997 = (
+        F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01"))
+    ) & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    pairs = (
+        l.join(
+            F.broadcast(p.select("p_partkey")),
+            l.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_1997, F.col("l_quantity")).otherwise(0)).alias(
+                "qty_1997"
+            ),
+            F.sum("l_quantity").alias("qty_total"),
+        )
+        .filter(F.col("qty_1997") > 0.5 * F.col("qty_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(pairs), s.s_suppkey == pairs.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C29 — TPC-H Q21 shape (suppliers who kept orders waiting): the
+# canonical EXISTS + NOT-EXISTS double self-join on the fact table.
+# Adapted (no commit/receipt dates): a line is "late" when it shipped
+# more than 45 days after the order date. For finished ('F') orders,
+# count per supplier the orders where THAT supplier was late, at least
+# one other supplier participated (EXISTS), and no other supplier was
+# late (NOT EXISTS) — i.e. the orders this supplier alone held up.
+#
+# 100 TB: `late` is one orders⋈lineitem join (shuffle on orderkey,
+# order filter pushed to the scan). The EXISTS is a semi join of late
+# against lineitem on orderkey (residual suppkey≠ predicate); the
+# NOT-EXISTS is an anti self-join of late against itself — all three
+# hash-partition on l_orderkey, so AQE coalesces them into one
+# exchange lineage; no window, no cartesian.
+# --------------------------------------------------------------------------
+
+Q21_ORACLE = """
+WITH late AS (
+  SELECT l1.l_orderkey, l1.l_suppkey
+  FROM lineitem l1
+  JOIN orders o ON o.o_orderkey = l1.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l1.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+FROM late w
+JOIN supplier s ON s.s_suppkey = w.l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = w.l_orderkey
+      AND l2.l_suppkey <> w.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = w.l_orderkey
+      AND l3.l_suppkey <> w.l_suppkey
+  )
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@query("q21_waiting_supplier", Q21_ORACLE)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = t(spark, sf_dir, "supplier")
+
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    w = late.alias("w")
+    l2 = l.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    waited = (
+        w.join(
+            l2,
+            (F.col("w.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("w.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("w.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("w.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(F.broadcast(s), F.col("w.l_suppkey") == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
