@@ -72,6 +72,16 @@ HEADLINE = [
     "q15_top_supplier",
     "q16_supplier_variety",
     "q17_small_qty_revenue",
+    # round-5 additions (r4 totals cover the keys above this line)
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_promotable_parts",
+    "q21_waiting_supplier",
+    "top_bigrams_corpus",
+    "quality_filter_funnel",
+    "cross_source_content_overlap",
+    "embedding_label_centroids",
+    "hll_weekly_rollup",
 ]
 
 

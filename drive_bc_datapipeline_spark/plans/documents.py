@@ -21,6 +21,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from drive_bc_datapipeline_spark.functions import text as text_fns
 from drive_bc_datapipeline_spark.plans.registry import query, r4, r4_sql, t
@@ -1364,4 +1365,201 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
             F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# H12 — corpus-wide top bigrams: the n-gram frequency table every
+# tokenizer-training / corpus-inspection pipeline starts from.
+# Deterministic top-20 via row_number ordered (count DESC, bigram ASC).
+#
+# 100 TB: explode fans each doc into ~n_tokens rows, the count is one
+# shuffle on bigram with map-side partial aggregation, and the global
+# top-k is a single-partition window over the already-aggregated
+# relation — the classic wordcount shape, which is exactly what
+# Catalyst plans here. No driver collect, no second corpus pass.
+# --------------------------------------------------------------------------
+
+TOP_BIGRAMS_ORACLE = """
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(tk)),
+                i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+  FROM toks WHERE len(tk) >= 2
+),
+counted AS (
+  SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+),
+ranked AS (
+  SELECT bigram, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS rnk
+  FROM counted
+)
+SELECT CAST(rnk AS INT) AS rnk, bigram, n
+FROM ranked WHERE rnk <= 20
+"""
+
+
+@query("top_bigrams_corpus", TOP_BIGRAMS_ORACLE)
+def top_bigrams_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    bigrams = (
+        d.select(toks.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        # sequence(0, size-2) is ascending because size >= 2 is already
+        # guaranteed (sequence(1, 0) would DESCEND, not be empty).
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tk) - 2),"
+                    " i -> concat(tk[i], ' ', tk[i + 1]))"
+                )
+            ).alias("bigram")
+        )
+    )
+    counted = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 20)
+        .select("rnk", "bigram", "n")
+    )
+
+
+# --------------------------------------------------------------------------
+# H13 — quality-filter funnel: stage-by-stage survival counts for the
+# H1 quality gates — the triage readout a data curation run reports
+# (how many docs each filter removes, and how many survive all).
+# Single pass, conditional aggregation, one-row result; every ratio
+# definition is shared verbatim with text_quality_score (H1).
+#
+# 100 TB: one narrow scan + map-side conditional sums into a 1-row
+# global aggregate — no shuffle of row data at all.
+# --------------------------------------------------------------------------
+
+FUNNEL_ORACLE = f"""
+WITH stats AS (
+  SELECT length(text) AS n_chars,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN {STOPWORDS!r})) AS n_stop,
+         length(text) - length(regexp_replace(text, '{PUNCT_RE}', '', 'g')) AS n_punct
+  FROM documents
+),
+flags AS (
+  SELECT CASE WHEN n_tokens >= 10 THEN 1 ELSE 0 END AS len_ok,
+         CASE WHEN CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) >= 0.05
+              THEN 1 ELSE 0 END AS stop_ok,
+         CASE WHEN CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) <= 0.20
+              THEN 1 ELSE 0 END AS punct_ok
+  FROM stats
+)
+SELECT COUNT(*)                                        AS n_total,
+       SUM(len_ok)                                     AS n_len_ok,
+       SUM(stop_ok)                                    AS n_stop_ok,
+       SUM(punct_ok)                                   AS n_punct_ok,
+       SUM(len_ok * stop_ok * punct_ok)                AS n_pass_all
+FROM flags
+"""
+
+
+@query("quality_filter_funnel", FUNNEL_ORACLE)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tokens = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n_tokens = F.size(tokens)
+    n_chars = F.length("text")
+    n_stop = F.size(F.filter(tokens, lambda x: x.isin(*STOPWORDS)))
+    n_punct = n_chars - F.length(F.regexp_replace("text", PUNCT_RE, ""))
+    len_ok = (n_tokens >= 10).cast("long")
+    stop_ok = (
+        n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)) >= 0.05
+    ).cast("long")
+    punct_ok = (
+        n_punct.cast("double") / F.greatest(n_chars, F.lit(1)) <= 0.20
+    ).cast("long")
+    return d.select(
+        len_ok.alias("len_ok"),
+        stop_ok.alias("stop_ok"),
+        punct_ok.alias("punct_ok"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("len_ok").alias("n_len_ok"),
+        F.sum("stop_ok").alias("n_stop_ok"),
+        F.sum("punct_ok").alias("n_punct_ok"),
+        F.sum(
+            F.col("len_ok") * F.col("stop_ok") * F.col("punct_ok")
+        ).alias("n_pass_all"),
+    )
+
+
+# --------------------------------------------------------------------------
+# H14 — cross-source shingle overlap: for every source pair, how many
+# distinct 8-gram shingles they share — the provenance contamination
+# matrix a corpus curator reads to see which crawls echo each other
+# (the pairwise generalization of decontaminate_eval's train/eval
+# check; same 8-gram currency).
+#
+# 100 TB: the distinct (source, shingle) relation dedups map-side
+# before its shuffle; the self-join keys on the shingle — high-
+# cardinality with a bounded per-shingle source list (≤ |sources|), so
+# fan-out per key is dim-bounded — and the pair rollup output is at
+# most |sources|² rows. Boilerplate shingles shared by MANY sources
+# multiply pairs quadratically in |sources| only, never in documents.
+# --------------------------------------------------------------------------
+
+OVERLAP_N = 8
+
+_overlap_parts = " || ' ' || ".join(f"tokens[i + {j}]" for j in range(OVERLAP_N))
+
+SOURCE_OVERLAP_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT source, shingle FROM (
+    SELECT source,
+           unnest(list_transform(
+               generate_series(1, greatest(len(tokens) - {OVERLAP_N - 1}, 0)),
+               i -> {_overlap_parts}
+           )) AS shingle
+    FROM (SELECT source, string_split(text, ' ') AS tokens FROM documents)
+  ) WHERE shingle <> ''
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS shared_shingles
+FROM sh a
+JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
+@query("cross_source_content_overlap", SOURCE_OVERLAP_ORACLE)
+def cross_source_content_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    sh = (
+        d.select("source", F.split("text", " ").alias("toks"))
+        .select(
+            "source",
+            F.explode(text_fns.word_shingles("toks", OVERLAP_N)).alias(
+                "shingle"
+            ),
+        )
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
     )

@@ -736,3 +736,63 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.count("hit") / float(TOP_K)).alias("recall_at_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# G7 — per-label centroids as a DISTRIBUTED relation: the class-center
+# computation behind embedding-space diagnostics (cluster drift, label
+# purity) and IVF codebook seeding. Output is (label, pos)-keyed — the
+# centroid IS the relation, never a driver-side vector.
+#
+# Cross-engine exactness: float sums are summation-order-dependent, so
+# both engines quantize each component to an integer grid first
+# (floor(val * 1e4 + 0.5) — floor is exact on doubles, no rounding-mode
+# dependence) and sum BIGINTs, which are order-independent. The
+# centroid value is then derived per-row from the exact integer sum.
+#
+# 100 TB: posexplode fans dim× (narrow, no data movement), the agg
+# shuffles on (label, pos) — uniform keys, map-side partial sums —
+# and output is |labels|·dim rows. This is the scalable shape; a
+# collect-and-average would put the whole corpus on the driver.
+# --------------------------------------------------------------------------
+
+CENTROIDS_ORACLE = f"""
+WITH comp AS (
+  SELECT label, s.pos AS pos,
+         CAST(floor(CAST(s.val AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
+  FROM (
+    SELECT label,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  i -> struct_pack(pos := i - 1, val := embedding[i]))) AS s
+    FROM embeddings
+  )
+)
+SELECT label, CAST(pos AS INT) AS pos,
+       COUNT(*)                AS n_vecs,
+       SUM(q)                  AS dim_sum_q,
+       {r6_sql('CAST(SUM(q) AS DOUBLE) / (10000.0 * COUNT(*))')} AS centroid_val
+FROM comp
+GROUP BY label, pos
+"""
+
+
+@query("embedding_label_centroids", CENTROIDS_ORACLE)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "label",
+        F.col("pos").cast("int").alias("pos"),
+        F.floor(F.col("val").cast("double") * 10000 + 0.5)
+        .cast("bigint")
+        .alias("q"),
+    )
+    return comp.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("q").alias("dim_sum_q"),
+        r6(
+            F.sum("q").cast("double") / (10000.0 * F.count(F.lit(1)))
+        ).alias("centroid_val"),
+    )

@@ -1381,3 +1381,72 @@ def monthly_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         r4(100.0 * (F.col("n_events") - prev) / prev).alias("pct_change"),
     )
+
+
+# --------------------------------------------------------------------------
+# B25 — mergeable-sketch rollup: per-day HLL user sketches unioned into
+# weekly distincts WITHOUT re-scanning raw data — the hypertable/
+# materialized-rollup pattern (daily sketches persist; any coarser
+# window is a cheap sketch union, never a recount). countDistinct
+# can't do this: distinct counts don't add across days.
+#
+# Like approx_distinct_users (C8), the raw estimate is engine-specific
+# so the hashed surface is the exact weekly count plus an error-bounded
+# ``sketch_ok`` flag (Datasketches HLL at default lgK=12 has ~1.6%
+# relative error; the 10%-or-±5 bound means a flip is a broken sketch,
+# not an unlucky one). The oracle recomputes the exact count and
+# asserts the flag.
+#
+# 100 TB: pass 1 aggregates (type, day) → fixed-size sketch (map-side
+# partial merge); pass 2 unions sketches over (type, week) — the
+# second shuffle moves only |types|·|days| sketch blobs, not events.
+# The exact twin exists only for verification.
+# --------------------------------------------------------------------------
+
+HLL_WEEKLY_ORACLE = """
+WITH exact AS (
+  SELECT event_type,
+         CAST(date_trunc('week', ts) AS DATE) AS week_start,
+         COUNT(DISTINCT user_id) AS n_users
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(week_start AS VARCHAR) AS week_start,
+       n_users,
+       1 AS sketch_ok
+FROM exact
+"""
+
+
+@query("hll_weekly_rollup", HLL_WEEKLY_ORACLE)
+def hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    weekly_est = (
+        daily.groupBy(
+            "event_type",
+            F.date_trunc("week", "day").cast("date").alias("week_start"),
+        )
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_est"))
+    )
+    weekly_exact = e.groupBy(
+        "event_type",
+        F.date_trunc("week", "ts").cast("date").alias("week_start"),
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+    return (
+        weekly_exact.join(weekly_est, ["event_type", "week_start"])
+        .select(
+            "event_type",
+            F.col("week_start").cast("string").alias("week_start"),
+            "n_users",
+            (
+                F.abs(F.col("n_est") - F.col("n_users"))
+                <= F.greatest(0.10 * F.col("n_users"), F.lit(5.0))
+            )
+            .cast("int")
+            .alias("sketch_ok"),
+        )
+    )

@@ -52,11 +52,17 @@ ORACLES: dict[str, str] = {}
 GATE_WINDOW = 50
 
 GATE_PIN: list[str] = [
-    # new queries this round (r5): the TPC-H completion set
+    # new queries this round (r5): the TPC-H completion set ...
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q20_promotable_parts",
     "q21_waiting_supplier",
+    # ... and the corpus/sketch additions
+    "top_bigrams_corpus",
+    "quality_filter_funnel",
+    "cross_source_content_overlap",
+    "embedding_label_centroids",
+    "hll_weekly_rollup",
 ]
 
 

@@ -17,7 +17,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from drive_bc_datapipeline_spark.plans.registry import query, t
+from drive_bc_datapipeline_spark.plans.registry import (
+    query,
+    r2,
+    r2_sql,
+    r4,
+    r4_sql,
+    t,
+)
 
 # --------------------------------------------------------------------------
 # C1 — flagship: TPC-H Q1 pricing summary.
@@ -999,7 +1006,7 @@ def salted_groupby_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # complexity (drive-bc-datapipeline has no join engine of its own).
 # --------------------------------------------------------------------------
 
-Q2_ORACLE = """
+Q2_ORACLE = f"""
 WITH cost AS (
   SELECT l_partkey, l_suppkey,
          MIN(l_extendedprice / l_quantity) AS unit_cost
@@ -1023,8 +1030,8 @@ ranked AS (
 )
 SELECT p.p_partkey, p.p_type,
        eu.s_name, eu.n_name,
-       ROUND(eu.s_acctbal, 2)   AS s_acctbal,
-       ROUND(r.unit_cost, 4)    AS unit_cost
+       {r2_sql('eu.s_acctbal')}   AS s_acctbal,
+       {r4_sql('r.unit_cost')} AS unit_cost
 FROM ranked r
 JOIN part p ON p.p_partkey = r.l_partkey
 JOIN eu     ON eu.s_suppkey = r.l_suppkey
@@ -1061,8 +1068,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_type",
         "s_name",
         "n_name",
-        F.round("s_acctbal", 2).alias("s_acctbal"),
-        F.round("unit_cost", 4).alias("unit_cost"),
+        r2(F.col("s_acctbal")).alias("s_acctbal"),
+        r4(F.col("unit_cost")).alias("unit_cost"),
     )
 
 
@@ -1080,7 +1087,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # table is scanned once.
 # --------------------------------------------------------------------------
 
-Q11_ORACLE = """
+Q11_ORACLE = f"""
 WITH nat AS (
   SELECT s_suppkey FROM supplier
   JOIN nation ON s_nationkey = n_nationkey
@@ -1092,7 +1099,7 @@ value_per_part AS (
   WHERE l_suppkey IN (SELECT s_suppkey FROM nat)
   GROUP BY l_partkey
 )
-SELECT l_partkey, ROUND(part_value, 2) AS part_value
+SELECT l_partkey, {r2_sql('part_value')} AS part_value
 FROM value_per_part
 WHERE part_value > 1.05 * (
   SELECT SUM(part_value) / COUNT(*) FROM value_per_part
@@ -1124,9 +1131,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.crossJoin(F.broadcast(threshold))
         .filter(F.col("part_value") > 1.05 * F.col("mean_value"))
-        .select(
-            "l_partkey", F.round("part_value", 2).alias("part_value")
-        )
+        .select("l_partkey", r2(F.col("part_value")).alias("part_value"))
     )
 
 
@@ -1146,7 +1151,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lookup is dim-sized.
 # --------------------------------------------------------------------------
 
-Q20_ORACLE = """
+Q20_ORACLE = f"""
 WITH pairs AS (
   SELECT l_suppkey,
          SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
@@ -1163,7 +1168,7 @@ WITH pairs AS (
                   THEN l_quantity ELSE 0 END) > 0.5 * SUM(l_quantity)
 )
 SELECT s.s_suppkey, s.s_name, n.n_name,
-       ROUND(s.s_acctbal, 2) AS s_acctbal
+       {r2_sql('s.s_acctbal')} AS s_acctbal
 FROM supplier s
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE s.s_suppkey IN (SELECT l_suppkey FROM pairs)
@@ -1204,7 +1209,7 @@ def q20_promotable_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
             "s_name",
             "n_name",
-            F.round("s_acctbal", 2).alias("s_acctbal"),
+            r2(F.col("s_acctbal")).alias("s_acctbal"),
         )
     )
 

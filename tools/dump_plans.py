@@ -25,6 +25,9 @@ PICKS = {
     "catalog_table_roundtrip": "Catalog-name read with the partition-value predicate as PartitionFilters (plan-time directory prune, no data filter).",
     "term_relevance_topk": "tf shuffle with map-side combine; df side broadcast; WindowGroupLimit prunes per-doc rank before the final sort.",
     "ann_recall_at_k": "Both rankings broadcast the query set; LSH side scores same-bucket rows only; final compare joins two k-row-per-query sets.",
+    "q2_min_cost_supplier": "WindowGroupLimit (partial+final) prunes to the per-part minimum BEFORE the window exchange; supplier⋈nation⋈region is a broadcast chain.",
+    "q21_waiting_supplier": "EXISTS/NOT-EXISTS become semi + anti hash joins, all partitioned on l_orderkey — no cartesian, no window over the fact.",
+    "hll_weekly_rollup": "Sketch path: ObjectHashAggregate with partial_hll_union_agg map-side — the weekly shuffle moves fixed-size sketch blobs, not events.",
 }
 
 HEADER = """# PLANS — physical-plan audit (generated from live `explain`)
