@@ -290,3 +290,94 @@ def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
     only at ingestion boundaries, then rewrite to one schema.
     """
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+    partition_col: str,
+) -> dict:
+    """K13: keyed MERGE-upsert into a partitioned parquet dataset —
+    the Spark-native equivalent of ``MERGE INTO`` without a table
+    format, via partition-pruned read + dynamic partition overwrite.
+
+    Latest-wins semantics: within each key, the row with the greatest
+    ``order_col`` survives (updates beat existing rows on ties, so a
+    re-run of the same batch is idempotent). New keys insert.
+
+    The 100 TB shape — and why this beats the naive rewrite:
+    1. the touched partition values come from the UPDATES (small side);
+    2. only those partitions of the target are read back (plan-time
+       partition pruning — the untouched 99% of the dataset is never
+       opened);
+    3. ``partitionOverwriteMode=dynamic`` replaces exactly the written
+       partitions; every untouched partition's files are left in place.
+    Cost scales with the touched-partition volume, not the dataset.
+    A transaction log (Iceberg/Delta) would add snapshot isolation;
+    per-partition overwrite is the strongest guarantee raw parquet
+    offers (each partition dir swap is a rename).
+
+    Updates spanning a partition move (same key, new partition value)
+    leave the old row in the old partition — like every MERGE, the
+    partition column must be stable under updates (choose an
+    immutable one, e.g. event date).
+
+    Returns {"touched_partitions": n, "rows_written": n}.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    touched = [
+        r[0]
+        for r in updates.select(partition_col).distinct().collect()
+    ]
+    upd = updates.withColumn("__src", F.lit(1))
+    if os.path.exists(path):
+        base = (
+            spark.read.parquet(path)
+            .filter(F.col(partition_col).isin(touched))
+            .withColumn("__src", F.lit(0))
+        )
+        merged = base.unionByName(upd)
+    else:
+        merged = upd
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(order_col), F.desc("__src")
+    )
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    n = latest.count()
+    writer = latest.write.mode("overwrite").partitionBy(partition_col)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        writer.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"touched_partitions": len(touched), "rows_written": n}
+
+
+def read_binary_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """K14: binary-file ingestion for multimodal corpora — each file
+    becomes one row (path, modificationTime, length, content BINARY),
+    the raw form the I-section multimodal operators consume.
+
+    100 TB: the binaryFile source parallelizes over files (one task per
+    file group, no splitting within a file); pair it with
+    ``pathGlobFilter`` to prune by extension at listing time and feed
+    the result straight into mapInPandas featurizers. Driver-side file
+    listing is the bottleneck at tens of millions of files — shard the
+    ingest by directory prefix at that scale.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

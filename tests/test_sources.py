@@ -242,3 +242,112 @@ def test_compact_survives_stale_backup_without_marker(spark, tmp_path):
     before, after = sio.compact_parquet(spark, path, target_files=2)
     assert after == 2
     assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == rows
+
+
+def test_upsert_partitioned_latest_wins_and_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from drive_bc_datapipeline_spark.sources.io import upsert_partitioned
+
+    path = str(tmp_path / "ds")
+    base = spark.createDataFrame(
+        [
+            (1, "d1", 10, "a"),
+            (2, "d1", 10, "b"),
+            (3, "d2", 10, "c"),
+            (4, "d3", 10, "d"),
+        ],
+        "id INT, day STRING, ver INT, payload STRING",
+    )
+    base.write.partitionBy("day").parquet(path)
+
+    # update id=1 (newer), stale-update id=2 (older), insert id=9 — all
+    # in d1; d2/d3 untouched
+    updates = spark.createDataFrame(
+        [
+            (1, "d1", 20, "a2"),
+            (2, "d1", 5, "stale"),
+            (9, "d1", 20, "new"),
+        ],
+        "id INT, day STRING, ver INT, payload STRING",
+    )
+    stats = upsert_partitioned(
+        spark, path, updates, keys=["id"], order_col="ver",
+        partition_col="day",
+    )
+    assert stats["touched_partitions"] == 1
+
+    got = {
+        r["id"]: (r["ver"], r["payload"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got[1] == (20, "a2")        # newer update wins
+    assert got[2] == (10, "b")         # stale update loses
+    assert got[9] == (20, "new")       # insert
+    assert got[3] == (10, "c") and got[4] == (10, "d")  # untouched
+
+    # idempotent: re-running the same batch changes nothing
+    upsert_partitioned(
+        spark, path, updates, keys=["id"], order_col="ver",
+        partition_col="day",
+    )
+    again = {
+        r["id"]: (r["ver"], r["payload"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert again == got
+
+    # untouched partitions keep their original files (dynamic overwrite
+    # only rewrote day=d1)
+    import os as _os
+
+    assert _os.path.exists(f"{path}/day=d2")
+    assert _os.path.exists(f"{path}/day=d3")
+
+
+def test_upsert_partitioned_reads_only_touched_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from drive_bc_datapipeline_spark.sources.io import upsert_partitioned
+
+    path = str(tmp_path / "pruned")
+    rows = [(i, f"d{i % 10}", 1, "x") for i in range(100)]
+    spark.createDataFrame(
+        rows, "id INT, day STRING, ver INT, payload STRING"
+    ).write.partitionBy("day").parquet(path)
+
+    # the partition-pruning contract: a filtered read of one day scans
+    # one directory (PartitionFilters, plan-time)
+    df = spark.read.parquet(path).filter(F.col("day") == "d3")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan
+
+    upsert_partitioned(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(3, "d3", 2, "upd")], "id INT, day STRING, ver INT, payload STRING"
+        ),
+        keys=["id"],
+        order_col="ver",
+        partition_col="day",
+    )
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_read_binary_dir(spark, tmp_path):
+    from drive_bc_datapipeline_spark.sources.io import read_binary_dir
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "a.img").write_bytes(b"\x89IMG" + b"\x00" * 60)
+    (d / "b.img").write_bytes(b"\x89IMG" + b"\x01" * 124)
+    (d / "skip.txt").write_bytes(b"not a blob")
+
+    df = read_binary_dir(spark, str(d), glob="*.img")
+    rows = sorted(df.collect(), key=lambda r: r["path"])
+    assert len(rows) == 2
+    assert rows[0]["length"] == 64 and rows[1]["length"] == 128
+    assert bytes(rows[0]["content"])[:4] == b"\x89IMG"
+    # feeds the I-section featurizers: binary column + typed metadata
+    assert dict(df.dtypes)["content"] == "binary"
