@@ -796,3 +796,77 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("q").cast("double") / (10000.0 * F.count(F.lit(1)))
         ).alias("centroid_val"),
     )
+
+
+# --------------------------------------------------------------------------
+# F12 — semantic dedup resolved to DOCUMENT decisions: the cross-modal
+# step an LLM-data pipeline actually ships — embedding-LSH near-dup
+# pairs (F9, the scale path) joined back to document metadata and
+# collapsed into a keep/drop verdict per pair (keep the longer text,
+# doc_id tiebreak). vec_id ↔ doc_id is the corpus contract.
+#
+# 100 TB: the pair relation is LSH-bucket-bounded (F9's shape); the
+# two metadata joins key on doc_id against a narrow 3-column
+# projection of documents — AQE broadcasts the pair side while it
+# fits, degrades to shuffle joins beyond. No new corpus-sized pass.
+# --------------------------------------------------------------------------
+
+SEMANTIC_CANON_ORACLE = f"""
+WITH pairs AS ({EMB_LSH_DEDUP_ORACLE}),
+j AS (
+  SELECT p.vec_id_a, p.vec_id_b, p.cosine,
+         da.n_chars AS ca, db.n_chars AS cb,
+         da.source  AS sa, db.source  AS sb
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.vec_id_a
+  JOIN documents db ON db.doc_id = p.vec_id_b
+)
+SELECT
+  CASE WHEN cb > ca OR (cb = ca AND vec_id_b < vec_id_a)
+       THEN vec_id_a ELSE vec_id_b END AS drop_doc_id,
+  CASE WHEN cb > ca OR (cb = ca AND vec_id_b < vec_id_a)
+       THEN vec_id_b ELSE vec_id_a END AS keep_doc_id,
+  CASE WHEN cb > ca OR (cb = ca AND vec_id_b < vec_id_a)
+       THEN sb ELSE sa END AS keep_source,
+  cosine
+FROM j
+"""
+
+
+@query("semantic_dedup_canonical", SEMANTIC_CANON_ORACLE)
+def semantic_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from drive_bc_datapipeline_spark.plans.registry import QUERIES
+
+    pairs = QUERIES["dedup_embedding_lsh"](spark, sf_dir)
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars", "source")
+    da = d.alias("da")
+    db = d.alias("db")
+    j = (
+        pairs.join(da, F.col("vec_id_a") == F.col("da.doc_id"))
+        .join(db, F.col("vec_id_b") == F.col("db.doc_id"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            "cosine",
+            F.col("da.n_chars").alias("ca"),
+            F.col("db.n_chars").alias("cb"),
+            F.col("da.source").alias("sa"),
+            F.col("db.source").alias("sb"),
+        )
+    )
+    b_wins = (F.col("cb") > F.col("ca")) | (
+        (F.col("cb") == F.col("ca"))
+        & (F.col("vec_id_b") < F.col("vec_id_a"))
+    )
+    return j.select(
+        F.when(b_wins, F.col("vec_id_a"))
+        .otherwise(F.col("vec_id_b"))
+        .alias("drop_doc_id"),
+        F.when(b_wins, F.col("vec_id_b"))
+        .otherwise(F.col("vec_id_a"))
+        .alias("keep_doc_id"),
+        F.when(b_wins, F.col("sb")).otherwise(F.col("sa")).alias(
+            "keep_source"
+        ),
+        "cosine",
+    )

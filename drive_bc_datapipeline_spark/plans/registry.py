@@ -63,6 +63,7 @@ GATE_PIN: list[str] = [
     "cross_source_content_overlap",
     "embedding_label_centroids",
     "hll_weekly_rollup",
+    "semantic_dedup_canonical",
 ]
 
 
