@@ -1450,3 +1450,84 @@ def hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sketch_ok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B26 — EXACT distinct via mergeable bitmaps: the scale alternative to
+# both countDistinct (exact but re-shuffles raw rows for every rollup)
+# and HLL (mergeable but approximate). Two-level shape: rows fold into
+# per-(key, bucket) bitmaps (bitmap_construct_agg over the bit position
+# of user_id within its 32k-wide bucket), then bitmap_count sums per
+# key — EXACT results from fixed-size mergeable state. Persisted
+# per-day, these bitmaps roll up to any coarser window with bitmap_or
+# — the exact-count twin of hll_weekly_rollup (B25).
+#
+# Because the bitmap path is exact, the oracle compares VALUES against
+# COUNT(DISTINCT) directly — no error-bound indirection.
+#
+# 100 TB: shuffle 1 carries (key, bucket)-partitioned raw positions
+# with map-side bitmap folding; shuffle 2 moves only
+# |keys|·|buckets| bitmap blobs. Dense user-id spaces make each 4 KiB
+# bucket bitmap near-full — far smaller than the id list it replaces.
+# --------------------------------------------------------------------------
+
+BITMAP_DISTINCT_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("bitmap_distinct_users", BITMAP_DISTINCT_ORACLE)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    per_bucket = e.groupBy(
+        "event_type",
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users")
+    )
+
+
+# --------------------------------------------------------------------------
+# A5 — schema-less semi-structured extraction via the VARIANT type:
+# parse_json once into Spark's binary semi-structured encoding, then
+# path-extract fields at query time (variant_get with a target type) —
+# no up-front schema like A3's from_json. This is the modern ingest
+# shape for heterogeneous event payloads: land VARIANT, project paths
+# lazily, let shredding/pushdown handle the rest.
+#
+# 100 TB: parse and extraction are narrow per-row expressions (no
+# Python, no shuffle); the aggregate is the only exchange.
+# --------------------------------------------------------------------------
+
+VARIANT_EXTRACT_ORACLE = """
+SELECT event_type,
+       CAST(CAST(json_extract(props, '$.k') AS INTEGER) // 25 AS INT)
+         AS k_bucket,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@query("etl_variant_extract", VARIANT_EXTRACT_ORACLE)
+def etl_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy(
+            "event_type",
+            F.floor(F.col("k") / 25).cast("int").alias("k_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+        )
+    )

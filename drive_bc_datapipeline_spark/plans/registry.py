@@ -64,6 +64,8 @@ GATE_PIN: list[str] = [
     "embedding_label_centroids",
     "hll_weekly_rollup",
     "semantic_dedup_canonical",
+    "bitmap_distinct_users",
+    "etl_variant_extract",
 ]
 
 
