@@ -870,3 +870,55 @@ def semantic_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "cosine",
     )
+
+
+# --------------------------------------------------------------------------
+# G8 — IVF recall audit: recall@k of the IVF path (G4) against the
+# exact brute-force ranking — the same estimator-vs-truth gate G6 runs
+# for LSH, so BOTH sublinear ANN paths carry a driver-checked quality
+# readout. nprobe tunes this recall directly; the audit is what a
+# deployment watches when it turns that knob.
+#
+# 100 TB: composes the two registered plans; the exact side is the
+# one-pass broadcast-query scan (sampled at real scale), the IVF side
+# scans nprobe/nlist of the corpus. The compare joins two
+# k-rows-per-query sets — negligible.
+# --------------------------------------------------------------------------
+
+ANN_IVF_RECALL_ORACLE = f"""
+WITH exact_r AS (
+  SELECT query_id, neighbor_id FROM ({ANN_TOPK_ORACLE})
+),
+ivf_r AS (
+  SELECT query_id, neighbor_id FROM ({ANN_IVF_ORACLE})
+)
+SELECT x.query_id,
+       COUNT(i.neighbor_id) AS n_hits,
+       {r4_sql(f"COUNT(i.neighbor_id) / {TOP_K}.0")} AS recall_at_k
+FROM exact_r x
+LEFT JOIN ivf_r i
+  ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+GROUP BY x.query_id
+"""
+
+
+@query("ann_ivf_recall_at_k", ANN_IVF_RECALL_ORACLE)
+def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from drive_bc_datapipeline_spark.plans.registry import QUERIES
+
+    exact = QUERIES["ann_cosine_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = (
+        QUERIES["ann_ivf_topk"](spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            r4(F.count("hit") / float(TOP_K)).alias("recall_at_k"),
+        )
+    )

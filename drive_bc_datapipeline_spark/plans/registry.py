@@ -66,6 +66,7 @@ GATE_PIN: list[str] = [
     "semantic_dedup_canonical",
     "bitmap_distinct_users",
     "etl_variant_extract",
+    "ann_ivf_recall_at_k",
 ]
 
 
