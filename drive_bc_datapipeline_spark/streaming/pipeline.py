@@ -319,3 +319,104 @@ def start_enriched_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_tws_user_stats_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "tws_stats",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """J8: custom stateful operator on the transformWithState API —
+    the Spark 4 successor of ``applyInPandasWithState`` (J4): typed
+    state handles (value/list/map state), timers for time-based
+    eviction, and schema-evolvable state instead of one opaque tuple.
+    Same semantics as J4 (running per-user n/total/last_ts) so the two
+    APIs are directly comparable in this codebase.
+
+    Requires the RocksDB state store (the only provider implementing
+    the new state API) — which is what a 100 TB deployment runs anyway:
+    state spills to local SST files + changelog checkpointing, instead
+    of the default provider's executor-heap maps.
+
+    ENV GATE: the transformWithState worker protocol speaks protobuf;
+    raises ImportError with a pointer to J4 when ``google.protobuf``
+    is absent (as in this container). The J4 stream is the drop-in
+    fallback with identical semantics.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas needs the protobuf package "
+            "(worker protocol); use start_stateful_user_stats_stream "
+            "(J4, applyInPandasWithState) in this environment"
+        ) from exc
+
+    import pandas as pd  # local import: executors only
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", StringType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats",
+                "n_events BIGINT, total_value DOUBLE, last_ts_us BIGINT",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, last_us = (
+                self._state.get() if self._state.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+                ts_max = pd.to_datetime(pdf["ts"]).max()
+                if ts_max is not pd.NaT:
+                    last_us = max(last_us, ts_max.value // 1000)
+            self._state.update((n, total, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "last_ts": [pd.Timestamp(last_us * 1000)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    raw = read_event_stream(spark, source_dir).dropna(subset=["ts"])
+    stats = raw.groupBy("user_id").transformWithStateInPandas(
+        RunningStats(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    writer = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from drive_bc_datapipeline_spark.streaming import pipeline as sp
@@ -194,3 +195,49 @@ def test_stream_static_enrichment(spark, tmp_path):
     # e1 appears twice (no dedup in this path) but maps consistently
     assert rows["e1"] == "gold" and rows["e3"] == "gold"
     assert rows["e2"] == "silver"
+
+
+def test_tws_user_stats_matches_batch(spark, tmp_path):
+    """J8: transformWithStateInPandas running totals == batch groupBy
+    (and == the J4 applyInPandasWithState semantics)."""
+    pytest.importorskip(
+        "google.protobuf", reason="TWS worker protocol needs protobuf"
+    )
+    src = _write_source(tmp_path)
+    q = sp.start_tws_user_stats_stream(
+        spark, src, str(tmp_path / "ckpt_tws"), query_name="t_tws",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.user_id: (r.n_events, r.total_value, r.last_ts)
+        for r in spark.sql("SELECT * FROM t_tws").orderBy("n_events").collect()
+    }
+    batch = (
+        spark.read.schema(sp.RAW_EVENT_SCHEMA).json(src)
+        .dropna(subset=["ts"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("tot"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    expected = {
+        r.user_id: (r.n, float(r.tot), r.last_ts) for r in batch.collect()
+    }
+    assert streamed == expected
+
+
+def test_tws_gate_points_to_j4_fallback(spark, tmp_path):
+    """Without protobuf the J8 starter must fail FAST with a pointer to
+    the J4 fallback — not crash the streaming worker mid-query."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        pytest.skip("protobuf present: gate inactive")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="applyInPandasWithState"):
+        sp.start_tws_user_stats_stream(
+            spark, str(tmp_path), str(tmp_path / "ck"), query_name="x"
+        )
