@@ -1563,3 +1563,56 @@ def cross_source_content_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared_shingles"))
     )
+
+
+# --------------------------------------------------------------------------
+# H15 — feature hashing (the "hashing trick"): bag-of-words folded into
+# a fixed D-bucket space, emitted as the sparse (doc_id, bucket, n)
+# relation — vocabulary-free text featurization whose width is fixed
+# no matter how the corpus grows (the property that makes it THE
+# text-to-vector path at 100 TB: no vocab build, no dictionary
+# broadcast, one narrow pass + one shuffle).
+#
+# The bucket hash is md5-derived on BOTH engines (first 8 hex chars →
+# int mod D) — engine-native hashes (xxhash64 vs DuckDB's hash) don't
+# match across engines, md5 does. ANSI note: the 8-hex parse fits an
+# INT but the CAST goes through BIGINT for safety.
+# --------------------------------------------------------------------------
+
+FEAT_HASH_D = 64
+
+FEATURE_HASHING_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS token
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+            % {FEAT_HASH_D} AS INT) AS bucket,
+       COUNT(*) AS n
+FROM tok
+GROUP BY 1, 2
+"""
+
+
+@query("text_feature_hashing", FEATURE_HASHING_ORACLE)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("token"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
+        .cast("bigint")
+        % FEAT_HASH_D
+    ).cast("int")
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -67,6 +67,7 @@ GATE_PIN: list[str] = [
     "bitmap_distinct_users",
     "etl_variant_extract",
     "ann_ivf_recall_at_k",
+    "text_feature_hashing",
 ]
 
 
