@@ -70,3 +70,62 @@ def test_incremental_etl_is_idempotent(spark, tmp_path):
     import os as _os
 
     assert any(d.startswith("event_date=") for d in _os.listdir(out))
+
+
+def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
+    """K16: watermark-incremental (type, day) rollup == full groupBy
+    after every refresh; refresh with no new data is a no-op."""
+    from pyspark.sql import functions as F
+
+    from drive_bc_datapipeline_spark.jobs import run_incremental_rollup
+    from drive_bc_datapipeline_spark.tables import read_events
+
+    full = read_events(spark, f"{SF}/events.parquet").dropna(
+        subset=["event_id", "ts"]
+    )
+    ts_cut = full.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)")
+    ).first()[0]
+
+    src1 = str(tmp_path / "src1")
+    full.filter(F.unix_micros("ts") <= ts_cut).write.parquet(src1)
+    rollup = str(tmp_path / "rollup")
+    state = str(tmp_path / "wm.json")
+
+    r1 = run_incremental_rollup(spark, src1, rollup, state)
+    assert r1["merged_rows"] > 0
+
+    def expected(df):
+        return {
+            (r["event_type"], r["day"]): (r["n"], round(r["s"] or 0.0, 6))
+            for r in df.groupBy(
+                "event_type", F.to_date("ts").cast("string").alias("day")
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+
+    def got():
+        # partition-column type inference reads the string day back as
+        # DATE — normalize for comparison
+        return {
+            (r["event_type"], str(r["day"])): (
+                r["n_events"],
+                round(r["sum_value"] or 0.0, 6),
+            )
+            for r in spark.read.parquet(rollup).collect()
+        }
+
+    assert got() == expected(full.filter(F.unix_micros("ts") <= ts_cut))
+
+    # second batch: the full dataset lands in the same source dir
+    src2 = str(tmp_path / "src2")
+    full.write.parquet(src2)
+    r2 = run_incremental_rollup(spark, src2, rollup, state)
+    assert r2["merged_rows"] > 0
+    assert got() == expected(full)
+
+    # idempotent: nothing new → no-op
+    r3 = run_incremental_rollup(spark, src2, rollup, state)
+    assert r3["merged_rows"] == 0
+    assert got() == expected(full)
