@@ -1,0 +1,82 @@
+"""Distributed prefix sum (exclusive running total) — the two-phase
+shape that makes order-dependent cumulatives scale.
+
+A naive cumulative sum is `SUM(x) OVER (ORDER BY k)`: one global
+ordering → Spark plans a SINGLE-partition window, and at 100 TB one
+task owns the entire dataset. The scalable form is the classic
+parallel scan:
+
+  1. range-partition + sort by the ordering key (one shuffle — the
+     same cost any global sort pays);
+  2. per-partition totals (one tiny job: |partitions| numbers to the
+     driver — bounded by cluster parallelism, not data);
+  3. exclusive prefix of those totals broadcast back; each partition
+     adds its offset while scanning locally in order.
+
+Exactness: integer sums are associative, so the two-phase result is
+bit-identical to the sequential scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exclusive_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = sum of ``value_col`` over all rows STRICTLY
+    before this one in ``order_col`` order (exclusive scan).
+
+    ``order_col`` must be unique (it defines the scan order). Output
+    keeps all input columns.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(order_col)).sortWithinPartitions(
+        order_col
+    )
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+
+    # phase 2: per-partition totals — |partitions| rows to the driver
+    totals = {
+        r["__pid"]: r["t"]
+        for r in with_pid.groupBy("__pid")
+        .agg(F.sum(value_col).alias("t"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+
+    # phase 3: local running total + broadcast offset join on __pid
+    # (a hash-literal expression would also work but grows linearly in
+    # the plan; a broadcast of |partitions| rows stays O(1) plan-side).
+    # The local window partitions by __pid, so no second exchange:
+    # data is already range-partitioned and locally sorted.
+    spark = df.sparkSession
+    offsets_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+        "__pid INT, __offset BIGINT",
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(value_col).over(w), F.lit(0))
+    return (
+        with_pid.join(F.broadcast(offsets_df), "__pid", "left")
+        .withColumn(
+            out_col,
+            (local + F.coalesce(F.col("__offset"), F.lit(0))).cast("bigint"),
+        )
+        .drop("__pid", "__offset")
+    )

@@ -1616,3 +1616,67 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# H16 — training-shard packing: assign docs to fixed-capacity shards
+# by cumulative size in deterministic doc_id order — the
+# webdataset/tar-shard export step that turns a curated corpus into
+# sequentially-readable training files.
+#
+# shard_id = floor(exclusive_prefix_sum(n_chars) / CAP): a document
+# spans into the shard where its first byte lands (greedy packing,
+# deterministic, no driver loop over docs).
+#
+# 100 TB: the oracle's `SUM() OVER (ORDER BY doc_id)` is the textbook
+# SINGLE-partition window — unusable at scale. The engine side runs
+# operators/prefix.exclusive_prefix_sum instead: range-partition +
+# per-partition totals + broadcast offsets (the parallel-scan shape),
+# bit-identical because integer addition is associative. The driver
+# gate proves the two agree.
+# --------------------------------------------------------------------------
+
+SHARD_CAP_CHARS = 20_000
+
+SHARD_PACKING_ORACLE = f"""
+WITH scanned AS (
+  SELECT doc_id, n_chars,
+         COALESCE(SUM(n_chars) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING
+         ), 0) AS start_off
+  FROM documents
+)
+SELECT CAST(floor(start_off / {SHARD_CAP_CHARS}) AS BIGINT) AS shard_id,
+       COUNT(*)     AS n_docs,
+       SUM(n_chars) AS shard_chars,
+       MIN(doc_id)  AS first_doc,
+       MAX(doc_id)  AS last_doc
+FROM scanned
+GROUP BY 1
+"""
+
+
+@query("shard_packing", SHARD_PACKING_ORACLE)
+def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from drive_bc_datapipeline_spark.operators.prefix import (
+        exclusive_prefix_sum,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scanned = exclusive_prefix_sum(
+        d, order_col="doc_id", value_col="n_chars", out_col="start_off"
+    )
+    return (
+        scanned.withColumn(
+            "shard_id",
+            F.floor(F.col("start_off") / SHARD_CAP_CHARS).cast("bigint"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("shard_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

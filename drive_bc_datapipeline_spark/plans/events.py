@@ -1531,3 +1531,62 @@ def etl_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("sum_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B27 — activity streaks (gaps-and-islands): per user, the longest run
+# of CONSECUTIVE active days plus streak counts — the
+# retention/engagement readout cohort tables can't give. Island id =
+# epoch_day − row_number over the user's ordered distinct days: a
+# constant within each consecutive run, so one groupBy turns runs into
+# rows. All-integer arithmetic → exact cross-engine.
+#
+# 100 TB: distinct (user, day) collapses map-side first (the heavy
+# step); the window partitions by user over day-counts (≤ a few
+# thousand rows per user); two cheap aggs finish. No self-joins.
+# --------------------------------------------------------------------------
+
+STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(ts AS DATE) - DATE '1970-01-01' AS day_num
+  FROM events WHERE ts IS NOT NULL
+),
+islands AS (
+  SELECT user_id, day_num,
+         day_num - ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY day_num
+         ) AS island
+  FROM days
+),
+runs AS (
+  SELECT user_id, island, COUNT(*) AS run_len
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       SUM(run_len)   AS n_active_days,
+       COUNT(*)       AS n_streaks,
+       MAX(run_len)   AS longest_streak
+FROM runs GROUP BY user_id
+"""
+
+
+@query("user_activity_streaks", STREAKS_ORACLE)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    days = e.select(
+        "user_id", F.unix_date(F.to_date("ts")).alias("day_num")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    runs = (
+        days.withColumn(
+            "island", F.col("day_num") - F.row_number().over(w)
+        )
+        .groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("run_len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("run_len").alias("longest_streak"),
+    )

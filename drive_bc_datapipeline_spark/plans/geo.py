@@ -220,3 +220,72 @@ def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.hub_id").alias("nearest_hub"),
         r4(F.col("c.d2")).alias("dist2"),
     )
+
+
+# --------------------------------------------------------------------------
+# D6 — spatial containment join: events against a broadcast set of
+# bounding boxes (geofences) — the region-assignment / geofence-alert
+# primitive. Boxes are compile-time literals (six disjoint quadrants of
+# the synthetic lat/lon domain) so both engines see identical
+# geometry; points outside every box simply drop out (inner join).
+#
+# 100 TB: the fence table is dim-sized → broadcast nested-loop with a
+# range predicate per (point, box) — no shuffle of the fact; the
+# rollup collapses map-side. For thousands of fences you'd grid-index
+# the boxes (bucket by covering cells → equi-join on cell, exact
+# range check as residual) — the D1/C19 binning trick in 2-D.
+# --------------------------------------------------------------------------
+
+BOXES: list[tuple[int, float, float, float, float]] = [
+    # (box_id, lat_lo, lat_hi, lon_lo, lon_hi)
+    (0, -40.0, 0.0, -180.0, -60.0),
+    (1, -40.0, 0.0, -60.0, 60.0),
+    (2, -40.0, 0.0, 60.0, 180.0),
+    (3, 0.0, 42.0, -180.0, -60.0),
+    (4, 0.0, 42.0, -60.0, 60.0),
+    (5, 0.0, 42.0, 60.0, 180.0),
+]
+
+_BOX_VALUES_SQL = ", ".join(
+    f"({i}, {a}, {b}, {c}, {d})" for i, a, b, c, d in BOXES
+)
+
+BBOX_ORACLE = f"""
+WITH pts AS (
+  SELECT {LAT_SQL} AS lat, {LON_SQL} AS lon FROM events
+),
+boxes(box_id, lat_lo, lat_hi, lon_lo, lon_hi) AS (
+  VALUES {_BOX_VALUES_SQL}
+)
+SELECT b.box_id,
+       COUNT(*) AS n_events,
+       {r4_sql("AVG(p.lat)")} AS mean_lat,
+       {r4_sql("AVG(p.lon)")} AS mean_lon
+FROM pts p
+JOIN boxes b
+  ON p.lat >= b.lat_lo AND p.lat < b.lat_hi
+ AND p.lon >= b.lon_lo AND p.lon < b.lon_hi
+GROUP BY b.box_id
+"""
+
+
+@query("geo_bbox_contains", BBOX_ORACLE)
+def geo_bbox_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    pts = e.select(_lat().alias("lat"), _lon().alias("lon"))
+    boxes = spark.createDataFrame(
+        BOXES, "box_id INT, lat_lo DOUBLE, lat_hi DOUBLE, "
+        "lon_lo DOUBLE, lon_hi DOUBLE"
+    )
+    contained = pts.join(
+        F.broadcast(boxes),
+        (F.col("lat") >= F.col("lat_lo"))
+        & (F.col("lat") < F.col("lat_hi"))
+        & (F.col("lon") >= F.col("lon_lo"))
+        & (F.col("lon") < F.col("lon_hi")),
+    )
+    return contained.groupBy("box_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r4(F.avg("lat")).alias("mean_lat"),
+        r4(F.avg("lon")).alias("mean_lon"),
+    )

@@ -68,6 +68,9 @@ GATE_PIN: list[str] = [
     "etl_variant_extract",
     "ann_ivf_recall_at_k",
     "text_feature_hashing",
+    "geo_bbox_contains",
+    "user_activity_streaks",
+    "shard_packing",
 ]
 
 

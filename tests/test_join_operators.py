@@ -123,3 +123,30 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert joined.count() == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_exclusive_prefix_sum_matches_sequential(spark):
+    """L4: two-phase distributed scan == sequential exclusive cumsum,
+    across multiple range partitions."""
+    import random
+
+    from drive_bc_datapipeline_spark.operators.prefix import (
+        exclusive_prefix_sum,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 500)) for i in range(1000)]
+    rng.shuffle(rows)  # input order must not matter
+    df = spark.createDataFrame(rows, "k INT, v INT")
+
+    got = {
+        r["k"]: r["prefix_sum"]
+        for r in exclusive_prefix_sum(
+            df, order_col="k", value_col="v", num_partitions=7
+        ).collect()
+    }
+    acc, expected = 0, {}
+    for k, v in sorted(rows):
+        expected[k] = acc
+        acc += v
+    assert got == expected
