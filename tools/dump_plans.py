@@ -29,6 +29,7 @@ PICKS = {
     "q21_waiting_supplier": "EXISTS/NOT-EXISTS become semi + anti hash joins, all partitioned on l_orderkey — no cartesian, no window over the fact.",
     "hll_weekly_rollup": "Sketch path: ObjectHashAggregate with partial_hll_union_agg map-side — the weekly shuffle moves fixed-size sketch blobs, not events.",
     "bitmap_distinct_users": "Two-level exact distinct: rows fold into per-(key, bucket) bitmaps map-side; the second shuffle moves only bitmap blobs.",
+    "shard_packing": "Distributed prefix sum: one range exchange, per-partition windows (no global single-partition sort), broadcast offset join.",
 }
 
 HEADER = """# PLANS — physical-plan audit (generated from live `explain`)
