@@ -82,6 +82,13 @@ HEADLINE = [
     "cross_source_content_overlap",
     "embedding_label_centroids",
     "hll_weekly_rollup",
+    "bitmap_distinct_users",
+    "etl_variant_extract",
+    "semantic_dedup_canonical",
+    "text_feature_hashing",
+    "user_activity_streaks",
+    "geo_bbox_contains",
+    "shard_packing",
 ]
 
 

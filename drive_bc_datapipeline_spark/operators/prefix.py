@@ -47,7 +47,7 @@ def exclusive_prefix_sum(
     totals = {
         r["__pid"]: r["t"]
         for r in with_pid.groupBy("__pid")
-        .agg(F.sum(value_col).alias("t"))
+        .agg(F.coalesce(F.sum(value_col), F.lit(0)).alias("t"))
         .collect()
     }
     offsets = {}

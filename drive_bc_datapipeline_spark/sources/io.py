@@ -334,6 +334,8 @@ def upsert_partitioned(
         r[0]
         for r in updates.select(partition_col).distinct().collect()
     ]
+    if not touched:
+        return {"touched_partitions": 0, "rows_written": 0}
     upd = updates.withColumn("__src", F.lit(1))
     if os.path.exists(path):
         base = (
