@@ -1519,7 +1519,10 @@ GROUP BY 1, 2
 @query("etl_variant_extract", VARIANT_EXTRACT_ORACLE)
 def etl_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
-    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    # try_parse_json: a malformed payload degrades to a NULL bucket row
+    # instead of failing the job (ANSI parse_json throws) — on clean
+    # data the two are identical, so the oracle is unaffected.
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "int")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy(
