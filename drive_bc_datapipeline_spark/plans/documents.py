@@ -1680,3 +1680,78 @@ def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# H17 — training-window chunking: split each document into overlapping
+# token windows (size CHUNK_W, stride CHUNK_S) — the step that turns a
+# curated corpus into fixed-length training examples. Emitted as
+# (doc_id, chunk_idx, n_tokens, chunk_md5): the hash stands in for the
+# chunk text so the verified surface stays narrow (md5 is
+# engine-identical; downstream consumers re-slice by idx).
+#
+# Tail rule: windows start at 0, S, 2S, ... while they have a full W
+# tokens, plus one final short window for the remainder IF any tokens
+# remain uncovered — every token lands in ≥1 chunk, docs shorter than
+# W yield exactly one chunk.
+#
+# 100 TB: pure per-row array arithmetic (split → slice → explode), no
+# shuffle at all — the plan is a single narrow projection stage, which
+# is exactly what you want bolted in front of a tokenizer.
+# --------------------------------------------------------------------------
+
+CHUNK_W = 32
+CHUNK_S = 24
+
+CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, tk,
+         CASE
+           WHEN len(tk) <= {CHUNK_W} THEN [0]
+           ELSE list_transform(
+             range(0, ((len(tk) - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S}) + 1),
+             i -> i * {CHUNK_S})
+         END AS offs
+  FROM toks WHERE len(tk) > 0
+)
+SELECT doc_id,
+       CAST(c.idx AS INT) AS chunk_idx,
+       CAST(len(tk[c.off + 1 : c.off + {CHUNK_W}]) AS INT) AS n_tokens,
+       md5(array_to_string(tk[c.off + 1 : c.off + {CHUNK_W}], ' '))
+         AS chunk_md5
+FROM (
+  SELECT doc_id, tk,
+         unnest(list_transform(range(1, len(offs) + 1),
+                i -> struct_pack(idx := i - 1, off := offs[i]))) AS c
+  FROM starts
+)
+"""
+
+
+@query("chunk_documents", CHUNK_ORACLE)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tk = F.filter(F.split("text", " "), lambda x: x != "")
+    toks = d.select("doc_id", tk.alias("tk")).filter(F.size("tk") > 0)
+    # starts: 0, S, ... covering every token; short docs → single [0]
+    offs = F.expr(
+        f"CASE WHEN size(tk) <= {CHUNK_W} THEN array(0) "
+        f"ELSE transform("
+        f"  sequence(0, cast(ceil((size(tk) - {CHUNK_W}) / {CHUNK_S}.0) as int)),"
+        f"  i -> i * {CHUNK_S}) END"
+    )
+    chunks = toks.select(
+        "doc_id", "tk", F.posexplode(offs).alias("chunk_idx", "off")
+    )
+    piece = F.expr(f"slice(tk, off + 1, {CHUNK_W})")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(piece).cast("int").alias("n_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )

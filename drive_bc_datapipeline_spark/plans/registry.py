@@ -71,6 +71,7 @@ GATE_PIN: list[str] = [
     "geo_bbox_contains",
     "user_activity_streaks",
     "shard_packing",
+    "chunk_documents",
 ]
 
 
