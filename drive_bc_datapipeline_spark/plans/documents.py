@@ -154,9 +154,27 @@ def _verify_jaccard(
     the oracle compares final (doc pair, jaccard) values, which a 64-bit
     collision would perturb with probability ~(shingles/doc)²/2⁶⁴.
     """
-    docsets = shingles.select(
-        "doc_id", F.xxhash64("shingle").alias("h")
-    ).groupBy("doc_id").agg(F.sort_array(F.collect_set("h")).alias("hs"))
+    # Build hash-sets ONLY for docs that appear in some candidate pair:
+    # blocking typically leaves a small fraction of the corpus as
+    # candidates, so the collect_set aggregation — the expensive step —
+    # shrinks from |corpus| to |candidate docs| (semi join first). At
+    # 100 TB this is the difference between aggregating the whole
+    # corpus's shingles and only the blocked sliver's. cand is cached:
+    # it feeds three subtrees (two id projections + the final join) and
+    # Spark re-executes the whole candidate pipeline per subtree
+    # otherwise (measured 2x slower uncached at sf0.1).
+    cand = cand.cache()
+    cand_docs = (
+        cand.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    docsets = (
+        shingles.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("h")).alias("hs"))
+    )
     a, b = docsets.alias("sa"), docsets.alias("sb")
     n_common = F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))
     n_union = F.size("sa.hs") + F.size("sb.hs") - n_common
