@@ -1593,3 +1593,98 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.max("run_len").alias("longest_streak"),
     )
+
+
+# --------------------------------------------------------------------------
+# C30 — explicit GROUPING SETS with grouping_id: the third member of
+# the grouping family (CUBE = B10, ROLLUP = C9) — arbitrary set lists
+# let a dashboard compute exactly the marginals it needs instead of
+# every cube cell. grouping_id disambiguates which set produced a row
+# (a NULL key value vs a rolled-up dimension are different things —
+# the id is the only reliable marker).
+#
+# 100 TB: Spark expands grouping sets into one aggregate with a
+# grouping-id column — a single shuffle regardless of how many sets,
+# same cost envelope as one GROUP BY over the widest set.
+# --------------------------------------------------------------------------
+
+GROUPING_SETS_ORACLE = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(EXTRACT(hour FROM ts) AS INT), -1) AS hour,
+       CAST(GROUPING(event_type) * 2 + GROUPING(EXTRACT(hour FROM ts))
+            AS INT) AS gid,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY GROUPING SETS ((event_type), (EXTRACT(hour FROM ts)), ())
+"""
+
+
+@query("grouping_sets_marginals", GROUPING_SETS_ORACLE)
+def grouping_sets_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("__gs_events")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(CAST(hour(ts) AS INT), -1) AS hour,
+               CAST(grouping(event_type) * 2 + grouping(hour(ts))
+                    AS INT) AS gid,
+               COUNT(*) AS n_events
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type), (hour(ts)), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# B28 — exact fixed-bin histogram of `value`: the profiling readout
+# behind every numeric-distribution dashboard. Bin = floor((v - lo)/w)
+# with compile-time bounds → pure integer arithmetic after one narrow
+# scan; out-of-range values clamp into the edge bins so the histogram
+# always accounts for every row.
+#
+# (histogram_numeric would be the built-in, but its bin PLACEMENT is
+# estimation-dependent — not reproducible cross-engine; fixed bins
+# are, and they're also what a UI actually renders.)
+#
+# 100 TB: map-side partial counts into ≤ N_BINS groups — the shuffle
+# carries at most N_BINS rows per task.
+# --------------------------------------------------------------------------
+
+HIST_LO = 0.0
+HIST_W = 25.0
+HIST_BINS = 16
+
+VALUE_HIST_ORACLE = f"""
+SELECT LEAST(GREATEST(CAST(floor((value - {HIST_LO}) / {HIST_W}) AS INT),
+             0), {HIST_BINS - 1}) AS bin,
+       COUNT(*) AS n,
+       {{r2}} AS bin_lo
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1
+""".replace(
+    "{r2}",
+    f"ROUND({HIST_LO} + LEAST(GREATEST(CAST(floor((value - {HIST_LO}) "
+    f"/ {HIST_W}) AS INT), 0), {HIST_BINS - 1}) * {HIST_W}, 2)",
+)
+
+
+@query("value_histogram", VALUE_HIST_ORACLE)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col("value") - HIST_LO) / HIST_W).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(HIST_BINS - 1),
+    )
+    return (
+        e.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "bin_lo", F.round(HIST_LO + F.col("bin") * HIST_W, 2)
+        )
+    )

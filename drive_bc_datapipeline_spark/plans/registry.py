@@ -72,6 +72,8 @@ GATE_PIN: list[str] = [
     "user_activity_streaks",
     "shard_packing",
     "chunk_documents",
+    "grouping_sets_marginals",
+    "value_histogram",
 ]
 
 
