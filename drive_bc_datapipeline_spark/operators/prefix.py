@@ -14,7 +14,17 @@ parallel scan:
      adds its offset while scanning locally in order.
 
 Exactness: integer sums are associative, so the two-phase result is
-bit-identical to the sequential scan.
+bit-identical to the sequential scan — PROVIDED phases 2 and 3 see
+the same partitioning. ``repartitionByRange`` samples its range
+boundaries per job (the sample seed depends on the RDD id of each
+execution), so a lazily re-executed lineage can land rows in
+different partitions between the totals-collect job and the final
+job, silently corrupting the offsets. We therefore pin ONE
+materialization with an eager ``localCheckpoint()`` before
+collecting totals: both jobs then read identical blocks. The
+materialization is the same order of cost as the sort shuffle the
+scan already pays; blocks are freed when the returned DataFrame is
+garbage-collected.
 """
 
 from __future__ import annotations
@@ -41,7 +51,16 @@ def exclusive_prefix_sum(
     ranged = df.repartitionByRange(n, F.col(order_col)).sortWithinPartitions(
         order_col
     )
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # Pin the partitioning: repartitionByRange re-samples boundaries on
+    # every job, so without this the __pid->offset map from the totals
+    # job would be applied to DIFFERENT partition contents in the final
+    # job (observed: ~87% wrong prefix values at 5k rows). The eager
+    # local checkpoint truncates lineage so both jobs read one frozen
+    # set of blocks.
+    pinned = ranged.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
+    with_pid = pinned
 
     # phase 2: per-partition totals — |partitions| rows to the driver
     totals = {

@@ -1477,10 +1477,10 @@ flags AS (
   FROM stats
 )
 SELECT COUNT(*)                                        AS n_total,
-       SUM(len_ok)                                     AS n_len_ok,
-       SUM(stop_ok)                                    AS n_stop_ok,
-       SUM(punct_ok)                                   AS n_punct_ok,
-       SUM(len_ok * stop_ok * punct_ok)                AS n_pass_all
+       CAST(SUM(len_ok) AS BIGINT)                     AS n_len_ok,
+       CAST(SUM(stop_ok) AS BIGINT)                    AS n_stop_ok,
+       CAST(SUM(punct_ok) AS BIGINT)                   AS n_punct_ok,
+       CAST(SUM(len_ok * stop_ok * punct_ok) AS BIGINT) AS n_pass_all
 FROM flags
 """
 
@@ -1667,7 +1667,7 @@ WITH scanned AS (
 )
 SELECT CAST(floor(start_off / {SHARD_CAP_CHARS}) AS BIGINT) AS shard_id,
        COUNT(*)     AS n_docs,
-       SUM(n_chars) AS shard_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
        MIN(doc_id)  AS first_doc,
        MAX(doc_id)  AS last_doc
 FROM scanned

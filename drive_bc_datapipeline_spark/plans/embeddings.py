@@ -769,7 +769,7 @@ WITH comp AS (
 )
 SELECT label, CAST(pos AS INT) AS pos,
        COUNT(*)                AS n_vecs,
-       SUM(q)                  AS dim_sum_q,
+       CAST(SUM(q) AS BIGINT)  AS dim_sum_q,
        {r6_sql('CAST(SUM(q) AS DOUBLE) / (10000.0 * COUNT(*))')} AS centroid_val
 FROM comp
 GROUP BY label, pos

@@ -1509,7 +1509,7 @@ SELECT event_type,
        CAST(CAST(json_extract(props, '$.k') AS INTEGER) // 25 AS INT)
          AS k_bucket,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
 FROM events
 WHERE props IS NOT NULL
 GROUP BY 1, 2
@@ -1567,7 +1567,7 @@ runs AS (
   FROM islands GROUP BY user_id, island
 )
 SELECT user_id,
-       SUM(run_len)   AS n_active_days,
+       CAST(SUM(run_len) AS BIGINT) AS n_active_days,
        COUNT(*)       AS n_streaks,
        MAX(run_len)   AS longest_streak
 FROM runs GROUP BY user_id

@@ -150,3 +150,74 @@ def test_exclusive_prefix_sum_matches_sequential(spark):
         expected[k] = acc
         acc += v
     assert got == expected
+
+
+def test_exclusive_prefix_sum_deterministic_at_scale(spark):
+    """L4 regression (round-6): repartitionByRange re-samples its range
+    boundaries per job, so an unpinned lineage applied the totals-job
+    __pid->offset map to DIFFERENT partition contents in the final job
+    (measured 4,368/5,000 wrong values before the fix). The operator
+    must (a) match the single-partition global-window truth and
+    (b) agree with itself across two independent invocations, at a row
+    count large enough that many range partitions are in play.
+    """
+    from pyspark.sql.window import Window
+
+    from drive_bc_datapipeline_spark.operators.prefix import (
+        exclusive_prefix_sum,
+    )
+
+    n = 6000
+    # non-trivial value distribution + string-ish ordering domain like
+    # shard_packing's doc_id (zero-padded so lexicographic == numeric)
+    df = spark.range(n).select(
+        F.format_string("doc_%08d", F.col("id")).alias("k"),
+        ((F.col("id") * 37) % 211 + 1).cast("int").alias("v"),
+    )
+
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    truth = {
+        r["k"]: r["p"]
+        for r in df.withColumn(
+            "p", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("bigint")
+        ).collect()
+    }
+
+    def run():
+        return {
+            r["k"]: r["prefix_sum"]
+            for r in exclusive_prefix_sum(
+                df, order_col="k", value_col="v", num_partitions=16
+            ).collect()
+        }
+
+    first, second = run(), run()
+    assert first == truth
+    assert second == truth
+
+
+def test_exclusive_prefix_sum_stable_across_reexecution(spark):
+    """The RETURNED DataFrame must give identical results when its own
+    lineage is executed more than once (count then collect then
+    collect) — the exact re-execution pattern that exposed the bug.
+    """
+    from drive_bc_datapipeline_spark.operators.prefix import (
+        exclusive_prefix_sum,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("int").alias("v")
+    )
+    out = exclusive_prefix_sum(
+        df, order_col="k", value_col="v", num_partitions=11
+    )
+    assert out.count() == 5000
+    a = sorted((r["k"], r["prefix_sum"]) for r in out.collect())
+    b = sorted((r["k"], r["prefix_sum"]) for r in out.collect())
+    assert a == b
+    # spot-check closed form: sum_{i<k} (i % 97)
+    acc, exp = 0, {}
+    for i in range(5000):
+        exp[i] = acc
+        acc += i % 97
+    assert dict(a) == exp

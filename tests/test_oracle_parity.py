@@ -70,6 +70,28 @@ def test_query_matches_oracle(spark, name):
     assert not mismatches, f"{name}: {len(mismatches)} mismatching rows; first 3: {mismatches[:3]}"
 
 
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_dtypes_are_cross_engine_safe(name):
+    """Registry lint (round-6): DuckDB widens SUM(int) to HUGEINT, which
+    pandas silently coerces to float64 while Spark returns int64 — the
+    driver's value-hash then fails on dtype alone with values exactly
+    equal (5 such artifacts in r5). Every oracle must cast integer
+    aggregates so its declared DuckDB types stay in the cross-engine
+    set; HUGEINT/UHUGEINT/UBIGINT never survive the pandas round-trip.
+    """
+    con = duck_con(SF_DIR)
+    rel = con.sql(ORACLES[name])
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).upper() in {"HUGEINT", "UHUGEINT", "UBIGINT"}
+    ]
+    assert not bad, (
+        f"{name}: oracle columns {bad} need CAST(... AS BIGINT) — "
+        "see plans/registry.py cross-engine rules"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_DIR)
