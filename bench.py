@@ -90,6 +90,11 @@ HEADLINE = [
     "geo_bbox_contains",
     "shard_packing",
 ]
+# Round-6 onward: every registered key not named above is benched too
+# (appended sorted at runtime in main()) — a query the bench can't see
+# is a perf regression the driver can't see. The explicit list above
+# preserves cross-round comparability of the historical subsets; the
+# r5-comparable total is the sum over the first 62 names.
 
 
 def main() -> None:
@@ -102,6 +107,7 @@ def main() -> None:
     from drive_bc_datapipeline_spark.session import get_spark
 
     registry.load_all_plans()
+    names = HEADLINE + sorted(set(registry.QUERIES) - set(HEADLINE))
     spark = get_spark("bench")
 
     # Warm the JVM + parquet footers with one cheap action (not timed).
@@ -122,14 +128,14 @@ def main() -> None:
     steady1: dict[str, float] = {}
     steady2: dict[str, float] = {}
     for pass_timings in (cold, steady1, steady2):
-        for name in HEADLINE:
+        for name in names:
             fn = registry.QUERIES[name]
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             pass_timings[name] = round(time.time() - t0, 3)
         spark.catalog.clearCache()  # plans re-run their own .cache() fills
-    timings = {n: min(steady1[n], steady2[n]) for n in HEADLINE}
-    for name in HEADLINE:
+    timings = {n: min(steady1[n], steady2[n]) for n in names}
+    for name in names:
         print(f"  {name}: {timings[name]}s (cold {cold[name]}s)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -144,8 +150,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_value": round(sum(cold.values()), 3),
+                "r5_comparable_value": round(
+                    sum(timings[n] for n in HEADLINE[:62]), 3
+                ),
                 "sf": sf,
-                "n_queries": len(HEADLINE),
+                "n_queries": len(names),
                 "load_avg_start": load_start,
                 "load_avg_end": round(os.getloadavg()[0], 2),
             }

@@ -63,3 +63,24 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_bucket(cols: list[str], bits: int, bucket_bits: int) -> Column:
+    """Deterministic z-curve bucket: the TOP ``bucket_bits`` bits of
+    the Morton key — a fixed-width hyperbox of the interleaved domain
+    (2^bucket_bits buckets).
+
+    Versus ``repartitionByRange`` on the z-key (which balances file
+    sizes under skew but SAMPLES its boundaries, so the file→range map
+    varies run to run), fixed-width buckets are a pure function of the
+    row — reproducible across executions and engines, so layout
+    effects (per-file min/max spans, files-pruned counts) can be
+    verified exactly. Use range partitioning for production writes on
+    skewed data; use this when determinism is the contract.
+    """
+    n = len(cols)
+    if bucket_bits > n * bits:
+        raise ValueError(f"bucket_bits {bucket_bits} exceeds key width")
+    return F.shiftright(zorder_key(cols, bits), n * bits - bucket_bits).alias(
+        "zbucket"
+    )

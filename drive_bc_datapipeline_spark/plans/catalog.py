@@ -162,3 +162,120 @@ def bucketed_join_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum("l_extendedprice")).alias("total_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L3 as a driver-gated query: write events z-order-clustered into
+# deterministic fixed-width z-buckets, read the layout back, and report
+# per-file (= per-bucket) min/max spans on BOTH interleaved dimensions
+# plus whether a small query box would touch the file. The driver's
+# oracle recomputes the identical layout analytically in SQL — the
+# per-file stats the parquet footers would carry are a pure function of
+# the bucket math, so the gate proves the clustering property itself:
+# every file covers one aligned 256x256 hyperbox of the 1024x1024
+# domain, and the probe predicate (dim_a < 64 AND dim_b < 64) touches
+# exactly ONE of 16 files.
+#
+# Determinism note (the L4 lesson, round 6): production z-writes use
+# repartitionByRange on the Morton key (functions/layout.write_zordered)
+# which balances file sizes under skew but SAMPLES boundaries per run —
+# unverifiable cross-engine. The gate instead uses
+# functions/layout.zorder_bucket: the top 4 bits of the z-key, a pure
+# row function, bit-identical everywhere. tests/test_layout.py covers
+# the range-partitioned write's physical footer stats.
+#
+# 100 TB: skipping is THE scan economics at scale — 1/16 files touched
+# here generalizes to predicate-volume/domain-volume of the corpus; the
+# dims are md5-derived so the demo is uniform, while a deployment would
+# z-order on real query columns (lat/lon, date/tenant).
+# --------------------------------------------------------------------------
+
+_ZDIMS_BITS = 10  # each dim in [0, 1024)
+_ZBUCKET_BITS = 4  # 16 files
+_ZPROBE = 64  # probe box: dim_a < 64 AND dim_b < 64
+
+
+def _hex3_sql(col: str, start: int) -> str:
+    """Portable 3-hex-char md5 slice -> int in [0, 4096) (the repo's
+    instr-based parser — identical arithmetic both engines)."""
+    return (
+        "("
+        + " + ".join(
+            f"CAST(instr('0123456789abcdef', substr(md5({col}), "
+            f"{start + i}, 1)) - 1 AS BIGINT) * {16 ** (2 - i)}"
+            for i in range(3)
+        )
+        + ")"
+    )
+
+
+ZORDER_SKIPPING_ORACLE = f"""
+WITH dims AS (
+  SELECT {_hex3_sql("CAST(event_id AS VARCHAR)", 1)} % 1024 AS dim_a,
+         {_hex3_sql("CAST(event_id AS VARCHAR)", 4)} % 1024 AS dim_b
+  FROM events
+),
+bucketed AS (
+  SELECT dim_a, dim_b,
+         CAST(  8 * (dim_b // 512)
+              + 4 * (dim_a // 512)
+              + 2 * ((dim_b // 256) % 2)
+              +     ((dim_a // 256) % 2) AS INT) AS zbucket
+  FROM dims
+)
+SELECT zbucket,
+       COUNT(*)            AS n_rows,
+       CAST(MIN(dim_a) AS INT) AS min_a,
+       CAST(MAX(dim_a) AS INT) AS max_a,
+       CAST(MIN(dim_b) AS INT) AS min_b,
+       CAST(MAX(dim_b) AS INT) AS max_b,
+       CAST(CASE WHEN MIN(dim_a) < {_ZPROBE} AND MIN(dim_b) < {_ZPROBE}
+                 THEN 1 ELSE 0 END AS INT) AS probe_hit
+FROM bucketed
+GROUP BY zbucket
+"""
+
+ZORDER_TABLE = f"{CATALOG_DB}.gate_events_zorder"
+
+
+@query("zorder_skipping_stats", ZORDER_SKIPPING_ORACLE)
+def zorder_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from drive_bc_datapipeline_spark.functions.layout import zorder_bucket
+
+    e = t(spark, sf_dir, "events").select(
+        F.expr(_hex3_sql("CAST(event_id AS STRING)", 1) + " % 1024").alias(
+            "dim_a"
+        ),
+        F.expr(_hex3_sql("CAST(event_id AS STRING)", 4) + " % 1024").alias(
+            "dim_b"
+        ),
+    )
+    # physical layout: one directory per z-bucket (the "file" unit whose
+    # min/max stats a reader would prune on)
+    path = _table_location(ZORDER_TABLE)
+    (
+        e.withColumn(
+            "zbucket", zorder_bucket(["dim_a", "dim_b"], _ZDIMS_BITS,
+                                     _ZBUCKET_BITS)
+        )
+        # keyed repartition → each bucket directory receives ONE file
+        # (not one per upstream task); at scale you'd size this by
+        # bytes-per-bucket instead of 1:1
+        .repartition(2**_ZBUCKET_BITS, "zbucket")
+        .write.mode("overwrite")
+        .partitionBy("zbucket")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    probe = (F.col("min_a") < _ZPROBE) & (F.col("min_b") < _ZPROBE)
+    return (
+        back.groupBy(F.col("zbucket").cast("int").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("dim_a").cast("int").alias("min_a"),
+            F.max("dim_a").cast("int").alias("max_a"),
+            F.min("dim_b").cast("int").alias("min_b"),
+            F.max("dim_b").cast("int").alias("max_b"),
+        )
+        .withColumn("probe_hit", F.when(probe, 1).otherwise(0).cast("int"))
+    )

@@ -24,7 +24,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from drive_bc_datapipeline_spark.functions import text as text_fns
-from drive_bc_datapipeline_spark.plans.registry import query, r4, r4_sql, t
+from drive_bc_datapipeline_spark.plans.registry import (
+    query,
+    r2,
+    r2_sql,
+    r4,
+    r4_sql,
+    r6,
+    r6_sql,
+    t,
+)
 
 # --------------------------------------------------------------------------
 # F1 — exact dedup via content hash.
@@ -159,11 +168,15 @@ def _verify_jaccard(
     # candidates, so the collect_set aggregation — the expensive step —
     # shrinks from |corpus| to |candidate docs| (semi join first). At
     # 100 TB this is the difference between aggregating the whole
-    # corpus's shingles and only the blocked sliver's. cand is cached:
-    # it feeds three subtrees (two id projections + the final join) and
-    # Spark re-executes the whole candidate pipeline per subtree
-    # otherwise (measured 2x slower uncached at sf0.1).
-    cand = cand.cache()
+    # corpus's shingles and only the blocked sliver's. cand is
+    # materialized once: it feeds three subtrees (two id projections +
+    # the final join) and Spark re-executes the whole candidate
+    # pipeline per subtree otherwise (measured 2x slower at sf0.1).
+    # localCheckpoint, not cache(): cache() entries live in the
+    # CacheManager for the whole session (one leaked cached plan per
+    # invocation), while checkpoint blocks are freed by the
+    # ContextCleaner when the returned DataFrame is garbage-collected.
+    cand = cand.localCheckpoint(eager=True)
     cand_docs = (
         cand.select(F.col("doc_id_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_id_b").alias("doc_id")))
@@ -1772,4 +1785,133 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         F.size(piece).cast("int").alias("n_tokens"),
         F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# H18 — token-entropy quality scoring: per-document unigram Shannon
+# entropy (bits/token) and type-token ratio, rolled up per (lang,
+# source). Low entropy = repetitive/templated text, the diversity
+# signal quality filters threshold on; complements H8 (adjacent-line
+# repetition) with a distribution-level measure.
+#
+# H = log2(N) - SUM(cnt * log2(cnt)) / N over the doc's token counts —
+# one associative aggregate per doc, so the whole query is two
+# hash-aggregate levels: (doc, token) counts → per-doc entropy →
+# per-(lang, source) rollup.
+#
+# 100 TB: tokens never leave their map task un-aggregated twice — the
+# (doc_id, token) combine is map-side partial, the per-doc frame is
+# |docs| rows, the final rollup |lang x source|. No windows, no joins.
+# --------------------------------------------------------------------------
+
+TOKEN_ENTROPY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, lang, source, token, COUNT(*) AS c
+  FROM tok WHERE token <> '' GROUP BY 1, 2, 3, 4
+),
+per_doc AS (
+  SELECT doc_id, lang, source,
+         SUM(c) AS n_tok,
+         COUNT(*) AS n_types,
+         log2(SUM(c)) - SUM(c * log2(c)) / SUM(c) AS entropy
+  FROM cnt GROUP BY 1, 2, 3
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       {r4_sql('AVG(entropy)')} AS avg_entropy,
+       {r4_sql('AVG(CAST(n_types AS DOUBLE) / n_tok)')} AS avg_ttr
+FROM per_doc
+GROUP BY lang, source
+"""
+
+
+@query("token_entropy_by_source", TOKEN_ENTROPY_ORACLE)
+def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.split("text", " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    cnt = tok.groupBy("doc_id", "lang", "source", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = cnt.groupBy("doc_id", "lang", "source").agg(
+        F.sum("c").alias("n_tok"),
+        F.count(F.lit(1)).alias("n_types"),
+        (
+            F.log2(F.sum("c"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
+        ).alias("entropy"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r4(F.avg("entropy")).alias("avg_entropy"),
+        r4(F.avg(F.col("n_types").cast("double") / F.col("n_tok"))).alias(
+            "avg_ttr"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# H19 — data-mixture weights: temperature-scaled source sampling (the
+# multinomial-mixture step of an LLM training recipe — upsample small
+# high-value sources, damp the head: w_s ∝ share_s^alpha, alpha=0.5).
+# Emits per source its document share, temperature weight, and the
+# expected docs drawn at a fixed sample budget.
+#
+# 100 TB: one two-level count aggregate over the corpus; the
+# normalization joins a BROADCAST single-row total (sum over
+# |sources| rows) — nothing driver-side, nothing quadratic.
+# --------------------------------------------------------------------------
+
+MIX_ALPHA = 0.5
+MIX_BUDGET = 100_000
+
+SOURCE_MIXTURE_ORACLE = f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars_total
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(n_docs) AS n_all,
+         SUM(POW(CAST(n_docs AS DOUBLE), {MIX_ALPHA})) AS z
+  FROM per_src
+)
+SELECT p.source,
+       p.n_docs,
+       CAST(p.n_chars_total AS BIGINT) AS n_chars_total,
+       {r6_sql('CAST(p.n_docs AS DOUBLE) / t.n_all')} AS share,
+       {r6_sql(f'POW(CAST(p.n_docs AS DOUBLE), {MIX_ALPHA}) / t.z')} AS weight,
+       {r2_sql(f'{MIX_BUDGET} * POW(CAST(p.n_docs AS DOUBLE), {MIX_ALPHA}) / t.z')}
+         AS expected_samples
+FROM per_src p CROSS JOIN tot t
+"""
+
+
+@query("source_mixture_weights", SOURCE_MIXTURE_ORACLE)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+    )
+    tot = per_src.agg(
+        F.sum("n_docs").alias("n_all"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), MIX_ALPHA)).alias("z"),
+    )
+    w = F.pow(F.col("n_docs").cast("double"), MIX_ALPHA) / F.col("z")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars_total",
+        r6(F.col("n_docs").cast("double") / F.col("n_all")).alias("share"),
+        r6(w).alias("weight"),
+        r2(F.lit(MIX_BUDGET) * w).alias("expected_samples"),
     )

@@ -1688,3 +1688,71 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin_lo", F.round(HIST_LO + F.col("bin") * HIST_W, 2)
         )
     )
+
+
+# --------------------------------------------------------------------------
+# J6 batch twin — clicks-before-purchase attribution join, the batch
+# expression of streaming/pipeline.start_stream_stream_join: each
+# purchase matched to the SAME user's clicks in the preceding 60
+# minutes, aggregated per purchase. The streaming side buffers both
+# streams in the state store with watermark+gap eviction;
+# tests/test_streaming.py proves stream==batch on a crafted input, and
+# this key puts the join semantics themselves under the driver's
+# oracle (as J3 does for the J2 windowed aggregation).
+#
+# 100 TB: equi-join on user_id with the time range as a post-join
+# predicate — Catalyst plans a shuffle hash join on the key; a hot
+# user (bot traffic) is the L1 salting case. The per-purchase
+# aggregate bounds output at |purchases|.
+# --------------------------------------------------------------------------
+
+ATTRIB_GAP_MIN = 60
+
+STREAM_JOIN_TWIN_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, ts AS click_ts FROM events
+  WHERE event_type = 'click' AND ts IS NOT NULL
+),
+p AS (
+  SELECT event_id, user_id, ts AS purchase_ts FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
+)
+SELECT p.event_id, p.user_id, p.purchase_ts,
+       COUNT(*)        AS n_clicks,
+       MIN(c.click_ts) AS first_click_ts,
+       MAX(c.click_ts) AS last_click_ts
+FROM p JOIN c
+  ON c.user_id = p.user_id
+ AND c.click_ts <= p.purchase_ts
+ AND c.click_ts >= p.purchase_ts - INTERVAL {ATTRIB_GAP_MIN} MINUTE
+GROUP BY 1, 2, 3
+"""
+
+
+@query("stream_join_clicks_before_purchase", STREAM_JOIN_TWIN_ORACLE)
+def stream_join_clicks_before_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts")
+            - F.expr(f"INTERVAL {ATTRIB_GAP_MIN} MINUTES")
+        ),
+        "inner",
+    )
+    return joined.groupBy("event_id", "user_id", "purchase_ts").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.min("click_ts").alias("first_click_ts"),
+        F.max("click_ts").alias("last_click_ts"),
+    )

@@ -41,7 +41,7 @@ ORACLES: dict[str, str] = {}
 # rotates through the remaining window slots, advancing by a full
 # window-width per round — so the whole registry re-passes the driver
 # gate every ceil(rest / (GATE_WINDOW - len(pin))) rounds (3 at the
-# current 27-pin/67-rest split; tests/test_registry.py computes the
+# current 10-pin/111-rest split; tests/test_registry.py computes the
 # bound from the live registry, so growing GATE_PIN past the window's
 # capacity fails loudly instead of silently stretching staleness). The
 # round index is recovered from the CORRECTNESS_r*.json artifacts the
@@ -52,28 +52,22 @@ ORACLES: dict[str, str] = {}
 GATE_WINDOW = 50
 
 GATE_PIN: list[str] = [
-    # new queries this round (r5): the TPC-H completion set ...
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_promotable_parts",
-    "q21_waiting_supplier",
-    # ... and the corpus/sketch additions
-    "top_bigrams_corpus",
-    "quality_filter_funnel",
-    "cross_source_content_overlap",
-    "embedding_label_centroids",
-    "hll_weekly_rollup",
-    "semantic_dedup_canonical",
-    "bitmap_distinct_users",
-    "etl_variant_extract",
-    "ann_ivf_recall_at_k",
-    "text_feature_hashing",
-    "geo_bbox_contains",
-    "user_activity_streaks",
+    # round-6 pins: the exclusive_prefix_sum determinism fix + its
+    # consumer ...
     "shard_packing",
-    "chunk_documents",
-    "grouping_sets_marginals",
-    "value_histogram",
+    # ... the four HUGEINT-oracle re-casts (values were already exact;
+    # the driver hash must now agree) ...
+    "quality_filter_funnel",
+    "embedding_label_centroids",
+    "etl_variant_extract",
+    "user_activity_streaks",
+    # ... the candidate-materialization change (cache -> localCheckpoint)
+    "dedup_ngram_jaccard",
+    # ... and the round's new gate keys
+    "zorder_skipping_stats",
+    "stream_join_clicks_before_purchase",
+    "token_entropy_by_source",
+    "source_mixture_weights",
 ]
 
 

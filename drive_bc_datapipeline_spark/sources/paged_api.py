@@ -71,25 +71,34 @@ class PagedJsonReader(DataSourceReader):
             for s in range(0, self.total_pages, self.per_part)
         ]
 
-    def _read_page(self, page: int) -> list[dict] | None:
-        """Transport: one page → list of record dicts (None = missing).
-        Swap for an HTTP GET (with K6's backoff) for a live API."""
+    def _read_page(self, page: int) -> list[str] | None:
+        """Transport: one page → list of raw JSONL lines (None =
+        missing). Swap for an HTTP GET (with K6's backoff) for a live
+        API. Lines are returned UNPARSED so a single malformed line
+        dead-letters only itself — parsing the page eagerly here would
+        quarantine the whole page and silently drop its valid records,
+        breaking the per-row K10 contract."""
         path = os.path.join(self.dir, f"page_{page}.json")
         if not os.path.exists(path):
             return None
         with open(path) as fh:
-            return [json.loads(line) for line in fh if line.strip()]
+            return [line for line in fh if line.strip()]
 
     def read(self, partition: _PageRange):
         for page in range(partition.start, partition.end):
             try:
-                records = self._read_page(page)
-            except (json.JSONDecodeError, OSError) as exc:
+                lines = self._read_page(page)
+            except OSError as exc:
                 yield (None, None, None, None, f"page {page}: {exc}")
                 continue
-            if records is None:
+            if lines is None:
                 continue
-            for rec in records:
+            for line in lines:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError as exc:
+                    yield (None, None, None, None, f"page {page}: {exc}")
+                    continue
                 try:
                     yield (
                         str(rec["event_id"]),

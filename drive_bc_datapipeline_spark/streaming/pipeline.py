@@ -399,24 +399,37 @@ def start_tws_user_stats_stream(
         def close(self) -> None:
             pass
 
+    # transformWithState requires RocksDB; the provider conf is
+    # session-wide, so capture and restore it after start() (the query
+    # snapshots confs at start) — otherwise every later streaming query
+    # in the session silently inherits RocksDB (same pattern as
+    # upsert_partitioned's partitionOverwriteMode handling).
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        provider_key,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
-    raw = read_event_stream(spark, source_dir).dropna(subset=["ts"])
-    stats = raw.groupBy("user_id").transformWithStateInPandas(
-        RunningStats(),
-        outputStructType=out_schema,
-        outputMode="Update",
-        timeMode="None",
-    )
-    writer = (
-        stats.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    try:
+        raw = read_event_stream(spark, source_dir).dropna(subset=["ts"])
+        stats = raw.groupBy("user_id").transformWithStateInPandas(
+            RunningStats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        writer = (
+            stats.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)

@@ -60,16 +60,27 @@ def test_paged_source_quarantines_bad_rows_and_skips_missing_pages(
     )
     # page_1 absent entirely (deleted dump chunk) — skipped, not fatal
     (d / "page_2.json").write_text("{not json at all")
+    # page_3: one malformed line SANDWICHED between valid records — the
+    # per-row dead-letter contract (K10) requires the good rows to
+    # survive; an eager page-level parse would drop all three.
+    (d / "page_3.json").write_text(
+        json.dumps({"event_id": "g1", "user_id": "u", "event_type": "t",
+                    "value": 2.0})
+        + "\n{broken json line\n"
+        + json.dumps({"event_id": "g2", "user_id": "u", "event_type": "t",
+                      "value": 3.0})
+    )
 
     df = (
         spark.read.format("paged_json")
         .option("dir", str(d))
-        .option("total_pages", "3")
+        .option("total_pages", "4")
         .load()
     )
     rows = df.collect()
     good = [r for r in rows if r["_corrupt"] is None]
     bad = [r for r in rows if r["_corrupt"] is not None]
-    assert [r["event_id"] for r in good] == ["ok"]
-    assert len(bad) == 2  # missing-key row + unparseable page
+    assert sorted(r["event_id"] for r in good) == ["g1", "g2", "ok"]
+    assert len(bad) == 3  # missing-key row + unparseable line x2
     assert any("page 2" in r["_corrupt"] for r in bad)
+    assert any("page 3" in r["_corrupt"] for r in bad)

@@ -29,7 +29,9 @@ PICKS = {
     "q21_waiting_supplier": "EXISTS/NOT-EXISTS become semi + anti hash joins, all partitioned on l_orderkey — no cartesian, no window over the fact.",
     "hll_weekly_rollup": "Sketch path: ObjectHashAggregate with partial_hll_union_agg map-side — the weekly shuffle moves fixed-size sketch blobs, not events.",
     "bitmap_distinct_users": "Two-level exact distinct: rows fold into per-(key, bucket) bitmaps map-side; the second shuffle moves only bitmap blobs.",
-    "shard_packing": "Distributed prefix sum: one range exchange, per-partition windows (no global single-partition sort), broadcast offset join.",
+    "shard_packing": "Distributed prefix sum: one range exchange pinned by an eager localCheckpoint (totals job and final job read identical blocks — determinism fix, r6), per-partition windows (no global single-partition sort), broadcast offset join.",
+    "zorder_skipping_stats": "Deterministic z-bucket layout roundtrip: scan→project (md5 dims + Morton bucket, all codegen)→partitioned write; read-back groups by the partition column only — 16 bucket dirs, partition pruning available to any probe.",
+    "stream_join_clicks_before_purchase": "J6 batch twin: both event slices from ONE cached scan lineage; equi shuffle join on user_id with the 60-minute range as post-join predicate; per-purchase aggregate bounds output.",
 }
 
 HEADER = """# PLANS — physical-plan audit (generated from live `explain`)
