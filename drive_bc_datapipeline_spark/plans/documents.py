@@ -744,6 +744,26 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_clusters_lsss", CC_ORACLE)
+def dedup_clusters_lsss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 via large-star/small-star contraction
+    (operators/graph.connected_components_lsss) — same clusters as
+    dedup_connected_components, O(log n) rounds instead of
+    O(diameter). The driver gate proves both algorithms agree with
+    the recursive-CTE transitive closure on the same edge set; the
+    long-chain advantage is asserted in tests/test_graph.py (200-node
+    chain, max_iter=12)."""
+    from drive_bc_datapipeline_spark.operators.graph import (
+        connected_components_lsss,
+    )
+
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    cc = connected_components_lsss(edges, src="doc_id_a", dst="doc_id_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # H5 — deterministic train/eval split. Training pipelines need splits
 # that are REPRODUCIBLE (same doc always lands in the same split, on

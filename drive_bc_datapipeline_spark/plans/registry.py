@@ -68,6 +68,7 @@ GATE_PIN: list[str] = [
     "stream_join_clicks_before_purchase",
     "token_entropy_by_source",
     "source_mixture_weights",
+    "dedup_clusters_lsss",
 ]
 
 

@@ -85,3 +85,56 @@ def test_random_graphs_match_union_find(spark):
         expected = _union_find_reference(edges)
         got = cc(spark, edges)
         assert got == expected, f"seed {seed}: {got} != {expected}"
+
+
+# ---------------------------------------------------------------------------
+# large-star/small-star (O(log n) rounds — the long-chain scale path)
+# ---------------------------------------------------------------------------
+
+from drive_bc_datapipeline_spark.operators.graph import (  # noqa: E402
+    connected_components_lsss,
+)
+
+
+def cc_lsss(spark, edges, max_iter=30):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r.node: r.component
+        for r in connected_components_lsss(
+            df, "src", "dst", max_iter=max_iter
+        ).collect()
+    }
+
+
+def test_lsss_long_chain_converges_in_log_rounds(spark):
+    """A 200-node chain has diameter 199 — plain label propagation
+    needs ~200 rounds; star contraction must finish in O(log n)
+    (max_iter=12 would abort otherwise)."""
+    n = 200
+    got = cc_lsss(spark, [(i, i + 1) for i in range(n)], max_iter=12)
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_lsss_disjoint_and_self_loops(spark):
+    got = cc_lsss(spark, [(1, 2), (2, 3), (10, 11), (20, 20)])
+    # a pure self-loop node has no real edge; it is dropped from the
+    # node set (matches "pairs" semantics: a doc with no near-dup
+    # partner forms no cluster edge)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_lsss_matches_naive_on_random_graphs(spark):
+    import random
+
+    for seed in range(12):
+        rng = random.Random(1000 + seed)
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        real = [e for e in edges if e[0] != e[1]]
+        if not real:
+            continue
+        naive = cc(spark, real)
+        star = cc_lsss(spark, real)
+        assert star == naive, f"seed {seed}: {star} != {naive}"
