@@ -1935,3 +1935,162 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(w).alias("weight"),
         r2(F.lit(MIX_BUDGET) * w).alias("expected_samples"),
     )
+
+
+# --------------------------------------------------------------------------
+# H20 — count-min-sketch heavy hitters: estimate token frequencies
+# from a fixed 4x256 counter grid and audit the estimates against
+# exact counts for the top-15 tokens. The CMS is the bounded-memory
+# answer to "what are the frequent tokens" at 100 TB: the counter
+# grid is 1 KB regardless of vocabulary size, counters merge by
+# addition (associative — partial aggregation applies), and the
+# estimate invariant est >= exact with overcount <= eps*N holds per
+# row. Seeded md5 bucket hashes make the grid bit-identical in both
+# engines, so the driver verifies the SKETCH itself, not just the
+# final ranking.
+#
+# 100 TB plan shape: token counts (one shuffle w/ map-side combine)
+# feed BOTH the exact top-k and the counter grid; the grid is built by
+# fanning each token row into its 4 (row, bucket) cells via
+# posexplode (one pass — an N-way union would re-execute the count
+# subplan N times), then SUM per cell: 1,024 cells total, broadcast
+# back against the 15 candidates.
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOPK = 15
+
+
+def _cms_bucket_sql(j: int) -> str:
+    """Portable seeded bucket hash: first 8 md5 hex chars of
+    'cms{j}|token' parsed hex->int, mod CMS_WIDTH."""
+    return (
+        "(("
+        + " + ".join(
+            f"CAST(instr('0123456789abcdef', substr(md5('cms{j}|' || token), "
+            f"{i + 1}, 1)) - 1 AS BIGINT) * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + f") % {CMS_WIDTH})"
+    )
+
+
+CMS_HEAVY_ORACLE = f"""
+WITH exact AS (
+  SELECT token, COUNT(*) AS c
+  FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  )
+  WHERE token <> ''
+  GROUP BY token
+),
+topk AS (
+  SELECT token, c FROM exact ORDER BY c DESC, token LIMIT {CMS_TOPK}
+),
+cells AS (
+  {" UNION ALL ".join(
+      f"SELECT {j} AS j, {_cms_bucket_sql(j)} AS bucket, SUM(c) AS cnt "
+      "FROM exact GROUP BY 2"
+      for j in range(CMS_DEPTH)
+  )}
+),
+probes AS (
+  {" UNION ALL ".join(
+      f"SELECT token, c, {j} AS j, {_cms_bucket_sql(j)} AS bucket FROM topk"
+      for j in range(CMS_DEPTH)
+  )}
+)
+SELECT p.token,
+       CAST(MAX(p.c) AS BIGINT)            AS n_exact,
+       CAST(MIN(ce.cnt) AS BIGINT)         AS n_cms,
+       CAST(MIN(ce.cnt) - MAX(p.c) AS BIGINT) AS overcount
+FROM probes p JOIN cells ce ON ce.j = p.j AND ce.bucket = p.bucket
+GROUP BY p.token
+"""
+
+
+@query("cms_heavy_hitters", CMS_HEAVY_ORACLE)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    exact = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).localCheckpoint()  # feeds cells + topk + probes; one materialization
+
+    def bucket(j: int):
+        return F.expr(_cms_bucket_sql(j))
+
+    buckets = F.array(*[bucket(j) for j in range(CMS_DEPTH)])
+    cells = (
+        exact.select("c", F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").alias("cnt"))
+    )
+    topk = exact.orderBy(F.desc("c"), F.asc("token")).limit(CMS_TOPK)
+    probes = topk.select(
+        "token", "c", F.posexplode(buckets).alias("j", "bucket")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.max("c").cast("bigint").alias("n_exact"),
+            F.min("cnt").cast("bigint").alias("n_cms"),
+            (F.min("cnt") - F.max("c")).cast("bigint").alias("overcount"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# H21 — normalization-aware exact dedup: dedup on md5 of CANONICAL
+# text (lowercase, punctuation stripped, whitespace collapsed) vs the
+# raw hash (F1). Catches the near-universal trivial variants (case,
+# spacing, punctuation) that raw exact dedup misses, at exact-dedup
+# cost — one hash + one distinct per doc, no pairwise anything. Per
+# source: raw-unique vs normalized-unique counts; the gap is the
+# trivial-variant duplication a pipeline removes for free.
+# --------------------------------------------------------------------------
+
+NORM_DEDUP_ORACLE = """
+WITH normed AS (
+  SELECT source,
+         md5(text) AS raw_hash,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT raw_hash)  AS n_raw_unique,
+       COUNT(DISTINCT norm_hash) AS n_norm_unique
+FROM normed
+GROUP BY source
+"""
+
+
+@query("dedup_normalized_text", NORM_DEDUP_ORACLE)
+def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        d.select(
+            "source",
+            F.md5(F.col("text").cast("binary")).alias("raw_hash"),
+            F.md5(canon.cast("binary")).alias("norm_hash"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("raw_hash").alias("n_raw_unique"),
+            F.countDistinct("norm_hash").alias("n_norm_unique"),
+        )
+    )

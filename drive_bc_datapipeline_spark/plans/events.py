@@ -1756,3 +1756,114 @@ def stream_join_clicks_before_purchase(
         F.min("click_ts").alias("first_click_ts"),
         F.max("click_ts").alias("last_click_ts"),
     )
+
+
+# --------------------------------------------------------------------------
+# A6 — data-expectations gate: declarative row-level quality rules
+# evaluated in ONE scan, reported per rule (the Delta-Live-Tables /
+# Great-Expectations shape, applied to the events feed). Five rules:
+# ts present, user present, known event_type, value non-negative when
+# present, event_id unique. The first four are row-wise CASE sums
+# folded into a single aggregate; uniqueness is a second single-row
+# aggregate (distinct count) — both single rows, combined and fanned
+# out via posexplode (a 5-way union would re-scan the source five
+# times).
+#
+# 100 TB: one full scan + one distinct-count shuffle, output 5 rows —
+# the cheapest possible shape for a pipeline admission gate; rules
+# compile to JVM column expressions, so adding a rule is free.
+# --------------------------------------------------------------------------
+
+KNOWN_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+EXPECTATIONS_ORACLE = f"""
+WITH flags AS (
+  SELECT CASE WHEN ts IS NULL THEN 1 ELSE 0 END AS v_ts,
+         CASE WHEN user_id IS NULL THEN 1 ELSE 0 END AS v_user,
+         CASE WHEN event_type NOT IN
+              ({", ".join("'" + t_ + "'" for t_ in KNOWN_EVENT_TYPES)})
+              OR event_type IS NULL THEN 1 ELSE 0 END AS v_type,
+         CASE WHEN value IS NOT NULL AND value < 0 THEN 1 ELSE 0 END
+           AS v_value
+  FROM events
+),
+rowwise AS (
+  SELECT COUNT(*) AS n_total,
+         CAST(SUM(v_ts) AS BIGINT)    AS ts_not_null,
+         CAST(SUM(v_user) AS BIGINT)  AS user_not_null,
+         CAST(SUM(v_type) AS BIGINT)  AS known_event_type,
+         CAST(SUM(v_value) AS BIGINT) AS value_non_negative
+  FROM flags
+),
+uniq AS (
+  SELECT COUNT(*) - COUNT(DISTINCT event_id) AS event_id_unique
+  FROM events
+),
+rules(rule, n_violations, n_total) AS (
+  SELECT 'ts_not_null', ts_not_null, n_total FROM rowwise
+  UNION ALL SELECT 'user_not_null', user_not_null, n_total FROM rowwise
+  UNION ALL SELECT 'known_event_type', known_event_type, n_total FROM rowwise
+  UNION ALL SELECT 'value_non_negative', value_non_negative, n_total
+    FROM rowwise
+  UNION ALL SELECT 'event_id_unique', u.event_id_unique, r.n_total
+    FROM uniq u CROSS JOIN rowwise r
+)
+SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+       {r6_sql('CAST(n_violations AS DOUBLE) / n_total')} AS violation_rate
+FROM rules
+"""
+
+
+@query("events_expectations_report", EXPECTATIONS_ORACLE)
+def events_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    rowwise = e.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).alias(
+            "ts_not_null"
+        ),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias(
+            "user_not_null"
+        ),
+        F.sum(
+            F.when(
+                ~F.col("event_type").isin(KNOWN_EVENT_TYPES)
+                | F.col("event_type").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("known_event_type"),
+        F.sum(
+            F.when(F.col("value").isNotNull() & (F.col("value") < 0), 1)
+            .otherwise(0)
+        ).alias("value_non_negative"),
+    )
+    uniq = e.agg(
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias(
+            "event_id_unique"
+        )
+    )
+    combined = rowwise.crossJoin(F.broadcast(uniq))
+    rules = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("rule"),
+                F.col(r).cast("bigint").alias("n_violations"),
+            )
+            for r in [
+                "ts_not_null",
+                "user_not_null",
+                "known_event_type",
+                "value_non_negative",
+                "event_id_unique",
+            ]
+        ]
+    )
+    return combined.select(
+        F.explode(rules).alias("r"), F.col("n_total")
+    ).select(
+        F.col("r.rule").alias("rule"),
+        F.col("r.n_violations").alias("n_violations"),
+        r6(F.col("r.n_violations").cast("double") / F.col("n_total")).alias(
+            "violation_rate"
+        ),
+    )

@@ -69,6 +69,9 @@ GATE_PIN: list[str] = [
     "token_entropy_by_source",
     "source_mixture_weights",
     "dedup_clusters_lsss",
+    "cms_heavy_hitters",
+    "dedup_normalized_text",
+    "events_expectations_report",
 ]
 
 
