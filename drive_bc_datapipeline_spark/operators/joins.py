@@ -22,6 +22,8 @@ data defeats the defaults:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -162,3 +164,47 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
+
+
+@contextmanager
+def bloom_pruned_joins(
+    spark,
+    creation_side_threshold: str = "100MB",
+    application_side_threshold: str = "0",
+):
+    """Context that makes Catalyst inject RUNTIME BLOOM FILTERS into
+    selective shuffle joins: the filtered (creation) side builds a
+    bloom filter over its join keys, and the fact (application) side
+    drops non-matching rows BEFORE the shuffle — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling
+    only the ~selectivity fraction that can possibly join.
+
+    Spark's defaults only fire when the creation side is < 10 MB and
+    the fact scan is > 10 GB, which a 0.1-SF test never reaches; this
+    widens the thresholds so the optimization is exercised (and plan-
+    asserted in tests/test_plan_properties.py), then restores the
+    session confs. The injected filter shows as ``bloom_filter_agg``/
+    ``might_contain`` in the physical plan.
+    """
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            creation_side_threshold,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
+            application_side_threshold,
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    }
+    prev: dict[str, str | None] = {}
+    for k, v in keys.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

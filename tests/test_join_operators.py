@@ -221,3 +221,36 @@ def test_exclusive_prefix_sum_stable_across_reexecution(spark):
         exp[i] = acc
         acc += i % 97
     assert dict(a) == exp
+
+
+def test_bloom_pruned_join_injects_runtime_filter(spark):
+    """L5: with the thresholds widened, a selective dim filter must
+    inject a runtime bloom filter on the fact side of the shuffle join
+    (bloom_filter_agg build + might_contain probe in the plan), and
+    the result must equal the unfiltered join."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        l = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+
+        def joined():
+            return l.join(o, l.l_orderkey == o.o_orderkey).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_extendedprice"), 2).alias("tot"),
+            )
+
+        with J.bloom_pruned_joins(spark):
+            plan = joined()._jdf.queryExecution().executedPlan().toString()
+            assert "bloom_filter_agg" in plan, plan[:2000]
+            assert "might_contain" in plan, plan[:2000]
+            with_bloom = joined().collect()[0]
+        # confs restored; same numbers without the runtime filter
+        without = joined().collect()[0]
+        assert with_bloom == without
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
