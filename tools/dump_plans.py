@@ -32,6 +32,9 @@ PICKS = {
     "shard_packing": "Distributed prefix sum: one range exchange pinned by an eager localCheckpoint (totals job and final job read identical blocks — determinism fix, r6), per-partition windows (no global single-partition sort), broadcast offset join.",
     "zorder_skipping_stats": "Deterministic z-bucket layout roundtrip: scan→project (md5 dims + Morton bucket, all codegen)→partitioned write; read-back groups by the partition column only — 16 bucket dirs, partition pruning available to any probe.",
     "stream_join_clicks_before_purchase": "J6 batch twin: both event slices from ONE cached scan lineage; equi shuffle join on user_id with the 60-minute range as post-join predicate; per-purchase aggregate bounds output.",
+    "cms_heavy_hitters": "Token counts materialized once (localCheckpoint) feed the 1,024-cell counter grid (posexplode fan-out, partial-agg combine) AND the exact top-15; 15x4 probes broadcast-join the tiny grid.",
+    "token_entropy_by_source": "Pure two-level hash aggregation: (doc, token) map-side combine -> per-doc entropy -> (lang, source) rollup. No joins, no windows, nothing driver-side.",
+    "events_expectations_report": "One scan folds 4 row-wise rules into a single aggregate; uniqueness is a second 1-row distinct-count agg; broadcast cross join + posexplode fans out 5 result rows.",
 }
 
 HEADER = """# PLANS — physical-plan audit (generated from live `explain`)
