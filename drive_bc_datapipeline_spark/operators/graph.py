@@ -172,3 +172,89 @@ def connected_components_lsss(
     raise RuntimeError(
         f"connected_components_lsss did not converge in {max_iter} rounds"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Weighted PageRank via the standard join-agg iteration
+    (GraphX/Pregel semantics, expressed as DataFrame ops).
+
+    Each round: every node sends ``rank * w / out_w`` along its
+    out-edges (one join + one groupBy — two shuffles), dangling mass
+    (nodes with no out-edges) is redistributed uniformly, and
+    ``rank' = (1-d)/N + d * (received + dangling/N)``. Ranks sum to 1
+    every round.
+
+    Scale notes: the edges frame is cached once and re-partitioned on
+    ``src`` so each iteration's join is co-located; the ranks frame is
+    |nodes| rows. Lineage is truncated with ``localCheckpoint`` every
+    round — without it the plan doubles per iteration. For
+    convergence-driven runs, loop until max |Δrank| < tol instead of a
+    fixed count (same mechanics, one extra tiny agg per round).
+
+    Returns (node, rank).
+    """
+    spark = edges.sparkSession
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .cache()
+    )
+    n_nodes = nodes.count()
+    outw = (
+        edges.groupBy(src)
+        .agg(F.sum(weight).cast("double").alias("out_w"))
+        .cache()
+    )
+    # per-edge transition probability, partitioned once on src so every
+    # iteration's rank join is exchange-free on the edge side
+    trans = (
+        edges.join(outw, src)
+        .select(
+            F.col(src).alias("e_src"),
+            F.col(dst).alias("e_dst"),
+            (F.col(weight).cast("double") / F.col("out_w")).alias("p"),
+        )
+        .repartition("e_src")
+        .cache()
+    )
+    has_out = outw.select(F.col(src).alias("node"))
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n_nodes).alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        contribs = (
+            trans.join(
+                ranks.withColumnRenamed("node", "e_src"), "e_src"
+            )
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("contrib"))
+        )
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + damping
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("mass") / n_nodes
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

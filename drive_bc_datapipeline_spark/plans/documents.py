@@ -2099,3 +2099,96 @@ def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("norm_hash").alias("n_norm_unique"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# H22 — BM25 ranked retrieval: score every document against a fixed
+# term set with Okapi BM25 (k1=1.2, b=0.75) and return the top 20.
+# The plan is the classic inverted-index shape expressed relationally:
+# postings = explode(tokens) filtered to query terms (the only rows
+# that survive the scan), tf via one shuffle keyed (doc, term), df is
+# a |terms|-row broadcast, corpus stats (N, avgdl) a broadcast scalar.
+# Global top-k runs as TakeOrdered (per-partition heads + driver merge
+# of k·partitions rows — never a full sort).
+#
+# Cross-engine: avgdl is computed as CAST(SUM(dl) AS DOUBLE)/N in both
+# engines (integer sum is exact, one double division), so per-doc
+# scores are identical float expressions; ranking uses the quantized
+# score (r6) with doc_id tiebreak.
+# --------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "merge", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+BM25_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM docs
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS token FROM docs)
+  WHERE token IN {BM25_TERMS!r}
+  GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), scored AS (
+  SELECT tf.doc_id,
+         SUM(
+           ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({BM25_K1} + 1.0)
+           / (tf.tf + {BM25_K1}
+              * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))
+         ) AS score
+  FROM tf
+  JOIN df ON tf.token = df.token
+  JOIN docs d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, {r6_sql("score")} AS bm25_score
+FROM scored
+ORDER BY {r6_sql("score")} DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("bm25_search_topk", BM25_ORACLE)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    docs = d.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("token"))
+        .filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * (BM25_K1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .join(docs.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(r6(F.sum(term_score)).alias("bm25_score"))
+        .orderBy(F.col("bm25_score").desc(), "doc_id")
+        .limit(20)
+    )

@@ -922,3 +922,55 @@ def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.count("hit") / float(TOP_K)).alias("recall_at_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# G9 — distributed Gram (covariance-kernel) matrix over the leading 8
+# embedding dimensions: G[i,j] = Σ_rows x_i·x_j. The scale-correct
+# shape is MAP-SIDE pair expansion (each row emits its d·(d+1)/2 upper-
+# triangle products) + one groupBy — NOT a posexplode self-join, which
+# would shuffle the corpus twice and join it to itself. Partial aggs
+# combine map-side, so the shuffle carries only |partitions|·36 rows.
+# This is the building block for PCA / whitening over embedding
+# corpora (driver-side eigendecomposition of the tiny d×d result).
+#
+# Cross-engine: float32 components are cast to DOUBLE before the
+# multiply in both engines (exact), sums differ only by order (r6+EPS
+# absorbs).
+# --------------------------------------------------------------------------
+
+GRAM_DIMS = 8
+
+GRAM_ORACLE = f"""
+SELECT CAST(t.i AS INT) AS i, CAST(u.j AS INT) AS j,
+       {r6_sql(
+           "SUM(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE)"
+           " * CAST(embedding[CAST(u.j AS INT) + 1] AS DOUBLE))"
+       )} AS gram
+FROM embeddings
+CROSS JOIN range(0, {GRAM_DIMS}) AS t(i)
+CROSS JOIN range(0, {GRAM_DIMS}) AS u(j)
+WHERE u.j >= t.i
+GROUP BY t.i, u.j
+"""
+
+
+@query("embedding_gram_matrix", GRAM_ORACLE)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    pairs = F.expr(
+        f"""
+        flatten(transform(sequence(0, {GRAM_DIMS - 1}), i ->
+          transform(sequence(i, {GRAM_DIMS - 1}), j ->
+            struct(i AS i, j AS j,
+                   CAST(embedding[i] AS DOUBLE)
+                   * CAST(embedding[j] AS DOUBLE) AS p))))
+        """
+    )
+    return (
+        e.select(F.explode(pairs).alias("x"))
+        .groupBy(
+            F.col("x.i").alias("i"), F.col("x.j").alias("j")
+        )
+        .agg(r6(F.sum("x.p")).alias("gram"))
+    )

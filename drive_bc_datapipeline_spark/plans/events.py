@@ -1867,3 +1867,352 @@ def events_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violation_rate"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# A7 — PII scrub: multi-class regex detection + redaction statistics.
+# The scrub shape every training-data pipeline needs before text ships
+# to a model: per-class match counts and bytes-removed, computed in one
+# narrow scan (regexp_count / regexp_replace are JVM codegen'd — no
+# Python in the hot path; at 100 TB this is embarrassingly parallel
+# with zero shuffle before the tiny per-type agg).
+#
+# The testdata corpus carries no organic PII, so the query derives a
+# deterministic free-text column from events (props + uid + an
+# IP-shaped field) IN BOTH ENGINES and scrubs that — the operator's
+# regex/redaction plumbing is what's under test, on text with real
+# matches for 2 of the 3 classes (email intentionally matches zero to
+# verify the no-match path).
+# --------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_DIGITS = r"\d+"
+
+PII_SCRUB_ORACLE = f"""
+WITH txt AS (
+  SELECT event_type,
+         props || ' uid=' || CAST(user_id AS VARCHAR)
+               || ' ip=10.0.' || CAST(user_id % 256 AS VARCHAR)
+               || '.' || CAST(event_id % 256 AS VARCHAR) AS s
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(len(regexp_extract_all(s, '{PII_EMAIL}'))) AS BIGINT)
+           AS n_email,
+       CAST(SUM(len(regexp_extract_all(s, '{PII_IPV4}'))) AS BIGINT)
+           AS n_ipv4,
+       CAST(SUM(len(regexp_extract_all(s, '{PII_DIGITS}'))) AS BIGINT)
+           AS n_digit_runs,
+       CAST(SUM(
+         length(s) - length(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(s, '{PII_EMAIL}', '', 'g'),
+               '{PII_IPV4}', '', 'g'),
+             '{PII_DIGITS}', '', 'g')
+         )
+       ) AS BIGINT) AS chars_removed
+FROM txt
+GROUP BY event_type
+"""
+
+
+@query("pii_scrub_stats", PII_SCRUB_ORACLE)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    s = F.concat(
+        F.col("props"),
+        F.lit(" uid="),
+        F.col("user_id").cast("string"),
+        F.lit(" ip=10.0."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 256).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(s, F.lit(PII_EMAIL), F.lit("")),
+            F.lit(PII_IPV4),
+            F.lit(""),
+        ),
+        F.lit(PII_DIGITS),
+        F.lit(""),
+    )
+    return (
+        e.select(
+            "event_type",
+            F.regexp_count(s, F.lit(PII_EMAIL)).alias("c_email"),
+            F.regexp_count(s, F.lit(PII_IPV4)).alias("c_ipv4"),
+            F.regexp_count(s, F.lit(PII_DIGITS)).alias("c_digit"),
+            (F.length(s) - F.length(scrubbed)).alias("removed"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("c_email").cast("bigint").alias("n_email"),
+            F.sum("c_ipv4").cast("bigint").alias("n_ipv4"),
+            F.sum("c_digit").cast("bigint").alias("n_digit_runs"),
+            F.sum("removed").cast("bigint").alias("chars_removed"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B29 — peak concurrency of [ts, ts+1h) intervals per type: the
+# classic sweep-line (+1 at start, -1 at end, running sum). The window
+# partitions by event_type, so each type's sweep is one partition's
+# sort — no global single-partition window. End points sort BEFORE
+# start points at the same instant (delta ascending) so touching
+# intervals don't double-count; event_id breaks remaining ties so the
+# running sum is deterministic in both engines.
+# --------------------------------------------------------------------------
+
+MAX_CONCURRENT_ORACLE = """
+WITH pts AS (
+  SELECT event_type, ts AS t, 1 AS delta, event_id FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 1 HOUR, -1, event_id FROM events
+), run AS (
+  SELECT event_type, t,
+         SUM(delta) OVER (
+           PARTITION BY event_type ORDER BY t, delta, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS conc
+  FROM pts
+), peak AS (
+  SELECT event_type, MAX(conc) AS max_concurrent FROM run
+  GROUP BY event_type
+)
+SELECT r.event_type,
+       CAST(p.max_concurrent AS BIGINT) AS max_concurrent,
+       MIN(r.t) AS peak_ts
+FROM run r JOIN peak p
+  ON r.event_type = p.event_type AND r.conc = p.max_concurrent
+GROUP BY r.event_type, p.max_concurrent
+"""
+
+
+@query("max_concurrent_intervals", MAX_CONCURRENT_ORACLE)
+def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    starts = e.select(
+        "event_type",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    )
+    ends = e.select(
+        "event_type",
+        F.expr("ts + INTERVAL 1 HOUR").alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = starts.unionAll(ends).select(
+        "event_type", "t", F.sum("delta").over(w).alias("conc")
+    )
+    peak = run.groupBy("event_type").agg(
+        F.max("conc").cast("bigint").alias("max_concurrent")
+    )
+    return (
+        run.join(peak, "event_type")
+        .filter(F.col("conc") == F.col("max_concurrent"))
+        .groupBy("event_type", "max_concurrent")
+        .agg(F.min("t").alias("peak_ts"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B30 — SCD2 history build: collapse each user's event stream into
+# type-change validity intervals [valid_from, valid_to) with a version
+# number — the slowly-changing-dimension shape warehouses build from
+# CDC feeds. Two stacked windows, both partitioned by user_id (one
+# shuffle total; Catalyst reuses the exchange for the second window).
+# --------------------------------------------------------------------------
+
+SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+), changes AS (
+  SELECT user_id, event_type, ts AS valid_from
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER (
+         PARTITION BY user_id ORDER BY valid_from
+       ) AS valid_to,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY user_id ORDER BY valid_from
+       ) AS BIGINT) AS version
+FROM changes
+"""
+
+
+@query("scd2_type_history", SCD2_ORACLE)
+def scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .drop("prev_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 batch twin — dropDuplicatesWithinWatermark's batch semantics: keep
+# the FIRST event per (user, type) within each 1-hour bucket. The
+# streaming operator holds keys in state for the watermark horizon;
+# the batch twin is a deterministic argmin per (user, type, hour) via
+# the struct-min trick (single shuffle, map-side partial min).
+# --------------------------------------------------------------------------
+
+DEDUP_WITHIN_HOUR_ORACLE = """
+SELECT user_id, event_type,
+       date_trunc('hour', ts) AS hour_start,
+       ts AS first_ts, event_id AS first_event_id,
+       ROUND(value, 2) AS first_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id, event_type, date_trunc('hour', ts)
+    ORDER BY ts, event_id
+  ) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@query("dedup_events_within_hour", DEDUP_WITHIN_HOUR_ORACLE)
+def dedup_events_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    first = F.min(F.struct("ts", "event_id", "value"))
+    return (
+        e.groupBy(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour_start"),
+        )
+        .agg(first.alias("s"))
+        .select(
+            "user_id",
+            "event_type",
+            "hour_start",
+            F.col("s.ts").alias("first_ts"),
+            F.col("s.event_id").alias("first_event_id"),
+            F.round("s.value", 2).alias("first_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B31 / L-toolbox — weighted PageRank over the event-type transition
+# graph (operators/graph.py:pagerank): which states dominate the
+# long-run behavior of user sessions. The graph here is tiny (one node
+# per event type) but the operator is the full distributed join-agg
+# iteration — per-round cost is two shuffles on the EDGE frame, which
+# is the shape that holds for billion-edge graphs. Oracle: the same 5
+# damped iterations unrolled as chained CTEs (exact same arithmetic,
+# so ranks agree to fp noise; r6 quantization absorbs summation-order
+# ulps).
+# --------------------------------------------------------------------------
+
+_PR_D = 0.85
+_PR_ITER = 5
+
+
+def _pagerank_oracle() -> str:
+    head = """
+WITH edges AS (
+  SELECT from_type AS src, to_type AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM (
+    SELECT LAG(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS from_type,
+           event_type AS to_type
+    FROM events
+  )
+  WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+), stats AS (SELECT COUNT(*) AS n FROM nodes),
+outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / s.n AS rank FROM nodes CROSS JOIN stats s)"""
+    iters = []
+    for i in range(1, _PR_ITER + 1):
+        prev = f"r{i-1}"
+        iters.append(f""",
+r{i} AS (
+  SELECT n.node,
+         (1.0 - {_PR_D}) / s.n
+         + {_PR_D} * (COALESCE(c.contrib, 0.0) + d.mass / s.n) AS rank
+  FROM nodes n
+  CROSS JOIN stats s
+  CROSS JOIN (
+    SELECT COALESCE(SUM(r.rank), 0.0) AS mass
+    FROM {prev} r LEFT JOIN outw o ON r.node = o.src
+    WHERE o.src IS NULL
+  ) d
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank * e.w / o.out_w) AS contrib
+    FROM edges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN outw o ON e.src = o.src
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+)""")
+    tail = f"""
+SELECT node AS event_type, {r6_sql("rank")} AS pagerank
+FROM r{_PR_ITER}"""
+    return head + "".join(iters) + tail
+
+
+@query("pagerank_type_graph", _pagerank_oracle())
+def pagerank_type_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from drive_bc_datapipeline_spark.operators.graph import pagerank
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ranks = pagerank(edges, damping=_PR_D, n_iter=_PR_ITER)
+    return ranks.select(
+        F.col("node").alias("event_type"), r6(F.col("rank")).alias("pagerank")
+    )

@@ -72,6 +72,14 @@ GATE_PIN: list[str] = [
     "cms_heavy_hitters",
     "dedup_normalized_text",
     "events_expectations_report",
+    "pii_scrub_stats",
+    "max_concurrent_intervals",
+    "scd2_type_history",
+    "dedup_events_within_hour",
+    "join_key_skew_profile",
+    "bm25_search_topk",
+    "pagerank_type_graph",
+    "embedding_gram_matrix",
 ]
 
 

@@ -23,6 +23,8 @@ from drive_bc_datapipeline_spark.plans.registry import (
     r2_sql,
     r4,
     r4_sql,
+    r6,
+    r6_sql,
     t,
 )
 
@@ -1291,4 +1293,48 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         waited.join(F.broadcast(s), F.col("w.l_suppkey") == s.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# --------------------------------------------------------------------------
+# L7 — join-key skew profiler: the diagnostic that decides WHICH scale
+# strategy a join needs (broadcast / plain shuffle / salting / AQE skew
+# split). Two-level aggregation: per-key counts (one shuffle with
+# map-side partials — the same cost the join itself would pay), then a
+# single-row summary of the count distribution. At 100 TB this is the
+# cheap dry-run you do before committing to a shuffle plan; the p99/p50
+# ratio and top-1 share are the salting decision inputs (see L1/L2,
+# operators/joins.py).
+# --------------------------------------------------------------------------
+
+SKEW_PROFILE_ORACLE = f"""
+WITH counts AS (
+  SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+)
+SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+       {r4_sql("quantile_cont(cnt, 0.5)")} AS p50_key_rows,
+       {r4_sql("quantile_cont(cnt, 0.99)")} AS p99_key_rows,
+       {r6_sql("CAST(MAX(cnt) AS DOUBLE) / SUM(cnt)")} AS top1_share,
+       {r4_sql("MAX(cnt) * COUNT(*) / CAST(SUM(cnt) AS DOUBLE)")}
+           AS skew_factor
+FROM counts
+"""
+
+
+@query("join_key_skew_profile", SKEW_PROFILE_ORACLE)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_key_rows"),
+        r4(F.expr("percentile(cnt, 0.5)")).alias("p50_key_rows"),
+        r4(F.expr("percentile(cnt, 0.99)")).alias("p99_key_rows"),
+        r6(F.max("cnt").cast("double") / F.sum("cnt")).alias("top1_share"),
+        r4(
+            F.max("cnt") * F.count(F.lit(1)) / F.sum("cnt").cast("double")
+        ).alias("skew_factor"),
     )
