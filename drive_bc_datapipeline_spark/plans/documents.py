@@ -147,7 +147,10 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= {JACCARD_
 
 
 def _verify_jaccard(
-    shingles: DataFrame, cand: DataFrame, threshold: float
+    shingles: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    hash_col: str | None = None,
 ) -> DataFrame:
     """Verify candidate pairs with exact Jaccard via per-doc hash sets.
 
@@ -162,6 +165,11 @@ def _verify_jaccard(
     xxhash64 stands in for the shingle string only INSIDE the engine —
     the oracle compares final (doc pair, jaccard) values, which a 64-bit
     collision would perturb with probability ~(shingles/doc)²/2⁶⁴.
+
+    ``hash_col``: callers that already hashed their shingle column
+    (dedup_ngram_jaccard hashes before its blocking shuffles so every
+    exchange carries 8-byte longs instead of shingle strings) pass its
+    name to skip re-hashing here.
     """
     # Build hash-sets ONLY for docs that appear in some candidate pair:
     # blocking typically leaves a small fraction of the corpus as
@@ -182,9 +190,12 @@ def _verify_jaccard(
         .unionByName(cand.select(F.col("doc_id_b").alias("doc_id")))
         .distinct()
     )
+    h = (
+        F.col(hash_col) if hash_col is not None else F.xxhash64("shingle")
+    )
     docsets = (
         shingles.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .select("doc_id", h.alias("h"))
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_set("h")).alias("hs"))
     )
@@ -222,12 +233,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-invariant.
     """
     d = t(spark, sf_dir, "documents")
-    shingles = word_ngrams(d, NGRAM_N, distinct=False).cache()
+    # Hash each shingle to 64 bits BEFORE any shuffle: the df
+    # aggregate, the blocking join, and the verification docsets all
+    # exchange 8-byte longs instead of n-gram strings (~3x fewer
+    # shuffle bytes at this corpus; the ratio grows with n-gram
+    # width). Collision risk is the same class _verify_jaccard already
+    # documents (~|shingles|²/2⁶⁵ for any collision corpus-wide).
+    # Eager localCheckpoint, not cache(): the frame feeds three
+    # subtrees, and checkpoint blocks are freed by the ContextCleaner
+    # when the DataFrame is collected, instead of pinning CacheManager
+    # storage for the session.
+    shingles = (
+        word_ngrams(d, NGRAM_N, distinct=False)
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .localCheckpoint(eager=True)
+    )
     rare = (
-        shingles.groupBy("shingle")
+        shingles.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= DF_CAP))
-        .select("shingle")
+        .select("h")
     )
     pair_expr = F.expr(
         "flatten(transform(docs, (a, i) -> "
@@ -235,14 +260,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b -> named_struct('doc_id_a', a, 'doc_id_b', b))))"
     )
     cand = (
-        shingles.join(F.broadcast(rare), "shingle")
-        .groupBy("shingle")
+        shingles.join(F.broadcast(rare), "h")
+        .groupBy("h")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
         .select(F.explode(pair_expr).alias("p"))
         .select("p.doc_id_a", "p.doc_id_b")
         .distinct()
     )
-    return _verify_jaccard(shingles, cand, JACCARD_MIN)
+    return _verify_jaccard(shingles, cand, JACCARD_MIN, hash_col="h")
 
 
 # --------------------------------------------------------------------------

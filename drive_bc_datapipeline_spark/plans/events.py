@@ -2087,7 +2087,7 @@ def scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# J4 batch twin — dropDuplicatesWithinWatermark's batch semantics: keep
+# J5 batch twin — dropDuplicatesWithinWatermark's batch semantics: keep
 # the FIRST event per (user, type) within each 1-hour bucket. The
 # streaming operator holds keys in state for the watermark horizon;
 # the batch twin is a deterministic argmin per (user, type, hour) via
@@ -2215,4 +2215,127 @@ def pagerank_type_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(edges, damping=_PR_D, n_iter=_PR_ITER)
     return ranks.select(
         F.col("node").alias("event_type"), r6(F.col("rank")).alias("pagerank")
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 batch twin — applyInPandasWithState keeps running per-user
+# (count, mean) across a stream; this is the same semantics in batch:
+# every event annotated with the user's running event count and
+# running mean value AS OF that event. One window shuffle keyed by
+# user (state keyed the same way the streaming operator keys its
+# state store). r4+EPS absorbs the engines' frame-summation order.
+# --------------------------------------------------------------------------
+
+RUNNING_STATS_ORACLE = f"""
+SELECT event_id, user_id, ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS running_n,
+       {r4_sql("AVG(value) OVER w")} AS running_avg
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@query("user_running_stats", RUNNING_STATS_ORACLE)
+def user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("running_n"),
+        r4(F.avg("value").over(w)).alias("running_avg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B25b — ROLLING distinct users from persisted daily HLL sketches:
+# each day's sketch is exploded to the 7 trailing windows it belongs
+# to, then hll_union_agg folds each window's 7 sketches — the sliding
+# twin of hll_weekly_rollup, and the reason sketch stores exist: any
+# window re-aggregates from fixed-size state, never from raw rows.
+# The estimate ships with an exact COUNT(DISTINCT) audit column
+# (same explode trick on distinct (type, user, day) rows) and a
+# sketch_ok bound flag, mirroring B25's oracle style.
+#
+# 100 TB: raw rows are touched once (daily sketch build); the rolling
+# re-union moves |types|·|days|·7 sketch blobs.
+# --------------------------------------------------------------------------
+
+HLL_ROLLING_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events
+)
+SELECT e.event_type,
+       CAST(d.day AS VARCHAR) AS day,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users_7d,
+       1 AS sketch_ok
+FROM events e
+JOIN days d
+  ON e.event_type = d.event_type
+ AND CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+GROUP BY e.event_type, d.day
+"""
+
+
+@query("hll_rolling_distinct", HLL_ROLLING_ORACLE)
+def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sketch path: one daily sketch per (type, day), exploded to the 7
+    # trailing windows it feeds, hll_union_agg per window — raw rows
+    # are scanned exactly once
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    est = (
+        daily.select(
+            "event_type",
+            "sk",
+            F.explode(F.expr("sequence(day, date_add(day, 6))")).alias(
+                "wend"
+            ),
+        )
+        .groupBy("event_type", "wend")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_est"))
+    )
+    # exact audit: distinct (type, user, day) through the same explode
+    exact = (
+        e.select("event_type", "user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .select(
+            "event_type",
+            "user_id",
+            F.explode(F.expr("sequence(day, date_add(day, 6))")).alias(
+                "wend"
+            ),
+        )
+        .groupBy("event_type", "wend")
+        .agg(F.countDistinct("user_id").alias("n_users_7d"))
+    )
+    # keep only window-ends that are real (type, day) combinations
+    actual = e.select(
+        "event_type", F.to_date("ts").alias("wend")
+    ).distinct()
+    return (
+        exact.join(est, ["event_type", "wend"])
+        .join(actual, ["event_type", "wend"], "left_semi")
+        .select(
+            "event_type",
+            F.col("wend").cast("string").alias("day"),
+            "n_users_7d",
+            (
+                F.abs(F.col("n_est") - F.col("n_users_7d"))
+                <= F.greatest(0.10 * F.col("n_users_7d"), F.lit(5.0))
+            )
+            .cast("int")
+            .alias("sketch_ok"),
+        )
     )

@@ -55,13 +55,16 @@ GATE_PIN: list[str] = [
     # round-6 pins: the exclusive_prefix_sum determinism fix + its
     # consumer ...
     "shard_packing",
-    # ... the four HUGEINT-oracle re-casts (values were already exact;
-    # the driver hash must now agree) ...
+    # ... the HUGEINT-oracle re-casts (values were already exact; the
+    # driver hash must now agree). embedding_label_centroids,
+    # etl_variant_extract and events_expectations_report are NOT
+    # pinned: the r6 rotation offset places them in the window anyway
+    # (verified against the live registry; pinning them would push the
+    # pin list past the 21-key budget the 4-round coverage bound
+    # allows) ...
     "quality_filter_funnel",
-    "embedding_label_centroids",
-    "etl_variant_extract",
     "user_activity_streaks",
-    # ... the candidate-materialization change (cache -> localCheckpoint)
+    # ... the plan changes (hash-early blocking, localCheckpoint)
     "dedup_ngram_jaccard",
     # ... and the round's new gate keys
     "zorder_skipping_stats",
@@ -71,7 +74,6 @@ GATE_PIN: list[str] = [
     "dedup_clusters_lsss",
     "cms_heavy_hitters",
     "dedup_normalized_text",
-    "events_expectations_report",
     "pii_scrub_stats",
     "max_concurrent_intervals",
     "scd2_type_history",
@@ -80,6 +82,8 @@ GATE_PIN: list[str] = [
     "bm25_search_topk",
     "pagerank_type_graph",
     "embedding_gram_matrix",
+    "user_running_stats",
+    "hll_rolling_distinct",
 ]
 
 
