@@ -138,3 +138,43 @@ def test_lsss_matches_naive_on_random_graphs(spark):
         naive = cc(spark, real)
         star = cc_lsss(spark, real)
         assert star == naive, f"seed {seed}: {star} != {naive}"
+
+
+def _pr_reference(edge_list, damping, n_iter):
+    """Driver-side reference power iteration (same update rule)."""
+    nodes = sorted({u for e in edge_list for u in e[:2]})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outw = {}
+    for s, _, w in edge_list:
+        outw[s] = outw.get(s, 0.0) + w
+    rank = [1.0 / n] * n
+    for _ in range(n_iter):
+        contrib = [0.0] * n
+        for s, d, w in edge_list:
+            contrib[idx[d]] += rank[idx[s]] * w / outw[s]
+        dangling = sum(rank[idx[m]] for m in nodes if m not in outw)
+        rank = [
+            (1.0 - damping) / n + damping * (contrib[i] + dangling / n)
+            for i in range(n)
+        ]
+    return {nodes[i]: rank[i] for i in range(n)}
+
+
+def test_pagerank_dangling_and_weights(spark):
+    """Chain with a dangling sink and asymmetric weights: exercises the
+    dangling-mass redistribution path (the driver-gated transition
+    graph has no dangling nodes) and weighted contribution split."""
+    from drive_bc_datapipeline_spark.operators.graph import pagerank
+
+    edge_list = [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 1.0)]  # 3 = dangling
+    edges = spark.createDataFrame(edge_list, "src INT, dst INT, w DOUBLE")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, damping=0.85, n_iter=8).collect()
+    }
+    want = _pr_reference(edge_list, 0.85, 8)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    assert abs(sum(got.values()) - 1.0) < 1e-9

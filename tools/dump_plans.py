@@ -21,7 +21,7 @@ PICKS = {
     "ann_cosine_topk": "Broadcast query set; one corpus scan; map-side partial top-k (mapInPandas) before the exchange.",
     "range_join_clicks_near_errors": "Bucket replication turns the interval predicate into an equi-join; exact Δt filter applied post-join.",
     "dedup_connected_components": "Iterative min-label propagation (plan shown = final iteration's step).",
-    "dedup_ngram_jaccard": "df-count agg → broadcast of pair-capable shingles → per-shingle doc lists → in-array pair expansion; the exploded shingle table is never shuffled a second time.",
+    "dedup_ngram_jaccard": "Shingles hashed to 64-bit longs BEFORE any exchange (r6: every shuffle carries 8 bytes, not n-gram strings) → df-count agg → broadcast of pair-capable shingles → per-shingle doc lists → in-array pair expansion; the exploded shingle table is never shuffled a second time.",
     "catalog_table_roundtrip": "Catalog-name read with the partition-value predicate as PartitionFilters (plan-time directory prune, no data filter).",
     "term_relevance_topk": "tf shuffle with map-side combine; df side broadcast; WindowGroupLimit prunes per-doc rank before the final sort.",
     "ann_recall_at_k": "Both rankings broadcast the query set; LSH side scores same-bucket rows only; final compare joins two k-row-per-query sets.",
@@ -29,6 +29,10 @@ PICKS = {
     "q21_waiting_supplier": "EXISTS/NOT-EXISTS become semi + anti hash joins, all partitioned on l_orderkey — no cartesian, no window over the fact.",
     "hll_weekly_rollup": "Sketch path: ObjectHashAggregate with partial_hll_union_agg map-side — the weekly shuffle moves fixed-size sketch blobs, not events.",
     "bitmap_distinct_users": "Two-level exact distinct: rows fold into per-(key, bucket) bitmaps map-side; the second shuffle moves only bitmap blobs.",
+    "pagerank_type_graph": "Weighted PageRank: edge transition-probability frame cached + pre-partitioned on src, per-round join-agg with broadcast dangling mass, localCheckpoint truncates lineage per iteration.",
+    "bm25_search_topk": "Inverted-index shape: postings explode filtered to query terms, broadcast df + corpus stats, TakeOrdered global top-k (never a full sort).",
+    "embedding_gram_matrix": "Map-side upper-triangle pair expansion + single partial-agg groupBy — the shuffle carries only partitions x 36 partial sums, no self-join of the corpus.",
+    "max_concurrent_intervals": "Sweep-line: union of +1/-1 points, per-type window running sum (no global single-partition window), broadcast peak join.",
     "shard_packing": "Distributed prefix sum: one range exchange pinned by an eager localCheckpoint (totals job and final job read identical blocks — determinism fix, r6), per-partition windows (no global single-partition sort), broadcast offset join.",
     "zorder_skipping_stats": "Deterministic z-bucket layout roundtrip: scan→project (md5 dims + Morton bucket, all codegen)→partitioned write; read-back groups by the partition column only — 16 bucket dirs, partition pruning available to any probe.",
     "stream_join_clicks_before_purchase": "J6 batch twin: both event slices from ONE cached scan lineage; equi shuffle join on user_id with the 60-minute range as post-join predicate; per-purchase aggregate bounds output.",
