@@ -25,6 +25,8 @@ from pyspark.sql.window import Window
 
 from drive_bc_datapipeline_spark.plans.registry import (
     query,
+    r2,
+    r2_sql,
     r4,
     r4_sql,
     r6,
@@ -2338,4 +2340,280 @@ def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("sketch_ok"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# B32 — time-series gap filling: materialize EVERY hour in each type's
+# [first, last] span, zero-filling hours with no events — the
+# densification step every downstream forecaster/anomaly model needs
+# (a missing hour must be an explicit 0, not an absent row). The hour
+# spine is generated from a per-type (min, max) AGGREGATE (|types|
+# rows) and exploded — never a driver-side loop — then one left join
+# against the hourly rollup. 100 TB: spine size is |types|·|hours|,
+# independent of event count.
+# --------------------------------------------------------------------------
+
+GAPFILL_ORACLE = f"""
+WITH spans AS (
+  SELECT event_type,
+         date_trunc('hour', MIN(ts)) AS lo,
+         date_trunc('hour', MAX(ts)) AS hi
+  FROM events GROUP BY event_type
+), hours AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+  FROM spans
+), counts AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+         COUNT(*) AS n, SUM(value) AS sv
+  FROM events GROUP BY 1, 2
+)
+SELECT h.event_type, h.hour_start,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events,
+       {r2_sql("COALESCE(c.sv, 0.0)")} AS sum_value,
+       CAST(c.n IS NULL AS INT) AS is_gap
+FROM hours h
+LEFT JOIN counts c
+  ON h.event_type = c.event_type AND h.hour_start = c.hour_start
+"""
+
+
+@query("timeseries_gapfill", GAPFILL_ORACLE)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    spans = e.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = spans.select(
+        "event_type",
+        F.explode(
+            F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")
+        ).alias("hour_start"),
+    )
+    counts = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    return hours.join(counts, ["event_type", "hour_start"], "left").select(
+        "event_type",
+        "hour_start",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        r2(F.coalesce("sv", F.lit(0.0))).alias("sum_value"),
+        F.col("n").isNull().cast("int").alias("is_gap"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B33 — linear interpolation of missing values: the other half of gap
+# handling (B32 densifies the time axis; this fills the VALUE axis).
+# A deterministic mask (event_id % 10 == 0) knocks out 10% of values
+# IN BOTH ENGINES, then each hole is filled by linear interpolation
+# between its nearest non-null neighbors in the user's (ts, event_id)
+# order — last_value/first_value IGNORE NULLS over one per-user
+# window, so the whole operator is a single shuffle. Edge holes take
+# the single available neighbor.
+# --------------------------------------------------------------------------
+
+INTERPOLATE_ORACLE = f"""
+WITH masked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS mv,
+         ROW_NUMBER() OVER w_ord AS rn
+  FROM events
+  WINDOW w_ord AS (PARTITION BY user_id ORDER BY ts, event_id)
+), nb AS (
+  SELECT user_id, event_id, mv, rn,
+         last_value(mv IGNORE NULLS) OVER w_prev AS prev_v,
+         last_value(CASE WHEN mv IS NOT NULL THEN rn END IGNORE NULLS)
+           OVER w_prev AS prev_rn,
+         first_value(mv IGNORE NULLS) OVER w_next AS next_v,
+         first_value(CASE WHEN mv IS NOT NULL THEN rn END IGNORE NULLS)
+           OVER w_next AS next_rn
+  FROM masked
+  WINDOW
+    w_prev AS (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    w_next AS (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id,
+       CAST(mv IS NULL AS INT) AS was_missing,
+       {r4_sql(
+           "CASE WHEN mv IS NOT NULL THEN mv "
+           "WHEN prev_v IS NULL THEN next_v "
+           "WHEN next_v IS NULL THEN prev_v "
+           "ELSE prev_v + (next_v - prev_v) * (rn - prev_rn) "
+           "/ (next_rn - prev_rn) END"
+       )} AS filled_value
+FROM nb
+"""
+
+
+@query("interpolate_missing_values", INTERPOLATE_ORACLE)
+def interpolate_missing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    mv = F.when(F.col("event_id") % 10 == 0, F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    masked = e.select(
+        "user_id",
+        "event_id",
+        mv.alias("mv"),
+        F.row_number().over(w_ord).alias("rn"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    rn_if = F.when(F.col("mv").isNotNull(), F.col("rn"))
+    nb = masked.select(
+        "user_id",
+        "event_id",
+        "mv",
+        "rn",
+        F.last("mv", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(rn_if, ignorenulls=True).over(w_prev).alias("prev_rn"),
+        F.first("mv", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(rn_if, ignorenulls=True).over(w_next).alias("next_rn"),
+    )
+    filled = (
+        F.when(F.col("mv").isNotNull(), F.col("mv"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (F.col("rn") - F.col("prev_rn"))
+            / (F.col("next_rn") - F.col("prev_rn"))
+        )
+    )
+    return nb.select(
+        "user_id",
+        "event_id",
+        F.col("mv").isNull().cast("int").alias("was_missing"),
+        r4(filled).alias("filled_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B34 — χ² contingency test of event_type × ISO day-of-week: is event
+# mix independent of weekday? Expected counts come from the marginal
+# product (row_total · col_total / n) over the FULL cross grid
+# (zero-observed cells included — built by crossing the two tiny
+# marginal frames, never by scanning raw rows again). Single-row
+# output: statistic, degrees of freedom, sample size.
+# --------------------------------------------------------------------------
+
+CHI2_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type, isodow(ts) AS dow, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), rt AS (SELECT event_type, SUM(n) AS row_n FROM cells GROUP BY 1),
+ct AS (SELECT dow, SUM(n) AS col_n FROM cells GROUP BY 1),
+tot AS (SELECT SUM(n) AS grand FROM cells),
+grid AS (
+  SELECT r.event_type, c.dow,
+         CAST(r.row_n AS DOUBLE) * c.col_n / t.grand AS expected,
+         COALESCE(cl.n, 0) AS observed
+  FROM rt r CROSS JOIN ct c CROSS JOIN tot t
+  LEFT JOIN cells cl
+    ON cl.event_type = r.event_type AND cl.dow = c.dow
+)
+SELECT {r4_sql(
+    "SUM((observed - expected) * (observed - expected) / expected)"
+)} AS chi2,
+       CAST((COUNT(DISTINCT event_type) - 1)
+            * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof,
+       CAST(SUM(observed) AS BIGINT) AS n_obs
+FROM grid
+"""
+
+
+@query("chi2_type_by_dow", CHI2_ORACLE)
+def chi2_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    # Spark weekday(): Monday=0 — shift to ISO (Monday=1..Sunday=7)
+    cells = e.groupBy(
+        "event_type", (F.expr("weekday(ts)") + 1).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rt = cells.groupBy("event_type").agg(F.sum("n").alias("row_n"))
+    ct = cells.groupBy("dow").agg(F.sum("n").alias("col_n"))
+    tot = cells.agg(F.sum("n").alias("grand"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "dow",
+            (
+                F.col("row_n").cast("double")
+                * F.col("col_n")
+                / F.col("grand")
+            ).alias("expected"),
+            F.coalesce("n", F.lit(0)).alias("observed"),
+        )
+    )
+    return grid.agg(
+        r4(
+            F.sum(
+                (F.col("observed") - F.col("expected"))
+                * (F.col("observed") - F.col("expected"))
+                / F.col("expected")
+            )
+        ).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("dow") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.sum("observed").cast("bigint").alias("n_obs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B35 — unpivot/melt: wide per-type metric columns → long (type,
+# metric, value) rows, the shape BI tools and metric stores ingest.
+# Spark's native unpivot (Catalyst Expand: one pass, no union-of-
+# selects re-scan); oracle spells the same result as UNION ALL.
+# --------------------------------------------------------------------------
+
+UNPIVOT_ORACLE = f"""
+WITH wide AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n_events,
+         {r4_sql("AVG(value)")} AS avg_value,
+         {r2_sql("MAX(value)")} AS max_value
+  FROM events GROUP BY event_type
+)
+SELECT event_type, 'n_events' AS metric, n_events AS metric_value FROM wide
+UNION ALL
+SELECT event_type, 'avg_value', avg_value FROM wide
+UNION ALL
+SELECT event_type, 'max_value', max_value FROM wide
+"""
+
+
+@query("unpivot_type_metrics", UNPIVOT_ORACLE)
+def unpivot_type_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    wide = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        r4(F.avg("value")).alias("avg_value"),
+        r2(F.max("value")).alias("max_value"),
+    )
+    return wide.unpivot(
+        ids=["event_type"],
+        values=["n_events", "avg_value", "max_value"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
     )

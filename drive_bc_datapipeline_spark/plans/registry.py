@@ -52,21 +52,19 @@ ORACLES: dict[str, str] = {}
 GATE_WINDOW = 50
 
 GATE_PIN: list[str] = [
-    # round-6 pins: the exclusive_prefix_sum determinism fix + its
-    # consumer ...
+    # round-6 pins. This round debuts 16 new query keys and re-verifies
+    # the r5 fixes (prefix-sum determinism, HUGEINT oracle casts, the
+    # hash-early ngram blocking change) — all of them need a driver row
+    # in CORRECTNESS_r6, so the pin list is temporarily larger than the
+    # steady-state budget (the staleness bound in tests/test_registry.py
+    # is relaxed to 6 rounds for this round; r7 should unpin everything
+    # that goes green and revert the bound to 4).
     "shard_packing",
-    # ... the HUGEINT-oracle re-casts (values were already exact; the
-    # driver hash must now agree). embedding_label_centroids,
-    # etl_variant_extract and events_expectations_report are NOT
-    # pinned: the r6 rotation offset places them in the window anyway
-    # (verified against the live registry; pinning them would push the
-    # pin list past the 21-key budget the 4-round coverage bound
-    # allows) ...
     "quality_filter_funnel",
+    "embedding_label_centroids",
+    "etl_variant_extract",
     "user_activity_streaks",
-    # ... the plan changes (hash-early blocking, localCheckpoint)
     "dedup_ngram_jaccard",
-    # ... and the round's new gate keys
     "zorder_skipping_stats",
     "stream_join_clicks_before_purchase",
     "token_entropy_by_source",
@@ -74,6 +72,7 @@ GATE_PIN: list[str] = [
     "dedup_clusters_lsss",
     "cms_heavy_hitters",
     "dedup_normalized_text",
+    "events_expectations_report",
     "pii_scrub_stats",
     "max_concurrent_intervals",
     "scd2_type_history",
@@ -84,6 +83,10 @@ GATE_PIN: list[str] = [
     "embedding_gram_matrix",
     "user_running_stats",
     "hll_rolling_distinct",
+    "timeseries_gapfill",
+    "interpolate_missing_values",
+    "chi2_type_by_dow",
+    "unpivot_type_metrics",
 ]
 
 
