@@ -257,4 +257,10 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+    # the final ranks frame is checkpoint-truncated, so the iteration
+    # scaffolding can be released instead of pinning CacheManager
+    # entries for the rest of the session
+    trans.unpersist()
+    outw.unpersist()
+    nodes.unpersist()
     return ranks

@@ -559,8 +559,11 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= {MH_JACCA
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     # duplicate shingles don't change min-hash mins or collect_set
-    # verification → skip the distinct's 250k-row shuffle
-    shingles = word_ngrams(d, MH_N, distinct=False).cache()
+    # verification → skip the distinct's 250k-row shuffle.
+    # localCheckpoint, not cache(): checkpoint blocks are freed when the
+    # returned frame is GC'd; cache() pins a CacheManager entry for the
+    # rest of the session (one leak per invocation).
+    shingles = word_ngrams(d, MH_N, distinct=False).localCheckpoint(eager=True)
     sigs = (
         shingles.select("doc_id", *_mh_slice_cols())
         .groupBy("doc_id")
@@ -1334,7 +1337,9 @@ JOIN sizes sb ON sb.doc_id = e.doc_id_b
 @query("minhash_estimate_quality", MINHASH_QUALITY_ORACLE)
 def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    shingles = word_ngrams(d, MH_N, distinct=False).cache()
+    # localCheckpoint, not cache() — same GC-freed-blocks rationale as
+    # dedup_minhash_lsh above.
+    shingles = word_ngrams(d, MH_N, distinct=False).localCheckpoint(eager=True)
     sigs = (
         shingles.select("doc_id", *_mh_slice_cols())
         .groupBy("doc_id")
@@ -2215,5 +2220,109 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(r6(F.sum(term_score)).alias("bm25_score"))
         .orderBy(F.col("bm25_score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# H18 — order-insensitive table checksum per source: the cross-cluster
+# consistency audit for a replicated corpus. Each row contributes a
+# 32-bit slice of md5 over ALL its columns (null-tagged, '|'-joined);
+# the per-group SUM of those slices is order- and partition-
+# independent, so two clusters can verify a 100 TB table by exchanging
+# |sources| rows instead of the data. Row hash is map-side JVM md5;
+# the only shuffle is the tiny final groupBy.
+# --------------------------------------------------------------------------
+
+CHECKSUM_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(('0x' || substr(md5(
+              CAST(doc_id AS VARCHAR) || '|' ||
+              COALESCE(lang, '~') || '|' ||
+              COALESCE(CAST(n_chars AS VARCHAR), '~') || '|' ||
+              COALESCE(text, '~')), 1, 8)) AS BIGINT)) AS BIGINT)
+         AS checksum
+FROM documents
+GROUP BY source
+"""
+
+
+@query("table_checksum_by_source", CHECKSUM_ORACLE)
+def table_checksum_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    row_str = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.coalesce(F.col("lang"), F.lit("~")),
+        F.coalesce(F.col("n_chars").cast("string"), F.lit("~")),
+        F.coalesce(F.col("text"), F.lit("~")),
+    )
+    row_hash = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash).alias("checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# H19 — top co-occurring token pairs (market-basket over documents):
+# unordered within-doc pairs, counted by document frequency. The
+# scale-correct shape is ARRAY-SIDE pair expansion: one groupBy doc
+# builds the sorted distinct-token array, then each doc emits its
+# k·(k-1)/2 pairs MAP-SIDE (k = per-doc distinct tokens — for real
+# corpora cap k by TF before expanding; here the vocabulary itself is
+# tiny) into a partially-aggregated pair count. No corpus self-join.
+# Top 20 with (n_docs DESC, tok_a, tok_b) determinism.
+# --------------------------------------------------------------------------
+
+COOCCUR_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+), pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_docs
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+)
+SELECT tok_a, tok_b, CAST(n_docs AS BIGINT) AS n_docs
+FROM pairs
+ORDER BY n_docs DESC, tok_a, tok_b
+LIMIT 20
+"""
+
+
+@query("token_cooccurrence_topk", COOCCUR_ORACLE)
+def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.col("text"), " "), lambda x: x != F.lit("")
+                )
+            )
+        ).alias("arr"),
+    )
+    # map-side pair expansion over the per-doc sorted distinct array
+    pairs = F.expr(
+        """
+        flatten(transform(arr, (a, i) ->
+          transform(slice(arr, i + 2, size(arr)), b ->
+            struct(a AS tok_a, b AS tok_b))))
+        """
+    )
+    return (
+        toks.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "tok_a", "tok_b")
         .limit(20)
     )

@@ -974,3 +974,131 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(r6(F.sum("x.p")).alias("gram"))
     )
+
+
+# --------------------------------------------------------------------------
+# G10 — distributed PCA: top principal direction by power iteration,
+# then per-label projection stats. The 100 TB-correct decomposition:
+#   1. ONE distributed pass builds the d×d Gram matrix from map-side
+#      pair products (the G9 shape, all 64 dims) — the only job that
+#      touches the corpus;
+#   2. the d² = 4096-entry G — bounded by DIMENSION, not data — is
+#      collected and power-iterated on the driver (5 steps, L2
+#      normalization, sign fixed at the max-|component| index);
+#   3. the unit direction broadcasts back and a SECOND map-side pass
+#      projects every embedding.
+# Embeddings are integer-quantized (round(x·1000)) before the Gram
+# products so G is EXACT in both engines; the oracle replays the same
+# 5 double-precision iterations as an unrolled CTE chain, so both
+# sides walk identical arithmetic from identical integers (sum-order
+# noise ~1e-13 is absorbed by the r4 epsilon nudge).
+# --------------------------------------------------------------------------
+
+PCA_DIMS = 64
+PCA_ITERS = 5
+
+
+def _pca_oracle() -> str:
+    # v0 = ones; v_k = normalize(G · v_{k-1}), unrolled PCA_ITERS times
+    ctes = [
+        f"""q AS (
+  SELECT vec_id, label, CAST(t.i AS INT) AS pos,
+         CAST(FLOOR(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE)
+                    * 1000 + 0.5) AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN range(0, {PCA_DIMS}) AS t(i)
+)""",
+        """g AS (
+  SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS gv
+  FROM q a JOIN q b USING (vec_id) GROUP BY a.pos, b.pos
+)""",
+        f"v0 AS (SELECT CAST(t.i AS INT) AS pos, 1.0 AS val "
+        f"FROM range(0, {PCA_DIMS}) AS t(i))",
+    ]
+    for k in range(1, PCA_ITERS + 1):
+        ctes.append(
+            f"""w{k} AS (
+  SELECT g.i AS pos, SUM(CAST(g.gv AS DOUBLE) * v.val) AS val
+  FROM g JOIN v{k - 1} v ON v.pos = g.j GROUP BY g.i
+)"""
+        )
+        ctes.append(
+            f"v{k} AS (SELECT pos, val / (SELECT SQRT(SUM(val * val)) "
+            f"FROM w{k}) AS val FROM w{k})"
+        )
+    last = f"v{PCA_ITERS}"
+    return f"""
+WITH {','.join(ctes)},
+sgn AS (
+  SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS s
+  FROM {last} ORDER BY ABS(val) DESC, pos LIMIT 1
+),
+proj AS (
+  SELECT q.vec_id, q.label,
+         SUM(q.qv * v.val) * (SELECT s FROM sgn) / 1000.0 AS p
+  FROM q JOIN {last} v ON v.pos = q.pos
+  GROUP BY q.vec_id, q.label
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       {r4_sql('AVG(p)')} AS avg_proj,
+       {r4_sql('MIN(p)')} AS min_proj,
+       {r4_sql('MAX(p)')} AS max_proj
+FROM proj GROUP BY label
+"""
+
+
+@query("embedding_pca_projection", _pca_oracle())
+def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    quant = e.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+        ).alias("qarr"),
+    )
+    # pass 1: exact integer Gram via map-side pair products (G9 shape,
+    # full matrix so the driver-side matvec needs no mirroring)
+    pair_products = F.expr(
+        f"""
+        flatten(transform(sequence(0, {PCA_DIMS - 1}), i ->
+          transform(sequence(0, {PCA_DIMS - 1}), j ->
+            struct(i AS i, j AS j, qarr[i] * qarr[j] AS p))))
+        """
+    )
+    gram_rows = (
+        quant.select(F.explode(pair_products).alias("x"))
+        .groupBy(F.col("x.i").alias("i"), F.col("x.j").alias("j"))
+        .agg(F.sum("x.p").alias("gv"))
+        .collect()  # bounded: d² rows, data-size independent
+    )
+    import numpy as np
+
+    G = np.zeros((PCA_DIMS, PCA_DIMS))
+    for r in gram_rows:
+        G[r["i"], r["j"]] = float(r["gv"])
+    v = np.ones(PCA_DIMS)
+    for _ in range(PCA_ITERS):
+        v = G @ v
+        v = v / float(np.sqrt(np.dot(v, v)))
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    # pass 2: broadcast the unit direction, project map-side
+    v_df = spark.createDataFrame(
+        [(int(i), float(v[i])) for i in range(PCA_DIMS)], "pos INT, val DOUBLE"
+    )
+    comp = quant.select(
+        "vec_id", "label", F.posexplode("qarr").alias("pos", "qv")
+    )
+    proj = (
+        comp.join(F.broadcast(v_df), "pos")
+        .groupBy("vec_id", "label")
+        .agg((F.sum(F.col("qv") * F.col("val")) / 1000.0).alias("p"))
+    )
+    return proj.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        r4(F.avg("p")).alias("avg_proj"),
+        r4(F.min("p")).alias("min_proj"),
+        r4(F.max("p")).alias("max_proj"),
+    )

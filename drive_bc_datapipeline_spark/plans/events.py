@@ -662,15 +662,17 @@ def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation alone.
     """
     e = t(spark, sf_dir, "events").select("event_type", "value")
-    # cache: the tiny per-type sketch frame feeds BOTH the broadcast
-    # rank-scan and the final select; the broadcast exchange and the
-    # plain join input don't exchange-reuse, so without the cache the
-    # full-table aggregation would execute twice.
+    # materialize once: the tiny per-type sketch frame feeds BOTH the
+    # broadcast rank-scan and the final select; the broadcast exchange
+    # and the plain join input don't exchange-reuse, so without this the
+    # full-table aggregation would execute twice. localCheckpoint, not
+    # cache(): blocks are GC-freed instead of pinned in the
+    # CacheManager for the session.
     agg = e.groupBy("event_type").agg(
         F.expr("percentile(value, array(0.25, 0.5, 0.9, 0.99))").alias("qx"),
         F.percentile_approx("value", QUANTILE_PS, QUANTILE_ACCURACY).alias("qa"),
         F.count("value").alias("n"),
-    ).cache()
+    ).localCheckpoint(eager=True)
     rank_aggs = []
     for i in range(1, 5):
         qa_i = F.element_at("qa", i)
@@ -2616,4 +2618,217 @@ def unpivot_type_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         values=["n_events", "avg_value", "max_value"],
         variableColumnName="metric",
         valueColumnName="metric_value",
+    )
+
+
+# --------------------------------------------------------------------------
+# B35 — mutual information between event_type and hour-of-day: the
+# information-theoretic cousin of B34's χ² (feature-relevance scoring
+# for categorical features at corpus scale). MI = Σ p(x,y)·log2 of the
+# pointwise ratio over OBSERVED cells only (p=0 cells contribute 0, so
+# no dense grid is needed — one groupBy of the fact table plus two
+# tiny marginal frames, all broadcast). Entropies H(type), H(hour)
+# ship alongside so normalized MI is a client-side division.
+#
+# 100 TB: one shuffle on (type, hour) with map-side partial counts;
+# the marginals reduce the ~5×24 cell frame, never raw rows.
+# --------------------------------------------------------------------------
+
+MI_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hr, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), rt AS (SELECT event_type, SUM(n) AS row_n FROM cells GROUP BY 1),
+ct AS (SELECT hr, SUM(n) AS col_n FROM cells GROUP BY 1),
+tot AS (SELECT SUM(n) AS grand FROM cells)
+SELECT
+  {r6_sql(
+      "SUM((CAST(c.n AS DOUBLE) / t.grand)"
+      " * log2(CAST(c.n AS DOUBLE) * t.grand / (r.row_n * ct.col_n)))"
+  )} AS mi_bits,
+  {r6_sql(
+      "-SUM(CASE WHEN c.hr = (SELECT MIN(hr) FROM cells c2"
+      "                        WHERE c2.event_type = c.event_type)"
+      " THEN (CAST(r.row_n AS DOUBLE) / t.grand)"
+      "      * log2(CAST(r.row_n AS DOUBLE) / t.grand) ELSE 0 END)"
+  )} AS h_type_bits,
+  CAST(t.grand AS BIGINT) AS n_obs
+FROM cells c
+JOIN rt r  ON r.event_type = c.event_type
+JOIN ct    ON ct.hr = c.hr
+CROSS JOIN tot t
+GROUP BY t.grand
+"""
+
+
+@query("mutual_info_type_hour", MI_ORACLE)
+def mutual_info_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rt = cells.groupBy("event_type").agg(F.sum("n").alias("row_n"))
+    ct = cells.groupBy("hr").agg(F.sum("n").alias("col_n"))
+    tot = cells.agg(F.sum("n").alias("grand"))
+    j = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hr")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_xy = F.col("n").cast("double") / F.col("grand")
+    ratio = (
+        F.col("n").cast("double")
+        * F.col("grand")
+        / (F.col("row_n") * F.col("col_n"))
+    )
+    # H(type) from the row marginals: count each type once by keying
+    # the term to that type's minimum observed hour (mirrors the
+    # oracle's correlated-min trick, avoiding a second aggregation
+    # input).
+    w_min = Window.partitionBy("event_type")
+    p_x = F.col("row_n").cast("double") / F.col("grand")
+    h_term = F.when(
+        F.col("hr") == F.min("hr").over(w_min), -p_x * F.log2(p_x)
+    ).otherwise(F.lit(0.0))
+    return (
+        j.withColumn("h_term", h_term)
+        .groupBy("grand")
+        .agg(
+            r6(F.sum(p_xy * F.log2(ratio))).alias("mi_bits"),
+            r6(F.sum("h_term")).alias("h_type_bits"),
+        )
+        .select(
+            "mi_bits",
+            "h_type_bits",
+            F.col("grand").cast("bigint").alias("n_obs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B36 — lag-1 autocorrelation of the daily event-count series, per
+# event_type: the stationarity probe behind anomaly baselines (B21)
+# — high r1 means yesterday predicts today. Daily counts are one
+# map-side-combined shuffle; the lag + corr run over the tiny
+# |types|×|days| frame. corr() is the sample Pearson coefficient in
+# both engines.
+# --------------------------------------------------------------------------
+
+AUTOCORR_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY d) AS prev_n
+  FROM daily
+)
+SELECT event_type,
+       CAST(COUNT(prev_n) AS BIGINT) AS n_pairs,
+       {r4_sql("corr(CAST(n AS DOUBLE), CAST(prev_n AS DOUBLE))")}
+         AS lag1_corr
+FROM lagged
+WHERE prev_n IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("daily_autocorr_lag1", AUTOCORR_ORACLE)
+def daily_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        F.col("n").cast("double").alias("n"),
+        F.lag("n").over(w).cast("double").alias("prev_n"),
+    ).filter(F.col("prev_n").isNotNull())
+    return lagged.groupBy("event_type").agg(
+        F.count("prev_n").alias("n_pairs"),
+        r4(F.corr("n", "prev_n")).alias("lag1_corr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B37 — time-weighted average value (TWAP) per event_type: each
+# observation holds until the next one of the same type, so its weight
+# is that holding duration (the standard irregular-time-series mean —
+# plain AVG over-weights bursts). lead() gives the µs gap (exact
+# integers); the final row of each type has no duration and drops out.
+#
+# 100 TB: one shuffle on event_type for the ordered window, then a
+# same-key aggregation — the window partitioning is reused, no second
+# exchange. Skewed types would ride AQE skew-split.
+# --------------------------------------------------------------------------
+
+TWAP_ORACLE = f"""
+WITH spans AS (
+  SELECT event_type, value,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+         ) - epoch_us(ts) AS dur_us
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(dur_us) AS BIGINT) AS n_spans,
+       {r4_sql("SUM(value * dur_us) / SUM(dur_us)")} AS twap_value,
+       {r4_sql("SUM(dur_us) / 1e6")} AS span_sec
+FROM spans
+WHERE dur_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("twap_value_by_type", TWAP_ORACLE)
+def twap_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    spans = e.select(
+        "event_type",
+        "value",
+        (F.lead(us).over(w) - us).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return spans.groupBy("event_type").agg(
+        F.count("dur_us").alias("n_spans"),
+        r4(F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us")).alias(
+            "twap_value"
+        ),
+        r4(F.sum("dur_us") / F.lit(1e6)).alias("span_sec"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B38 — rolling exact median of the last 5 values per user: the
+# robust-smoothing twin of B12's rolling counts (medians shrug off the
+# spikes that wreck rolling means). percentile(0.5) as a WINDOW
+# aggregate = linear interpolation at even counts, matching DuckDB's
+# median() over the same frame. One shuffle on user_id; the 5-row
+# frame is O(1) state per row.
+# --------------------------------------------------------------------------
+
+ROLLING_MEDIAN_ORACLE = f"""
+SELECT event_id, user_id,
+       {r4_sql(
+           "median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+           " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+       )} AS rolling_median
+FROM events
+"""
+
+
+@query("rolling_median_value", ROLLING_MEDIAN_ORACLE)
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        r4(F.expr("percentile(value, 0.5)").over(w)).alias("rolling_median"),
     )

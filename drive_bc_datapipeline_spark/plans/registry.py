@@ -87,6 +87,14 @@ GATE_PIN: list[str] = [
     "interpolate_missing_values",
     "chi2_type_by_dow",
     "unpivot_type_metrics",
+    "mutual_info_type_hour",
+    "daily_autocorr_lag1",
+    "twap_value_by_type",
+    "rolling_median_value",
+    "snapshot_diff_orders",
+    "table_checksum_by_source",
+    "token_cooccurrence_topk",
+    "embedding_pca_projection",
 ]
 
 

@@ -1338,3 +1338,93 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cnt") * F.count(F.lit(1)) / F.sum("cnt").cast("double")
         ).alias("skew_factor"),
     )
+
+
+# --------------------------------------------------------------------------
+# C31 — snapshot diff (CDC-style table compare): classify every order
+# key as added / removed / changed / unchanged between two versions of
+# the table. The "new" snapshot is derived deterministically from the
+# same base so both engines see identical versions: keys ≡0 (mod 97)
+# are deletions, keys ≡0 (mod 13) get a repriced o_totalprice
+# (updates), and a disjoint negative-key slice (≡0 mod 101) simulates
+# inserts. The diff itself — the operator under test — is one
+# full-outer join on the key plus a null/equality classifier,
+# aggregated per (o_orderstatus, change_type).
+#
+# 100 TB: both sides shuffle once on the join key (AQE handles the
+# residual skew); the classifier is a map-side expression and the
+# rollup reduces before the final tiny exchange. This is how you audit
+# a replicated 100 TB table across clusters without collecting it.
+# --------------------------------------------------------------------------
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 13 = 0
+              THEN ROUND(o_totalprice * 1.1, 2) ELSE o_totalprice END
+           AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT -o_orderkey, o_orderstatus, ROUND(o_totalprice * 0.5, 2)
+  FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey > 0
+), diff AS (
+  SELECT COALESCE(o.o_orderstatus, n.o_orderstatus) AS o_orderstatus,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN n.o_totalprice <> o.o_totalprice THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM old o FULL OUTER JOIN new n ON n.o_orderkey = o.o_orderkey
+)
+SELECT o_orderstatus, change_type, COUNT(*) AS n_keys
+FROM diff GROUP BY o_orderstatus, change_type
+"""
+
+
+@query("snapshot_diff_orders", SNAPSHOT_DIFF_ORACLE)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    ).unionByName(
+        o.filter((F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") > 0))
+        .select(
+            (-F.col("o_orderkey")).alias("o_orderkey"),
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 0.5, 2).alias("o_totalprice"),
+        )
+    )
+    j = o.alias("o").join(
+        new.alias("n"),
+        F.col("n.o_orderkey") == F.col("o.o_orderkey"),
+        "full_outer",
+    )
+    change = (
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("removed"))
+        .when(
+            F.col("n.o_totalprice") != F.col("o.o_totalprice"),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce("o.o_orderstatus", "n.o_orderstatus").alias(
+                "o_orderstatus"
+            ),
+            change.alias("change_type"),
+        )
+        .groupBy("o_orderstatus", "change_type")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
