@@ -1058,12 +1058,13 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
         ).alias("qarr"),
     )
-    # pass 1: exact integer Gram via map-side pair products (G9 shape,
-    # full matrix so the driver-side matvec needs no mirroring)
+    # pass 1: exact integer Gram via map-side pair products (G9 shape).
+    # Upper triangle only — half the explode fan-out; the symmetric
+    # mirror is a driver-side fill of the tiny d×d matrix.
     pair_products = F.expr(
         f"""
         flatten(transform(sequence(0, {PCA_DIMS - 1}), i ->
-          transform(sequence(0, {PCA_DIMS - 1}), j ->
+          transform(sequence(i, {PCA_DIMS - 1}), j ->
             struct(i AS i, j AS j, qarr[i] * qarr[j] AS p))))
         """
     )
@@ -1071,30 +1072,36 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         quant.select(F.explode(pair_products).alias("x"))
         .groupBy(F.col("x.i").alias("i"), F.col("x.j").alias("j"))
         .agg(F.sum("x.p").alias("gv"))
-        .collect()  # bounded: d² rows, data-size independent
+        .collect()  # bounded: d·(d+1)/2 rows, data-size independent
     )
     import numpy as np
 
     G = np.zeros((PCA_DIMS, PCA_DIMS))
     for r in gram_rows:
         G[r["i"], r["j"]] = float(r["gv"])
+        G[r["j"], r["i"]] = float(r["gv"])
     v = np.ones(PCA_DIMS)
     for _ in range(PCA_ITERS):
         v = G @ v
         v = v / float(np.sqrt(np.dot(v, v)))
     if v[int(np.argmax(np.abs(v)))] < 0:
         v = -v
-    # pass 2: broadcast the unit direction, project map-side
-    v_df = spark.createDataFrame(
-        [(int(i), float(v[i])) for i in range(PCA_DIMS)], "pos INT, val DOUBLE"
-    )
-    comp = quant.select(
-        "vec_id", "label", F.posexplode("qarr").alias("pos", "qv")
-    )
-    proj = (
-        comp.join(F.broadcast(v_df), "pos")
-        .groupBy("vec_id", "label")
-        .agg((F.sum(F.col("qv") * F.col("val")) / 1000.0).alias("p"))
+    # pass 2: the unit direction rides INSIDE the projection expression
+    # as an array literal — the dot product runs entirely map-side
+    # (zip_with + left-associated aggregate, matching the oracle's
+    # per-dimension accumulation), so the only shuffle left is the
+    # |labels|-row final groupBy.
+    v_lit = F.array(*[F.lit(float(x)) for x in v])
+    proj = quant.select(
+        "label",
+        (
+            F.aggregate(
+                F.zip_with("qarr", v_lit, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / 1000.0
+        ).alias("p"),
     )
     return proj.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
