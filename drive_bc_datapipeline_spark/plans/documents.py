@@ -2326,3 +2326,89 @@ def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "tok_a", "tok_b")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# L9 — triangle census of the near-duplicate graph: how clique-like
+# are the dup clusters? (High clustering ⇒ F6's O(diameter) label
+# propagation converges in 1–2 rounds; low ⇒ chains ⇒ use L6.)
+# Edges are F4's simhash pairs (canonically u < v). Triangles via the
+# ordered wedge join — e1(a,b) ⋈ e2(b,c) gives each candidate wedge
+# exactly once (a<b<c), closed by one more equi-join on (a,c); global
+# clustering = 3·triangles / wedges with wedges = Σ d(d−1)/2.
+#
+# 100 TB: the wedge join's fan-out is bounded by orienting edges
+# low-degree → high-degree (each wedge then pivots at its LOWEST-
+# degree vertex); id-orientation here is the same plan with a cheaper
+# orientation key, correct because triangle counts are orientation-
+# invariant.
+# --------------------------------------------------------------------------
+
+TRIANGLES_ORACLE = f"""
+WITH pairs AS ({SIMHASH_ORACLE}),
+edges AS (SELECT doc_id_a AS u, doc_id_b AS v FROM pairs),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  ) GROUP BY node
+),
+tri AS (
+  SELECT COUNT(*) AS n_tri
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT n_tri FROM tri) AS BIGINT) AS n_triangles,
+       {r6_sql(
+           "CASE WHEN (SELECT SUM(d * (d - 1)) FROM deg) = 0 THEN 0.0 "
+           "ELSE 6.0 * (SELECT n_tri FROM tri) "
+           "/ (SELECT SUM(d * (d - 1)) FROM deg) END"
+       )} AS global_clustering
+"""
+
+
+@query("dup_graph_triangles", TRIANGLES_ORACLE)
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        dedup_simhash(spark, sf_dir)
+        .select(F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v"))
+        .localCheckpoint(eager=True)  # feeds 4 subtrees; one build
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    nodes_n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    wedge_sum = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1)).alias("w2")
+    )
+    edges_n = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        nodes_n.crossJoin(F.broadcast(edges_n))
+        .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedge_sum))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_tri").cast("bigint").alias("n_triangles"),
+            r6(
+                F.when(F.col("w2") == 0, F.lit(0.0)).otherwise(
+                    F.lit(6.0) * F.col("n_tri") / F.col("w2")
+                )
+            ).alias("global_clustering"),
+        )
+    )

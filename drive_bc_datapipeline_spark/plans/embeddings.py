@@ -1109,3 +1109,71 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.min("p")).alias("min_proj"),
         r4(F.max("p")).alias("max_proj"),
     )
+
+
+# --------------------------------------------------------------------------
+# G11 — pairwise label-centroid geometry: L2 distance + cosine between
+# every pair of class centroids (cluster-separability / diversity
+# readout over an embedding corpus). Composes G7's distributed
+# (label, pos) centroid relation — integer-quantized exact sums, so
+# both engines see identical centroids — then a pos-equi-join between
+# label pairs over the tiny |labels|·d frame. The corpus is touched
+# exactly once (the centroid aggregation); everything after is
+# dimension-bounded.
+# --------------------------------------------------------------------------
+
+CENTROID_DIST_ORACLE = f"""
+WITH comp AS (
+  SELECT label, CAST(t.i AS INT) AS pos,
+         CAST(SUM(CAST(FLOOR(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE)
+                             * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+         COUNT(*) AS n
+  FROM embeddings CROSS JOIN range(0, {PCA_DIMS}) AS t(i)
+  GROUP BY label, t.i
+), cent AS (
+  SELECT label, pos, CAST(sq AS DOUBLE) / (10000.0 * n) AS cv FROM comp
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       {r6_sql("SQRT(SUM((a.cv - b.cv) * (a.cv - b.cv)))")} AS l2_dist,
+       {r6_sql(
+           "SUM(a.cv * b.cv) / (SQRT(SUM(a.cv * a.cv))"
+           " * SQRT(SUM(b.cv * b.cv)))"
+       )} AS cos_sim
+FROM cent a JOIN cent b ON b.pos = a.pos AND a.label < b.label
+GROUP BY a.label, b.label
+"""
+
+
+@query("centroid_pairwise_distances", CENTROID_DIST_ORACLE)
+def centroid_pairwise_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label",
+        F.col("pos").cast("int").alias("pos"),
+        F.floor(F.col("val").cast("double") * 10000 + 0.5)
+        .cast("bigint")
+        .alias("q"),
+    )
+    cent = comp.groupBy("label", "pos").agg(
+        (F.sum("q").cast("double") / (10000.0 * F.count(F.lit(1)))).alias(
+            "cv"
+        )
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    j = a.join(
+        b,
+        (F.col("b.pos") == F.col("a.pos"))
+        & (F.col("a.label") < F.col("b.label")),
+    )
+    da, db = F.col("a.cv"), F.col("b.cv")
+    return j.groupBy(
+        F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+    ).agg(
+        r6(F.sqrt(F.sum((da - db) * (da - db)))).alias("l2_dist"),
+        r6(
+            F.sum(da * db)
+            / (F.sqrt(F.sum(da * da)) * F.sqrt(F.sum(db * db)))
+        ).alias("cos_sim"),
+    )

@@ -2832,3 +2832,120 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         r4(F.expr("percentile(value, 0.5)").over(w)).alias("rolling_median"),
     )
+
+
+# --------------------------------------------------------------------------
+# B40 — winsorization: clip each type's values at its exact p01/p99
+# and report the clipped-mass + before/after means (the standard
+# heavy-tail taming step before training on raw metrics). Exact
+# percentiles come from one grouped aggregation; the tiny per-type
+# limit frame broadcasts back onto the fact scan, so the whole
+# operator is two passes and one shuffle each.
+# --------------------------------------------------------------------------
+
+WINSORIZE_ORACLE = f"""
+WITH lims AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS lo,
+         quantile_cont(value, 0.99) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN e.value < l.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(SUM(CASE WHEN e.value > l.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       {r4_sql("AVG(e.value)")} AS mean_raw,
+       {r4_sql(
+           "AVG(CASE WHEN e.value < l.lo THEN l.lo "
+           "WHEN e.value > l.hi THEN l.hi ELSE e.value END)"
+       )} AS mean_winsorized,
+       {r4_sql("MIN(l.lo)")} AS p01,
+       {r4_sql("MIN(l.hi)")} AS p99
+FROM events e JOIN lims l USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@query("winsorize_value_stats", WINSORIZE_ORACLE)
+def winsorize_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    lims = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    j = e.join(F.broadcast(lims), "event_type")
+    clipped = (
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("value") < F.col("lo")).cast("long")).alias(
+            "n_clipped_low"
+        ),
+        F.sum((F.col("value") > F.col("hi")).cast("long")).alias(
+            "n_clipped_high"
+        ),
+        r4(F.avg("value")).alias("mean_raw"),
+        r4(F.avg(clipped)).alias("mean_winsorized"),
+        r4(F.min("lo")).alias("p01"),
+        r4(F.min("hi")).alias("p99"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B41 — robust outliers via median/MAD: the breakdown-resistant twin
+# of B17's IQR fences (a single wild value moves a mean+σ fence, not
+# a median/MAD one). Three passes, each one grouped shuffle: per-type
+# median → broadcast → median of |x − m| → broadcast → flag
+# |x − m| > 3·1.4826·MAD. At 100 TB the exact-median passes would be
+# swapped for B11's mergeable sketch with the same plan shape.
+# --------------------------------------------------------------------------
+
+MAD_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, md.m
+  FROM events e JOIN med md USING (event_type)
+), madt AS (
+  SELECT event_type, quantile_cont(ABS(value - m), 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(d.value) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN ABS(d.value - d.m) > 3 * 1.4826 * t.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       {r4_sql("MIN(d.m)")} AS median_value,
+       {r4_sql("MIN(t.mad)")} AS mad_value
+FROM dev d JOIN madt t USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+@query("value_outliers_mad", MAD_ORACLE)
+def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    dev = e.join(F.broadcast(med), "event_type")
+    madt = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - m), 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(madt), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(
+            (
+                F.abs(F.col("value") - F.col("m"))
+                > 3 * 1.4826 * F.col("mad")
+            ).cast("long")
+        ).alias("n_outliers"),
+        r4(F.min("m")).alias("median_value"),
+        r4(F.min("mad")).alias("mad_value"),
+    )

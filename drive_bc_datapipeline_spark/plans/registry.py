@@ -95,6 +95,10 @@ GATE_PIN: list[str] = [
     "table_checksum_by_source",
     "token_cooccurrence_topk",
     "embedding_pca_projection",
+    "winsorize_value_stats",
+    "value_outliers_mad",
+    "dup_graph_triangles",
+    "centroid_pairwise_distances",
 ]
 
 
