@@ -2412,3 +2412,128 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# H25 — unigram LM scoring (perplexity-proxy quality filter): train
+# the unigram model in one token aggregation, then score every doc by
+# its average negative log2-likelihood — the classic cheap stand-in
+# for model-based perplexity filtering in LLM data pipelines (high
+# avg-NLL ⇒ rare-token soup; near-zero ⇒ boilerplate).
+#
+# 100 TB: the token count is the only corpus-sized shuffle; the model
+# (vocabulary-sized, orders smaller) joins back NB-style — broadcast
+# while it fits, hash join beyond — and the per-doc agg rides the
+# same doc_id partitioning the explode preserved.
+# --------------------------------------------------------------------------
+
+UNIGRAM_NLL_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+freq AS (SELECT tok, COUNT(*) AS n FROM tk GROUP BY tok),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM freq)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_toks,
+       {r4_sql(
+           "-SUM(log2(CAST(f.n AS DOUBLE) / t.total)) / COUNT(*)"
+       )} AS avg_nll
+FROM tk d JOIN freq f USING (tok) CROSS JOIN tot t
+GROUP BY d.doc_id
+"""
+
+
+@query("unigram_logprob_score", UNIGRAM_NLL_ORACLE)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(F.sum("n").cast("bigint").alias("total"))
+    nll = -F.log2(F.col("n").cast("double") / F.col("total"))
+    return (
+        tk.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            r4(F.sum(nll) / F.count(F.lit(1))).alias("avg_nll"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# H26 — Zipf-law fit of the token frequency distribution: OLS of
+# log2(freq) on log2(rank) in closed form (slope ≈ −1 for natural
+# text; the deviation is a corpus-health signal tokenizer work keys
+# off). Rank is a deterministic (n DESC, token) row_number over the
+# VOCABULARY — orders smaller than the corpus, so the single-partition
+# rank window is dimension-bounded, not data-bounded; the corpus
+# itself is touched once by the token count.
+# --------------------------------------------------------------------------
+
+ZIPF_ORACLE = f"""
+WITH tk AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS n FROM tk WHERE tok <> '' GROUP BY tok),
+ranked AS (
+  SELECT log2(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS DOUBLE)) AS x,
+         log2(CAST(n AS DOUBLE)) AS y
+  FROM freq
+),
+m AS (
+  SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM ranked
+)
+SELECT CAST(k AS BIGINT) AS vocab_size,
+       {r4_sql("(k * sxy - sx * sy) / (k * sxx - sx * sx)")} AS zipf_slope,
+       {r4_sql(
+           "(sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k"
+       )} AS zipf_intercept,
+       {r4_sql(
+           "((k * sxy - sx * sy) * (k * sxy - sx * sy))"
+           " / ((k * sxx - sx * sx) * (k * syy - sy * sy))"
+       )} AS r_squared
+FROM m
+"""
+
+
+@query("zipf_slope", ZIPF_ORACLE)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), "tok")
+    ranked = freq.select(
+        F.log2(F.row_number().over(w).cast("double")).alias("x"),
+        F.log2(F.col("n").cast("double")).alias("y"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    return m.select(
+        k.cast("bigint").alias("vocab_size"),
+        r4(slope).alias("zipf_slope"),
+        r4((sy - slope * sx) / k).alias("zipf_intercept"),
+        r4(
+            ((k * sxy - sx * sy) * (k * sxy - sx * sy))
+            / ((k * sxx - sx * sx) * (k * syy - sy * sy))
+        ).alias("r_squared"),
+    )

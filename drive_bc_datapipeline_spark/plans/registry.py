@@ -99,6 +99,8 @@ GATE_PIN: list[str] = [
     "value_outliers_mad",
     "dup_graph_triangles",
     "centroid_pairwise_distances",
+    "unigram_logprob_score",
+    "zipf_slope",
 ]
 
 
