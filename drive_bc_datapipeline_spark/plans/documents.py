@@ -2371,46 +2371,17 @@ SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
 
 @query("dup_graph_triangles", TRIANGLES_ORACLE)
 def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = (
-        dedup_simhash(spark, sf_dir)
-        .select(F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v"))
-        .localCheckpoint(eager=True)  # feeds 4 subtrees; one build
+    from drive_bc_datapipeline_spark.operators.graph import triangle_census
+
+    pairs = dedup_simhash(spark, sf_dir).select(
+        F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v")
     )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionByName(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    nodes_n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    wedge_sum = deg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1)).alias("w2")
-    )
-    edges_n = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
-        .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u"))
-            & (F.col("e3.v") == F.col("e2.v")),
-        )
-        .agg(F.count(F.lit(1)).alias("n_tri"))
-    )
-    return (
-        nodes_n.crossJoin(F.broadcast(edges_n))
-        .crossJoin(F.broadcast(tri))
-        .crossJoin(F.broadcast(wedge_sum))
-        .select(
-            F.col("n_nodes").cast("bigint").alias("n_nodes"),
-            F.col("n_edges").cast("bigint").alias("n_edges"),
-            F.col("n_tri").cast("bigint").alias("n_triangles"),
-            r6(
-                F.when(F.col("w2") == 0, F.lit(0.0)).otherwise(
-                    F.lit(6.0) * F.col("n_tri") / F.col("w2")
-                )
-            ).alias("global_clustering"),
-        )
+    census = triangle_census(pairs, src="u", dst="v")
+    return census.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        r6(F.col("global_clustering")).alias("global_clustering"),
     )
 
 

@@ -178,3 +178,57 @@ def test_pagerank_dangling_and_weights(spark):
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+# --------------------------------------------------------------------------
+# triangle_census
+# --------------------------------------------------------------------------
+
+from drive_bc_datapipeline_spark.operators.graph import triangle_census
+
+
+def census(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return triangle_census(df, "src", "dst").collect()[0].asDict()
+
+
+def test_k4_has_four_triangles(spark):
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = census(spark, k4)
+    assert got["n_nodes"] == 4
+    assert got["n_edges"] == 6
+    assert got["n_triangles"] == 4
+    # every wedge closes in a clique
+    assert got["global_clustering"] == pytest.approx(1.0)
+
+
+def test_path_has_no_triangles(spark):
+    got = census(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got["n_triangles"] == 0
+    assert got["global_clustering"] == 0.0
+
+
+def test_triangle_plus_pendant(spark):
+    # triangle 1-2-3 with pendant 4 hanging off 3: 1 triangle,
+    # wedges = 1+1+3 = 5 → clustering 3/5
+    got = census(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    assert got["n_triangles"] == 1
+    assert got["global_clustering"] == pytest.approx(0.6)
+
+
+def test_census_canonicalizes_input(spark):
+    # reversed duplicates and self-loops must not change the counts
+    got = census(
+        spark, [(2, 1), (1, 2), (3, 2), (1, 3), (1, 1)]
+    )
+    assert got["n_nodes"] == 3
+    assert got["n_edges"] == 3
+    assert got["n_triangles"] == 1
+
+
+def test_census_empty_graph(spark):
+    got = census(spark, [(1, 1)])  # only a self-loop → empty simple graph
+    assert got["n_nodes"] == 0
+    assert got["n_edges"] == 0
+    assert got["n_triangles"] == 0
+    assert got["global_clustering"] == 0.0

@@ -134,3 +134,20 @@ def test_ngram_jaccard_rare_set_broadcast(spark):
     plan = plan_of(spark, "dedup_ngram_jaccard")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pca_projection_is_deterministic(spark):
+    """G10's driver-side power iteration must be a pure function of the
+    (exact, integer) Gram matrix: two invocations — two Gram collects,
+    two eigenvector computations — must agree bit-for-bit after the
+    plan's rounding."""
+    from drive_bc_datapipeline_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(
+        tuple(r) for r in QUERIES["embedding_pca_projection"](spark, sf).collect()
+    )
+    b = sorted(
+        tuple(r) for r in QUERIES["embedding_pca_projection"](spark, sf).collect()
+    )
+    assert a == b
