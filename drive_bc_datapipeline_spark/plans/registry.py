@@ -101,6 +101,7 @@ GATE_PIN: list[str] = [
     "centroid_pairwise_distances",
     "unigram_logprob_score",
     "zipf_slope",
+    "ridge_value_model",
 ]
 
 

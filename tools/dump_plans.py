@@ -39,6 +39,12 @@ PICKS = {
     "cms_heavy_hitters": "Token counts materialized once (localCheckpoint) feed the 1,024-cell counter grid (posexplode fan-out, partial-agg combine) AND the exact top-15; 15x4 probes broadcast-join the tiny grid.",
     "token_entropy_by_source": "Pure two-level hash aggregation: (doc, token) map-side combine -> per-doc entropy -> (lang, source) rollup. No joins, no windows, nothing driver-side.",
     "events_expectations_report": "One scan folds 4 row-wise rules into a single aggregate; uniqueness is a second 1-row distinct-count agg; broadcast cross join + posexplode fans out 5 result rows.",
+    "embedding_pca_projection": "Distributed PCA: pass 1 = map-side upper-triangle integer Gram (d(d+1)/2 partial sums per task, bounded collect); pass 2 = unit direction as an ARRAY LITERAL inside a zip_with dot product — fully map-side, only the |labels|-row groupBy shuffles.",
+    "dup_graph_triangles": "Ordered wedge join over the canonical (u<v) near-dup edge set (one localCheckpoint build feeds 4 subtrees); degrees/edges/triangles reduce to 1-row aggs broadcast-crossed into the single result row.",
+    "unigram_logprob_score": "Unigram LM: one corpus token shuffle builds the model; vocabulary-sized broadcast joins back onto the token stream; per-doc NLL agg rides the explode's doc_id grouping.",
+    "ridge_value_model": "Closed-form ridge: single map-side-combined moment pass (9 sums), Cramer solve as column arithmetic on the 1-row frame (no driver round-trip), broadcast betas scored in a second scan for RMSE.",
+    "snapshot_diff_orders": "CDC diff: both snapshots derive from one scan lineage, full-outer join shuffles each side once on the key, classifier is map-side CASE, rollup reduces before the final tiny exchange.",
+    "table_checksum_by_source": "Order-insensitive audit: md5 row slice computed in the scan projection (codegen), one map-side-combined groupBy — the shuffle carries |sources| partial sums.",
 }
 
 HEADER = """# PLANS — physical-plan audit (generated from live `explain`)
