@@ -232,3 +232,40 @@ def test_census_empty_graph(spark):
     assert got["n_edges"] == 0
     assert got["n_triangles"] == 0
     assert got["global_clustering"] == 0.0
+
+
+def test_random_graphs_match_bruteforce_triangles(spark):
+    """triangle_census must equal an O(n³) reference census on seeded
+    random graphs (same one-Spark-job-per-example rationale as the
+    union-find sweep above — but the census is a single job, so more
+    examples are affordable)."""
+    import itertools
+    import random
+
+    for seed in range(12):
+        rng = random.Random(1000 + seed)
+        n = rng.randint(3, 14)
+        m = rng.randint(1, 30)
+        raw = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        simple = {
+            (min(a, b), max(a, b)) for a, b in raw if a != b
+        }
+        nodes = {x for e in simple for x in e}
+        n_tri = sum(
+            1
+            for a, b, c in itertools.combinations(sorted(nodes), 3)
+            if (a, b) in simple and (b, c) in simple and (a, c) in simple
+        )
+        deg = {x: 0 for x in nodes}
+        for a, b in simple:
+            deg[a] += 1
+            deg[b] += 1
+        w2 = sum(d * (d - 1) for d in deg.values())
+        got = census(spark, raw)
+        assert got["n_nodes"] == len(nodes), f"seed {seed}"
+        assert got["n_edges"] == len(simple), f"seed {seed}"
+        assert got["n_triangles"] == n_tri, f"seed {seed}"
+        expected_cc = 0.0 if w2 == 0 else 6.0 * n_tri / w2
+        assert got["global_clustering"] == pytest.approx(expected_cc), (
+            f"seed {seed}"
+        )

@@ -151,3 +151,60 @@ def test_pca_projection_is_deterministic(spark):
         tuple(r) for r in QUERIES["embedding_pca_projection"](spark, sf).collect()
     )
     assert a == b
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The 100 TB skew story is not just salting (L1) — AQE must split
+    oversized post-shuffle partitions of a plain shuffle join at
+    runtime. Build a join with one pathological key under thresholds
+    tuned so the skew handler engages, then assert the FINAL adaptive
+    plan actually rewrote the sort-merge join with skew=true."""
+    import pyspark.sql.functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # thresholds low enough that one hot key (150k of 200k rows)
+        # counts as skewed; broadcast disabled so the join shuffles.
+        # Two traps this test dodged the hard way: (1) the skew stats
+        # are COMPRESSED shuffle bytes, so a constant key with no
+        # payload compresses below any threshold — the md5 payload is
+        # incompressible; (2) column pruning drops a payload the final
+        # aggregate doesn't reference, so the aggregate must consume it.
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(200_000).select(
+            F.when(F.col("id") < 150_000, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(4000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("tag")
+        )
+        joined = left.join(right, "k").agg(
+            F.sum(F.length("payload") + F.col("tag")).alias("s")
+        )
+        [[n]] = joined.collect()
+        assert n > 0
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
