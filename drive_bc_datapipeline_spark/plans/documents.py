@@ -2508,3 +2508,90 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((k * sxx - sx * sx) * (k * syy - sy * sy))
         ).alias("r_squared"),
     )
+
+
+# --------------------------------------------------------------------------
+# H27 — duplicate-cluster size histogram: after near-dup pairs are
+# clustered (F6), HOW duplicated is the corpus? (size → cluster count,
+# plus total docs absorbed per size). The histogram is two vocabulary-
+# scale aggregations on top of the component labels — the readout a
+# dedup run reports before deciding keep-one-per-cluster savings.
+# Oracle reuses F6's recursive-closure clustering verbatim.
+# --------------------------------------------------------------------------
+
+CLUSTER_HIST_ORACLE = f"""
+WITH comp AS ({CC_ORACLE}),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
+@query("dup_cluster_size_histogram", CLUSTER_HIST_ORACLE)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from drive_bc_datapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    comps = connected_components(pairs, "doc_id_a", "doc_id_b")
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# H28 — stratified k-fold assignment: deterministic md5 folds (H5's
+# split generalized to k=5) with per-(lang, fold) counts and the
+# within-stratum share — the reproducible, join-free CV partitioning
+# an ML data pipeline ships (every engine that can md5 agrees on the
+# folds; no RNG, no state).
+# --------------------------------------------------------------------------
+
+K_FOLDS = 5
+
+_FOLD_SQL = _SPLIT_BUCKET_SQL + f" % {K_FOLDS}"
+
+KFOLD_ORACLE = f"""
+WITH folds AS (
+  SELECT lang, CAST({_FOLD_SQL} AS INT) AS fold FROM documents
+),
+strata AS (SELECT lang, COUNT(*) AS lang_n FROM folds GROUP BY lang)
+SELECT f.lang, f.fold, COUNT(*) AS n_docs,
+       {{share}} AS fold_share
+FROM folds f JOIN strata s ON s.lang = f.lang
+GROUP BY f.lang, f.fold, s.lang_n
+""".format(share=r4_sql("COUNT(*) / CAST(s.lang_n AS DOUBLE)"))
+
+
+@query("stratified_kfold_assignment", KFOLD_ORACLE)
+def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    fold = F.expr(
+        _FOLD_SQL.replace("CAST(doc_id AS VARCHAR)", "CAST(doc_id AS STRING)")
+    ).cast("int")
+    folds = d.select("lang", fold.alias("fold"))
+    strata = folds.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_n"))
+    return (
+        folds.join(F.broadcast(strata), "lang")
+        .groupBy("lang", "fold", "lang_n")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "lang",
+            "fold",
+            "n_docs",
+            r4(F.col("n_docs") / F.col("lang_n").cast("double")).alias(
+                "fold_share"
+            ),
+        )
+    )
