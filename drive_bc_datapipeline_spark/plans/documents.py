@@ -2595,3 +2595,313 @@ def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# H29 — inverted-index construction: token → document frequency, total
+# term frequency, and the (capped) sorted posting list — the core
+# retrieval artifact a search/RAG pipeline materializes from a corpus.
+# Postings are emitted as a comma-joined string of the first
+# POSTINGS_CAP doc_ids so the row stays bounded no matter how common
+# the token is.
+#
+# 100 TB: one explode + one shuffle on token; collect_set is bounded
+# per group by the cap at emit time (a production index would sort
+# doc_ids within buckets via a secondary-sort write, same plan shape).
+# Stop-word-scale tokens are the skew risk — the cap bounds the output
+# row, and AQE skew-split bounds the reduce task.
+# --------------------------------------------------------------------------
+
+POSTINGS_CAP = 20
+POSTINGS_TOP = 25
+
+INVERTED_INDEX_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS token
+  FROM documents
+),
+postings AS (
+  SELECT token,
+         COUNT(DISTINCT doc_id) AS df,
+         COUNT(*) AS tf,
+         array_to_string(
+           list_sort(list(DISTINCT doc_id))[1:{POSTINGS_CAP}], ','
+         ) AS posting_head
+  FROM tok GROUP BY token
+)
+SELECT token, CAST(df AS BIGINT) AS df, CAST(tf AS BIGINT) AS tf,
+       posting_head
+FROM postings
+ORDER BY df DESC, token
+LIMIT {POSTINGS_TOP}
+"""
+
+
+@query("inverted_index_postings", INVERTED_INDEX_ORACLE)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("token"),
+    )
+    head = F.array_join(
+        F.transform(
+            F.slice(
+                F.array_sort(F.collect_set("doc_id")), 1, POSTINGS_CAP
+            ),
+            lambda x: x.cast("string"),
+        ),
+        ",",
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+            head.alias("posting_head"),
+        )
+        .orderBy(F.col("df").desc(), "token")
+        .limit(POSTINGS_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# L10 — k-core peeling of the near-dup graph: iteratively drop nodes
+# with degree < K and report (n_nodes, n_edges) after each of 3 fixed
+# rounds — the density probe that separates clique-like dup clusters
+# (survive peeling) from chain/star artifacts of banding collisions
+# (peel away). Edges are F4's simhash pairs, like L9's census.
+#
+# 100 TB: each round is one degree aggregation (shuffle on node) and
+# two semi-joins (shuffle on endpoint) — O(rounds · |E|), the standard
+# distributed peel. The base edge set is pinned with one eager
+# localCheckpoint so the simhash banding pipeline runs once, not once
+# per round; per-round readouts are COUNT aggregates, never collected.
+# --------------------------------------------------------------------------
+
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def _kcore_round_sql(r: int) -> str:
+    # MATERIALIZED: each e{r} is referenced three times downstream —
+    # inlined CTEs would re-evaluate the whole simhash pipeline
+    # exponentially (3^rounds scans).
+    return f"""
+d{r} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM e{r} UNION ALL SELECT v AS node FROM e{r}
+  ) GROUP BY node
+),
+n{r + 1} AS MATERIALIZED (SELECT node FROM d{r} WHERE d >= {KCORE_K}),
+e{r + 1} AS MATERIALIZED (
+  SELECT u, v FROM e{r}
+  WHERE u IN (SELECT node FROM n{r + 1})
+    AND v IN (SELECT node FROM n{r + 1})
+)"""
+
+
+KCORE_ORACLE = (
+    f"""
+WITH pairs AS MATERIALIZED ({SIMHASH_ORACLE}),
+e0 AS MATERIALIZED (SELECT doc_id_a AS u, doc_id_b AS v FROM pairs),
+n0 AS (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0
+  )
+),"""
+    + ",".join(_kcore_round_sql(r) for r in range(KCORE_ROUNDS))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {r} AS round,"
+        f" CAST((SELECT COUNT(*) FROM n{r}) AS BIGINT) AS n_nodes,"
+        f" CAST((SELECT COUNT(*) FROM e{r}) AS BIGINT) AS n_edges"
+        for r in range(KCORE_ROUNDS + 1)
+    )
+)
+
+
+@query("kcore_peeling", KCORE_ORACLE)
+def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        dedup_simhash(spark, sf_dir)
+        .select(F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.explode(F.array("u", "v")).alias("node")).distinct()
+    )
+    rounds = []
+    for r in range(KCORE_ROUNDS + 1):
+        rounds.append(
+            nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+            .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+            .select(
+                F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges"
+            )
+        )
+        if r == KCORE_ROUNDS:
+            break
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        nodes = deg.filter(F.col("d") >= KCORE_K).select("node")
+        edges = edges.join(
+            nodes.withColumnRenamed("node", "u"), "u", "left_semi"
+        ).join(nodes.withColumnRenamed("node", "v"), "v", "left_semi")
+    out = rounds[0]
+    for frame in rounds[1:]:
+        out = out.unionAll(frame)
+    return out
+
+
+# --------------------------------------------------------------------------
+# H30 — winnowing fingerprint near-dup (MOSS): hash every k-gram, then
+# per sliding window of W grams keep the RIGHTMOST-minimum hash — the
+# guarantee is any shared substring of length >= k+W-1 yields at least
+# one shared fingerprint, at ~2/(W+1) the density of full shingling.
+# Docs sharing >= 2 winnowed fingerprints (df-capped to kill
+# boilerplate) are reported as candidate pairs.
+#
+# The rightmost-min-of-window select is ONE window MIN over an integer
+# key h·2^20 + (2^20−1−pos): minimizing the key minimizes h then
+# maximizes pos — no argmin/struct aggregate needed, so the exact same
+# expression runs on both engines.
+#
+# 100 TB: fingerprinting is a narrow per-doc pass (explode + bounded
+# window, no shuffle until the fingerprint join); the pair join is
+# equi-key on fingerprint with a df cap bounding fan-out — the same
+# bucket-join shape as MinHash-LSH banding, at winnowing's lower
+# fingerprint density.
+# --------------------------------------------------------------------------
+
+WIN_K = 4  # k-gram width (words)
+WIN_W = 5  # winnowing window (grams)
+WIN_POS_MOD = 1 << 20  # pos fits 2^20; key = h * 2^20 + (2^20-1-pos)
+WIN_DF_CAP = 20
+WIN_MIN_SHARED = 2
+WIN_TOP = 25
+
+WINNOW_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         CAST(('0x' || substr(md5(
+           array_to_string(arr[i:i + {WIN_K - 1}], ' ')), 1, 8)) AS BIGINT)
+           AS h
+  FROM toks, unnest(range(1, len(arr) - {WIN_K} + 2)) AS t(i)
+  WHERE len(arr) >= {WIN_K}
+),
+keyed AS (
+  SELECT doc_id, pos,
+         h * {WIN_POS_MOD} + ({WIN_POS_MOD - 1} - pos) AS key
+  FROM grams
+),
+winmin AS (
+  SELECT doc_id, pos,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {WIN_W - 1} PRECEDING AND CURRENT ROW)
+           AS wkey
+  FROM keyed
+),
+fps AS (
+  SELECT DISTINCT doc_id,
+         CAST(floor(wkey / {WIN_POS_MOD}) AS BIGINT) AS fp
+  FROM winmin WHERE pos >= {WIN_W - 1}
+),
+common AS (
+  SELECT fp FROM fps GROUP BY fp
+  HAVING COUNT(*) BETWEEN 2 AND {WIN_DF_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         COUNT(*) AS n_shared_fps
+  FROM fps a
+  JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  WHERE a.fp IN (SELECT fp FROM common)
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b, CAST(n_shared_fps AS BIGINT) AS n_shared_fps
+FROM pairs WHERE n_shared_fps >= {WIN_MIN_SHARED}
+ORDER BY n_shared_fps DESC, doc_id_a, doc_id_b
+LIMIT {WIN_TOP}
+"""
+
+
+@query("winnowing_fingerprint_pairs", WINNOW_ORACLE)
+def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    arr = F.filter(F.split("text", " "), lambda x: x != "")
+    # guard: Spark's sequence() runs DESCENDING when end < start, so an
+    # under-k doc must produce an empty gram array, not a reversed one
+    grams = F.when(
+        F.size("arr") >= WIN_K,
+        F.expr(
+            f"""transform(sequence(0, size(arr) - {WIN_K}), i ->
+                  struct(CAST(i AS BIGINT) AS pos,
+                         array_join(slice(arr, i + 1, {WIN_K}), ' ')
+                           AS gram))"""
+        ),
+    ).otherwise(F.array())
+    g = (
+        d.select("doc_id", arr.alias("arr"))
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select(
+            "doc_id",
+            F.col("g.pos").alias("pos"),
+            F.conv(F.substring(F.md5("g.gram"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    keyed = g.select(
+        "doc_id",
+        "pos",
+        (
+            F.col("h") * WIN_POS_MOD + (WIN_POS_MOD - 1 - F.col("pos"))
+        ).alias("key"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WIN_W - 1), 0)
+    )
+    fps = (
+        keyed.select(
+            "doc_id", "pos", F.min("key").over(w).alias("wkey")
+        )
+        .filter(F.col("pos") >= WIN_W - 1)
+        .select(
+            "doc_id",
+            F.floor(F.col("wkey") / WIN_POS_MOD).cast("bigint").alias("fp"),
+        )
+        .distinct()
+    )
+    common = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= WIN_DF_CAP))
+        .select("fp")
+    )
+    capped = fps.join(common, "fp", "left_semi")
+    a = capped.select(F.col("fp"), F.col("doc_id").alias("doc_id_a"))
+    b = capped.select(F.col("fp"), F.col("doc_id").alias("doc_id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= WIN_MIN_SHARED)
+        .orderBy(F.col("n_shared_fps").desc(), "doc_id_a", "doc_id_b")
+        .limit(WIN_TOP)
+    )

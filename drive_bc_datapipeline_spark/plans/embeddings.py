@@ -1177,3 +1177,166 @@ def centroid_pairwise_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(F.sum(da * da)) * F.sqrt(F.sum(db * db)))
         ).alias("cos_sim"),
     )
+
+
+# --------------------------------------------------------------------------
+# G12 — distributed Lloyd k-means (2 unrolled iterations, k=8) on the
+# integer-quantized grid: vectors and centroids live as (id, pos, q)
+# relations with q = floor(val·1e4 + 0.5), distances are exact BIGINT
+# sums of squared grid differences, and centroid updates are the
+# integer-rounded division floor((2·Σq + n)/(2n)) — every arithmetic
+# step is order-independent, so Spark and the unrolled-CTE oracle are
+# bit-identical (same trick as G7/G10; float k-means would diverge
+# between engines in the first summation).
+#
+# Deterministic init: cluster_j = mean of vectors with vec_id % k = j.
+# Assignment ties break by cluster id via ROW_NUMBER.
+#
+# 100 TB: centroids are k·dim rows — broadcast; each iteration is one
+# broadcast join + one (vec_id, cluster) agg + one (cluster, pos) agg,
+# all map-side-combinable; vectors are never collected. More
+# iterations = more unrolled rounds of the same shape (driver loop,
+# bounded lineage via the same pattern as L7's PageRank).
+# --------------------------------------------------------------------------
+
+KM_K = 8
+KM_GRID = 10000
+
+KMEANS_ORACLE = f"""
+WITH qrel AS MATERIALIZED (
+  SELECT vec_id, CAST(s.pos AS INT) AS pos,
+         CAST(floor(CAST(s.val AS DOUBLE) * {KM_GRID} + 0.5) AS BIGINT) AS q
+  FROM (
+    SELECT vec_id,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  i -> struct_pack(pos := i - 1, val := embedding[i]))) AS s
+    FROM embeddings
+  )
+),
+c0 AS MATERIALIZED (
+  SELECT CAST(vec_id % {KM_K} AS INT) AS cluster, pos,
+         CAST(floor((2.0 * SUM(q) + COUNT(*)) / (2.0 * COUNT(*)))
+              AS BIGINT) AS cq
+  FROM qrel GROUP BY 1, 2
+),
+a1 AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
+             AS rn
+    FROM (
+      SELECT q.vec_id, c.cluster,
+             SUM((q.q - c.cq) * (q.q - c.cq)) AS dist
+      FROM qrel q JOIN c0 c ON c.pos = q.pos
+      GROUP BY 1, 2
+    )
+  ) WHERE rn = 1
+),
+c1 AS MATERIALIZED (
+  SELECT a.cluster, q.pos,
+         CAST(floor((2.0 * SUM(q.q) + COUNT(*)) / (2.0 * COUNT(*)))
+              AS BIGINT) AS cq
+  FROM qrel q JOIN a1 a ON a.vec_id = q.vec_id
+  GROUP BY 1, 2
+),
+a2 AS MATERIALIZED (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT vec_id, cluster, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
+             AS rn
+    FROM (
+      SELECT q.vec_id, c.cluster,
+             SUM((q.q - c.cq) * (q.q - c.cq)) AS dist
+      FROM qrel q JOIN c1 c ON c.pos = q.pos
+      GROUP BY 1, 2
+    )
+  ) WHERE rn = 1
+),
+norms AS (
+  SELECT cluster,
+         sqrt(CAST(SUM(cq * cq) AS DOUBLE)) / {KM_GRID}.0 AS nrm
+  FROM c1 GROUP BY cluster
+)
+SELECT a.cluster AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       {r6_sql("MIN(n.nrm)")} AS centroid_norm,
+       {r6_sql(
+           f"CAST(SUM(a.dist) AS DOUBLE)"
+           f" / ({KM_GRID}.0 * {KM_GRID}.0 * COUNT(*))"
+       )} AS mean_sq_dist
+FROM a2 a JOIN norms n ON n.cluster = a.cluster
+GROUP BY a.cluster
+"""
+
+
+@query("kmeans_embeddings", KMEANS_ORACLE)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    qrel = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.floor(F.col("val").cast("double") * KM_GRID + 0.5)
+        .cast("bigint")
+        .alias("q"),
+    )
+
+    def centroids(assign: DataFrame) -> DataFrame:
+        return (
+            qrel.join(assign, "vec_id")
+            .groupBy("cluster", "pos")
+            .agg(
+                F.floor(
+                    (2.0 * F.sum("q") + F.count(F.lit(1)))
+                    / (2.0 * F.count(F.lit(1)))
+                )
+                .cast("bigint")
+                .alias("cq")
+            )
+        )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        diff = F.col("q") - F.col("cq")
+        d = (
+            qrel.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum(diff * diff).alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster", "dist")
+        )
+
+    init = qrel.select(
+        "vec_id", (F.col("vec_id") % KM_K).cast("int").alias("cluster")
+    ).distinct()
+    c0 = centroids(init)
+    a1 = assign(c0).select("vec_id", "cluster")
+    c1 = centroids(a1)
+    a2 = assign(c1)
+    norms = c1.groupBy("cluster").agg(
+        (
+            F.sqrt(F.sum(F.col("cq") * F.col("cq")).cast("double"))
+            / float(KM_GRID)
+        ).alias("nrm")
+    )
+    return (
+        a2.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist").alias("sum_dist"),
+        )
+        .join(F.broadcast(norms), "cluster")
+        .select(
+            F.col("cluster").alias("cluster_id"),
+            "n_members",
+            r6(F.col("nrm")).alias("centroid_norm"),
+            r6(
+                F.col("sum_dist").cast("double")
+                / (float(KM_GRID) * KM_GRID * F.col("n_members"))
+            ).alias("mean_sq_dist"),
+        )
+    )

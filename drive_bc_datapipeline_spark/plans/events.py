@@ -2949,3 +2949,92 @@ def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.min("m")).alias("median_value"),
         r4(F.min("mad")).alias("mad_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# B42 — last-touch attribution: credit each purchase to the user's
+# most recent prior touch (click/view/signup) within a 7-day lookback
+# — the marketing-analytics join every event warehouse ships. One
+# window pass per user carries the latest touch forward (no self-join,
+# no range explosion), then a tiny grouped readout.
+#
+# 100 TB: identical shape to sessionization (B7) — one shuffle on
+# user_id, linear scan within partition; the ROWS window keeps state
+# O(1) per user. The attribution share is a window over the ≤5-row
+# result, not the fact table.
+# --------------------------------------------------------------------------
+
+ATTRIB_LOOKBACK_S = 7 * 86400
+_TOUCH_TYPES = "('click', 'view', 'signup')"
+
+ATTRIBUTION_ORACLE = f"""
+WITH ordered AS (
+  SELECT event_type, ts, value,
+         LAST_VALUE(CASE WHEN event_type IN {_TOUCH_TYPES} THEN ts END
+                    IGNORE NULLS) OVER w AS touch_ts,
+         LAST_VALUE(CASE WHEN event_type IN {_TOUCH_TYPES} THEN event_type
+                    END IGNORE NULLS) OVER w AS touch_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+attributed AS (
+  SELECT COALESCE(
+           CASE WHEN epoch(ts) - epoch(touch_ts) <= {ATTRIB_LOOKBACK_S}
+                THEN touch_type END, 'none') AS touch_type,
+         value
+  FROM ordered WHERE event_type = 'purchase'
+)
+SELECT touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       {r4_sql("COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE)")}
+         AS purchase_share,
+       {r2_sql("AVG(value)")} AS avg_value
+FROM attributed
+GROUP BY touch_type
+"""
+
+
+@query("last_touch_attribution", ATTRIBUTION_ORACLE)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("click", "view", "signup")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = e.select(
+        "event_type",
+        "ts",
+        "value",
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    in_window = (
+        F.col("ts").cast("long") - F.col("touch_ts").cast("long")
+    ) <= ATTRIB_LOOKBACK_S
+    attributed = ordered.filter(F.col("event_type") == "purchase").select(
+        F.coalesce(
+            F.when(in_window, F.col("touch_type")), F.lit("none")
+        ).alias("touch_type"),
+        "value",
+    )
+    counts = attributed.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.avg("value").alias("avg_raw"),
+    )
+    share_w = Window.partitionBy()
+    return counts.select(
+        "touch_type",
+        "n_purchases",
+        r4(
+            F.col("n_purchases")
+            / F.sum("n_purchases").over(share_w).cast("double")
+        ).alias("purchase_share"),
+        r2(F.col("avg_raw")).alias("avg_value"),
+    )
