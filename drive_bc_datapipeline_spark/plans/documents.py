@@ -2905,3 +2905,483 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_shared_fps").desc(), "doc_id_a", "doc_id_b")
         .limit(WIN_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# F13 — EXACT set-similarity self-join via prefix filtering
+# (AllPairs / PPJoin candidate generation; Bayardo et al. WWW'07,
+# Xiao et al. WWW'08). A genuinely different candidate-generation
+# family from the probabilistic blockers (F2 minhash banding, F4
+# simhash bands, F3's df-capped rare-shingle heuristic): prefix
+# filtering is LOSSLESS — the candidate set provably contains every
+# pair with Jaccard >= the threshold, so the verified output equals
+# the exact all-pairs join the oracle computes.
+#
+# Theorem (prefix filter): order every shingle by a global total
+# order; keep, per doc, the first p = |S| - ceil(t*|S|) + 1 shingles
+# ("prefix"). If J(A,B) >= t then |A∩B| >= ceil(t*max(|A|,|B|)), and
+# the globally-smallest common element must land in BOTH prefixes
+# (if it were outside A's prefix, all common elements would sit in
+# A's last ceil(t*|A|)-1 positions — fewer slots than |A∩B|). So an
+# equi-join on prefix shingles finds every qualifying pair.
+#
+# The global order used is (document-frequency ASC, hash ASC) — the
+# canonical choice: rare shingles first means prefixes are made of
+# LOW-fanout join keys, so candidate generation stays near-linear
+# while common shingles (quadratic fan-out, no signal) are pushed
+# into the suffixes that never join. At 100 TB: one shuffle for df,
+# one groupBy for per-doc sorted arrays (map-side, bounded by doc
+# length), one equi-join on prefix hashes whose per-key fan-out the
+# df-ordering actively minimizes, then candidate-only verification.
+# --------------------------------------------------------------------------
+
+PPJ_N = 4
+PPJ_MIN = 0.3
+
+PREFIX_JACCARD_ORACLE = f"""
+WITH sh AS ({word_ngrams_sql(PPJ_N)}),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b,
+       ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter
+JOIN sz sa ON inter.doc_id_a = sa.doc_id
+JOIN sz sb ON inter.doc_id_b = sb.doc_id
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {PPJ_MIN}
+"""
+
+
+@query("dedup_prefix_jaccard", PREFIX_JACCARD_ORACLE)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard>=t pairs via lossless prefix filtering.
+
+    The oracle is the naive exact all-pairs shingle self-join; the
+    engine produces the SAME pairs from a candidate set that only
+    joins each doc's (df ASC, h ASC)-prefix — correct by the prefix
+    theorem above, scalable because prefixes are rare-shingle-heavy.
+    """
+    d = t(spark, sf_dir, "documents")
+    # Hash shingles to 64-bit longs before any exchange (same
+    # rationale + collision class as dedup_ngram_jaccard). One eager
+    # materialization feeds the df aggregate, the prefix build, and
+    # the verification docsets.
+    sh = (
+        word_ngrams(d, PPJ_N, distinct=True)
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    df_counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # Per-doc shingle array sorted by the global (df, h) order. The
+    # array is bounded by document length — never corpus-sized.
+    sorted_docs = (
+        sh.join(df_counts, "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("ss"))
+    )
+    prefix = (
+        sorted_docs.select(
+            "doc_id",
+            F.expr(
+                f"slice(ss, 1, size(ss) - cast(ceil({PPJ_MIN} * size(ss)) "
+                "as int) + 1)"
+            ).alias("pref"),
+        )
+        .select("doc_id", F.explode("pref").alias("s"))
+        .select("doc_id", F.col("s.h").alias("h"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(docs, (a, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), "
+        "b -> named_struct('doc_id_a', a, 'doc_id_b', b))))"
+    )
+    cand = (
+        prefix.groupBy("h")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_id_a", "p.doc_id_b")
+        .distinct()
+    )
+    return _verify_jaccard(sh, cand, PPJ_MIN, hash_col="h")
+
+
+# --------------------------------------------------------------------------
+# H31 — chunk-level duplication mass (the "line-level dedup" readout
+# of C4 / RefinedWeb, on 16-token chunks since the synthetic corpus
+# has no newlines). Doc-level dedup (F1-F12) misses boilerplate that
+# repeats INSIDE otherwise-unique documents; this measures, per
+# source, how much of the corpus is made of chunks seen elsewhere.
+# --------------------------------------------------------------------------
+
+CHUNKDUP_W = 16
+CHUNKDUP_HEAVY = 0.5
+
+CHUNK_DUP_MASS_ORACLE = f"""
+WITH ch AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, CAST(ceil(len(tokens) / {CHUNKDUP_W}.0) AS BIGINT)),
+             i -> array_to_string(
+                 list_slice(tokens, (i - 1) * {CHUNKDUP_W} + 1, i * {CHUNKDUP_W}),
+                 ' ')
+         )) AS chunk
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+            AS tokens
+        FROM documents)
+),
+cc AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk),
+per_doc AS (
+  SELECT ch.doc_id,
+         COUNT(*) AS n_chunks,
+         SUM(CASE WHEN cc.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM ch JOIN cc USING (chunk)
+  GROUP BY ch.doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.n_chunks) AS BIGINT) AS n_chunks,
+       CAST(SUM(p.n_dup) AS BIGINT) AS n_dup_chunks,
+       ROUND(SUM(p.n_dup) / CAST(SUM(p.n_chunks) AS DOUBLE), 4) AS dup_ratio,
+       CAST(SUM(CASE WHEN p.n_dup / CAST(p.n_chunks AS DOUBLE)
+                          >= {CHUNKDUP_HEAVY} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_heavy_docs
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+@query("chunk_dup_mass_by_source", CHUNK_DUP_MASS_ORACLE)
+def chunk_dup_mass_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-overlapping 16-token chunk hashes -> corpus-wide chunk df ->
+    per-doc duplicated-chunk mass -> per-source rollup.
+
+    Scale shape: chunks are hashed to 64-bit longs map-side, the df
+    aggregate and the chunk->doc back-join both exchange 8-byte keys,
+    and every aggregation has a map-side partial. Nothing is
+    quadratic: a chunk shared by k docs costs k join rows (vs k² for
+    pair expansion) because the readout needs per-doc mass, not pairs.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    chunks = (
+        d.select("doc_id", toks.alias("tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    # greatest(.., 1) guards sequence(1, 0) which Spark
+                    # (unlike DuckDB's generate_series) renders [1, 0];
+                    # the chunk != '' filter drops the phantom empty
+                    # chunk a token-less doc would then produce.
+                    f"transform(sequence(1, greatest(cast(ceil(size(tk) / "
+                    f"{CHUNKDUP_W}.0) as int), 1)), "
+                    f"i -> array_join(slice(tk, (i - 1) * {CHUNKDUP_W} + 1, "
+                    f"{CHUNKDUP_W}), ' '))"
+                )
+            ).alias("chunk"),
+        )
+        .filter(F.col("chunk") != "")
+        .select("doc_id", F.xxhash64("chunk").alias("ch"))
+        .localCheckpoint(eager=True)  # feeds chunk-df AND per-doc join
+    )
+    cdf = chunks.groupBy("ch").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        chunks.join(cdf, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+            F.sum("n_dup").cast("bigint").alias("n_dup_chunks"),
+            F.round(
+                F.sum("n_dup") / F.sum("n_chunks").cast("double"), 4
+            ).alias("dup_ratio"),
+            F.sum(
+                F.when(
+                    F.col("n_dup") / F.col("n_chunks").cast("double")
+                    >= CHUNKDUP_HEAVY,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_heavy_docs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# H32 — asymmetric containment decontamination scores. F8 flags eval
+# docs sharing ANY train 8-gram; real decontamination pipelines rank
+# by CONTAINMENT |sh(eval) ∩ sh(train)| / |sh(eval)| (asymmetric
+# Jaccard — robust to train docs being much longer than the eval
+# item) and drop above a threshold. Emits the offending (eval, train)
+# pair with its score, i.e. the audit trail reviewers ask for.
+# --------------------------------------------------------------------------
+
+CONT_N = 8
+CONT_MIN = 0.3
+
+CONTAINMENT_ORACLE = f"""
+WITH sh AS ({word_ngrams_sql(CONT_N)}),
+b AS (SELECT doc_id, {_SPLIT_BUCKET_SQL} AS bucket FROM documents),
+tr AS (SELECT sh.doc_id, shingle FROM sh JOIN b USING (doc_id)
+       WHERE bucket < {TRAIN_PCT}),
+ev AS (SELECT sh.doc_id, shingle FROM sh JOIN b USING (doc_id)
+       WHERE bucket >= {TRAIN_PCT}),
+esz AS (SELECT doc_id, COUNT(*) AS n FROM ev GROUP BY doc_id),
+pairs AS (
+  SELECT ev.doc_id AS eval_doc_id, tr.doc_id AS train_doc_id,
+         COUNT(*) AS c
+  FROM ev JOIN tr ON ev.shingle = tr.shingle
+  GROUP BY 1, 2
+)
+SELECT eval_doc_id, train_doc_id,
+       ROUND(CAST(c AS DOUBLE) / esz.n, 4) AS containment
+FROM pairs JOIN esz ON pairs.eval_doc_id = esz.doc_id
+WHERE CAST(c AS DOUBLE) / esz.n >= {CONT_MIN}
+"""
+
+
+@query("eval_containment_scores", CONTAINMENT_ORACLE)
+def eval_containment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train⋈eval shingle equi-join -> per-pair overlap -> divide by
+    the eval doc's shingle count.
+
+    Scale shape: shingles hash to longs before the one equi-join; the
+    join's per-key fan-out is (train docs with shingle) x (eval docs
+    with shingle) — 8-gram keys are near-unique in natural text, so
+    the output is intersection-sized, not cross-product-sized. The
+    eval-size frame is |eval docs| rows (broadcastable). At 100 TB
+    you'd additionally df-cap pathological boilerplate 8-grams; the
+    synthetic corpus has none, and the cap would only REMOVE
+    non-discriminative keys from the join, as F3 documents.
+    """
+    d = t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        _SPLIT_BUCKET_SQL.replace(
+            "CAST(doc_id AS VARCHAR)", "CAST(doc_id AS STRING)"
+        )
+    )
+    docs = d.select("doc_id", bucket.alias("bucket"))
+    sh = (
+        word_ngrams(d, CONT_N, distinct=True)
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .join(docs, "doc_id")
+        .localCheckpoint(eager=True)  # feeds train slice, eval slice, sizes
+    )
+    tr = sh.filter(F.col("bucket") < TRAIN_PCT).select(
+        F.col("doc_id").alias("train_doc_id"), "h"
+    )
+    ev = sh.filter(F.col("bucket") >= TRAIN_PCT).select(
+        F.col("doc_id").alias("eval_doc_id"), "h"
+    )
+    esz = ev.groupBy("eval_doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        ev.join(tr, "h")
+        .groupBy("eval_doc_id", "train_doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cont = F.col("c").cast("double") / F.col("n")
+    return (
+        pairs.join(F.broadcast(esz), "eval_doc_id")
+        .filter(cont >= CONT_MIN)
+        .select(
+            "eval_doc_id",
+            "train_doc_id",
+            F.round(cont, 4).alias("containment"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# F14 — incremental batch dedup: classify a NEW batch of documents
+# against an EXISTING corpus without ever comparing corpus×corpus —
+# the shape a production pipeline runs daily (the index side is
+# precomputed once; each day's batch joins against it). Tiers:
+# exact (content hash match), near (shares >= CONT_MIN of its
+# 8-grams with some corpus doc), unique.
+# --------------------------------------------------------------------------
+
+INCR_NEAR_MIN = 0.3
+
+INCREMENTAL_DEDUP_ORACLE = f"""
+WITH b AS (SELECT doc_id, {_SPLIT_BUCKET_SQL} AS bucket FROM documents),
+corpus AS (SELECT d.* FROM documents d JOIN b USING (doc_id)
+           WHERE bucket < {TRAIN_PCT}),
+batch AS (SELECT d.* FROM documents d JOIN b USING (doc_id)
+          WHERE bucket >= {TRAIN_PCT}),
+sh AS ({word_ngrams_sql(CONT_N)}),
+bsz AS (SELECT sh.doc_id, COUNT(*) AS n FROM sh
+        JOIN batch USING (doc_id) GROUP BY sh.doc_id),
+overlap AS (
+  SELECT e.doc_id, MAX(cnt) AS best
+  FROM (
+    SELECT ev.doc_id, tr.doc_id AS tdoc, COUNT(*) AS cnt
+    FROM (SELECT sh.doc_id, shingle FROM sh JOIN batch USING (doc_id)) ev
+    JOIN (SELECT sh.doc_id, shingle FROM sh JOIN corpus USING (doc_id)) tr
+      ON ev.shingle = tr.shingle
+    GROUP BY 1, 2
+  ) e
+  GROUP BY e.doc_id
+)
+SELECT batch.doc_id,
+       CASE
+         WHEN md5(batch.text) IN (SELECT md5(text) FROM corpus)
+           THEN 'exact'
+         WHEN COALESCE(CAST(overlap.best AS DOUBLE) / bsz.n, 0)
+                  >= {INCR_NEAR_MIN}
+           THEN 'near'
+         ELSE 'unique'
+       END AS status
+FROM batch
+LEFT JOIN overlap USING (doc_id)
+LEFT JOIN bsz USING (doc_id)
+"""
+
+
+@query("incremental_dedup_status", INCREMENTAL_DEDUP_ORACLE)
+def incremental_dedup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus dedup: NOTHING here scales with corpus², only
+    with |batch| x (matching corpus rows).
+
+    - exact tier: left-semi join of batch content hashes against the
+      (in production: precomputed + bucketed) corpus hash index;
+    - near tier: batch shingles equi-join corpus shingles, max
+      per-batch-doc overlap, containment vs the batch doc's own
+      shingle count.
+    """
+    d = t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        _SPLIT_BUCKET_SQL.replace(
+            "CAST(doc_id AS VARCHAR)", "CAST(doc_id AS STRING)"
+        )
+    )
+    docs = d.withColumn("bucket", bucket)
+    corpus = docs.filter(F.col("bucket") < TRAIN_PCT)
+    batch = docs.filter(F.col("bucket") >= TRAIN_PCT)
+
+    exact = (
+        batch.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("hsh")
+        )
+        .join(
+            corpus.select(
+                F.md5(F.col("text").cast("binary")).alias("hsh")
+            ).distinct(),
+            "hsh",
+            "left_semi",
+        )
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(1))
+    )
+
+    sh = word_ngrams(docs, CONT_N, distinct=True).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    bsh = sh.join(
+        batch.select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint(eager=True)  # feeds sizes + the overlap join
+    csh = sh.join(corpus.select("doc_id"), "doc_id", "left_semi").select(
+        F.col("doc_id").alias("cdoc"), "h"
+    )
+    bsz = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    best = (
+        bsh.join(csh, "h")
+        .groupBy("doc_id", "cdoc")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("best"))
+    )
+    status = (
+        F.when(F.col("is_exact") == 1, F.lit("exact"))
+        .when(
+            F.coalesce(
+                F.col("best").cast("double") / F.col("n"), F.lit(0.0)
+            )
+            >= INCR_NEAR_MIN,
+            F.lit("near"),
+        )
+        .otherwise(F.lit("unique"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(F.broadcast(exact), "doc_id", "left")
+        .join(best, "doc_id", "left")
+        .join(bsz, "doc_id", "left")
+        .select("doc_id", status.alias("status"))
+    )
+
+
+# --------------------------------------------------------------------------
+# H33 — sequence-packing waste: how many padding tokens a fixed-length
+# training batch layout burns, per source, for two layouts: pad each
+# doc to the next multiple of MAX_LEN ("per-doc") vs concatenate the
+# source's docs then chunk ("packed", the GPT-style layout whose only
+# waste is the final partial chunk). The delta is the token budget
+# recovered by sequence packing — a number LLM teams actually watch.
+# --------------------------------------------------------------------------
+
+PACK_LEN = 64
+
+PACKING_WASTE_ORACLE = f"""
+WITH tl AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(ceil(n / {PACK_LEN}.0) AS BIGINT)) AS BIGINT)
+           AS padded_chunks,
+       CAST(SUM(CAST(ceil(n / {PACK_LEN}.0) AS BIGINT)) * {PACK_LEN}
+            - SUM(n) AS BIGINT) AS padded_waste,
+       CAST(CAST(ceil(SUM(n) / {PACK_LEN}.0) AS BIGINT) AS BIGINT)
+           AS packed_chunks,
+       ROUND((SUM(CAST(ceil(n / {PACK_LEN}.0) AS BIGINT)) * {PACK_LEN}
+              - SUM(n)) / CAST(SUM(CAST(ceil(n / {PACK_LEN}.0) AS BIGINT))
+              * {PACK_LEN} AS DOUBLE), 4) AS waste_ratio
+FROM tl
+GROUP BY source
+"""
+
+
+@query("sequence_packing_waste", PACKING_WASTE_ORACLE)
+def sequence_packing_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One narrow scan -> per-source integer aggregates; every number
+    is exact integer arithmetic, the single shuffle carries |sources|
+    groups with map-side partials."""
+    d = t(spark, sf_dir, "documents")
+    n = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    chunks = F.ceil(n / F.lit(float(PACK_LEN))).cast("bigint")
+    return (
+        d.select("source", n.alias("n"), chunks.alias("ch"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.sum("ch").cast("bigint").alias("padded_chunks"),
+            (F.sum("ch") * PACK_LEN - F.sum("n"))
+            .cast("bigint")
+            .alias("padded_waste"),
+            F.ceil(F.sum("n") / F.lit(float(PACK_LEN)))
+            .cast("bigint")
+            .alias("packed_chunks"),
+            F.round(
+                (F.sum("ch") * PACK_LEN - F.sum("n"))
+                / (F.sum("ch") * PACK_LEN).cast("double"),
+                4,
+            ).alias("waste_ratio"),
+        )
+    )

@@ -1340,3 +1340,99 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_sq_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# G13 — metadata-filtered ANN (the RAG deployment shape: "top-k among
+# vectors WHERE <predicate>"). The engine PRE-filters: the label
+# predicate prunes the corpus before any distance math, so cost
+# scales with the filtered slice, not the corpus — versus post-
+# filtering a top-k, which silently returns < k rows whenever fewer
+# than k of the global top survive the predicate. Same partial-top-k
+# shuffle bound as G1 (O(partitions · k · queries) rows exchanged).
+# --------------------------------------------------------------------------
+
+FILT_LABELS = (1, 4, 7)
+
+ANN_FILTERED_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding, {_norm_sql("embedding")} AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, v.label AS label,
+         ({_dot_terms_sql("q.embedding", "v.embedding")}) / (q.nrm * v.nrm) AS cos
+  FROM e q JOIN e v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES} AND v.label IN {FILT_LABELS!r}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+  ) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(label AS INT) AS label,
+       CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cosine
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@query("ann_filtered_topk", ANN_FILTERED_ORACLE)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1's broadcast-queries + map-side partial-top-k plan with the
+    metadata predicate applied AT THE SCAN (shows up as a parquet
+    PushedFilter on ``label``) — the filter prunes before the join,
+    the distance evaluation, and the shuffle."""
+    import pandas as pd  # noqa: F401 — mapInPandas worker dependency
+
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm_spark("embedding")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    v = e.filter(F.col("label").isin(*FILT_LABELS)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label"),
+        F.col("embedding").alias("v_emb"),
+        F.col("nrm").alias("v_nrm"),
+    )
+    cos = _dot_terms_spark("q_emb", "v_emb") / (
+        F.col("q_nrm") * F.col("v_nrm")
+    )
+    scored = v.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id", "label", cos.alias("cos"))
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(
+                        ["query_id", "cos", "neighbor_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(TOP_K)
+                )
+
+    pruned = scored.mapInPandas(
+        partial_topk,
+        "query_id long, neighbor_id long, label int, cos double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        pruned.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("label").cast("int").alias("label"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )

@@ -1428,3 +1428,103 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus", "change_type")
         .agg(F.count(F.lit(1)).alias("n_keys"))
     )
+
+
+# --------------------------------------------------------------------------
+# L11 — join-cardinality estimator dry-run. Before launching a big
+# fact⋈fact join, a planner (or an engineer) wants its output size:
+# exact = Σ_k cnt_A(k)·cnt_B(k) from the two per-key count frames
+# (each a map-side-combined aggregate, joined key-on-key — the cost
+# is two shuffles of COUNT rows, never the join itself), versus the
+# textbook independence estimate |A|·|B| / max(ndv_A, ndv_B). The
+# ratio between them is exactly the correlation the estimator
+# misses; the top-key share says whether AQE skew handling or L1
+# salting is needed. Companion to L8 (single-side skew profile).
+# --------------------------------------------------------------------------
+
+JOIN_CARD_ORACLE = f"""
+WITH la AS (SELECT l_orderkey AS k, COUNT(*) AS ca FROM lineitem GROUP BY 1),
+ob AS (SELECT o_orderkey AS k, COUNT(*) AS cb FROM orders GROUP BY 1),
+joined AS (
+  SELECT la.k, la.ca * ob.cb AS prod
+  FROM la JOIN ob ON la.k = ob.k
+),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM lineitem) AS n_a,
+         (SELECT COUNT(*) FROM orders) AS n_b,
+         (SELECT COUNT(*) FROM la) AS ndv_a,
+         (SELECT COUNT(*) FROM ob) AS ndv_b,
+         CAST(COALESCE(SUM(prod), 0) AS BIGINT) AS exact_rows,
+         CAST(COALESCE(MAX(prod), 0) AS BIGINT) AS max_key_rows
+  FROM joined
+)
+SELECT CAST(n_a AS BIGINT) AS n_left,
+       CAST(n_b AS BIGINT) AS n_right,
+       CAST(ndv_a AS BIGINT) AS ndv_left,
+       CAST(ndv_b AS BIGINT) AS ndv_right,
+       exact_rows,
+       CAST(floor(CAST(n_a AS BIGINT) * n_b
+            / greatest(ndv_a, ndv_b)) AS BIGINT) AS est_rows,
+       {r6_sql("exact_rows / (CAST(n_a AS DOUBLE) * n_b"
+               " / greatest(ndv_a, ndv_b))")} AS est_error_factor,
+       max_key_rows,
+       {r6_sql("max_key_rows / CAST(exact_rows AS DOUBLE)")}
+           AS top1_share
+FROM tot
+"""
+
+
+@query("join_cardinality_estimate", JOIN_CARD_ORACLE)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two per-key COUNT aggregates + one count-frame join — the join
+    output size WITHOUT running the join. Every aggregate has a
+    map-side partial; the joined frame is ndv-sized, not output-sized."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    la = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    ob = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    joined = la.join(ob, "k").select(
+        "k", (F.col("ca") * F.col("cb")).alias("prod")
+    )
+    stats = joined.agg(
+        F.coalesce(F.sum("prod"), F.lit(0)).cast("bigint").alias("exact_rows"),
+        F.coalesce(F.max("prod"), F.lit(0)).cast("bigint").alias("max_key_rows"),
+    )
+    sides = (
+        li.agg(F.count(F.lit(1)).alias("n_left"))
+        .crossJoin(o.agg(F.count(F.lit(1)).alias("n_right")))
+        .crossJoin(la.agg(F.count(F.lit(1)).alias("ndv_left")))
+        .crossJoin(ob.agg(F.count(F.lit(1)).alias("ndv_right")))
+    )
+    est = F.floor(
+        F.col("n_left").cast("bigint")
+        * F.col("n_right")
+        / F.greatest("ndv_left", "ndv_right")
+    ).cast("bigint")
+    return (
+        stats.crossJoin(sides)  # four 1-row frames — scalar composition
+        .select(
+            F.col("n_left").cast("bigint").alias("n_left"),
+            F.col("n_right").cast("bigint").alias("n_right"),
+            F.col("ndv_left").cast("bigint").alias("ndv_left"),
+            F.col("ndv_right").cast("bigint").alias("ndv_right"),
+            "exact_rows",
+            est.alias("est_rows"),
+            r6(
+                F.col("exact_rows")
+                / (
+                    F.col("n_left").cast("double")
+                    * F.col("n_right")
+                    / F.greatest("ndv_left", "ndv_right")
+                )
+            ).alias("est_error_factor"),
+            "max_key_rows",
+            r6(
+                F.col("max_key_rows") / F.col("exact_rows").cast("double")
+            ).alias("top1_share"),
+        )
+    )

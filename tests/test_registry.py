@@ -36,7 +36,7 @@ def test_rotation_covers_every_query_within_bound(monkeypatch):
     stride = registry.GATE_WINDOW - len(pinned)
     rounds_needed = -(-rest // stride)  # ceil
     # Steady-state budget is 4 rounds; round 6 temporarily pins its
-    # 31-key debut batch plus the r5-fix re-verifications (43 pins), so
+    # debut batch plus the r5-fix re-verifications (42 pins), so
     # the bound is relaxed for this round ONLY — the pin config is
     # one-round-transient (r7 unpins everything that goes green and
     # tightens this back to 4), so the hypothetical 17-round coverage
