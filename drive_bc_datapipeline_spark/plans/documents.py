@@ -1508,11 +1508,15 @@ def top_bigrams_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counted = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    # Global top-20 via orderBy+limit = TakeOrderedAndProject (per-
+    # partition partial top-k, then a 20-row merge on the driver side
+    # of the exchange) — NOT a single-partition window over the whole
+    # bigram vocabulary, which at corpus scale is billions of rows in
+    # one task. The row_number window then ranks only the 20 survivors.
+    top = counted.orderBy(F.desc("n"), F.asc("bigram")).limit(20)
     w = Window.orderBy(F.desc("n"), F.asc("bigram"))
-    return (
-        counted.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= 20)
-        .select("rnk", "bigram", "n")
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
+        "rnk", "bigram", "n"
     )
 
 
@@ -2483,10 +2487,52 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), "tok")
-    ranked = freq.select(
-        F.log2(F.row_number().over(w).cast("double")).alias("x"),
-        F.log2(F.col("n").cast("double")).alias("y"),
+    # Distributed global rank WITHOUT a single-partition window over
+    # the vocabulary (100M+ rows in one task at corpus scale). The
+    # regression consumes only SUMS of log2(rank), and ranks within an
+    # equal-frequency tie block are a fixed contiguous range whatever
+    # the within-block order — so any distinct assignment inside the
+    # block yields the same x multiset and the same sums (fp addition
+    # order already absorbed by the r4 epsilon, as in every grouped
+    # double sum here). Construction: rank = base(n) + soff(n, salt) +
+    # row_number within (n, salt). base comes from an exclusive prefix
+    # over the frequency-of-frequencies frame (|distinct n| rows —
+    # O(sqrt(corpus tokens)) by sum bound, so its driver-side window
+    # is provably tiny); soff from a per-n prefix over S salt cells;
+    # the only heavy window is partitioned by (n, salt), which splits
+    # the giant hapax tie block S ways instead of one task.
+    S = 32
+    salted = freq.withColumn(
+        "salt", F.pmod(F.xxhash64("tok"), F.lit(S)).cast("int")
+    )
+    blk = salted.groupBy("n", "salt").agg(F.count(F.lit(1)).alias("cnt"))
+    nn = blk.groupBy("n").agg(F.sum("cnt").alias("ncnt"))
+    wn = Window.orderBy(F.desc("n")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    base = nn.withColumn(
+        "base", F.coalesce(F.sum("ncnt").over(wn), F.lit(0))
+    ).select("n", "base")
+    ws = Window.partitionBy("n").orderBy("salt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    soff = blk.withColumn(
+        "soff", F.coalesce(F.sum("cnt").over(ws), F.lit(0))
+    ).select("n", "salt", "soff")
+    wt = Window.partitionBy("n", "salt").orderBy("tok")
+    ranked = (
+        salted.join(F.broadcast(base), "n")
+        .join(F.broadcast(soff), ["n", "salt"])
+        .select(
+            F.log2(
+                (
+                    F.col("base")
+                    + F.col("soff")
+                    + F.row_number().over(wt)
+                ).cast("double")
+            ).alias("x"),
+            F.log2(F.col("n").cast("double")).alias("y"),
+        )
     )
     m = ranked.agg(
         F.count(F.lit(1)).cast("double").alias("k"),

@@ -1436,3 +1436,233 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# G14 — MMR (maximal marginal relevance) diversified top-k: the RAG
+# reranking step that trades pure relevance for coverage. Greedy:
+# pick argmax of lambda*rel(d) - (1-lambda)*max_{s in S} sim(d, s),
+# K times, over a per-query candidate pool of the C most relevant
+# vectors. Greedy selection is inherently sequential, but the
+# sequence is per-query and pool-bounded (C rows), so it runs inside
+# ONE `applyInPandas` group per query — queries parallelize across
+# the cluster, and no iteration ever touches the corpus again. The
+# oracle replays the K selection rounds as unrolled CTEs.
+# --------------------------------------------------------------------------
+
+MMR_Q = 3  # queries = vec_id < 3
+MMR_C = 8  # candidate pool per query (top-C by relevance)
+MMR_K = 4  # diversified selections per query
+MMR_LAMBDA = 0.7
+
+
+def _mmr_rounds_sql() -> str:
+    parts = []
+    for r in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, neighbor_id FROM sel{i}" for i in range(1, r)
+        )
+        score = (
+            f"{MMR_LAMBDA!r} * c.rel - {1 - MMR_LAMBDA!r} * p.mx"
+        )
+        parts.append(f"""
+selected{r} AS ({prev}),
+pen{r} AS (
+  SELECT c.query_id, c.neighbor_id, MAX(m.sim) AS mx
+  FROM cand c
+  JOIN sim m ON m.query_id = c.query_id AND m.id_a = c.neighbor_id
+  JOIN selected{r} s ON s.query_id = m.query_id AND s.neighbor_id = m.id_b
+  GROUP BY 1, 2
+),
+sel{r} AS (
+  SELECT query_id, neighbor_id, score FROM (
+    SELECT c.query_id, c.neighbor_id,
+           {score} AS score,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.query_id
+             ORDER BY {score} DESC, c.neighbor_id
+           ) AS rn
+    FROM cand c
+    JOIN pen{r} p ON p.query_id = c.query_id
+                 AND p.neighbor_id = c.neighbor_id
+    WHERE NOT EXISTS (SELECT 1 FROM selected{r} s
+                      WHERE s.query_id = c.query_id
+                        AND s.neighbor_id = c.neighbor_id)
+  ) WHERE rn = 1
+)""")
+    return ",".join(parts)
+
+
+MMR_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_norm_sql("embedding")} AS nrm FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         ({_dot_terms_sql("q.embedding", "v.embedding")}) / (q.nrm * v.nrm)
+             AS rel
+  FROM e q JOIN e v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < {MMR_Q}
+),
+cand AS (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+    FROM scored
+  ) WHERE rn <= {MMR_C}
+),
+sim AS (
+  SELECT c1.query_id, c1.neighbor_id AS id_a, c2.neighbor_id AS id_b,
+         ({_dot_terms_sql("e1.embedding", "e2.embedding")})
+             / (e1.nrm * e2.nrm) AS sim
+  FROM cand c1
+  JOIN cand c2 ON c1.query_id = c2.query_id
+              AND c1.neighbor_id <> c2.neighbor_id
+  JOIN e e1 ON e1.vec_id = c1.neighbor_id
+  JOIN e e2 ON e2.vec_id = c2.neighbor_id
+),
+sel1 AS (
+  SELECT query_id, neighbor_id, {MMR_LAMBDA!r} * rel AS score FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+{_mmr_rounds_sql()}
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS mmr_rank,
+       {r6_sql("score")} AS score
+FROM (
+  {" UNION ALL ".join(
+      f"SELECT query_id, neighbor_id, {i} AS rnk, score FROM sel{i}"
+      for i in range(1, MMR_K + 1)
+  )}
+)
+"""
+
+
+@query("mmr_diversified_topk", MMR_ORACLE)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relevance scoring + pool restriction are distributed (broadcast
+    query set, G1-style partial top-k); the C²-bounded per-query edge
+    list then feeds ONE `applyInPandas` group per query that replays
+    the greedy rounds in plain floats — bit-identical to the oracle
+    because rel/sim are computed JVM-side with the same left-assoc
+    dot products, and lambda arithmetic is the same two IEEE ops."""
+    import pandas as pd
+
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm_spark("embedding")
+    )
+    q = e.filter(F.col("vec_id") < MMR_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    v = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("v_emb"),
+        F.col("nrm").alias("v_nrm"),
+    )
+    rel = _dot_terms_spark("q_emb", "v_emb") / (
+        F.col("q_nrm") * F.col("v_nrm")
+    )
+    scored = v.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id", rel.alias("rel"))
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(
+                        ["query_id", "rel", "neighbor_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(MMR_C)
+                )
+
+    pruned = scored.mapInPandas(
+        partial_topk, "query_id long, neighbor_id long, rel double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("neighbor_id")
+    )
+    cand = (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_C)
+        .drop("rn")
+    )
+    # Re-attach embeddings to the C·|queries|-row pool, then build the
+    # per-query pairwise-sim edge list JVM-side (C² rows per query).
+    emb = e.select("vec_id", "embedding", "nrm")
+    c1 = cand.join(
+        emb, cand.neighbor_id == emb.vec_id
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("id_a"),
+        "rel",
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    c2 = cand.join(
+        emb, cand.neighbor_id == emb.vec_id
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    sim = _dot_terms_spark("emb_a", "emb_b") / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    edges = (
+        c1.join(c2, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("query_id", "id_a", "rel", "id_b", sim.alias("sim"))
+    )
+
+    lam, mu = MMR_LAMBDA, 1 - MMR_LAMBDA
+
+    def greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        qid = int(pdf["query_id"].iloc[0])
+        rels = (
+            pdf[["id_a", "rel"]]
+            .drop_duplicates("id_a")
+            .set_index("id_a")["rel"]
+            .to_dict()
+        )
+        sims = {
+            (int(a), int(b)): s
+            for a, b, s in zip(pdf["id_a"], pdf["id_b"], pdf["sim"])
+        }
+        selected: list[int] = []
+        out = []
+        for step in range(1, MMR_K + 1):
+            best_id, best_score = None, None
+            for cid in sorted(rels):  # ascending id = oracle tiebreak
+                if cid in selected:
+                    continue
+                mx = (
+                    max(sims[(cid, s)] for s in selected)
+                    if selected
+                    else 0.0
+                )
+                score = lam * rels[cid] - mu * mx
+                if best_score is None or score > best_score:
+                    best_id, best_score = cid, score
+            selected.append(best_id)
+            out.append((qid, best_id, step, best_score))
+        return pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "mmr_rank", "score"]
+        )
+
+    picked = edges.groupBy("query_id").applyInPandas(
+        greedy, "query_id long, neighbor_id long, mmr_rank int, score double"
+    )
+    return picked.select(
+        "query_id",
+        "neighbor_id",
+        F.col("mmr_rank").cast("int").alias("mmr_rank"),
+        r6(F.col("score")).alias("score"),
+    )

@@ -59,7 +59,8 @@ GATE_PIN: list[str] = [
     # deferred debuts are simple single-table analytics shapes
     # (gap-fill, interpolation, chi², unpivot, MI, autocorr, TWAP,
     # rolling median, winsorize, MAD, snapshot diff, checksum,
-    # co-occurrence, packing waste) that the local pytest parity gate
+    # co-occurrence, packing waste, source mixture weights) that the
+    # local pytest parity gate
     # already covers and rotation re-verifies by r7. The staleness
     # bound in tests/test_registry.py is relaxed for this transient
     # config; r7 unpins everything that goes green.
@@ -71,7 +72,7 @@ GATE_PIN: list[str] = [
     "zorder_skipping_stats",
     "stream_join_clicks_before_purchase",
     "token_entropy_by_source",
-    "source_mixture_weights",
+    "mmr_diversified_topk",
     "dedup_clusters_lsss",
     "cms_heavy_hitters",
     "dedup_normalized_text",

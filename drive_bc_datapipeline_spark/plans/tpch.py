@@ -756,10 +756,17 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
-    w = Window.orderBy(F.desc("total_revenue"))
+    # Q15's "rank()=1 keeps ties" is max-equality: a scalar MAX + a
+    # broadcast equality join, fully distributed — not a rank window
+    # over the per-supplier frame, which Spark plans as ONE task
+    # holding every supplier. revenue is pinned (localCheckpoint) so
+    # the MAX job and the filter job read the SAME double sums —
+    # re-executing the lineage could merge shuffle partials in a
+    # different order and perturb the last ulp, breaking equality.
+    revenue = revenue.localCheckpoint(eager=True)
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
-        revenue.withColumn("rnk", F.rank().over(w))
-        .filter(F.col("rnk") == 1)
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
