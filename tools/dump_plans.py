@@ -45,6 +45,14 @@ PICKS = {
     "ridge_value_model": "Closed-form ridge: single map-side-combined moment pass (9 sums), Cramer solve as column arithmetic on the 1-row frame (no driver round-trip), broadcast betas scored in a second scan for RMSE.",
     "snapshot_diff_orders": "CDC diff: both snapshots derive from one scan lineage, full-outer join shuffles each side once on the key, classifier is map-side CASE, rollup reduces before the final tiny exchange.",
     "table_checksum_by_source": "Order-insensitive audit: md5 row slice computed in the scan projection (codegen), one map-side-combined groupBy — the shuffle carries |sources| partial sums.",
+    "dedup_prefix_jaccard": "Lossless AllPairs/PPJoin: df-count shuffle -> per-doc (df ASC, h ASC)-sorted arrays (map-side, doc-length bounded) -> prefix explode equi-join on rare-heavy hashes -> candidate-only verification; recall-1 vs the naive all-pairs oracle by the prefix theorem.",
+    "incremental_dedup_status": "Batch-vs-corpus only: exact tier = left-semi hash join of batch content hashes; near tier = batch-shingle x corpus-shingle equi-join -> max-overlap agg; nothing corpus x corpus.",
+    "eval_containment_scores": "One shingle equi-join (train x eval), per-pair count agg, broadcast eval-size divide; 8-gram keys keep join fan-out intersection-sized.",
+    "chunk_dup_mass_by_source": "Chunk hashes computed map-side -> chunk-df agg -> per-doc back-join (k rows per shared chunk, never k^2 pairs) -> per-source rollup.",
+    "ann_filtered_topk": "Label predicate reaches the parquet scan (PushedFilters) BEFORE the broadcast join and distance math; G1's map-side partial top-k bounds the shuffle.",
+    "mmr_diversified_topk": "Distributed top-C pool (broadcast queries + mapInPandas partial top-k), C^2-bounded per-query sim edges, greedy rounds inside ONE applyInPandas group per query — iteration never touches the corpus again.",
+    "join_cardinality_estimate": "Two map-side-combined per-key COUNT aggs + an ndv-sized count-frame join; the estimated join is never executed — output size arrives from |keys|-row frames.",
+    "zipf_slope": "Salted two-level rank: heavy window partitioned by (n, salt) splits the hapax tie block; base/offset frames are freq-of-freq sized (O(sqrt tokens)) and broadcast.",
 }
 
 HEADER = """# PLANS — physical-plan audit (generated from live `explain`)
