@@ -66,7 +66,10 @@ def connected_components(
                     "changed"
                 ),
             )
-        ).localCheckpoint()  # truncate lineage every round
+        ).localCheckpoint(eager=False)  # truncate lineage every round;
+        # non-eager: the convergence count below is the round's first
+        # action, so it materializes the checkpoint blocks itself —
+        # one job per round instead of checkpoint-job + count-job.
         n_changed = new_labels.filter("changed").count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
@@ -150,7 +153,10 @@ def connected_components_lsss(
         )
 
     for _ in range(max_iter):
-        new_e = small_star(large_star(e)).localCheckpoint()
+        # non-eager checkpoint: the fixpoint count below is the
+        # round's first action and materializes the blocks — one job
+        # per round instead of two.
+        new_e = small_star(large_star(e)).localCheckpoint(eager=False)
         # fixpoint test: same canonical edge multiset (both are
         # distinct sets, so count + left-anti emptiness suffices)
         changed = (

@@ -208,3 +208,67 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_ann_filtered_pushes_label_predicate(spark):
+    """G13's metadata filter must reach the parquet scan — pre-filter
+    ANN is the whole point (prune before distance math)."""
+    plan = plan_of(spark, "ann_filtered_topk")
+    pushed = re.findall(r"PushedFilters: \[([^\n]*)", plan)
+    assert any("label" in p for p in pushed), plan[:3000]
+
+
+def test_prefix_jaccard_no_global_window(spark):
+    """F13's candidate generation must never plan a single-partition
+    window or a cartesian — prefix explode + equi-join only."""
+    plan = plan_of(spark, "dedup_prefix_jaccard")
+    assert "CartesianProduct" not in plan
+    # every Window node must carry a partition spec
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert m.group(1).strip(), "unpartitioned window in plan"
+
+
+def test_join_cardinality_never_joins_facts(spark):
+    """L11 sizes the join from per-key COUNT frames; the fact⋈fact
+    join itself must not appear (no join carries lineitem row payload
+    columns — only count frames and 1-row scalar frames join)."""
+    df = QUERIES["join_cardinality_estimate"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the only SortMergeJoin allowed is the ndv-sized count-frame join
+    assert plan.count("SortMergeJoin") <= 1, plan[:3000]
+
+
+def test_top_bigrams_uses_take_ordered(spark):
+    """H12's global top-20 must be TakeOrdered / WindowGroupLimit-
+    style partial top-k, not a full sort or an unpartitioned window
+    over the whole bigram vocabulary."""
+    df = QUERIES["top_bigrams_corpus"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_zipf_heavy_window_is_partitioned(spark):
+    """H26's rank construction: the vocabulary-sized window must be
+    partitioned by (n, salt); only freq-of-freq-sized frames may use
+    an unpartitioned running sum."""
+    df = QUERIES["zipf_slope"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the row_number over the token stream appears with a two-column
+    # partition spec (n, salt)
+    assert re.search(r"row_number\(\).*partitionBy|\[n[^\]]*salt[^\]]*\]", plan) or (
+        "salt" in plan
+    ), plan[:3000]
+
+
+def test_mmr_pool_is_bounded_before_pandas(spark):
+    """G14: the applyInPandas stage must sit above the C-bounded pool,
+    i.e. the plan contains the partial-top-k mapInPandas AND the
+    FlatMapGroupsInPandas, with the corpus scan feeding only the
+    former."""
+    df = QUERIES["mmr_diversified_topk"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
+    assert "MapInPandas" in plan, plan[:2000]
