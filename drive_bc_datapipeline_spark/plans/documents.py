@@ -3431,3 +3431,225 @@ def sequence_packing_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# H35 — the END-TO-END LLM data-prep funnel: quality gate -> language
+# filter -> train split -> exact dedup -> near-dup drop -> eval
+# decontamination, with per-stage survival counts. Each stage reuses
+# the exact semantics of its standalone operator (H1 gates, H5 split
+# buckets, F1 canonical hashing, F2 minhash-LSH verified pairs, F8
+# 8-gram contamination), so this query IS the pipeline a training-
+# data team runs, compressed to its stage-count readout. Near-dup
+# drop rule: a doc is dropped if any VERIFIED near-dup pair partner
+# with a smaller id survived exact dedup — the deterministic
+# "keep first occurrence" rule (pairwise, not transitive closure;
+# F6/F10 are the full-closure canonicalizers).
+# --------------------------------------------------------------------------
+
+FUNNEL_STAGES = (
+    "all",
+    "quality",
+    "lang_en",
+    "train_split",
+    "exact_dedup",
+    "near_dedup",
+    "decontaminated",
+)
+
+LLM_FUNNEL_ORACLE = f"""
+WITH flags AS (
+  SELECT doc_id, text, lang, {_SPLIT_BUCKET_SQL} AS bucket,
+         CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   >= 10
+               AND CAST(len(list_filter(string_split(text, ' '),
+                   x -> x IN {STOPWORDS!r})) AS DOUBLE)
+                   / greatest(len(list_filter(string_split(text, ' '),
+                     x -> x <> '')), 1) >= 0.05
+              THEN 1 ELSE 0 END AS q_ok,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en,
+         CASE WHEN {_SPLIT_BUCKET_SQL} < {TRAIN_PCT} THEN 1 ELSE 0 END AS tr
+  FROM documents
+),
+s4 AS (SELECT * FROM flags WHERE q_ok = 1 AND en = 1 AND tr = 1),
+canon AS (SELECT md5(text) AS h, MIN(doc_id) AS keep FROM s4 GROUP BY 1),
+s5 AS (
+  SELECT s4.doc_id FROM s4
+  JOIN canon ON md5(s4.text) = canon.h AND s4.doc_id = canon.keep
+),
+pairs AS ({MINHASH_ORACLE}),
+dropb AS (
+  SELECT DISTINCT p.doc_id_b AS doc_id
+  FROM pairs p JOIN s5 ON p.doc_id_a = s5.doc_id
+),
+sh AS ({word_ngrams_sql(DECON_N)}),
+evsh AS (
+  SELECT DISTINCT shingle FROM sh
+  JOIN flags USING (doc_id) WHERE flags.bucket >= {TRAIN_PCT}
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM sh
+  WHERE shingle IN (SELECT shingle FROM evsh)
+),
+ann AS (
+  SELECT f.q_ok, f.en, f.tr,
+         CASE WHEN s5.doc_id IS NOT NULL THEN 1 ELSE 0 END AS k5,
+         CASE WHEN db.doc_id IS NOT NULL THEN 0 ELSE 1 END AS nd,
+         CASE WHEN ct.doc_id IS NOT NULL THEN 0 ELSE 1 END AS cl
+  FROM flags f
+  LEFT JOIN s5 ON s5.doc_id = f.doc_id
+  LEFT JOIN dropb db ON db.doc_id = f.doc_id
+  LEFT JOIN contaminated ct ON ct.doc_id = f.doc_id
+),
+counts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(q_ok) AS BIGINT) AS n2,
+         CAST(SUM(q_ok * en) AS BIGINT) AS n3,
+         CAST(SUM(q_ok * en * tr) AS BIGINT) AS n4,
+         CAST(SUM(q_ok * en * tr * k5) AS BIGINT) AS n5,
+         CAST(SUM(q_ok * en * tr * k5 * nd) AS BIGINT) AS n6,
+         CAST(SUM(q_ok * en * tr * k5 * nd * cl) AS BIGINT) AS n7
+  FROM ann
+)
+{" UNION ALL ".join(
+    f"SELECT {i + 1} AS stage_idx, '{st}' AS stage,"
+    f" n{i + 1} AS n_docs,"
+    f" {r4_sql(f'CAST(n{i + 1} AS DOUBLE) / n1')} AS pct_of_start"
+    f" FROM counts"
+    for i, st in enumerate(FUNNEL_STAGES)
+)}
+"""
+
+
+@query("llm_data_prep_funnel", LLM_FUNNEL_ORACLE)
+def llm_data_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row-wise flag pass + three id-keyed joins + ONE aggregate;
+    the 7 stage rows fan out of the 1-row counts frame via
+    array+posexplode (union branches would re-execute the whole
+    upstream per stage — the repo's documented pitfall).
+
+    Scale shape: flags are scan-side column arithmetic; the exact-
+    canonical join shuffles on the content hash (F1's cost); near-dup
+    pairs come from the F2 plan (banded, candidate-verified); the
+    contamination semi-join is F8's cost. Everything downstream of
+    those joins is |dropped-ids|-sized.
+    """
+    d = t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        _SPLIT_BUCKET_SQL.replace(
+            "CAST(doc_id AS VARCHAR)", "CAST(doc_id AS STRING)"
+        )
+    )
+    tokens = F.filter(F.split("text", " "), lambda x: x != "")
+    n_tokens = F.size(tokens)
+    n_stop = F.size(F.filter(tokens, lambda x: x.isin(*STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))
+    q_ok = F.when((n_tokens >= 10) & (stop_ratio >= 0.05), 1).otherwise(0)
+    flags = d.select(
+        "doc_id",
+        "text",
+        q_ok.alias("q_ok"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("en"),
+        F.when(bucket < TRAIN_PCT, 1).otherwise(0).alias("tr"),
+        bucket.alias("bucket"),
+    ).localCheckpoint(eager=True)  # feeds s4, eval shingles, final agg
+
+    s4 = flags.filter(
+        (F.col("q_ok") == 1) & (F.col("en") == 1) & (F.col("tr") == 1)
+    ).select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+    canon = s4.groupBy("h").agg(F.min("doc_id").alias("keep"))
+    s5 = (
+        s4.join(canon, "h")
+        .filter(F.col("doc_id") == F.col("keep"))
+        .select("doc_id")
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    dropb = (
+        pairs.join(
+            s5.select(F.col("doc_id").alias("doc_id_a")),
+            "doc_id_a",
+            "left_semi",
+        )
+        .select(F.col("doc_id_b").alias("doc_id"))
+        .distinct()
+    )
+    sh = word_ngrams(
+        flags.select("doc_id", "text"), DECON_N, distinct=True
+    ).select("doc_id", F.xxhash64("shingle").alias("hs"))
+    evsh = (
+        sh.join(
+            flags.filter(F.col("bucket") >= TRAIN_PCT).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        .select("hs")
+        .distinct()
+    )
+    contaminated = (
+        sh.join(evsh, "hs", "left_semi").select("doc_id").distinct()
+    )
+    ann = (
+        flags.select("doc_id", "q_ok", "en", "tr")
+        .join(s5.withColumn("k5", F.lit(1)), "doc_id", "left")
+        .join(dropb.withColumn("d6", F.lit(1)), "doc_id", "left")
+        .join(contaminated.withColumn("d7", F.lit(1)), "doc_id", "left")
+        .select(
+            "q_ok",
+            "en",
+            "tr",
+            F.coalesce("k5", F.lit(0)).alias("k5"),
+            (F.lit(1) - F.coalesce("d6", F.lit(0))).alias("nd"),
+            (F.lit(1) - F.coalesce("d7", F.lit(0))).alias("cl"),
+        )
+    )
+    c = ann.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum("q_ok").cast("bigint").alias("n2"),
+        F.sum(F.col("q_ok") * F.col("en")).cast("bigint").alias("n3"),
+        F.sum(F.col("q_ok") * F.col("en") * F.col("tr"))
+        .cast("bigint")
+        .alias("n4"),
+        F.sum(F.col("q_ok") * F.col("en") * F.col("tr") * F.col("k5"))
+        .cast("bigint")
+        .alias("n5"),
+        F.sum(
+            F.col("q_ok")
+            * F.col("en")
+            * F.col("tr")
+            * F.col("k5")
+            * F.col("nd")
+        )
+        .cast("bigint")
+        .alias("n6"),
+        F.sum(
+            F.col("q_ok")
+            * F.col("en")
+            * F.col("tr")
+            * F.col("k5")
+            * F.col("nd")
+            * F.col("cl")
+        )
+        .cast("bigint")
+        .alias("n7"),
+    )
+    stage_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(st).alias("stage"),
+                F.col(f"n{i + 1}").alias("n_docs"),
+            )
+            for i, st in enumerate(FUNNEL_STAGES)
+        ]
+    )
+    return (
+        c.select("n1", F.explode(stage_arr).alias("s"))
+        .select(
+            F.col("s.stage_idx").alias("stage_idx"),
+            F.col("s.stage").alias("stage"),
+            F.col("s.n_docs").alias("n_docs"),
+            r4(
+                F.col("s.n_docs").cast("double") / F.col("n1")
+            ).alias("pct_of_start"),
+        )
+    )

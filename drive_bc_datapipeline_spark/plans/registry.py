@@ -59,9 +59,9 @@ GATE_PIN: list[str] = [
     # deferred debuts are simple single-table analytics shapes
     # (gap-fill, interpolation, chi², unpivot, MI, autocorr, TWAP,
     # rolling median, winsorize, MAD, snapshot diff, checksum,
-    # co-occurrence, packing waste, source mixture weights) that the
-    # local pytest parity gate
-    # already covers and rotation re-verifies by r7. The staleness
+    # co-occurrence, packing waste, source mixture weights, rolling
+    # HLL distinct) that the local pytest parity gate already covers
+    # and rotation re-verifies by r7. The staleness
     # bound in tests/test_registry.py is relaxed for this transient
     # config; r7 unpins everything that goes green.
     "shard_packing",
@@ -86,7 +86,7 @@ GATE_PIN: list[str] = [
     "pagerank_type_graph",
     "embedding_gram_matrix",
     "user_running_stats",
-    "hll_rolling_distinct",
+    "llm_data_prep_funnel",
     "embedding_pca_projection",
     "dup_graph_triangles",
     "centroid_pairwise_distances",
