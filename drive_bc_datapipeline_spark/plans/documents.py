@@ -3653,3 +3653,111 @@ def llm_data_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_of_start"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# H36 — APPLY the H19 mixture: deterministic per-source quota
+# sampling. H19 computes temperature-scaled weights; this draws the
+# actual sample — quota_s = min(n_s, floor(weight_s * budget)), docs
+# chosen by md5 rank within source (reproducible, RNG-free, stable
+# under corpus growth of OTHER sources). kept_id_sum is an
+# order-insensitive membership checksum: two clusters agree on the
+# EXACT kept set, not just its size.
+# --------------------------------------------------------------------------
+
+APPLY_MIX_BUDGET = 300
+
+APPLY_MIXTURE_ORACLE = f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(POW(CAST(n_docs AS DOUBLE), {MIX_ALPHA})) AS z FROM per_src
+),
+quota AS (
+  SELECT p.source, p.n_docs,
+         least(p.n_docs,
+               CAST(floor({APPLY_MIX_BUDGET}
+                          * POW(CAST(p.n_docs AS DOUBLE), {MIX_ALPHA})
+                          / t.z + 1e-9) AS BIGINT)) AS quota
+  FROM per_src p CROSS JOIN tot t
+),
+ranked AS (
+  SELECT d.doc_id, d.source,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS rnk
+  FROM documents d
+),
+kept AS (
+  SELECT r.source, r.doc_id
+  FROM ranked r JOIN quota q ON q.source = r.source
+  WHERE r.rnk <= q.quota
+)
+SELECT q.source,
+       CAST(q.n_docs AS BIGINT) AS n_docs,
+       q.quota,
+       CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS kept_id_sum
+FROM quota q LEFT JOIN kept k ON k.source = q.source
+GROUP BY q.source, q.n_docs, q.quota
+"""
+
+
+@query("apply_mixture_sampling", APPLY_MIXTURE_ORACLE)
+def apply_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source counts -> 1-row normalizer -> broadcast quota frame
+    -> rank window PARTITIONED by source (the only heavy shuffle, and
+    it's the same source-keyed exchange any per-source op pays) ->
+    per-source rollup. The floor() is epsilon-nudged identically on
+    both engines because the quota can land exactly on an integer
+    (uniform sources make weight*budget exact) while z is an
+    order-sensitive double sum.
+    """
+    d = t(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    z = per_src.agg(
+        F.sum(F.pow(F.col("n_docs").cast("double"), MIX_ALPHA)).alias("z")
+    )
+    quota = (
+        per_src.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            F.least(
+                F.col("n_docs").cast("bigint"),
+                F.floor(
+                    APPLY_MIX_BUDGET
+                    * F.pow(F.col("n_docs").cast("double"), MIX_ALPHA)
+                    / F.col("z")
+                    + 1e-9
+                ).cast("bigint"),
+            ).alias("quota"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(w).alias("rnk")
+    )
+    kept = ranked.join(F.broadcast(quota.select("source", "quota")), "source").filter(
+        F.col("rnk") <= F.col("quota")
+    )
+    kept_agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+    )
+    return (
+        quota.join(kept_agg, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "quota",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("kept_id_sum", F.lit(0))
+            .cast("bigint")
+            .alias("kept_id_sum"),
+        )
+    )

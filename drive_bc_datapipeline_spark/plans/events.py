@@ -3038,3 +3038,88 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("purchase_share"),
         r2(F.col("avg_raw")).alias("avg_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# B43 — temporal train/test split with a leakage readout. Hash splits
+# (H5) are wrong for forecasting workloads: the honest protocol cuts
+# at a TIME boundary, and the number a reviewer asks for first is how
+# many entities straddle it (their test rows are partially explained
+# by their train rows). Boundary = min_ts + 80% of the observed span,
+# computed in exact integer microseconds so both engines cut
+# identically.
+# --------------------------------------------------------------------------
+
+TSPLIT_FRAC = 0.8
+
+TEMPORAL_SPLIT_ORACLE = f"""
+WITH span AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+),
+b AS (
+  SELECT lo + CAST(floor({TSPLIT_FRAC} * CAST(hi - lo AS DOUBLE)
+                    + 1e-9) AS BIGINT) AS cut
+  FROM span
+),
+lab AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) < b.cut THEN 1 ELSE 0 END AS is_train
+  FROM events CROSS JOIN b
+),
+per_user AS (
+  SELECT user_id, MAX(is_train) AS in_train,
+         MAX(1 - is_train) AS in_test
+  FROM lab GROUP BY user_id
+)
+SELECT CAST((SELECT SUM(is_train) FROM lab) AS BIGINT) AS train_events,
+       CAST((SELECT SUM(1 - is_train) FROM lab) AS BIGINT) AS test_events,
+       CAST(SUM(in_train) AS BIGINT) AS n_users_train,
+       CAST(SUM(in_test) AS BIGINT) AS n_users_test,
+       CAST(SUM(in_train * in_test) AS BIGINT) AS n_leaked_users,
+       {r4_sql("CAST(SUM(in_train * in_test) AS DOUBLE)"
+               " / greatest(SUM(in_test), 1)")} AS leak_ratio
+FROM per_user
+"""
+
+
+@query("temporal_split_leakage", TEMPORAL_SPLIT_ORACLE)
+def temporal_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass: a 1-row min/max agg broadcasts the cut; one labeled
+    scan then folds into a per-user groupBy (single shuffle on
+    user_id) whose 1-row rollup carries every readout."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    span = e.agg(
+        F.min(us).alias("lo"), F.max(us).alias("hi")
+    ).select(
+        (
+            F.col("lo")
+            + F.floor(
+                TSPLIT_FRAC * (F.col("hi") - F.col("lo")).cast("double")
+                + 1e-9
+            ).cast("bigint")
+        ).alias("cut")
+    )
+    lab = e.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        F.when(us < F.col("cut"), 1).otherwise(0).alias("is_train"),
+    )
+    per_user = lab.groupBy("user_id").agg(
+        F.max("is_train").alias("in_train"),
+        F.max(1 - F.col("is_train")).alias("in_test"),
+        F.sum("is_train").alias("u_train"),
+        F.sum(1 - F.col("is_train")).alias("u_test"),
+    )
+    return per_user.agg(
+        F.sum("u_train").cast("bigint").alias("train_events"),
+        F.sum("u_test").cast("bigint").alias("test_events"),
+        F.sum("in_train").cast("bigint").alias("n_users_train"),
+        F.sum("in_test").cast("bigint").alias("n_users_test"),
+        F.sum(F.col("in_train") * F.col("in_test"))
+        .cast("bigint")
+        .alias("n_leaked_users"),
+        r4(
+            F.sum(F.col("in_train") * F.col("in_test")).cast("double")
+            / F.greatest(F.sum("in_test"), F.lit(1))
+        ).alias("leak_ratio"),
+    )
