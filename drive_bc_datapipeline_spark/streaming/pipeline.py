@@ -433,3 +433,50 @@ def start_tws_user_stats_stream(
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, prev_provider)
+
+
+def start_session_window_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "session_stats",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """J9: streaming session-window aggregation — the native
+    ``session_window`` construct under Structured Streaming, where the
+    state store merges a user's windows as events arrive and the
+    watermark bounds how long an open session is retained.
+
+    The batch twin is ``session_window_stats`` (B16, driver-gated
+    oracle): same gap, same aggregate, so the test can assert
+    stream == batch. Complete output mode keeps every merged session
+    in the memory sink for that comparison; production would use
+    append mode + watermark eviction with a foreachBatch upsert.
+    """
+    raw = read_event_stream(spark, source_dir)
+    agg = (
+        raw.dropna(subset=["ts"])
+        .withWatermark("ts", watermark)
+        .groupBy(
+            "user_id",
+            F.session_window("ts", gap).alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -241,3 +241,35 @@ def test_tws_gate_points_to_j4_fallback(spark, tmp_path):
         sp.start_tws_user_stats_stream(
             spark, str(tmp_path), str(tmp_path / "ck"), query_name="x"
         )
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """J9: streaming session_window merge == batch session_window."""
+    src = _write_source(tmp_path)
+    q = sp.start_session_window_stream(
+        spark, src, str(tmp_path / "ckpt9"), query_name="t_sessions",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM t_sessions").collect()
+    }
+    batch = (
+        spark.read.schema(sp.RAW_EVENT_SCHEMA).json(src)
+        .dropna(subset=["ts"])
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.collect()
+    }
+    assert streamed == expected
+    assert len(streamed) > 0
