@@ -137,3 +137,43 @@ def test_collector_recovers_everything_but_poisons(
         with open(p) as f:
             ids.update(json.loads(line)["event_id"] for line in f)
     assert ids == {f"e{i}" for i in range(n_total) if i not in poisons}
+
+
+# ---------------------------------------------------------------------------
+# F13 prefix-filter losslessness. The Spark plan computes, per doc,
+# prefix length p = |S| - ceil(t * |S|) + 1 (IEEE doubles, like the
+# engine) over the (df ASC, element ASC) global order, and generates
+# candidates only from prefix∩prefix. The theorem says every pair with
+# float-Jaccard >= t shares a prefix element; this searches random set
+# families (ties in df, duplicates, singletons, near-identical sets)
+# for a counterexample under the SAME float arithmetic.
+# ---------------------------------------------------------------------------
+
+import math as _math
+from collections import Counter as _Counter
+
+
+@given(
+    st.lists(
+        st.frozensets(st.integers(0, 25), min_size=1, max_size=12),
+        min_size=2,
+        max_size=14,
+    ),
+    st.sampled_from([0.2, 0.3, 0.5, 0.7, 0.9]),
+)
+def test_prefix_filter_candidates_are_lossless(sets, theta):
+    df = _Counter(x for s in sets for x in s)
+    prefixes = []
+    for s in sets:
+        ordered = sorted(s, key=lambda x: (df[x], x))
+        p = len(ordered) - int(_math.ceil(theta * len(ordered))) + 1
+        prefixes.append(set(ordered[:p]))
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if union and inter / union >= theta:
+                assert prefixes[i] & prefixes[j], (
+                    f"lossless violated: {sorted(sets[i])} vs "
+                    f"{sorted(sets[j])} at t={theta}"
+                )
