@@ -108,3 +108,55 @@ def test_ratios(spark):
     assert abs(r.p - 2 / 19) < 1e-12
     # 'the', 'and', 'a' among 5 tokens ('cat,'/'dog!' carry punctuation)
     assert abs(r.s - 3 / 5) < 1e-12
+
+
+def test_chunk_docs_udtf_matches_native_plan(spark):
+    """The Python UDTF chunker must emit exactly the rows the
+    JVM-native explode/transform/slice plan emits (H31's chunking),
+    proving the SQL LATERAL surface before anyone ports real Python
+    segmentation logic onto it."""
+    from pyspark.sql import functions as F
+
+    from drive_bc_datapipeline_spark.functions.udtfs import register_udtfs
+    from drive_bc_datapipeline_spark.plans.registry import t
+
+    register_udtfs(spark)
+    d = t(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    d.createOrReplaceTempView("udtf_docs")
+    via_udtf = {
+        (r.doc_id, r.chunk_idx, r.n_tokens, r.chunk)
+        for r in spark.sql(
+            "SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk "
+            "FROM udtf_docs d, LATERAL chunk_docs(d.text, 16) c"
+        ).collect()
+    }
+    w = 16
+    native = (
+        d.select(
+            "doc_id",
+            F.filter(F.split("text", " "), lambda x: x != "").alias("tk"),
+        )
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, greatest(cast(ceil(size(tk)"
+                    f" / {w}.0) as int), 1)),"
+                    f" i -> slice(tk, (i - 1) * {w} + 1, {w}))"
+                )
+            ).alias("chunk_idx", "part"),
+        )
+        .filter(F.size("part") > 0)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("part").alias("n_tokens"),
+            F.array_join("part", " ").alias("chunk"),
+        )
+    )
+    via_native = {
+        (r.doc_id, r.chunk_idx, r.n_tokens, r.chunk)
+        for r in native.collect()
+    }
+    assert via_udtf == via_native
+    assert len(via_udtf) > 50
