@@ -53,6 +53,9 @@ PICKS = {
     "mmr_diversified_topk": "Distributed top-C pool (broadcast queries + mapInPandas partial top-k), C^2-bounded per-query sim edges, greedy rounds inside ONE applyInPandas group per query — iteration never touches the corpus again.",
     "join_cardinality_estimate": "Two map-side-combined per-key COUNT aggs + an ndv-sized count-frame join; the estimated join is never executed — output size arrives from |keys|-row frames.",
     "zipf_slope": "Salted two-level rank: heavy window partitioned by (n, salt) splits the hapax tie block; base/offset frames are freq-of-freq sized (O(sqrt tokens)) and broadcast.",
+    "llm_data_prep_funnel": "End-to-end composition: scan-side stage flags, content-hash canonical join, F2's banded near-dup pairs, 8-gram contamination semi-join — ONE final aggregate, 7 stage rows via array+posexplode (no union re-execution).",
+    "apply_mixture_sampling": "Per-source counts -> 1-row normalizer -> broadcast quota -> source-partitioned rank window -> rollup; the only heavy shuffle is the source-keyed exchange.",
+    "temporal_split_leakage": "1-row min/max span broadcast as the cut; one labeled scan folds into a user-keyed groupBy; all readouts ride the single 1-row rollup.",
 }
 
 HEADER = """# PLANS — physical-plan audit (generated from live `explain`)
