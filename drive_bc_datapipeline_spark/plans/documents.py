@@ -3761,3 +3761,90 @@ def apply_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_id_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# H37 — bigram-LM perplexity proxy with add-one smoothing: H25's
+# unigram scorer ignores word order; the conditional bigram model
+# P(w2|w1) = (c(w1 w2)+1) / (c(w1)+V) is the cheapest scorer that
+# penalizes scrambled text, and its corpus pass is still two hash
+# aggregations (bigram counts + unigram counts) joined back onto the
+# bigram stream. The smoothing constant makes the model total and
+# keeps every probability rational-over-integer — cross-engine exact
+# up to the r4-nudged log sum.
+# --------------------------------------------------------------------------
+
+BIGRAM_NLL_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, u.w1 AS w1, u.bg AS bg FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+               i -> {{'w1': t[i], 'bg': t[i] || ' ' || t[i + 1]}})) AS u
+    FROM tk WHERE len(t) >= 2
+  )
+),
+bgc AS (SELECT bg, COUNT(*) AS nbg FROM bg GROUP BY bg),
+ugc AS (
+  SELECT tok, COUNT(*) AS nug FROM (
+    SELECT unnest(t) AS tok FROM tk
+  ) GROUP BY tok
+),
+voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM ugc)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       {r4_sql(
+           "-SUM(log2((CAST(c.nbg AS DOUBLE) + 1)"
+           " / (u.nug + voc.v))) / COUNT(*)"
+       )} AS avg_nll
+FROM bg b
+JOIN bgc c USING (bg)
+JOIN ugc u ON u.tok = b.w1
+CROSS JOIN voc
+GROUP BY b.doc_id
+"""
+
+
+@query("bigram_logprob_score", BIGRAM_NLL_ORACLE)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two corpus hash-aggregates (bigram df, unigram df) + one
+    broadcast scalar V; scoring joins ride the bigram stream's
+    existing doc_id grouping — no windows, no self-joins."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    bg = (
+        d.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), i -> "
+                    "named_struct('w1', t[i], "
+                    "'bg', concat(t[i], ' ', t[i + 1])))"
+                )
+            ).alias("u"),
+        )
+        .select("doc_id", F.col("u.w1").alias("w1"), F.col("u.bg").alias("bg"))
+        .localCheckpoint(eager=True)  # feeds bigram df AND scoring join
+    )
+    toks_all = d.select(F.explode(toks).alias("tok"))
+    ugc = toks_all.groupBy("tok").agg(F.count(F.lit(1)).alias("nug"))
+    bgc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("nbg"))
+    voc = ugc.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    nll = -F.log2(
+        (F.col("nbg").cast("double") + 1) / (F.col("nug") + F.col("v"))
+    )
+    return (
+        bg.join(bgc, "bg")
+        .join(ugc, F.col("w1") == F.col("tok"))
+        .crossJoin(F.broadcast(voc))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            r4(F.sum(nll) / F.count(F.lit(1))).alias("avg_nll"),
+        )
+    )

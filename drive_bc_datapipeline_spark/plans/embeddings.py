@@ -1666,3 +1666,171 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mmr_rank").cast("int").alias("mmr_rank"),
         r6(F.col("score")).alias("score"),
     )
+
+
+# --------------------------------------------------------------------------
+# G15 — two-stage quantized-rerank ANN: stage 1 scores EVERY corpus
+# vector against the query set using the int8 codes (G5's per-vector
+# affine scheme) — at 100 TB this is the pass that matters, reading
+# 4 bytes/dim less than floats and bounded by memory bandwidth — and
+# keeps the top-M per query; stage 2 re-scores only those M with
+# full-precision cosine and emits the top-k. The production pattern
+# (FAISS SQ8 + rerank) expressed as two bounded DataFrame stages.
+# Determinism: reconstruction vmin + c*vstep and both dot products
+# are the same left-associated IEEE chains on both engines.
+# --------------------------------------------------------------------------
+
+RERANK_M = 30
+
+_RECON_SQL = (
+    f"list_transform(list_transform(v.embedding, x -> CAST(floor("
+    f"(CAST(x AS DOUBLE) - v.vmin) / v.vstep + 0.5) AS BIGINT)), "
+    f"c -> v.vmin + c * v.vstep)"
+)
+
+QUANT_RERANK_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_norm_sql("embedding")} AS nrm,
+         CAST(list_min(embedding) AS DOUBLE) AS vmin,
+         greatest(
+           (CAST(list_max(embedding) AS DOUBLE)
+            - CAST(list_min(embedding) AS DOUBLE)) / {QUANT_LEVELS}.0,
+           1e-12
+         ) AS vstep
+  FROM embeddings
+),
+recon AS (
+  SELECT v.vec_id, v.embedding, v.nrm,
+         {_RECON_SQL} AS r
+  FROM e v
+),
+rn AS (
+  SELECT vec_id, embedding, nrm, r, {_norm_sql("r")} AS rnrm FROM recon
+),
+approx AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         v.embedding AS v_emb, v.nrm AS v_nrm, q.embedding AS q_emb,
+         q.nrm AS q_nrm,
+         ({_dot_terms_sql("q.embedding", "v.r")}) / (q.nrm * v.rnrm)
+             AS acos
+  FROM e q JOIN rn v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+stage1 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY acos DESC, neighbor_id) AS arnk
+    FROM approx
+  ) WHERE arnk <= {RERANK_M}
+),
+stage2 AS (
+  SELECT query_id, neighbor_id, acos,
+         ({_dot_terms_sql("q_emb", "v_emb")}) / (q_nrm * v_nrm) AS cos
+  FROM stage1
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+       {r6_sql("cos")} AS cosine, {r6_sql("acos")} AS approx_cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM stage2
+) WHERE rnk <= {TOP_K}
+"""
+
+
+@query("ann_quantized_rerank_topk", QUANT_RERANK_ORACLE)
+def ann_quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 1 never touches float embeddings except to derive the
+    per-vector (vmin, vstep, codes) projection — map-side, then the
+    G1 partial-top-k bound on the shuffle; stage 2's exact join is
+    M·|queries| rows."""
+    import pandas as pd  # noqa: F401
+
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm_spark("embedding")
+    )
+    vmin = F.array_min("embedding").cast("double")
+    vstep = F.greatest(
+        (
+            F.array_max("embedding").cast("double")
+            - F.array_min("embedding").cast("double")
+        )
+        / F.lit(float(QUANT_LEVELS)),
+        F.lit(1e-12),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("v_emb"),
+        F.col("nrm").alias("v_nrm"),
+        vmin.alias("vmin"),
+        vstep.alias("vstep"),
+    ).withColumn(
+        "r",
+        F.expr(
+            f"transform(transform(v_emb, x -> cast(floor("
+            f"(cast(x as double) - vmin) / vstep + 0.5) as bigint)), "
+            f"c -> vmin + c * vstep)"
+        ),
+    ).withColumn("rnrm", _norm_spark("r"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    acos = _dot_terms_spark("q_emb", "r") / (F.col("q_nrm") * F.col("rnrm"))
+    approx = corpus.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "v_emb",
+        "v_nrm",
+        "q_emb",
+        "q_nrm",
+        acos.alias("acos"),
+    )
+
+    def partial_topm(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(
+                        ["query_id", "acos", "neighbor_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(RERANK_M)
+                )
+
+    pruned = approx.mapInPandas(
+        partial_topm,
+        "query_id long, neighbor_id long, v_emb array<float>, "
+        "v_nrm double, q_emb array<float>, q_nrm double, acos double",
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("acos"), F.asc("neighbor_id")
+    )
+    stage1 = (
+        pruned.withColumn("arnk", F.row_number().over(w1))
+        .filter(F.col("arnk") <= RERANK_M)
+    )
+    cos = _dot_terms_spark("q_emb", "v_emb") / (
+        F.col("q_nrm") * F.col("v_nrm")
+    )
+    stage2 = stage1.select(
+        "query_id", "neighbor_id", "acos", cos.alias("cos")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        stage2.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            r6(F.col("cos")).alias("cosine"),
+            r6(F.col("acos")).alias("approx_cosine"),
+        )
+    )

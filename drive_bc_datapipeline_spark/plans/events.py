@@ -3123,3 +3123,54 @@ def temporal_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.sum("in_test"), F.lit(1))
         ).alias("leak_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# B44 — rank-based feature normalization: percent_rank and cume_dist
+# of `value` within each event_type (the quantile-normalization step
+# ML preprocessing applies to heavy-tailed features; rank transforms
+# are the robust alternative to z-scores B21 uses). Emitted as a
+# per-event relation keyed by event_id so a feature pipeline joins it
+# back; the window is partitioned by type — never global.
+# Determinism: ranks are integers over the (value, event_id) total
+# order; both engines divide the same integers.
+# --------------------------------------------------------------------------
+
+PCT_RANK_ORACLE = f"""
+WITH nn AS (
+  SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_id, event_type, value,
+         RANK() OVER (PARTITION BY event_type ORDER BY value, event_id)
+             AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM nn
+)
+SELECT event_id, event_type, ROUND(value, 2) AS value,
+       {r6_sql("CAST(rk - 1 AS DOUBLE) / greatest(n - 1, 1)")}
+           AS pct_rank,
+       {r6_sql("CAST(rk AS DOUBLE) / n")} AS cume_dist_ub
+FROM r
+"""
+
+
+@query("value_percent_rank_features", PCT_RANK_ORACLE)
+def value_percent_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One type-partitioned window computes both normalizations from
+    the same integer rank; the (value, event_id) tiebreak makes the
+    rank — and therefore the feature — reproducible run to run."""
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    rk = F.rank().over(w)
+    n = F.count(F.lit(1)).over(wn)
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        r6(
+            (rk - 1).cast("double") / F.greatest(n - 1, F.lit(1))
+        ).alias("pct_rank"),
+        r6(rk.cast("double") / n).alias("cume_dist_ub"),
+    )
