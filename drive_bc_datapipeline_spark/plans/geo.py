@@ -289,3 +289,71 @@ def geo_bbox_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.avg("lat")).alias("mean_lat"),
         r4(F.avg("lon")).alias("mean_lon"),
     )
+
+
+# --------------------------------------------------------------------------
+# D7 — point-in-POLYGON containment via ray casting (crossing
+# number): D6 handles axis-aligned boxes; real geofences are
+# polygons. For each edge, a point crosses if the edge straddles the
+# point's latitude and the point lies left of the edge's intersection
+# with that latitude; odd total = inside. The polygon is a broadcast
+# LITERAL, so the whole test is one codegen'd column expression per
+# event — no join, no UDF, linear scan at any scale. The polygon has
+# NO horizontal edges by construction: the (y2 - y1) divisor is never
+# zero, so the expression is ANSI-mode safe without relying on AND
+# short-circuit order.
+# --------------------------------------------------------------------------
+
+# (lon, lat) vertices; consecutive latitudes all distinct.
+POLY = [(-120.0, -30.0), (-60.0, 10.0), (-100.0, 35.0),
+        (-150.0, 20.0), (-170.0, -10.0)]
+
+
+def _crossings_sql(px: str, py: str) -> str:
+    terms = []
+    n = len(POLY)
+    for i in range(n):
+        x1, y1 = POLY[i]
+        x2, y2 = POLY[(i + 1) % n]
+        terms.append(
+            f"CASE WHEN (({y1!r} > {py}) <> ({y2!r} > {py}))"
+            f" AND ({px} < ({x2!r} - {x1!r}) * ({py} - {y1!r})"
+            f" / ({y2!r} - {y1!r}) + {x1!r}) THEN 1 ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+POINT_IN_POLYGON_ORACLE = f"""
+WITH pts AS (
+  SELECT event_type, {LAT_SQL} AS lat, {LON_SQL} AS lon FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(CASE WHEN {_crossings_sql("lon", "lat")} % 2 = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+       {r4_sql(
+           "SUM(CASE WHEN " + _crossings_sql("lon", "lat")
+           + " % 2 = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)"
+       )} AS inside_ratio
+FROM pts
+GROUP BY event_type
+"""
+
+
+@query("geo_point_in_polygon", POINT_IN_POLYGON_ORACLE)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crossing-number sum is plain column arithmetic over literal
+    vertices — identical IEEE comparisons on both engines, summed as
+    order-free integer CASE terms."""
+    e = t(spark, sf_dir, "events")
+    pts = e.select("event_type", _lat().alias("lat"), _lon().alias("lon"))
+    inside = (
+        F.expr(_crossings_sql("lon", "lat")) % 2 == 1
+    ).cast("int")
+    return pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum(inside).cast("bigint").alias("n_inside"),
+        r4(
+            F.sum(inside) / F.count(F.lit(1)).cast("double")
+        ).alias("inside_ratio"),
+    )
