@@ -3174,3 +3174,67 @@ def value_percent_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pct_rank"),
         r6(rk.cast("double") / n).alias("cume_dist_ub"),
     )
+
+
+# --------------------------------------------------------------------------
+# B45 — exponentially weighted moving average of the per-type daily
+# count series. True EWMA is a recursion (order-dependent, hostile to
+# parallelism AND to cross-engine float determinism); the bounded
+# form used here — a 10-day window with weights (1-a)^k normalized
+# over the AVAILABLE lags — is the standard production compromise:
+# each output row is a fixed left-associated 10-term chain, identical
+# IEEE arithmetic on both engines, and the window is partitioned by
+# type (never global). The anomaly baseline B21 uses a global mean;
+# this is its drift-tracking upgrade.
+# --------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.3
+EWMA_WIN = 10
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    num, den = [], []
+    for k in range(EWMA_WIN):
+        w = (1 - EWMA_ALPHA) ** k
+        x = f"LAG(n, {k}) OVER w" if k else "n"
+        num.append(f"{w!r} * COALESCE({x}, 0)")
+        den.append(f"{w!r} * (CASE WHEN {x} IS NULL THEN 0 ELSE 1 END)")
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms_sql()
+
+EWMA_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       {r4_sql(f"({_EWMA_NUM}) / ({_EWMA_DEN})")} AS ewma
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+@query("ewma_daily_counts", EWMA_ORACLE)
+def ewma_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = None
+    den = None
+    for k in range(EWMA_WIN):
+        wt = (1 - EWMA_ALPHA) ** k
+        x = F.lag("n", k).over(w) if k else F.col("n")
+        nt = wt * F.coalesce(x, F.lit(0))
+        dt = wt * F.when(x.isNull(), 0).otherwise(1)
+        num = nt if num is None else num + nt
+        den = dt if den is None else den + dt
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        r4(num / den).alias("ewma"),
+    )

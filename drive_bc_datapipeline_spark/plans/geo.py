@@ -21,7 +21,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from drive_bc_datapipeline_spark.functions import geo as geo_fns
-from drive_bc_datapipeline_spark.plans.registry import query, r4, r4_sql, t
+from drive_bc_datapipeline_spark.plans.registry import (
+    query,
+    r2,
+    r2_sql,
+    r4,
+    r4_sql,
+    t,
+)
 
 EPS_DEG = 5.0
 MIN_SAMPLES = 5
@@ -356,4 +363,80 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(
             F.sum(inside) / F.count(F.lit(1)).cast("double")
         ).alias("inside_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D8 — per-user trajectory statistics: order each user's events in
+# time and sum the haversine hop distances — the sequential-geo shape
+# (fleet telemetry, track mileage) that D1/D2's pointwise queries
+# don't cover. One user-partitioned window (the same exchange any
+# per-user op pays), then a per-user aggregate; nothing global.
+# --------------------------------------------------------------------------
+
+
+def _hav_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    return (
+        f"(2.0 * {EARTH_KM} * asin(sqrt("
+        f"pow(sin(radians(({lat2} - {lat1}) / 2.0)), 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * pow(sin(radians(({lon2} - {lon1}) / 2.0)), 2))))"
+    )
+
+
+TRAJECTORY_ORACLE = f"""
+WITH pts AS (
+  SELECT user_id, event_id, ts, {LAT_SQL} AS lat, {LON_SQL} AS lon
+  FROM events
+),
+hops AS (
+  SELECT user_id, lat, lon,
+         LAG(lat) OVER w AS plat,
+         LAG(lon) OVER w AS plon
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(plat) AS BIGINT) AS n_hops,
+       {r2_sql(
+           "COALESCE(SUM(" + _hav_sql("plat", "plon", "lat", "lon")
+           + "), 0)"
+       )} AS total_km,
+       {r2_sql(
+           "COALESCE(MAX(" + _hav_sql("plat", "plon", "lat", "lon")
+           + "), 0)"
+       )} AS max_hop_km
+FROM hops
+GROUP BY user_id
+"""
+
+
+@query("user_trajectory_stats", TRAJECTORY_ORACLE)
+def user_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag window keyed (ts, event_id) for a reproducible event order;
+    hop distances are the same trig chain as D2 evaluated on the
+    lagged pair, summed per user with the r2 epsilon nudge."""
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        "user_id", "event_id", "ts", _lat().alias("lat"), _lon().alias("lon")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = pts.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    )
+    hop_km = geo_fns.haversine_km(
+        F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon")
+    )
+    return hops.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count("plat").cast("bigint").alias("n_hops"),
+        r2(F.coalesce(F.sum(hop_km), F.lit(0.0))).alias("total_km"),
+        r2(F.coalesce(F.max(hop_km), F.lit(0.0))).alias("max_hop_km"),
     )
