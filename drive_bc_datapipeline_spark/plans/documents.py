@@ -3848,3 +3848,76 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sum(nll) / F.count(F.lit(1))).alias("avg_nll"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# H38 — deterministic token-dropout augmentation: the noise-injection
+# step of a training recipe, made REPRODUCIBLE — keep/drop is a pure
+# function of (doc_id, position) via md5, no RNG, so re-running a
+# 100 TB augmentation job yields byte-identical shards (and the
+# oracle can hash the augmented text itself). Drop rate = 3/16
+# (first md5 hex digit < 3). Everything is one narrow projection —
+# no shuffle at all until a consumer aggregates.
+# --------------------------------------------------------------------------
+
+DROP_HEX_LT = 3
+
+_DROP_KEEP_SQL = (
+    "instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)"
+    " || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1"
+)
+
+TOKEN_DROPOUT_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         list_filter(
+           list_transform(range(1, len(t) + 1),
+             i -> CASE WHEN {_DROP_KEEP_SQL} >= {DROP_HEX_LT}
+                       THEN t[i] ELSE NULL END),
+           x -> x IS NOT NULL
+         ) AS kt
+  FROM tk
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(len(kt) AS BIGINT) AS n_kept,
+       md5(array_to_string(kt, ' ')) AS aug_hash
+FROM kept
+"""
+
+
+@query("token_dropout_augment", TOKEN_DROPOUT_ORACLE)
+def token_dropout_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle narrow plan; the keep decision and the augmented-
+    text hash are identical md5 arithmetic on both engines, so the
+    oracle verifies the augmented CONTENT, not just its size."""
+    d = t(spark, sf_dir, "documents")
+    keep_case = (
+        "transform(tk, (x, j) -> CASE WHEN "
+        "instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)"
+        " || ':' || CAST(j + 1 AS STRING)), 1, 1)) - 1 >= "
+        f"{DROP_HEX_LT} THEN x ELSE NULL END)"
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.filter(F.split("text", " "), lambda x: x != "").alias("tk"),
+        )
+        .select(
+            "doc_id",
+            F.size("tk").cast("bigint").alias("n_tokens"),
+            F.expr(
+                f"filter({keep_case}, x -> x IS NOT NULL)"
+            ).alias("kt"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("kt").cast("bigint").alias("n_kept"),
+            F.md5(F.array_join("kt", " ").cast("binary")).alias("aug_hash"),
+        )
+    )

@@ -1834,3 +1834,134 @@ def ann_quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.col("acos")).alias("approx_cosine"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# G16 — Matryoshka truncation audit: rank with only the FIRST
+# TRUNC_DIM dimensions (the MRL deployment trick — a prefix of the
+# vector is itself a usable embedding at a fraction of the scan
+# bytes) and measure recall@k against the full-precision ranking.
+# The 100 TB story: a 4x-truncated first pass reads 4x less and this
+# query is the quality gate that says what that costs — the G6/G8
+# audit applied to the dimension axis instead of the index axis.
+# --------------------------------------------------------------------------
+
+TRUNC_DIM = 16
+
+
+def _dot_terms_sql_k(a: str, b: str, k: int) -> str:
+    return " + ".join(
+        f"CAST({a}[{d}] AS DOUBLE) * CAST({b}[{d}] AS DOUBLE)"
+        for d in range(1, k + 1)
+    )
+
+
+def _norm_sql_k(a: str, k: int) -> str:
+    return f"sqrt({_dot_terms_sql_k(a, a, k)})"
+
+
+TRUNC_RECALL_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {_norm_sql("embedding")} AS nrm,
+         {_norm_sql_k("embedding", TRUNC_DIM)} AS tnrm
+  FROM embeddings
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ({_dot_terms_sql("q.embedding", "v.embedding")})
+                      / (q.nrm * v.nrm) DESC, v.vec_id
+           ) AS rnk
+    FROM e q JOIN e v ON v.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rnk <= {TOP_K}
+),
+trunc AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ({_dot_terms_sql_k("q.embedding", "v.embedding",
+                                         TRUNC_DIM)})
+                      / (q.tnrm * v.tnrm) DESC, v.vec_id
+           ) AS rnk
+    FROM e q JOIN e v ON v.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rnk <= {TOP_K}
+)
+SELECT x.query_id,
+       COUNT(l.neighbor_id) AS n_hits,
+       {r4_sql(f"COUNT(l.neighbor_id) / {TOP_K}.0")} AS recall_at_k
+FROM exact x
+LEFT JOIN trunc l
+  ON l.query_id = x.query_id AND l.neighbor_id = x.neighbor_id
+GROUP BY x.query_id
+"""
+
+
+@query("ann_truncated_recall_at_k", TRUNC_RECALL_ORACLE)
+def ann_truncated_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both rankings broadcast the query set and scan the corpus once
+    each; the truncated side's dot/norm run over slice(embedding, 1,
+    TRUNC_DIM) with the same left-assoc fold as the oracle's 16-term
+    chain."""
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .withColumn("nrm", _norm_spark("embedding"))
+        .withColumn(
+            "temb", F.slice("embedding", 1, TRUNC_DIM)
+        )
+        .withColumn("tnrm", _norm_spark("temb"))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("temb").alias("q_temb"),
+        F.col("tnrm").alias("q_tnrm"),
+    )
+    v = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("v_emb"),
+        F.col("nrm").alias("v_nrm"),
+        F.col("temb").alias("v_temb"),
+        F.col("tnrm").alias("v_tnrm"),
+    )
+    joined = v.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    )
+
+    def topk(score) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id")
+        )
+        return (
+            joined.withColumn("cos", score)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    exact = topk(
+        _dot_terms_spark("q_emb", "v_emb")
+        / (F.col("q_nrm") * F.col("v_nrm"))
+    )
+    trunc = topk(
+        _dot_terms_spark("q_temb", "v_temb")
+        / (F.col("q_tnrm") * F.col("v_tnrm"))
+    )
+    return (
+        exact.join(
+            trunc.withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            r4(F.count("hit") / float(TOP_K)).alias("recall_at_k"),
+        )
+    )
