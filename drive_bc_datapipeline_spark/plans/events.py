@@ -3238,3 +3238,88 @@ def ewma_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         r4(num / den).alias("ewma"),
     )
+
+
+# --------------------------------------------------------------------------
+# B46 — day-of-week seasonality decomposition: fit the per-type DOW
+# profile (mean daily count per ISO weekday), subtract it, and report
+# residual magnitude — the classic "remove the weekly cycle before
+# alarming" step that makes B21-style anomaly baselines honest on
+# weekly-periodic traffic. Two grouped aggregates + one broadcast
+# join; the profile frame is |types|·7 rows.
+# --------------------------------------------------------------------------
+
+DOW_SEASONAL_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, isodow(CAST(ts AS DATE))
+             AS dow, COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+profile AS (
+  SELECT event_type, dow, AVG(n) AS dow_mean
+  FROM daily GROUP BY event_type, dow
+),
+resid AS (
+  SELECT d.event_type, d.n - p.dow_mean AS r, p.dow_mean, d.dow
+  FROM daily d JOIN profile p
+    ON p.event_type = d.event_type AND p.dow = d.dow
+),
+peak AS (
+  SELECT event_type, dow AS peak_dow FROM (
+    SELECT event_type, dow,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY dow_mean DESC, dow) AS rk
+    FROM profile
+  ) WHERE rk = 1
+)
+SELECT r.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       {r4_sql("AVG(abs(r.r))")} AS mean_abs_residual,
+       {r4_sql("MAX(abs(r.r))")} AS max_abs_residual,
+       CAST(MIN(p.peak_dow) AS INT) AS peak_dow
+FROM resid r JOIN peak p ON p.event_type = r.event_type
+GROUP BY r.event_type
+"""
+
+
+@query("dow_seasonality_residuals", DOW_SEASONAL_ORACLE)
+def dow_seasonality_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """daily counts -> tiny (type, dow) profile broadcast back ->
+    residual rollup; `dayofweek` is rotated to ISO (Mon=1) to match
+    DuckDB's isodow."""
+    e = t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    iso_dow = ((F.dayofweek(day) + 5) % 7) + 1
+    daily = e.groupBy(
+        "event_type", day.alias("day"), iso_dow.alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    profile = daily.groupBy("event_type", "dow").agg(
+        F.avg("n").alias("dow_mean")
+    )
+    wpk = Window.partitionBy("event_type").orderBy(
+        F.desc("dow_mean"), "dow"
+    )
+    peak = (
+        profile.withColumn("rk", F.row_number().over(wpk))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("dow").alias("peak_dow"))
+    )
+    resid = daily.join(F.broadcast(profile), ["event_type", "dow"]).select(
+        "event_type", (F.col("n") - F.col("dow_mean")).alias("r")
+    )
+    return (
+        resid.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            r4(F.avg(F.abs("r"))).alias("mean_abs_residual"),
+            r4(F.max(F.abs("r"))).alias("max_abs_residual"),
+        )
+        .join(F.broadcast(peak), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "mean_abs_residual",
+            "max_abs_residual",
+            F.col("peak_dow").cast("int").alias("peak_dow"),
+        )
+    )

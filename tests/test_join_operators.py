@@ -254,3 +254,49 @@ def test_bloom_pruned_join_injects_runtime_filter(spark):
         assert with_bloom == without
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_minhash_index_probe_matches_direct_banding(spark, tmp_path):
+    """F15/K18: building the signature index then probing a new batch
+    must find exactly the cross (new x corpus) band-collision pairs
+    the direct one-shot banding computation finds."""
+    from pyspark.sql import functions as F
+
+    from drive_bc_datapipeline_spark.operators.dedup_index import (
+        build_minhash_index,
+        minhash_bands,
+        probe_minhash_index,
+    )
+    from drive_bc_datapipeline_spark.plans.registry import t
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    path = str(tmp_path / "mh_index")
+    n_rows = build_minhash_index(corpus, path)
+    assert n_rows > 0
+
+    got = {
+        (r.new_doc_id, r.corpus_doc_id)
+        for r in probe_minhash_index(spark, path, batch).collect()
+    }
+
+    # direct computation: band-join batch bands against corpus bands
+    cb = minhash_bands(corpus).select(
+        F.col("doc_id").alias("corpus_doc_id"), "band_id", "band_hash"
+    )
+    nb = minhash_bands(batch).select(
+        F.col("doc_id").alias("new_doc_id"), "band_id", "band_hash"
+    )
+    want = {
+        (r.new_doc_id, r.corpus_doc_id)
+        for r in nb.join(cb, ["band_id", "band_hash"])
+        .select("new_doc_id", "corpus_doc_id")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
