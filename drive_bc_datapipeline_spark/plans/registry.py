@@ -60,8 +60,9 @@ GATE_PIN: list[str] = [
     # (gap-fill, interpolation, chi², unpivot, MI, autocorr, TWAP,
     # rolling median, winsorize, MAD, snapshot diff, checksum,
     # co-occurrence, packing waste, source mixture weights, rolling
-    # HLL distinct) that the local pytest parity gate already covers
-    # and rotation re-verifies by r7. The staleness
+    # HLL distinct, centroid geometry, and the late-round debuts) that
+    # the local pytest parity gate already covers and rotation
+    # re-verifies by r7. The staleness
     # bound in tests/test_registry.py is relaxed for this transient
     # config; r7 unpins everything that goes green.
     "shard_packing",
@@ -89,7 +90,6 @@ GATE_PIN: list[str] = [
     "llm_data_prep_funnel",
     "embedding_pca_projection",
     "dup_graph_triangles",
-    "centroid_pairwise_distances",
     "unigram_logprob_score",
     "zipf_slope",
     "ridge_value_model",
