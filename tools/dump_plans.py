@@ -53,9 +53,16 @@ PICKS = {
     "mmr_diversified_topk": "Distributed top-C pool (broadcast queries + mapInPandas partial top-k), C^2-bounded per-query sim edges, greedy rounds inside ONE applyInPandas group per query — iteration never touches the corpus again.",
     "join_cardinality_estimate": "Two map-side-combined per-key COUNT aggs + an ndv-sized count-frame join; the estimated join is never executed — output size arrives from |keys|-row frames.",
     "zipf_slope": "Salted two-level rank: heavy window partitioned by (n, salt) splits the hapax tie block; base/offset frames are freq-of-freq sized (O(sqrt tokens)) and broadcast.",
-    "llm_data_prep_funnel": "End-to-end composition: scan-side stage flags, content-hash canonical join, F2's banded near-dup pairs, 8-gram contamination semi-join — ONE final aggregate, 7 stage rows via array+posexplode (no union re-execution).",
     "apply_mixture_sampling": "Per-source counts -> 1-row normalizer -> broadcast quota -> source-partitioned rank window -> rollup; the only heavy shuffle is the source-keyed exchange.",
     "temporal_split_leakage": "1-row min/max span broadcast as the cut; one labeled scan folds into a user-keyed groupBy; all readouts ride the single 1-row rollup.",
+    "geo_point_in_polygon": "Ray-cast containment as ONE codegen'd column expression over literal vertices — no join, no UDF; linear scan at any scale.",
+    "user_trajectory_stats": "User-partitioned lag window (the only exchange) + haversine hop arithmetic + per-user rollup — sequential geo without self-joins.",
+    "ann_quantized_rerank_topk": "Stage 1 scores int8 reconstructions corpus-wide with the partial-top-k shuffle bound; stage 2 exact-reranks only M x |queries| rows.",
+    "ann_truncated_recall_at_k": "Both rankings share one broadcast query set; the truncated side's dot/norm run over slice(embedding, 1, 16) — the prefix-scan quality gate.",
+    "ewma_daily_counts": "Type-partitioned window; the 10-lag weighted chain is pure column arithmetic over the tiny daily aggregate.",
+    "dow_seasonality_residuals": "daily counts -> |types|x7 profile broadcast back -> residual rollup; profile and peak frames never shuffle the fact.",
+    "token_dropout_augment": "Zero-shuffle narrow plan: keep/drop md5 arithmetic and the augmented-text hash all evaluate in the scan projection.",
+    "llm_data_prep_funnel": "End-to-end composition: scan-side stage flags, content-hash canonical join, F2's banded near-dup pairs, 8-gram contamination semi-join — ONE final aggregate, 7 stage rows via array+posexplode (no union re-execution).",
 }
 
 HEADER = """# PLANS — physical-plan audit (generated from live `explain`)
