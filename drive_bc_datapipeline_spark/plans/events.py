@@ -3323,3 +3323,56 @@ def dow_seasonality_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("peak_dow").cast("int").alias("peak_dow"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B47 — multiple conditional DISTINCT aggregates in ONE pass: per
+# type, distinct users overall / with purchases elsewhere? no — with
+# high values / recently active. Spark plans N distinct aggregates
+# over one input as a single Expand (each row replicated once per
+# distinct spec, then one two-level aggregate) — one scan, one
+# shuffle, versus the N self-joins a naive writer reaches for. The
+# FILTER-clause twin is exactly how the oracle states it.
+# --------------------------------------------------------------------------
+
+MULTI_DISTINCT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u_all,
+       CAST(COUNT(DISTINCT user_id) FILTER (WHERE value > 75)
+            AS BIGINT) AS u_high_value,
+       CAST(COUNT(DISTINCT user_id) FILTER (
+            WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY)
+            AS BIGINT) AS u_last_week,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("multi_distinct_user_counts", MULTI_DISTINCT_ORACLE)
+def multi_distinct_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three distinct specs + a plain count fold into one Expand-based
+    aggregate; the scalar max-ts is a broadcast 1-row frame."""
+    e = t(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("mx"))
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("u_all"),
+            F.count_distinct(
+                F.when(F.col("value") > 75, F.col("user_id"))
+            )
+            .cast("bigint")
+            .alias("u_high_value"),
+            F.count_distinct(
+                F.when(
+                    F.col("ts") >= F.col("mx") - F.expr("INTERVAL 7 DAY"),
+                    F.col("user_id"),
+                )
+            )
+            .cast("bigint")
+            .alias("u_last_week"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
