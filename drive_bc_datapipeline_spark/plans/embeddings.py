@@ -1965,3 +1965,75 @@ def ann_truncated_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.count("hit") / float(TOP_K)).alias("recall_at_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# G17 — embedding-space health histogram: cosine similarity of a
+# deterministic pseudo-random pairing (vec i with vec (i+137) mod N),
+# binned to 0.1 buckets. The collapse detector an embedding pipeline
+# watches: a healthy space concentrates near 0, a collapsed encoder
+# (or a bad normalization step) pushes mass toward 1. One self-join
+# on the derived partner id — |N| rows through the join, nothing
+# quadratic; the 137 stride is coprime to any realistic N so the
+# pairing is a single cycle touching every vector.
+# --------------------------------------------------------------------------
+
+PAIR_STRIDE = 137
+
+COS_HEALTH_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_norm_sql("embedding")} AS nrm
+  FROM embeddings
+),
+n AS (SELECT COUNT(*) AS n FROM e),
+pairs AS (
+  SELECT a.vec_id,
+         ({_dot_terms_sql("a.embedding", "b.embedding")})
+             / (a.nrm * b.nrm) AS cos
+  FROM e a CROSS JOIN n
+  JOIN e b ON b.vec_id = (a.vec_id + {PAIR_STRIDE}) % n.n
+  WHERE a.vec_id <> b.vec_id
+)
+SELECT CAST(floor((cos + 1.0) / 0.1) AS INT) AS cos_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       {r4_sql("MIN(cos)")} AS bin_min,
+       {r4_sql("MAX(cos)")} AS bin_max
+FROM pairs
+GROUP BY 1
+"""
+
+
+@query("embedding_cosine_health", COS_HEALTH_ORACLE)
+def embedding_cosine_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One broadcast scalar N + one equi-join on the derived partner
+    id; at corpus scale the join shuffles |N| narrow rows once."""
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm_spark("embedding")
+    )
+    n = e.agg(F.count(F.lit(1)).alias("n"))
+    a = e.crossJoin(F.broadcast(n)).select(
+        "vec_id",
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+        ((F.col("vec_id") + PAIR_STRIDE) % F.col("n")).alias("partner"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("partner"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cos = _dot_terms_spark("a_emb", "b_emb") / (
+        F.col("a_nrm") * F.col("b_nrm")
+    )
+    pairs = (
+        a.join(b, "partner")
+        .filter(F.col("vec_id") != F.col("partner"))
+        .select(cos.alias("cos"))
+    )
+    return pairs.groupBy(
+        F.floor((F.col("cos") + 1.0) / 0.1).cast("int").alias("cos_bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        r4(F.min("cos")).alias("bin_min"),
+        r4(F.max("cos")).alias("bin_max"),
+    )

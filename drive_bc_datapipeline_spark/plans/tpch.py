@@ -1535,3 +1535,100 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top1_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# C32 — market-basket brand affinity (support + lift): which part
+# brands are co-purchased within an order more often than chance.
+# The association-rules shape on the TPC-H star: per-order distinct
+# brand sets expanded to ordered pairs MAP-SIDE (baskets are
+# lineitem-count bounded, so the fan-out is per-basket quadratic in
+# a SMALL constant, never corpus-quadratic — the same containment
+# argument as token co-occurrence), then one pair-count aggregate
+# joined against the two brands' basket counts for
+# lift = P(a,b) / (P(a)·P(b)). Top-25 by lift, deterministic ties.
+# --------------------------------------------------------------------------
+
+AFFINITY_TOP = 25
+AFFINITY_MIN_PAIRS = 5
+
+BRAND_AFFINITY_ORACLE = f"""
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+nb AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_baskets
+       FROM baskets),
+bc AS (SELECT brand, COUNT(*) AS n FROM baskets GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_pair
+  FROM baskets a JOIN baskets b
+    ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.brand_a, p.brand_b, p.n_pair,
+         CAST(p.n_pair AS DOUBLE) * nb.n_baskets / (ca.n * cb.n) AS lift
+  FROM pairs p
+  JOIN bc ca ON ca.brand = p.brand_a
+  JOIN bc cb ON cb.brand = p.brand_b
+  CROSS JOIN nb
+  WHERE p.n_pair >= {AFFINITY_MIN_PAIRS}
+)
+SELECT brand_a, brand_b, CAST(n_pair AS BIGINT) AS n_pair,
+       {r4_sql("lift")} AS lift
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      ORDER BY lift DESC, brand_a, brand_b) AS rk
+  FROM scored
+) WHERE rk <= {AFFINITY_TOP}
+"""
+
+
+@query("brand_affinity_lift", BRAND_AFFINITY_ORACLE)
+def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order sorted brand arrays expand to pairs map-side (no
+    basket self-join shuffle); the pair aggregate and two broadcast
+    brand-count joins produce lift; global top-25 is TakeOrdered over
+    the |brand-pairs|-bounded scored frame."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    baskets = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds basket count, brand counts, pairs
+    )
+    nb = baskets.select("okey").distinct().count()
+    bc = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    pair_expr = F.expr(
+        "flatten(transform(bs, (a, i) -> "
+        "transform(slice(bs, i + 2, size(bs)), "
+        "b -> named_struct('brand_a', a, 'brand_b', b))))"
+    )
+    pairs = (
+        baskets.groupBy("okey")
+        .agg(F.sort_array(F.collect_set("brand")).alias("bs"))
+        .select(F.explode(pair_expr).alias("pr"))
+        .select("pr.brand_a", "pr.brand_b")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= AFFINITY_MIN_PAIRS)
+    )
+    ca = bc.select(F.col("brand").alias("brand_a"), F.col("n").alias("na"))
+    cb = bc.select(F.col("brand").alias("brand_b"), F.col("n").alias("nb_"))
+    lift = F.col("n_pair").cast("double") * nb / (F.col("na") * F.col("nb_"))
+    scored = (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .select("brand_a", "brand_b", "n_pair", lift.alias("lift"))
+    )
+    top = scored.orderBy(
+        F.desc("lift"), "brand_a", "brand_b"
+    ).limit(AFFINITY_TOP)
+    return top.select(
+        "brand_a",
+        "brand_b",
+        F.col("n_pair").cast("bigint").alias("n_pair"),
+        r4(F.col("lift")).alias("lift"),
+    )

@@ -383,3 +383,48 @@ def read_binary_dir(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def profile_output_files(
+    spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Small-file detector for a written dataset: per-file byte sizes
+    via the binaryFile source (metadata-only — content column pruned,
+    so nothing is read but footers and listings), summarized against a
+    target file size.
+
+    The operational readout behind ``compact_parquet`` (K8): a healthy
+    100 TB table has files near ``target_bytes``; a mean far below it
+    means the NameNode/listing and task-scheduling overheads dominate
+    and the directory needs compaction. Returns
+    ``{n_files, total_bytes, mean_bytes, min_bytes, max_bytes,
+    n_small, compaction_recommended}`` where small = < target/4.
+    """
+    from pyspark.sql import functions as F
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(path)
+        .select("path", "length")
+    )
+    row = files.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.coalesce(F.sum("length"), F.lit(0)).alias("total_bytes"),
+        F.coalesce(F.min("length"), F.lit(0)).alias("min_bytes"),
+        F.coalesce(F.max("length"), F.lit(0)).alias("max_bytes"),
+        F.coalesce(
+            F.sum(F.when(F.col("length") < target_bytes // 4, 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_small"),
+    ).first()
+    n = row["n_files"]
+    return {
+        "n_files": n,
+        "total_bytes": row["total_bytes"],
+        "mean_bytes": (row["total_bytes"] // n) if n else 0,
+        "min_bytes": row["min_bytes"],
+        "max_bytes": row["max_bytes"],
+        "n_small": row["n_small"],
+        "compaction_recommended": bool(n and row["n_small"] > n // 2),
+    }

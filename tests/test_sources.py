@@ -351,3 +351,33 @@ def test_read_binary_dir(spark, tmp_path):
     assert bytes(rows[0]["content"])[:4] == b"\x89IMG"
     # feeds the I-section featurizers: binary column + typed metadata
     assert dict(df.dtypes)["content"] == "binary"
+
+
+def test_profile_output_files_detects_small_files(spark, tmp_path):
+    """K19: the file profiler must report sizes matching the real
+    directory listing and flag a many-small-files layout."""
+    import os
+
+    from drive_bc_datapipeline_spark.sources.io import profile_output_files
+
+    out = str(tmp_path / "frag")
+    spark.range(10_000).repartition(20).write.parquet(out)
+    prof = profile_output_files(spark, out, target_bytes=128 * 1024 * 1024)
+
+    on_disk = [
+        os.path.getsize(os.path.join(out, f))
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    ]
+    assert prof["n_files"] == len(on_disk)
+    assert prof["total_bytes"] == sum(on_disk)
+    assert prof["min_bytes"] == min(on_disk)
+    assert prof["max_bytes"] == max(on_disk)
+    assert prof["compaction_recommended"] is True  # 20 tiny files
+
+    # a compacted single file at a tiny target is not flagged
+    out2 = str(tmp_path / "ok")
+    spark.range(10_000).coalesce(1).write.parquet(out2)
+    prof2 = profile_output_files(spark, out2, target_bytes=4)
+    assert prof2["n_files"] == 1
+    assert prof2["compaction_recommended"] is False
