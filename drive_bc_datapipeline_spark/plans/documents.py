@@ -3921,3 +3921,52 @@ def token_dropout_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join("kt", " ").cast("binary")).alias("aug_hash"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# H39 — classifier evaluation readout: confusion matrix of the H2
+# language-ID heuristic against the labeled `lang` column, with
+# per-label recall. The eval loop every filtering classifier in a
+# data pipeline needs — composed directly from the H2 plan, so the
+# numbers grade exactly what ships.
+# --------------------------------------------------------------------------
+
+LANG_CONFUSION_ORACLE = f"""
+WITH preds AS ({LANG_ID_ORACLE}),
+cm AS (
+  SELECT labeled_lang, pred_lang, COUNT(*) AS n
+  FROM preds GROUP BY 1, 2
+),
+tot AS (
+  SELECT labeled_lang, SUM(n) AS n_label FROM cm GROUP BY labeled_lang
+)
+SELECT cm.labeled_lang, cm.pred_lang,
+       CAST(cm.n AS BIGINT) AS n,
+       {r4_sql("CAST(cm.n AS DOUBLE) / tot.n_label")} AS label_share,
+       CASE WHEN cm.labeled_lang = cm.pred_lang THEN 1 ELSE 0 END
+           AS is_correct
+FROM cm JOIN tot USING (labeled_lang)
+"""
+
+
+@query("lang_id_confusion", LANG_CONFUSION_ORACLE)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    preds = lang_id(spark, sf_dir)
+    cm = preds.groupBy("labeled_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cm.groupBy("labeled_lang").agg(F.sum("n").alias("n_label"))
+    return (
+        cm.join(F.broadcast(tot), "labeled_lang")
+        .select(
+            "labeled_lang",
+            "pred_lang",
+            F.col("n").cast("bigint").alias("n"),
+            r4(F.col("n").cast("double") / F.col("n_label")).alias(
+                "label_share"
+            ),
+            F.when(F.col("labeled_lang") == F.col("pred_lang"), 1)
+            .otherwise(0)
+            .alias("is_correct"),
+        )
+    )

@@ -3376,3 +3376,62 @@ def multi_distinct_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B48 — Benford first-digit audit of `value` per type: leading-digit
+# frequencies vs the Benford expectation log10(1 + 1/d) — the
+# fraud/synthetic-data screen auditors run on transaction amounts.
+# First digit extracted ARITHMETICALLY (floor(v / 10^floor(log10 v)))
+# — never via string formatting, which engines render differently.
+# --------------------------------------------------------------------------
+
+BENFORD_ORACLE = f"""
+WITH pos AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL AND value > 0
+),
+digits AS (
+  SELECT event_type,
+         CAST(floor(value / power(10, floor(log10(value)))) AS INT) AS d
+  FROM pos
+),
+cm AS (
+  SELECT event_type, d, COUNT(*) AS n FROM digits GROUP BY 1, 2
+),
+tot AS (SELECT event_type, SUM(n) AS nt FROM cm GROUP BY event_type)
+SELECT cm.event_type, cm.d,
+       CAST(cm.n AS BIGINT) AS n,
+       {r4_sql("CAST(cm.n AS DOUBLE) / tot.nt")} AS observed_share,
+       {r4_sql("log10(1.0 + 1.0 / cm.d)")} AS benford_share,
+       {r4_sql(
+           "abs(CAST(cm.n AS DOUBLE) / tot.nt - log10(1.0 + 1.0 / cm.d))"
+       )} AS abs_dev
+FROM cm JOIN tot USING (event_type)
+"""
+
+
+@query("benford_first_digit", BENFORD_ORACLE)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    d = F.floor(
+        F.col("value") / F.pow(F.lit(10.0), F.floor(F.log10("value")))
+    ).cast("int")
+    cm = e.groupBy("event_type", d.alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cm.groupBy("event_type").agg(F.sum("n").alias("nt"))
+    obs = F.col("n").cast("double") / F.col("nt")
+    ben = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        cm.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "d",
+            F.col("n").cast("bigint").alias("n"),
+            r4(obs).alias("observed_share"),
+            r4(ben).alias("benford_share"),
+            r4(F.abs(obs - ben)).alias("abs_dev"),
+        )
+    )
