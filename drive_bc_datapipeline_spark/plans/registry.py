@@ -31,105 +31,106 @@ ORACLES: dict[str, str] = {}
 #
 # The round driver's CORRECTNESS gate checks only the FIRST
 # ``GATE_WINDOW`` keys of ``queries()`` in dict order — fewer than the
-# registry holds, so a fixed order would leave the tail permanently
-# unverified (and a fixed priority list, round 3's approach, froze the
-# previously-green tail OUT of the window: regressions there became
-# invisible to the driver).
+# registry holds, so the ordering decides which keys get a driver row
+# this round. Earlier rounds hand-maintained a pin list + stride
+# rotation; that grew stale-coverage debt (round 6 pinned 41 keys and
+# relaxed the staleness bound to 17 rounds). Round 7 replaces it with a
+# self-maintaining scheme driven by the driver's own artifacts:
 #
-# Scheme: GATE_PIN holds the keys that MUST be re-verified this round
-# (new queries and any whose plan changed); every other registered key
-# rotates through the remaining window slots, advancing by a full
-# window-width per round — so the whole registry re-passes the driver
-# gate every ceil(rest / (GATE_WINDOW - len(pin))) rounds (3 at the
-# current 10-pin/111-rest split; tests/test_registry.py computes the
-# bound from the live registry, so growing GATE_PIN past the window's
-# capacity fails loudly instead of silently stretching staleness). The
-# round index is recovered from the CORRECTNESS_r*.json artifacts the
-# driver leaves at the repo root (deterministic within a round; local
-# pytest still covers everything every run regardless of order).
+# 1. ``GATE_PIN`` is now a {key: min_green_round} dict of FORCED
+#    re-verifications (a key whose plan changed must earn a fresh green
+#    row). A pin auto-expires the moment the artifacts show a fully
+#    green row for that key in a round >= min_green_round — no manual
+#    r+1 cleanup, no possibility of a forgotten pin stretching the
+#    rotation stride.
+# 2. Every other key is ordered by STALENESS: never-driver-gated keys
+#    first (so new queries always debut in their first round), then by
+#    last-green round ascending (a key whose latest row failed sorts by
+#    its older last-green, floating it back into the window), ties
+#    broken alphabetically.
+#
+# Because each round's driver run stamps green rows for the whole
+# window, the stalest tail advances by (GATE_WINDOW - active pins)
+# keys per round, so full-registry coverage needs
+# ceil(|registry| / GATE_WINDOW) rounds once pins expire —
+# tests/test_registry.py simulates exactly this and asserts the 4-round
+# bound. History comes from the CORRECTNESS_r*.json artifacts the
+# driver leaves at the repo root (fixed within a round, so the order is
+# deterministic; local pytest covers every key every run regardless).
 # ---------------------------------------------------------------------------
 
 GATE_WINDOW = 50
 
-GATE_PIN: list[str] = [
-    # round-6 pins. This round debuts 51 new query keys and re-verifies
-    # the 5 r5 hash-fails (prefix-sum determinism fix + HUGEINT oracle
-    # casts) — more than one 50-key window holds, so the pin keeps the
-    # 5 fixes plus the 37 most novel/scale-critical debuts; the 14
-    # deferred debuts are simple single-table analytics shapes
-    # (gap-fill, interpolation, chi², unpivot, MI, autocorr, TWAP,
-    # rolling median, winsorize, MAD, snapshot diff, checksum,
-    # co-occurrence, packing waste, source mixture weights, rolling
-    # HLL distinct, centroid geometry, and the late-round debuts) that
-    # the local pytest parity gate already covers and rotation
-    # re-verifies by r7. The staleness
-    # bound in tests/test_registry.py is relaxed for this transient
-    # config; r7 unpins everything that goes green.
-    "shard_packing",
-    "quality_filter_funnel",
-    "embedding_label_centroids",
-    "etl_variant_extract",
-    "user_activity_streaks",
-    "zorder_skipping_stats",
-    "stream_join_clicks_before_purchase",
-    "token_entropy_by_source",
-    "mmr_diversified_topk",
-    "dedup_clusters_lsss",
-    "cms_heavy_hitters",
-    "dedup_normalized_text",
-    "events_expectations_report",
-    "pii_scrub_stats",
-    "max_concurrent_intervals",
-    "scd2_type_history",
-    "dedup_events_within_hour",
-    "join_key_skew_profile",
-    "bm25_search_topk",
-    "pagerank_type_graph",
-    "embedding_gram_matrix",
-    "user_running_stats",
-    "llm_data_prep_funnel",
-    "embedding_pca_projection",
-    "dup_graph_triangles",
-    "unigram_logprob_score",
-    "zipf_slope",
-    "ridge_value_model",
-    "dup_cluster_size_histogram",
-    "stratified_kfold_assignment",
-    "inverted_index_postings",
-    "winnowing_fingerprint_pairs",
-    "kmeans_embeddings",
-    "kcore_peeling",
-    "last_touch_attribution",
-    "dedup_prefix_jaccard",
-    "chunk_dup_mass_by_source",
-    "eval_containment_scores",
-    "incremental_dedup_status",
-    "ann_filtered_topk",
-    "join_cardinality_estimate",
-]
+#: key -> earliest round whose green row satisfies the pin. Add an
+#: entry when a query's PLAN changes materially (set it to the current
+#: round + 1, i.e. the next driver round); never remove entries by
+#: hand — expired pins are inert and document the re-verification.
+GATE_PIN: dict[str, int] = {
+    # round-7 plan changes that must earn a fresh green row:
+    "dedup_ngram_jaccard": 7,  # verification replan (size-bound prefilter)
+    "mmr_diversified_topk": 7,  # empty-pool guard in the greedy loop
+}
 
 
-def _round_index() -> int:
-    """Rounds completed so far = driver correctness artifacts on disk."""
-    import glob
-
-    repo_root = os.path.dirname(
+def _repo_root() -> str:
+    return os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    return len(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
+
+
+def _gate_history() -> dict[str, int]:
+    """key -> most recent round with a fully green driver row.
+
+    Parsed from the CORRECTNESS_r*.json artifacts at the repo root.
+    Keys absent from every artifact have never been driver-gated.
+    """
+    import glob
+    import json
+
+    last_green: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json")):
+        try:
+            rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+            rows = json.load(open(path))
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for key, row in rows.items():
+            ok = (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                # hash_match is None for rows-only (oracle-less) checks;
+                # only an explicit False is a failure.
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            if ok and rnd > last_green.get(key, -1):
+                last_green[key] = rnd
+
+
+    return last_green
+
+
+def active_pins(history: dict[str, int] | None = None) -> list[str]:
+    """Pins not yet satisfied by a green row at >= their min round."""
+    hist = _gate_history() if history is None else history
+    return [
+        k
+        for k, min_rnd in GATE_PIN.items()
+        if k in QUERIES and hist.get(k, -1) < min_rnd
+    ]
 
 
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """QUERIES re-keyed: pinned keys first, the rest rotated so each
-    occupies the driver's verification window every ~2 rounds."""
-    pinned = [k for k in GATE_PIN if k in QUERIES]
-    rest = sorted(k for k in QUERIES if k not in pinned)
-    out = {k: QUERIES[k] for k in pinned}
-    if rest:
-        stride = max(1, GATE_WINDOW - len(pinned))
-        off = (stride * _round_index()) % len(rest)
-        out.update((k, QUERIES[k]) for k in rest[off:] + rest[:off])
-    return out
+    """QUERIES re-keyed for the driver gate: unexpired pins first, then
+    never-gated debuts, then everything else stalest-first."""
+    hist = _gate_history()
+    pinned = active_pins(hist)
+    rest = sorted(
+        (k for k in QUERIES if k not in pinned),
+        key=lambda k: (hist.get(k, -1), k),
+    )
+    return {k: QUERIES[k] for k in [*pinned, *rest]}
 
 # ---------------------------------------------------------------------------
 # Cross-engine safe rounding.
