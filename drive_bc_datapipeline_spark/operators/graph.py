@@ -48,34 +48,38 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
     ).localCheckpoint()
 
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.v == labels.node)
-            .select(sym.u.alias("n"), "label")
-            .groupBy("n")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.n, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
-                    "changed"
-                ),
+    try:  # finally-unpersist so the non-convergence raise can't leak `sym`
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, sym.v == labels.node)
+                .select(sym.u.alias("n"), "label")
+                .groupBy("n")
+                .agg(F.min("label").alias("nbr_label"))
             )
-        ).localCheckpoint(eager=False)  # truncate lineage every round;
-        # non-eager: the convergence count below is the round's first
-        # action, so it materializes the checkpoint blocks itself —
-        # one job per round instead of checkpoint-job + count-job.
-        n_changed = new_labels.filter("changed").count()
-        labels = new_labels.drop("changed")
-        if n_changed == 0:
-            sym.unpersist()
-            return labels.select("node", F.col("label").alias("component"))
-    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+            new_labels = (
+                labels.join(neighbor_min, labels.node == neighbor_min.n, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    ).alias("label"),
+                    (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                        "changed"
+                    ),
+                )
+            ).localCheckpoint(eager=False)  # truncate lineage every round;
+            # non-eager: the convergence count below is the round's first
+            # action, so it materializes the checkpoint blocks itself —
+            # one job per round instead of checkpoint-job + count-job.
+            n_changed = new_labels.filter("changed").count()
+            labels = new_labels.drop("changed")
+            if n_changed == 0:
+                return labels.select("node", F.col("label").alias("component"))
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    finally:
+        sym.unpersist()
 
 
 def connected_components_lsss(

@@ -1616,10 +1616,16 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = _dot_terms_spark("emb_a", "emb_b") / (
         F.col("nrm_a") * F.col("nrm_b")
     )
-    edges = (
+    pair_sims = (
         c1.join(c2, "query_id")
         .filter(F.col("id_a") != F.col("id_b"))
-        .select("query_id", "id_a", "rel", "id_b", sim.alias("sim"))
+        .select("query_id", "id_a", "id_b", sim.alias("sim"))
+    )
+    # LEFT join so a query whose pool is a single candidate (no pairs)
+    # still reaches the greedy group as one sim-less row instead of
+    # vanishing — the oracle emits such queries truncated, not absent.
+    edges = c1.select("query_id", "id_a", "rel").join(
+        pair_sims, ["query_id", "id_a"], "left"
     )
 
     lam, mu = MMR_LAMBDA, 1 - MMR_LAMBDA
@@ -1635,6 +1641,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims = {
             (int(a), int(b)): s
             for a, b, s in zip(pdf["id_a"], pdf["id_b"], pdf["sim"])
+            if pd.notna(b)  # null id_b = the sim-less single-candidate row
         }
         selected: list[int] = []
         out = []
@@ -1651,6 +1658,12 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 score = lam * rels[cid] - mu * mx
                 if best_score is None or score > best_score:
                     best_id, best_score = cid, score
+            if best_id is None:
+                # candidate pool exhausted before MMR_K picks: emit the
+                # truncated row set, matching the oracle's graceful
+                # degradation (its ROW_NUMBER simply runs out of rows)
+                # instead of appending None and KeyError-ing next step.
+                break
             selected.append(best_id)
             out.append((qid, best_id, step, best_score))
         return pd.DataFrame(

@@ -121,10 +121,16 @@ def active_pins(history: dict[str, int] | None = None) -> list[str]:
     ]
 
 
-def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def ordered_queries(
+    history: dict[str, int] | None = None,
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """QUERIES re-keyed for the driver gate: unexpired pins first, then
-    never-gated debuts, then everything else stalest-first."""
-    hist = _gate_history()
+    never-gated debuts, then everything else stalest-first.
+
+    ``history`` injects a synthetic last-green map (tests simulate
+    multi-round rotation with it); default reads the driver artifacts.
+    """
+    hist = _gate_history() if history is None else history
     pinned = active_pins(hist)
     rest = sorted(
         (k for k in QUERIES if k not in pinned),

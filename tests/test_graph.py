@@ -45,6 +45,31 @@ def test_long_chain_needs_many_rounds(spark):
         connected_components(df, "src", "dst", max_iter=2)
 
 
+def test_non_convergence_does_not_leak_cache(spark):
+    """r6 verdict nit: the RuntimeError path must still unpersist the
+    cached symmetric-edge frame (try/finally), matching pagerank's
+    cleanup — a leaked cache accumulates across retried jobs."""
+    import gc
+    import time
+
+    sc = spark.sparkContext._jsc.sc()
+    before = sc.getPersistentRDDs().size()
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError):
+        connected_components(df, "src", "dst", max_iter=1)
+    # The explicit `.cache()` must be gone immediately; the two
+    # localCheckpoint RDDs are ContextCleaner-owned and drain only
+    # after GC releases the DataFrame references, so poll briefly.
+    deadline = time.monotonic() + 30
+    while sc.getPersistentRDDs().size() > before and time.monotonic() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+    assert sc.getPersistentRDDs().size() == before
+
+
 def _union_find_reference(edges):
     parent: dict[int, int] = {}
 

@@ -272,3 +272,34 @@ def test_mmr_pool_is_bounded_before_pandas(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan, plan[:2000]
     assert "MapInPandas" in plan, plan[:2000]
+
+
+def test_mmr_truncates_gracefully_on_tiny_pool(spark, tmp_path):
+    """G14 regression (r6 ADVICE): a candidate pool smaller than MMR_K
+    must yield a truncated per-query row set — not a None selection
+    that KeyErrors the next greedy round, and not a silently dropped
+    query (the single-candidate pool has zero pairwise-sim edges).
+    Engine and oracle must agree on the truncated rows."""
+    import duckdb
+
+    from drive_bc_datapipeline_spark.plans.embeddings import DIM
+
+    pad = [0.0] * (DIM - 2)  # oracle dot products unroll all DIM slots
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0] + pad, 0), (1, [0.6, 0.8] + pad, 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    corpus.write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    df = QUERIES["mmr_diversified_topk"](spark, str(tmp_path))
+    got = sorted(tuple(r) for r in df.collect())
+    # both vec_ids are queries (< MMR_Q); each pool = the other vector
+    assert [(r[0], r[1], r[2]) for r in got] == [(0, 1, 1), (1, 0, 1)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    want = sorted(con.sql(registry.ORACLES["mmr_diversified_topk"]).fetchall())
+    assert got == want
