@@ -75,10 +75,15 @@ def run_pipeline(
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(path)
+        # Manifest columns = the READ-BACK schema (footer-only scan, no
+        # data I/O): partitionBy moves partition columns to the end of
+        # the on-disk schema, so recording df.columns would disagree
+        # with what readers see — and the re-read doubles as a smoke
+        # check that the written output is loadable.
         manifest["jobs"][name] = {
             "path": path,
             "rows": obs.get["rows"],
-            "columns": df.columns,
+            "columns": spark.read.parquet(path).columns,
             "seconds": round(time.time() - t0, 3),
         }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:

@@ -279,3 +279,66 @@ def zorder_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("probe_hit", F.when(probe, 1).otherwise(0).cast("int"))
     )
+
+
+# --------------------------------------------------------------------------
+# L5 driver gate — runtime bloom-filter join pruning. Catalyst injects
+# a bloom filter built from the selective dim side (urgent orders) into
+# the fact (lineitem) scan, so non-joining rows drop BEFORE the
+# shuffle; at 100 TB that's the difference between shuffling the whole
+# fact table and shuffling only the ~1/5 that can join. The query fn
+# REFUSES to return if the filter didn't inject (plan check), and the
+# result is materialized while the widened thresholds are live — the
+# driver's oracle then verifies the bloom-pruned join returns exactly
+# the unpruned answer (bloom filters are one-sided: false positives
+# re-checked by the join, never false negatives).
+# --------------------------------------------------------------------------
+
+BLOOM_GATE_ORACLE = f"""
+SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {r2_sql("SUM(l.l_extendedprice * (1 - l.l_discount))")} AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1
+"""
+
+
+@query("bloom_pruned_join_gate", BLOOM_GATE_ORACLE)
+def bloom_pruned_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from drive_bc_datapipeline_spark.operators.joins import bloom_pruned_joins
+
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            r2(F.sum(revenue)).alias("revenue"),
+        )
+    )
+    # Broadcast would bypass the shuffle join the bloom filter targets;
+    # disable it for this plan only, restore after materializing.
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with bloom_pruned_joins(spark):
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            if "bloom_filter_agg" not in plan or "might_contain" not in plan:
+                raise RuntimeError(
+                    "runtime bloom filter did not inject; plan head: "
+                    + plan[:500]
+                )
+            # Execute NOW (confs still widened) and pin the result; the
+            # driver's later collect reads the checkpointed rows.
+            return joined.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)

@@ -3435,3 +3435,162 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.abs(obs - ben)).alias("abs_dev"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# J1/J9 driver gates — these two keys run the REAL Structured Streaming
+# machinery, not a batch twin: the query fn exports the events table to
+# JSONL micro-batch files, runs the actual readStream pipeline with
+# availableNow (several micro-batches via maxFilesPerTrigger), and
+# returns the sink contents — so the driver's DuckDB oracle verifies
+# readStream → clean/session_window → foreachBatch/memory sink
+# end-to-end, the way J3–J6 gate the other streaming semantics.
+#
+# ts survives the JSONL round trip at full precision: exported as
+# `yyyy-MM-dd HH:mm:ss.SSSSSS` and parsed back with the same explicit
+# timestampFormat (events carry microsecond components; the default
+# JSON timestamp writer truncates to millis).
+#
+# 100 TB: the export is test plumbing only — production points
+# readStream at the real source. The streaming plan itself is the
+# scale artifact: per-micro-batch incremental state (session merge /
+# partitioned append), watermark-bounded, no global materialization.
+# --------------------------------------------------------------------------
+
+_STREAM_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _export_stream_source(spark: SparkSession, sf_dir: str, n_files: int = 6) -> str:
+    """Write the events table as `n_files` JSONL files under a fresh
+    temp dir; returns the dir. Each file becomes (at most) one
+    micro-batch constituent, so availableNow replays a multi-batch
+    backlog rather than one giant batch."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    src = f"{root}/src"
+    (
+        t(spark, sf_dir, "events")
+        .select(
+            F.col("event_id").cast("string").alias("event_id"),
+            F.date_format("ts", _STREAM_TS_FMT).alias("ts"),
+            F.col("user_id").cast("string").alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .json(src)
+    )
+    return root
+
+
+STREAMING_ETL_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                  AS INTEGER)) AS BIGINT) AS n_with_k,
+       CAST(SUM(TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(SUM(CAST(hour(ts) AS INTEGER)) AS BIGINT) AS sum_hour
+FROM events
+WHERE event_id IS NOT NULL AND ts IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("streaming_etl_counts", STREAMING_ETL_ORACLE)
+def streaming_etl_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 under the driver oracle: run the foreachBatch ETL stream
+    (clean → date-partitioned parquet append), read the sink back, and
+    roll it up per event_type — counts, parsed-k coverage, distinct
+    partition days, and the derived hour column, all of which only
+    match the oracle if every micro-batch cleaned and landed exactly
+    once (availableNow + checkpoint = exactly-once file sink)."""
+    from drive_bc_datapipeline_spark.streaming.pipeline import start_etl_stream
+
+    root = _export_stream_source(spark, sf_dir)
+    q = start_etl_stream(
+        spark,
+        f"{root}/src",
+        f"{root}/sink",
+        f"{root}/ckpt",
+        available_now=True,
+        timestamp_format=_STREAM_TS_FMT,
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(f"{root}/sink")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.countDistinct("event_date").alias("n_days"),
+        F.sum("hour").cast("bigint").alias("sum_hour"),
+    )
+
+
+STREAMING_SESSION_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_no
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       {r2_sql("SUM(value)")} AS total_value
+FROM sess
+GROUP BY user_id, session_no
+"""
+
+
+@query("streaming_session_stats", STREAMING_SESSION_ORACLE)
+def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 under the driver oracle: run the native session_window
+    aggregation as an actual stream (state-store session merge across
+    micro-batches, availableNow) and emit the merged sessions from the
+    memory sink. Matches B16's batch semantics — the oracle is the
+    same gap-based sessionization CTE — so a green row proves the
+    streaming state merge reconstructs exactly the batch sessions.
+    EPS-nudged rounding on both sides: the stream accumulates value
+    sums in micro-batch order, the oracle in scan order."""
+    import uuid
+
+    from drive_bc_datapipeline_spark.streaming.pipeline import (
+        start_session_window_stream,
+    )
+
+    root = _export_stream_source(spark, sf_dir)
+    qname = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = start_session_window_stream(
+        spark,
+        f"{root}/src",
+        f"{root}/ckpt",
+        query_name=qname,
+        gap=f"{SESSION_GAP_MIN} minutes",
+        watermark="24 hours",
+        available_now=True,
+        timestamp_format=_STREAM_TS_FMT,
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        r2(F.col("total_value")).alias("total_value"),
+    )

@@ -707,17 +707,22 @@ def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# C22 — TPC-H Q15 (top supplier by quarterly revenue). The original
+# C22 — TPC-H Q15 (top supplier by quarterly revenue). The naive
 # "WHERE revenue = (SELECT MAX...)" shape re-executes the float
 # aggregation twice; on a cluster the two merges can differ in the
 # last ulp (shuffle-fetch arrival order) and the equality then matches
-# NOTHING. Both plans instead RANK one materialization of the view —
-# self-consistent by construction, ties (rank 1) all kept like the
-# original.
+# NOTHING. The Spark plan pins ONE materialization of the revenue view
+# (eager localCheckpoint) and then does scalar-MAX + broadcast equality
+# join against that pinned frame — the MAX job and the filter job read
+# the same double sums, so the equality is safe and keeps ties exactly
+# like rank()=1. (An earlier round used a rank window instead, but
+# Spark plans an unpartitioned rank as ONE task holding every supplier
+# — the max-equality join is fully distributed.) The DuckDB oracle
+# ranks in SQL; single-process DuckDB has no merge-order hazard.
 #
 # 100 TB: revenue view = one filtered lineitem aggregation (per-supplier
-# partial sums map-side); the rank window runs on the supplier-sized
-# aggregate (single-partition window over a dim-sized frame).
+# partial sums map-side); MAX reduces a dim-sized frame to one row,
+# broadcast to the equality filter — no single-partition window.
 # --------------------------------------------------------------------------
 
 Q15_ORACLE = """

@@ -51,19 +51,27 @@ RAW_EVENT_SCHEMA = StructType(
 
 
 def read_event_stream(
-    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 10
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int = 10,
+    timestamp_format: str | None = None,
 ) -> DataFrame:
     """File-source stream of JSONL event files with explicit schema.
 
     `maxFilesPerTrigger` bounds micro-batch size — the file-source
     equivalent of Kinesis's per-shard read cap; without it the first
     batch after a backlog swallows the whole directory.
+
+    `timestamp_format` pins ts parsing when the producer writes a
+    non-ISO format (the driver-gated streaming keys export parquet
+    events as `yyyy-MM-dd HH:mm:ss.SSSSSS` to keep microseconds).
     """
-    return (
-        spark.readStream.schema(RAW_EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .json(source_dir)
+    reader = spark.readStream.schema(RAW_EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    if timestamp_format is not None:
+        reader = reader.option("timestampFormat", timestamp_format)
+    return reader.json(source_dir)
 
 
 def clean_events(raw: DataFrame) -> DataFrame:
@@ -97,10 +105,13 @@ def start_etl_stream(
     sink_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    timestamp_format: str | None = None,
 ) -> StreamingQuery:
     """J1: stream → clean → foreachBatch skip-empty parquet append,
     date-partitioned. etl-events.py:40-52 parity."""
-    cleaned = clean_events(read_event_stream(spark, source_dir))
+    cleaned = clean_events(
+        read_event_stream(spark, source_dir, timestamp_format=timestamp_format)
+    )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # Skip-empty guard (reference checked rdd.isEmpty(); isEmpty()
@@ -443,6 +454,7 @@ def start_session_window_stream(
     gap: str = "30 minutes",
     watermark: str = "2 hours",
     available_now: bool = True,
+    timestamp_format: str | None = None,
 ) -> StreamingQuery:
     """J9: streaming session-window aggregation — the native
     ``session_window`` construct under Structured Streaming, where the
@@ -455,7 +467,7 @@ def start_session_window_stream(
     in the memory sink for that comparison; production would use
     append mode + watermark eviction with a foreachBatch upsert.
     """
-    raw = read_event_stream(spark, source_dir)
+    raw = read_event_stream(spark, source_dir, timestamp_format=timestamp_format)
     agg = (
         raw.dropna(subset=["ts"])
         .withWatermark("ts", watermark)
@@ -463,12 +475,16 @@ def start_session_window_stream(
             "user_id",
             F.session_window("ts", gap).alias("w"),
         )
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "n_events",
+            "total_value",
         )
     )
     writer = (
