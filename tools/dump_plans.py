@@ -21,7 +21,7 @@ PICKS = {
     "ann_cosine_topk": "Broadcast query set; one corpus scan; map-side partial top-k (mapInPandas) before the exchange.",
     "range_join_clicks_near_errors": "Bucket replication turns the interval predicate into an equi-join; exact Δt filter applied post-join.",
     "dedup_connected_components": "Iterative min-label propagation (plan shown = final iteration's step).",
-    "dedup_ngram_jaccard": "Shingles hashed to 64-bit longs BEFORE any exchange (r6: every shuffle carries 8 bytes, not n-gram strings) → df-count agg → broadcast of pair-capable shingles → per-shingle doc lists → in-array pair expansion; the exploded shingle table is never shuffled a second time.",
+    "dedup_ngram_jaccard": "Shingles hashed to 64-bit longs BEFORE any exchange (r6: every shuffle carries 8 bytes, not n-gram strings) → df-count agg → broadcast of pair-capable shingles → per-shingle doc lists → in-array pair expansion; the exploded shingle table is never shuffled a second time. r7: verification pins ONE docsets materialization (was re-executed per join alias) and short-circuits the AllPairs size bound ahead of array_intersect.",
     "catalog_table_roundtrip": "Catalog-name read with the partition-value predicate as PartitionFilters (plan-time directory prune, no data filter).",
     "term_relevance_topk": "tf shuffle with map-side combine; df side broadcast; WindowGroupLimit prunes per-doc rank before the final sort.",
     "ann_recall_at_k": "Both rankings broadcast the query set; LSH side scores same-bucket rows only; final compare joins two k-row-per-query sets.",
