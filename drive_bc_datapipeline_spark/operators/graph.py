@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def connected_components(
@@ -336,3 +337,64 @@ def triangle_census(
             .alias("global_clustering"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Synchronous weighted label propagation (community detection).
+
+    The graph is treated as undirected (edges are symmetrized and
+    parallel edges' weights summed). Every node starts labeled with
+    itself; each round ALL nodes simultaneously adopt the label
+    carrying the maximum incident weight among their neighbors'
+    current labels (self-loops let a node's own community weigh in),
+    ties broken by the smallest label — so the result is fully
+    deterministic, unlike the async/random-order textbook variant.
+
+    Per round: one join keyed on the edge source + one (node, label)
+    aggregation + a per-node top-1 window — two shuffles, the same
+    scale shape as `pagerank`. The symmetric edge frame is partitioned
+    once on its join key and cached; lineage is truncated per round
+    with localCheckpoint (and the cache is released in a finally so
+    non-convergent or failed runs don't leak CacheManager entries).
+
+    Returns (node, label).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), F.col(weight).alias("w"))
+        .unionAll(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"), F.col(weight).alias("w"))
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").cast("double").alias("w"))
+        .repartition("a")
+        .cache()
+    )
+    try:
+        labels = (
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        top = Window.partitionBy("node").orderBy(
+            F.desc("wsum"), F.asc("label")
+        )
+        for _ in range(n_iter):
+            labels = (
+                sym.join(labels.withColumnRenamed("node", "a"), "a")
+                .groupBy(F.col("b").alias("node"), "label")
+                .agg(F.sum("w").alias("wsum"))
+                .withColumn("rn", F.row_number().over(top))
+                .filter(F.col("rn") == 1)
+                .select("node", "label")
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        sym.unpersist()
+    return labels

@@ -3986,3 +3986,132 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_correct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# H40 — per-source (domain) quota cap: RefinedWeb/C4-style "no single
+# domain dominates the corpus" sampling. Each source keeps its first
+# DOMAIN_CAP docs in deterministic pseudo-random order (the H5 md5
+# bucket, tie-broken by doc_id) and the query reports the per-source
+# keep funnel. The rank window is partitioned BY SOURCE — at 100 TB
+# each domain ranks independently (one shuffle on source; a pathological
+# mega-domain is exactly the case AQE skew-split handles), never a
+# global ordering.
+# --------------------------------------------------------------------------
+
+DOMAIN_CAP = 15
+
+DOMAIN_CAP_ORACLE = f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY {_SPLIT_BUCKET_SQL}, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN n_chars ELSE 0 END)
+            AS BIGINT) AS kept_chars,
+       {r4_sql(f"SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END)"
+               " * 1.0 / COUNT(*)")} AS kept_frac
+FROM ranked
+GROUP BY source
+"""
+
+
+@query("domain_cap_sample", DOMAIN_CAP_ORACLE)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        _SPLIT_BUCKET_SQL.replace("CAST(doc_id AS VARCHAR)", "CAST(doc_id AS STRING)")
+    )
+    w = Window.partitionBy("source").orderBy(bucket.asc(), F.col("doc_id"))
+    kept = F.col("rn") <= DOMAIN_CAP
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+            r4(
+                F.sum(kept.cast("int")) * F.lit(1.0) / F.count(F.lit(1))
+            ).alias("kept_frac"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# H41 — per-source KL divergence of the unigram token distribution vs
+# the whole corpus: the standard mixture-drift / domain-shift health
+# metric (which sources' token statistics deviate most from the blend
+# the model will train on). Every source token also appears in the
+# corpus distribution, so q > 0 by construction and the sum is finite.
+# Plan shape at 100 TB: one (source, token) shuffle with map-side
+# partial aggregation, a token-keyed join against the corpus counts
+# (itself a re-aggregation of the same frame), and a broadcast of the
+# |sources|-row totals; production would persist the (source, token)
+# counts once rather than recompute per report.
+# --------------------------------------------------------------------------
+
+SOURCE_KL_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+sc AS (
+  SELECT source, tok, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM tok WHERE tok <> '' GROUP BY source, tok
+),
+stot AS (SELECT source, SUM(c) AS st FROM sc GROUP BY source),
+cc AS (SELECT tok, SUM(c) AS tc FROM sc GROUP BY tok),
+ctot AS (SELECT SUM(tc) AS ct FROM cc)
+SELECT s.source,
+       CAST(st.st AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+       {r6_sql("SUM((s.c / st.st) * ln((s.c / st.st) / (c.tc / ctot.ct)))")}
+         AS kl_divergence
+FROM sc s
+JOIN stot st USING (source)
+JOIN cc c USING (tok)
+CROSS JOIN ctot
+GROUP BY s.source, st.st
+"""
+
+
+@query("source_kl_divergence", SOURCE_KL_ORACLE)
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    sc = (
+        d.select(
+            "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    stot = sc.groupBy("source").agg(F.sum("c").alias("st"))
+    cc = sc.groupBy("tok").agg(F.sum("c").alias("tc"))
+    ctot = cc.agg(F.sum("tc").alias("ct"))
+    p = F.col("c") / F.col("st")
+    q = F.col("tc") / F.col("ct")
+    return (
+        sc.join(F.broadcast(stot), "source")
+        .join(cc, "tok")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source", "st")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            r6(F.sum(p * F.log(p / q))).alias("kl_divergence"),
+        )
+        .select(
+            "source",
+            F.col("st").cast("bigint").alias("n_tokens"),
+            F.col("n_distinct_tokens").cast("bigint"),
+            "kl_divergence",
+        )
+    )

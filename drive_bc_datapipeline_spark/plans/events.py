@@ -3594,3 +3594,389 @@ def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         r2(F.col("total_value")).alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# J2 driver gate — the watermark + tumbling-window aggregation run as a
+# REAL stream (state store across micro-batches, availableNow backlog
+# replay), completing the J1/J9 pattern: the memory sink's complete-mode
+# table must equal the batch hourly rollup, which only happens if every
+# micro-batch's incremental state merge was exact.
+# --------------------------------------------------------------------------
+
+STREAMING_WINDOWED_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
+@query("streaming_windowed_counts", STREAMING_WINDOWED_ORACLE)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 under the driver oracle: tumbling 1-hour windows with a
+    watermark, executed as an actual multi-micro-batch stream. The
+    watermark (2h) never evicts state in complete output mode, so the
+    sink holds every window — equality with the batch GROUP BY is the
+    exactness proof for the windowed state store."""
+    import uuid
+
+    from drive_bc_datapipeline_spark.streaming.pipeline import (
+        start_windowed_counts_stream,
+    )
+
+    root = _export_stream_source(spark, sf_dir)
+    qname = f"hourly_{uuid.uuid4().hex[:8]}"
+    q = start_windowed_counts_stream(
+        spark,
+        f"{root}/src",
+        f"{root}/ckpt",
+        query_name=qname,
+        available_now=True,
+        timestamp_format=_STREAM_TS_FMT,
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        "window_start",
+        "window_end",
+        "event_type",
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J7 driver gate — stream-static broadcast enrichment: each micro-batch
+# left-joins the (broadcast) customer dimension; the sink rollup per
+# (mktsegment, event_type) equals the batch join iff every micro-batch
+# saw the full dim and no event was dropped or duplicated. This is the
+# workhorse production shape (events enriched with user attributes on
+# arrival), previously tests-only (J7).
+# --------------------------------------------------------------------------
+
+STREAMING_ENRICHED_ORACLE = f"""
+SELECT COALESCE(c.c_mktsegment, 'unknown') AS mktsegment,
+       e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {r2_sql("SUM(e.value)")} AS total_value
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.ts IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@query("streaming_enriched_counts", STREAMING_ENRICHED_ORACLE)
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from drive_bc_datapipeline_spark.streaming.pipeline import (
+        start_enriched_stream,
+    )
+
+    dim = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("user_id"),
+        "c_mktsegment",
+    )
+    root = _export_stream_source(spark, sf_dir)
+    qname = f"enriched_{uuid.uuid4().hex[:8]}"
+    q = start_enriched_stream(
+        spark,
+        f"{root}/src",
+        dim,
+        f"{root}/ckpt",
+        query_name=qname,
+        available_now=True,
+        timestamp_format=_STREAM_TS_FMT,
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(qname)
+        .groupBy(
+            F.coalesce("c_mktsegment", F.lit("unknown")).alias("mktsegment"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r2(F.sum("value")).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B49 — RFM segmentation: per-user recency/frequency/monetary quartiles
+# and the resulting 4x4x4 segment grid. Quartiles are rank-based
+# (exact NTILE(4) semantics), and the global rank is computed WITHOUT a
+# single-partition window: each metric gets a range-partitioned
+# distributed rank via exclusive_prefix_sum (operators/prefix.py) —
+# the same two-phase scan shard_packing uses — so a billion-user table
+# ranks with per-partition local windows plus a |partitions|-row
+# driver exchange. Ordering keys are cross-engine exact: day-precision
+# recency, integer frequency, and cent-quantized monetary (EPS-nudged
+# round), each tie-broken by user_id.
+# --------------------------------------------------------------------------
+
+_RFM_K = 4
+
+
+def _rfm_ntile(rank_col: str, n_col: str):
+    """Exact NTILE(k) bucket from a 1-based rank and the total row
+    count: the first n%k buckets get floor(n/k)+1 rows, the rest
+    floor(n/k) (lazy branches keep the base=0 division unreachable)."""
+    r, n = F.col(rank_col), F.col(n_col)
+    base = F.floor(n / _RFM_K)
+    rem = n % _RFM_K
+    big = rem * (base + 1)
+    return (
+        F.when(r <= big, F.ceil(r / (base + 1)))
+        .otherwise(rem + F.ceil((r - big) / base))
+        .cast("int")
+    )
+
+
+RFM_ORACLE = f"""
+WITH mx AS (
+  SELECT MAX(CAST(ts AS DATE)) AS d0 FROM events WHERE ts IS NOT NULL
+),
+u AS (
+  SELECT user_id,
+         DATE_DIFF('day', MAX(CAST(ts AS DATE)), (SELECT d0 FROM mx))
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(ROUND(COALESCE(SUM(value), 0) * 100 + 0.001, 0) AS BIGINT)
+           AS monetary_cents
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+),
+q AS (
+  SELECT recency_days, frequency, monetary_cents,
+         NTILE({_RFM_K}) OVER (ORDER BY recency_days, user_id) AS r_q,
+         NTILE({_RFM_K}) OVER (ORDER BY frequency, user_id) AS f_q,
+         NTILE({_RFM_K}) OVER (ORDER BY monetary_cents, user_id) AS m_q
+  FROM u
+)
+SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+       CAST(m_q AS INT) AS m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       {r4_sql("AVG(recency_days)")} AS avg_recency_days,
+       {r4_sql("AVG(frequency)")} AS avg_frequency,
+       {r2_sql("AVG(monetary_cents / 100.0)")} AS avg_monetary
+FROM q
+GROUP BY 1, 2, 3
+"""
+
+
+@query("user_rfm_segments", RFM_ORACLE)
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from drive_bc_datapipeline_spark.operators.prefix import (
+        exclusive_prefix_sum,
+    )
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    d0 = e.agg(F.max(F.to_date("ts")).alias("d0"))
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.coalesce(F.sum("value"), F.lit(0.0)).alias("monetary_raw"),
+        )
+        .crossJoin(F.broadcast(d0))
+        .select(
+            "user_id",
+            F.datediff("d0", "last_day").cast("bigint").alias("recency_days"),
+            F.col("frequency").cast("bigint").alias("frequency"),
+            F.round(F.col("monetary_raw") * 100 + 0.001, 0)
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .withColumn("__one", F.lit(1))
+    )
+    for metric, out in (
+        ("recency_days", "r_q"),
+        ("frequency", "f_q"),
+        ("monetary_cents", "m_q"),
+    ):
+        ordc = f"__ord_{out}"
+        u = (
+            exclusive_prefix_sum(
+                u.withColumn(ordc, F.struct(F.col(metric), F.col("user_id"))),
+                ordc,
+                "__one",
+                out_col=f"__rk_{out}",
+            )
+            .withColumn(f"__rk_{out}", F.col(f"__rk_{out}") + 1)
+            .drop(ordc)
+        )
+    n = u.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    u = u.crossJoin(F.broadcast(n))
+    for out in ("r_q", "f_q", "m_q"):
+        u = u.withColumn(out, _rfm_ntile(f"__rk_{out}", "__n"))
+    return u.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        r4(F.avg("recency_days")).alias("avg_recency_days"),
+        r4(F.avg("frequency")).alias("avg_frequency"),
+        r2(F.avg(F.col("monetary_cents") / 100.0)).alias("avg_monetary"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B50 — one-sided CUSUM drift detection on the daily count series per
+# event type. The textbook recursion S_i = max(0, S_{i-1} + dev_i) is
+# not window-expressible, but its closed form is: S_i = P_i -
+# min(0, min_{j<i} P_j) where P is the running sum of deviations —
+# two per-key sequential windows, the same shape both engines execute
+# in identical order (so fp agreement is structural, not luck).
+# Threshold = 3 sigma of the daily counts; the flag compares the
+# ROUNDED values so both engines derive it from identical numbers.
+# --------------------------------------------------------------------------
+
+CUSUM_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, AVG(n) AS mu, STDDEV_SAMP(n) AS sd
+  FROM daily GROUP BY 1
+),
+p AS (
+  SELECT d.event_type, d.day, d.n, s.sd,
+         SUM(d.n - s.mu) OVER (
+           PARTITION BY d.event_type ORDER BY d.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS psum
+  FROM daily d JOIN st s USING (event_type)
+),
+c AS (
+  SELECT event_type, day, n,
+         psum - LEAST(0.0, COALESCE(MIN(psum) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0.0)) AS cusum,
+         3.0 * sd AS h
+  FROM p
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day, CAST(n AS BIGINT) AS n_events,
+       {r4_sql("cusum")} AS cusum_pos,
+       {r4_sql("h")} AS threshold,
+       CAST(CASE WHEN {r4_sql("cusum")} > {r4_sql("h")} THEN 1 ELSE 0 END
+            AS INT) AS drift_flag
+FROM c
+"""
+
+
+@query("value_cusum_drift", CUSUM_ORACLE)
+def value_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    st = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wm = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = daily.join(F.broadcast(st), "event_type").withColumn(
+        "psum", F.sum(F.col("n") - F.col("mu")).over(wp)
+    )
+    cusum = F.col("psum") - F.least(
+        F.lit(0.0), F.coalesce(F.min("psum").over(wm), F.lit(0.0))
+    )
+    h = F.lit(3.0) * F.col("sd")
+    return p.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.col("n").cast("bigint").alias("n_events"),
+        r4(cusum).alias("cusum_pos"),
+        r4(h).alias("threshold"),
+        F.when(r4(cusum) > r4(h), 1).otherwise(0).cast("int").alias("drift_flag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L12 — label-propagation communities over the event-type transition
+# graph (operators/graph.py:label_propagation): which event types
+# cluster into behavioral communities. Same tiny-graph/full-operator
+# stance as pagerank_type_graph — per-round cost is two shuffles on
+# the EDGE frame, the shape that holds at billions of edges. Oracle:
+# the identical 4 synchronous rounds unrolled as CTEs (weights are
+# integer-valued doubles, so the max-weight/min-label tiebreak is
+# exact in both engines — no fp ambiguity).
+# --------------------------------------------------------------------------
+
+_LPA_ITER = 4
+
+
+def _lpa_oracle() -> str:
+    head = """
+WITH e0 AS (
+  SELECT from_type AS a, to_type AS b, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM (
+    SELECT LAG(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS from_type,
+           event_type AS to_type
+    FROM events
+  )
+  WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT a AS src, b AS dst, SUM(w) AS w FROM (
+    SELECT a, b, w FROM e0 UNION ALL SELECT b, a, w FROM e0
+  ) GROUP BY 1, 2
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    iters = []
+    for i in range(1, _LPA_ITER + 1):
+        prev = f"l{i-1}"
+        iters.append(f""",
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT e.dst AS node, p.label,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.dst ORDER BY SUM(e.w) DESC, p.label
+           ) AS rn
+    FROM edges e JOIN {prev} p ON e.src = p.node
+    GROUP BY e.dst, p.label
+  ) WHERE rn = 1
+)""")
+    tail = f"""
+SELECT node AS event_type, label AS community
+FROM l{_LPA_ITER}"""
+    return head + "".join(iters) + tail
+
+
+@query("label_propagation_communities", _lpa_oracle())
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from drive_bc_datapipeline_spark.operators.graph import label_propagation
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    labels = label_propagation(edges, n_iter=_LPA_ITER)
+    return labels.select(
+        F.col("node").alias("event_type"), F.col("label").alias("community")
+    )

@@ -139,6 +139,7 @@ def start_windowed_counts_stream(
     query_name: str = "hourly_counts",
     watermark: str = "2 hours",
     available_now: bool = True,
+    timestamp_format: str | None = None,
 ) -> StreamingQuery:
     """J2: watermark + tumbling 1-hour window count per event_type.
 
@@ -147,7 +148,7 @@ def start_windowed_counts_stream(
     execution (state store + watermark eviction). Memory sink keeps the
     test self-contained; production would foreachBatch-upsert.
     """
-    raw = read_event_stream(spark, source_dir)
+    raw = read_event_stream(spark, source_dir, timestamp_format=timestamp_format)
     agg = (
         raw.dropna(subset=["ts"])
         .withWatermark("ts", watermark)
@@ -310,6 +311,7 @@ def start_enriched_stream(
     checkpoint_dir: str,
     query_name: str = "enriched",
     available_now: bool = True,
+    timestamp_format: str | None = None,
 ) -> StreamingQuery:
     """J7: stream-static enrichment — each micro-batch joins the
     (small, broadcast) static dimension; no streaming state at all.
@@ -319,7 +321,9 @@ def start_enriched_stream(
     micro-batch, so a dim refresh (new parquet snapshot) is picked up
     without restarting the query when the dim is read from a path.
     """
-    raw = read_event_stream(spark, source_dir).dropna(subset=["ts"])
+    raw = read_event_stream(
+        spark, source_dir, timestamp_format=timestamp_format
+    ).dropna(subset=["ts"])
     enriched = raw.join(F.broadcast(dim_df), "user_id", "left")
     writer = (
         enriched.writeStream.outputMode("append")

@@ -67,7 +67,10 @@ def test_non_convergence_does_not_leak_cache(spark):
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.5)
-    assert sc.getPersistentRDDs().size() == before
+    # <= not ==: `before` may include ContextCleaner-owned residue from
+    # earlier tests that drains DURING the poll, dropping the count
+    # below the baseline. The invariant is "no NEW persistent RDDs".
+    assert sc.getPersistentRDDs().size() <= before
 
 
 def _union_find_reference(edges):
@@ -294,3 +297,37 @@ def test_random_graphs_match_bruteforce_triangles(spark):
         assert got["global_clustering"] == pytest.approx(expected_cc), (
             f"seed {seed}"
         )
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by a weak bridge must resolve into two
+    communities labeled by each clique's smallest node (sync updates,
+    min-label tiebreak; expected labels hand-traced: round 1 rotates
+    labels within each clique, round 2 converges)."""
+    from drive_bc_datapipeline_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0),
+            (4, 5, 1.0), (5, 6, 1.0), (4, 6, 1.0),
+            (3, 4, 0.5),
+        ],
+        "src long, dst long, w double",
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, n_iter=4).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_label_propagation_deterministic(spark):
+    from drive_bc_datapipeline_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 20, 1.0 + (i % 3)) for i in range(1, 40)],
+        "src long, dst long, w double",
+    ).filter("src != dst")
+    a = sorted(map(tuple, label_propagation(edges, n_iter=3).collect()))
+    b = sorted(map(tuple, label_propagation(edges, n_iter=3).collect()))
+    assert a == b

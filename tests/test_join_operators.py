@@ -300,3 +300,24 @@ def test_minhash_index_probe_matches_direct_banding(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_rfm_ntile_matches_native_ntile(spark):
+    """B49's _rfm_ntile (rank-arithmetic NTILE(4)) must reproduce
+    Spark's own ntile() for every total count 1..13 — covering the
+    n % 4 remainder distribution and the base=0 (n < k) edge."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from drive_bc_datapipeline_spark.plans.events import _rfm_ntile
+
+    for n in range(1, 14):
+        df = spark.createDataFrame([(i,) for i in range(1, n + 1)], "rk long")
+        df = df.withColumn("n", F.lit(n).cast("long"))
+        native = df.withColumn(
+            "b", F.ntile(4).over(W.orderBy("rk"))
+        )
+        ours = df.withColumn("b", _rfm_ntile("rk", "n"))
+        a = sorted((r["rk"], r["b"]) for r in native.collect())
+        b = sorted((r["rk"], r["b"]) for r in ours.collect())
+        assert a == b, f"n={n}: {a} != {b}"
