@@ -4086,6 +4086,11 @@ GROUP BY s.source, st.st
 @query("source_kl_divergence", SOURCE_KL_ORACLE)
 def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
+    # The (source, token) counts feed FOUR subtrees (main frame, source
+    # totals, corpus counts, corpus total); without pinning, Spark
+    # re-executes the scan+explode+agg once per subtree. One eager
+    # localCheckpoint = one token shuffle, reused everywhere (blocks
+    # freed when the returned frame is GC'd).
     sc = (
         d.select(
             "source", F.explode(F.split("text", " ")).alias("tok")
@@ -4093,6 +4098,7 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok") != "")
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint(eager=True)
     )
     stot = sc.groupBy("source").agg(F.sum("c").alias("st"))
     cc = sc.groupBy("tok").agg(F.sum("c").alias("tc"))

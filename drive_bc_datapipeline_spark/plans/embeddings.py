@@ -2050,3 +2050,219 @@ def embedding_cosine_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.min("cos")).alias("bin_min"),
         r4(F.max("cos")).alias("bin_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# G18 — product-quantization ANN (ADC): the memory-bound scale path
+# real vector stores use when even int8 per-dim (G15) is too large.
+# The embedding splits into PQ_M=2 subspaces; each gets a PQ_K=8
+# codeword codebook from one refined Lloyd round on the SAME integer
+# grid as G12 (init = vec_id % k, exact BIGINT distances, integer-
+# rounded centroid updates — bit-identical across engines). Every
+# corpus vector compresses to 2 code ids (6 bits of storage vs 64
+# floats); queries never touch the corpus vectors again: each query
+# precomputes an 8-entry distance LUT per subspace and asymmetric
+# distances are LUT[code0] + LUT[code1].
+#
+# 100 TB: the codebook is k·dim rows (broadcast); encoding is one
+# broadcast join + one (vec_id, sub) agg; ADC scoring joins the
+# |corpus|-row CODE table (2 ints/vector) against a broadcast
+# 5×2×8-row LUT and prunes map-side with G1's partial top-k — the
+# corpus embeddings themselves are read exactly once, to build codes.
+# --------------------------------------------------------------------------
+
+PQ_K = 8
+PQ_HALF = DIM // 2
+
+PQ_ORACLE = f"""
+WITH qrel AS MATERIALIZED (
+  SELECT vec_id, CAST(s.pos AS INT) AS pos,
+         CAST(CASE WHEN s.pos < {PQ_HALF} THEN 0 ELSE 1 END AS INT) AS sub,
+         CAST(floor(CAST(s.val AS DOUBLE) * {KM_GRID} + 0.5) AS BIGINT) AS q
+  FROM (
+    SELECT vec_id,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  i -> struct_pack(pos := i - 1, val := embedding[i]))) AS s
+    FROM embeddings
+  )
+),
+c0 AS MATERIALIZED (
+  SELECT sub, CAST(vec_id % {PQ_K} AS INT) AS cluster, pos,
+         CAST(floor((2.0 * SUM(q) + COUNT(*)) / (2.0 * COUNT(*)))
+              AS BIGINT) AS cq
+  FROM qrel GROUP BY 1, 2, 3
+),
+a1 AS MATERIALIZED (
+  SELECT vec_id, sub, cluster FROM (
+    SELECT vec_id, sub, cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id, sub ORDER BY dist, cluster
+           ) AS rn
+    FROM (
+      SELECT q.vec_id, q.sub, c.cluster,
+             SUM((q.q - c.cq) * (q.q - c.cq)) AS dist
+      FROM qrel q JOIN c0 c ON c.pos = q.pos
+      GROUP BY 1, 2, 3
+    )
+  ) WHERE rn = 1
+),
+c1 AS MATERIALIZED (
+  SELECT a.sub, a.cluster, q.pos,
+         CAST(floor((2.0 * SUM(q.q) + COUNT(*)) / (2.0 * COUNT(*)))
+              AS BIGINT) AS cq
+  FROM qrel q JOIN a1 a ON a.vec_id = q.vec_id AND a.sub = q.sub
+  GROUP BY 1, 2, 3
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, sub, cluster FROM (
+    SELECT vec_id, sub, cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id, sub ORDER BY dist, cluster
+           ) AS rn
+    FROM (
+      SELECT q.vec_id, q.sub, c.cluster,
+             SUM((q.q - c.cq) * (q.q - c.cq)) AS dist
+      FROM qrel q JOIN c1 c ON c.pos = q.pos
+      GROUP BY 1, 2, 3
+    )
+  ) WHERE rn = 1
+),
+lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, q.sub, c.cluster,
+         SUM((q.q - c.cq) * (q.q - c.cq)) AS d
+  FROM qrel q JOIN c1 c ON c.pos = q.pos
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY 1, 2, 3
+),
+wide AS (
+  SELECT vec_id,
+         MAX(CASE WHEN sub = 0 THEN cluster END) AS code0,
+         MAX(CASE WHEN sub = 1 THEN cluster END) AS code1
+  FROM codes GROUP BY vec_id
+),
+scored AS (
+  SELECT l0.query_id, w.vec_id AS neighbor_id, l0.d + l1.d AS adist
+  FROM wide w
+  JOIN lut l0 ON l0.sub = 0 AND l0.cluster = w.code0
+  JOIN lut l1 ON l1.sub = 1 AND l1.cluster = w.code1
+             AND l1.query_id = l0.query_id
+  WHERE w.vec_id <> l0.query_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+       {r6_sql(f"sqrt(CAST(adist AS DOUBLE)) / {KM_GRID}")} AS approx_l2
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adist, neighbor_id
+  ) AS rnk
+  FROM scored
+)
+WHERE rnk <= {TOP_K}
+"""
+
+
+@query("ann_pq_topk", PQ_ORACLE)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401 — mapInPandas worker dependency
+
+    e = t(spark, sf_dir, "embeddings")
+    # the (vec_id, pos, sub, q) grid relation feeds five subtrees
+    # (init centroids, refine assign, refined centroids, codes, LUT) —
+    # pin one materialization so the corpus is exploded exactly once
+    qrel = (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.when(F.col("pos") < PQ_HALF, 0).otherwise(1).cast("int").alias("sub"),
+            F.floor(F.col("val").cast("double") * KM_GRID + 0.5)
+            .cast("bigint")
+            .alias("q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def centroids(assign: DataFrame) -> DataFrame:
+        return (
+            qrel.join(assign, ["vec_id", "sub"])
+            .groupBy("sub", "cluster", "pos")
+            .agg(
+                F.floor(
+                    (2.0 * F.sum("q") + F.count(F.lit(1)))
+                    / (2.0 * F.count(F.lit(1)))
+                )
+                .cast("bigint")
+                .alias("cq")
+            )
+        )
+
+    def assign_codes(cent: DataFrame) -> DataFrame:
+        diff = F.col("q") - F.col("cq")
+        d = (
+            qrel.join(F.broadcast(cent.select("pos", "cluster", "cq")), "pos")
+            .groupBy("vec_id", "sub", "cluster")
+            .agg(F.sum(diff * diff).alias("dist"))
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy("dist", "cluster")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "sub", "cluster")
+        )
+
+    init = qrel.select(
+        "vec_id", "sub", (F.col("vec_id") % PQ_K).cast("int").alias("cluster")
+    ).distinct()
+    c1 = centroids(assign_codes(centroids(init))).localCheckpoint(eager=True)
+    codes = assign_codes(c1)
+    lut = (
+        qrel.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(c1.select("pos", "cluster", "cq")), "pos")
+        .groupBy(F.col("vec_id").alias("query_id"), "sub", "cluster")
+        .agg(
+            F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("d")
+        )
+    )
+    wide = codes.groupBy("vec_id").agg(
+        F.max(F.when(F.col("sub") == 0, F.col("cluster"))).alias("code0"),
+        F.max(F.when(F.col("sub") == 1, F.col("cluster"))).alias("code1"),
+    )
+    l0 = lut.filter(F.col("sub") == 0).select(
+        "query_id", F.col("cluster").alias("code0"), F.col("d").alias("d0")
+    )
+    l1 = lut.filter(F.col("sub") == 1).select(
+        "query_id", F.col("cluster").alias("code1"), F.col("d").alias("d1")
+    )
+    scored = (
+        wide.join(F.broadcast(l0), "code0")
+        .join(F.broadcast(l1), ["query_id", "code1"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("d0") + F.col("d1")).alias("adist"),
+        )
+    )
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(["query_id", "adist", "neighbor_id"])
+                    .groupby("query_id", sort=False)
+                    .head(TOP_K)
+                )
+
+    pruned = scored.mapInPandas(
+        partial_topk, "query_id long, neighbor_id long, adist long"
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        pruned.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            r6(F.sqrt(F.col("adist").cast("double")) / KM_GRID).alias("approx_l2"),
+        )
+    )

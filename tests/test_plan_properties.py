@@ -303,3 +303,43 @@ def test_mmr_truncates_gracefully_on_tiny_pool(spark, tmp_path):
     )
     want = sorted(con.sql(registry.ORACLES["mmr_diversified_topk"]).fetchall())
     assert got == want
+
+
+def test_domain_cap_single_exchange(spark):
+    """H40's per-domain quota must plan as exactly one hash exchange
+    (the source-keyed window) — any global ordering or extra shuffle
+    is a regression."""
+    plan = plan_of(spark, "domain_cap_sample")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan.split("AdaptiveSparkPlan")[0], plan
+    assert "windowspecdefinition(source" in plan, plan
+
+
+def test_source_kl_pins_token_counts(spark):
+    """H41 reuses the (source, token) counts in four subtrees; the
+    eager localCheckpoint must leave at most ONE documents FileScan in
+    the final plan (pre-pin the plan held four)."""
+    plan = plan_of(spark, "source_kl_divergence")
+    assert plan.count("FileScan parquet") <= 1, plan
+
+
+def test_cusum_daily_frame_pinned(spark):
+    """B50: the daily count frame feeds both the window pass and the
+    mu/sigma stats — events must be scanned once."""
+    plan = plan_of(spark, "value_cusum_drift")
+    assert plan.count("FileScan parquet") <= 1, plan
+
+
+def test_rfm_no_single_partition_window(spark):
+    """B49's quartile ranks must come from the range-partitioned
+    prefix scan: every window in the plan is partitioned (by __pid),
+    never a global ORDER BY over all users."""
+    plan = plan_of(spark, "user_rfm_segments")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        # a partition column precedes the ORDER BY spec; a global
+        # window starts directly with the order column + sort dir
+        assert "__pid" in spec or "ASC NULLS FIRST" not in spec.split(",")[0], (
+            spec,
+            plan,
+        )

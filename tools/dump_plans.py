@@ -63,6 +63,12 @@ PICKS = {
     "dow_seasonality_residuals": "daily counts -> |types|x7 profile broadcast back -> residual rollup; profile and peak frames never shuffle the fact.",
     "token_dropout_augment": "Zero-shuffle narrow plan: keep/drop md5 arithmetic and the augmented-text hash all evaluate in the scan projection.",
     "llm_data_prep_funnel": "End-to-end composition: scan-side stage flags, content-hash canonical join, F2's banded near-dup pairs, 8-gram contamination semi-join — ONE final aggregate, 7 stage rows via array+posexplode (no union re-execution).",
+    "user_rfm_segments": "Three distributed global ranks via the range-partitioned two-phase prefix scan (one pinned exchange each, never a single-partition window); NTILE(4) reproduced as rank arithmetic; broadcast 1-row count + d0 frames.",
+    "value_cusum_drift": "CUSUM closed form: pinned |types|x|days| daily frame (events scanned once) -> two per-type sequential windows (running sum + running min) -> broadcast mu/sigma join.",
+    "source_kl_divergence": "(source, token) counts pinned ONCE (localCheckpoint) and reused by all four subtrees — without it Spark re-executes the scan+explode+agg per subtree; token-keyed join + broadcast source totals + 1-row corpus total.",
+    "domain_cap_sample": "Single source-partitioned rank window over the scan (one exchange total) — per-domain quota with no global ordering anywhere.",
+    "label_propagation_communities": "Sync weighted LPA: symmetrized edge frame cached + pre-partitioned on its join key; per-round join-agg + per-node top-1 window; localCheckpoint truncates lineage per round (plan shown = final round's step).",
+    "ann_pq_topk": "Product quantization: pinned grid relation (corpus exploded once) -> broadcast codebook joins for train/encode -> ADC phase touches only the 2-int-per-vector CODE table x broadcast 5x2x8 LUT, with G1's map-side partial top-k bounding the shuffle.",
 }
 
 HEADER = """# PLANS — physical-plan audit (generated from live `explain`)
