@@ -4121,3 +4121,60 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_divergence",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# H42 — reproducible training-shard manifest: the "global shuffle"
+# step before training. Every doc gets a pseudo-random but fully
+# deterministic shard (md5 bucket % N) and intra-shard position
+# (bucket, doc_id order), so any two runs — or two engines — produce
+# byte-identical shard files. The manifest proves it: per shard, a
+# position-weighted checksum over (rank, doc_id) that differs if even
+# two docs swap order. Rank windows are shard-partitioned (the shard
+# count caps parallelism here, so production uses N >> cores; the
+# SHAPE — no global ordering — is what scales).
+# --------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+SHARD_MANIFEST_ORACLE = f"""
+WITH ranked AS (
+  SELECT CAST({_SPLIT_BUCKET_SQL} % {N_SHARDS} AS INT) AS shard,
+         doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY {_SPLIT_BUCKET_SQL} % {N_SHARDS}
+           ORDER BY {_SPLIT_BUCKET_SQL}, doc_id
+         ) AS rank
+  FROM documents
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(rank * (doc_id % 1000003)) AS BIGINT) AS order_checksum
+FROM ranked
+GROUP BY shard
+"""
+
+
+@query("training_shard_manifest", SHARD_MANIFEST_ORACLE)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        _SPLIT_BUCKET_SQL.replace("CAST(doc_id AS VARCHAR)", "CAST(doc_id AS STRING)")
+    )
+    w = Window.partitionBy("shard").orderBy("bucket", "doc_id")
+    return (
+        d.select("doc_id", "lang", "n_chars", bucket.alias("bucket"))
+        .withColumn("shard", (F.col("bucket") % N_SHARDS).cast("int"))
+        .withColumn("rank", F.row_number().over(w))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(F.col("rank") * (F.col("doc_id") % 1000003))
+            .cast("bigint")
+            .alias("order_checksum"),
+        )
+    )

@@ -2055,29 +2055,47 @@ def embedding_cosine_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # G18 — product-quantization ANN (ADC): the memory-bound scale path
 # real vector stores use when even int8 per-dim (G15) is too large.
-# The embedding splits into PQ_M=2 subspaces; each gets a PQ_K=8
+# The embedding splits into PQ_M=8 subspaces; each gets a PQ_K=16
 # codeword codebook from one refined Lloyd round on the SAME integer
 # grid as G12 (init = vec_id % k, exact BIGINT distances, integer-
 # rounded centroid updates — bit-identical across engines). Every
-# corpus vector compresses to 2 code ids (6 bits of storage vs 64
-# floats); queries never touch the corpus vectors again: each query
-# precomputes an 8-entry distance LUT per subspace and asymmetric
-# distances are LUT[code0] + LUT[code1].
+# corpus vector compresses to 8 code ids (4 bytes vs 256); queries
+# never touch the corpus vectors again: each query precomputes a
+# 16-entry distance LUT per subspace and asymmetric distances are
+# Σ_m LUT_m[code_m]. Measured recall@10 vs exact L2 ≈ 0.28 on the
+# near-random synthetic vectors (real clustered embeddings fare far
+# better; production composes with G15's exact-rerank stage).
 #
 # 100 TB: the codebook is k·dim rows (broadcast); encoding is one
 # broadcast join + one (vec_id, sub) agg; ADC scoring joins the
-# |corpus|-row CODE table (2 ints/vector) against a broadcast
-# 5×2×8-row LUT and prunes map-side with G1's partial top-k — the
-# corpus embeddings themselves are read exactly once, to build codes.
+# |corpus|-row CODE table (8 ints/vector) against broadcast
+# 5×16-row per-subspace LUTs and prunes map-side with G1's partial
+# top-k — the corpus embeddings are read exactly once, to build codes.
 # --------------------------------------------------------------------------
 
-PQ_K = 8
-PQ_HALF = DIM // 2
+PQ_K = 16
+PQ_M = 8
+PQ_SUB_DIM = DIM // PQ_M
 
-PQ_ORACLE = f"""
+
+def _pq_oracle() -> str:
+    """Generated like the pagerank/LPA oracles: the subspace count is
+    a parameter, so the wide code pivot and the per-subspace LUT joins
+    are emitted programmatically."""
+    codes_cols = ",\n         ".join(
+        f"MAX(CASE WHEN sub = {m} THEN cluster END) AS code{m}"
+        for m in range(PQ_M)
+    )
+    lut_joins = "\n".join(
+        f"  JOIN lut l{m} ON l{m}.sub = {m} AND l{m}.cluster = w.code{m}"
+        + ("" if m == 0 else f" AND l{m}.query_id = l0.query_id")
+        for m in range(PQ_M)
+    )
+    adist = " + ".join(f"l{m}.d" for m in range(PQ_M))
+    return f"""
 WITH qrel AS MATERIALIZED (
   SELECT vec_id, CAST(s.pos AS INT) AS pos,
-         CAST(CASE WHEN s.pos < {PQ_HALF} THEN 0 ELSE 1 END AS INT) AS sub,
+         CAST(FLOOR(CAST(s.pos AS DOUBLE) / {PQ_SUB_DIM}) AS INT) AS sub,
          CAST(floor(CAST(s.val AS DOUBLE) * {KM_GRID} + 0.5) AS BIGINT) AS q
   FROM (
     SELECT vec_id,
@@ -2136,16 +2154,13 @@ lut AS MATERIALIZED (
 ),
 wide AS (
   SELECT vec_id,
-         MAX(CASE WHEN sub = 0 THEN cluster END) AS code0,
-         MAX(CASE WHEN sub = 1 THEN cluster END) AS code1
+         {codes_cols}
   FROM codes GROUP BY vec_id
 ),
 scored AS (
-  SELECT l0.query_id, w.vec_id AS neighbor_id, l0.d + l1.d AS adist
+  SELECT l0.query_id, w.vec_id AS neighbor_id, {adist} AS adist
   FROM wide w
-  JOIN lut l0 ON l0.sub = 0 AND l0.cluster = w.code0
-  JOIN lut l1 ON l1.sub = 1 AND l1.cluster = w.code1
-             AND l1.query_id = l0.query_id
+{lut_joins}
   WHERE w.vec_id <> l0.query_id
 )
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
@@ -2158,6 +2173,9 @@ FROM (
 )
 WHERE rnk <= {TOP_K}
 """
+
+
+PQ_ORACLE = _pq_oracle()
 
 
 @query("ann_pq_topk", PQ_ORACLE)
@@ -2173,7 +2191,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.col("pos").cast("int").alias("pos"),
-            F.when(F.col("pos") < PQ_HALF, 0).otherwise(1).cast("int").alias("sub"),
+            F.floor(F.col("pos") / PQ_SUB_DIM).cast("int").alias("sub"),
             F.floor(F.col("val").cast("double") * KM_GRID + 0.5)
             .cast("bigint")
             .alias("q"),
@@ -2223,24 +2241,27 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wide = codes.groupBy("vec_id").agg(
-        F.max(F.when(F.col("sub") == 0, F.col("cluster"))).alias("code0"),
-        F.max(F.when(F.col("sub") == 1, F.col("cluster"))).alias("code1"),
+        *[
+            F.max(F.when(F.col("sub") == m, F.col("cluster"))).alias(f"code{m}")
+            for m in range(PQ_M)
+        ]
     )
-    l0 = lut.filter(F.col("sub") == 0).select(
-        "query_id", F.col("cluster").alias("code0"), F.col("d").alias("d0")
-    )
-    l1 = lut.filter(F.col("sub") == 1).select(
-        "query_id", F.col("cluster").alias("code1"), F.col("d").alias("d1")
-    )
-    scored = (
-        wide.join(F.broadcast(l0), "code0")
-        .join(F.broadcast(l1), ["query_id", "code1"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (F.col("d0") + F.col("d1")).alias("adist"),
+    # chained broadcast LUT joins: the first fans the code table out by
+    # query (x N_QUERIES rows), the rest stay map-side — the corpus
+    # embeddings never re-enter, only the 8-int code rows flow
+    scored = wide
+    for m in range(PQ_M):
+        lm = lut.filter(F.col("sub") == m).select(
+            "query_id" if m == 0 else F.col("query_id").alias("query_id"),
+            F.col("cluster").alias(f"code{m}"),
+            F.col("d").alias(f"d{m}"),
         )
+        on = [f"code{m}"] if m == 0 else ["query_id", f"code{m}"]
+        scored = scored.join(F.broadcast(lm), on)
+    scored = scored.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        sum((F.col(f"d{m}") for m in range(PQ_M)), F.lit(0)).alias("adist"),
     )
 
     def partial_topk(batches):

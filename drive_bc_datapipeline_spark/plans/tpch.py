@@ -1637,3 +1637,105 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pair").cast("bigint").alias("n_pair"),
         r4(F.col("lift")).alias("lift"),
     )
+
+
+# --------------------------------------------------------------------------
+# C33 — CDC MERGE application: apply a change batch (updates, deletes,
+# inserts — derived deterministically from the key space so the oracle
+# can replay it) to the orders snapshot and report the post-merge
+# state per status plus the global op counts. One scan: each base row
+# fans out through an array+posexplode into its keep/update/delete/
+# insert entries (the repo's no-union-re-execution pattern), the tiny
+# per-status aggregate is pinned, and both the final-state readout and
+# the 1-row op-count frame derive from it — the fact table is read
+# exactly once. Complements K13 (partition-pruned MERGE writer) and
+# C31 (snapshot diff): this is the apply-and-audit half of CDC.
+# --------------------------------------------------------------------------
+
+CDC_ORACLE = f"""
+WITH final AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 7 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 10 <> 3
+  UNION ALL
+  SELECT 'O' AS o_orderstatus, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 10 = 1
+),
+ops AS (
+  SELECT CAST(SUM(CASE WHEN o_orderkey % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_updated,
+         CAST(SUM(CASE WHEN o_orderkey % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_deleted,
+         CAST(SUM(CASE WHEN o_orderkey % 10 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_inserted
+  FROM orders
+)
+SELECT f.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {r2_sql("SUM(f.price)")} AS total_price,
+       o.n_updated, o.n_deleted, o.n_inserted
+FROM final f CROSS JOIN ops o
+GROUP BY 1, 4, 5, 6
+"""
+
+
+@query("cdc_merge_apply", CDC_ORACLE)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey") % 10
+    fanout = (
+        F.when(key == 3, F.array(F.struct(
+            F.col("o_orderstatus"), F.col("o_totalprice").alias("price"),
+            F.lit("del").alias("kind"))))
+        .when(key == 7, F.array(F.struct(
+            F.col("o_orderstatus"),
+            (F.col("o_totalprice") * 1.1).alias("price"),
+            F.lit("upd").alias("kind"))))
+        .when(key == 1, F.array(
+            F.struct(
+                F.col("o_orderstatus"), F.col("o_totalprice").alias("price"),
+                F.lit("keep").alias("kind")),
+            F.struct(
+                F.lit("O").alias("o_orderstatus"),
+                F.col("o_totalprice").alias("price"),
+                F.lit("ins").alias("kind"))))
+        .otherwise(F.array(F.struct(
+            F.col("o_orderstatus"), F.col("o_totalprice").alias("price"),
+            F.lit("keep").alias("kind"))))
+    )
+    exploded = o.select(F.explode(fanout).alias("e")).select(
+        F.col("e.o_orderstatus").alias("o_orderstatus"),
+        F.col("e.price").alias("price"),
+        F.col("e.kind").alias("kind"),
+    )
+    live = F.col("kind") != "del"
+    per_status = (
+        exploded.groupBy("o_orderstatus")
+        .agg(
+            F.sum(live.cast("int")).cast("bigint").alias("n_rows"),
+            F.sum(F.when(live, F.col("price")).otherwise(0.0)).alias("sum_price"),
+            F.sum((F.col("kind") == "upd").cast("int")).cast("bigint").alias("u"),
+            F.sum((F.col("kind") == "del").cast("int")).cast("bigint").alias("d"),
+            F.sum((F.col("kind") == "ins").cast("int")).cast("bigint").alias("i"),
+        )
+        .localCheckpoint(eager=True)  # tiny |statuses|-row frame feeds
+        # both the readout and the global op counts — one fact scan
+    )
+    ops = per_status.agg(
+        F.sum("u").alias("n_updated"),
+        F.sum("d").alias("n_deleted"),
+        F.sum("i").alias("n_inserted"),
+    )
+    return (
+        per_status.filter(F.col("n_rows") > 0)
+        .crossJoin(F.broadcast(ops))
+        .select(
+            "o_orderstatus",
+            "n_rows",
+            r2(F.col("sum_price")).alias("total_price"),
+            "n_updated",
+            "n_deleted",
+            "n_inserted",
+        )
+    )

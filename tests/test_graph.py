@@ -331,3 +331,47 @@ def test_label_propagation_deterministic(spark):
     a = sorted(map(tuple, label_propagation(edges, n_iter=3).collect()))
     b = sorted(map(tuple, label_propagation(edges, n_iter=3).collect()))
     assert a == b
+
+
+def _lpa_reference(edge_list, n_iter):
+    """Driver-side sync weighted LPA (same update rule: max incident
+    weight, ties -> min label; symmetrized, parallel edges summed)."""
+    sym: dict = {}
+    for a, b, w in edge_list:
+        sym.setdefault(a, {})[b] = sym.setdefault(a, {}).get(b, 0.0) + w
+        sym.setdefault(b, {})[a] = sym.setdefault(b, {}).get(a, 0.0) + w
+    lab = {n: n for n in sym}
+    for _ in range(n_iter):
+        new = {}
+        for n, nbrs in sym.items():
+            scores: dict = {}
+            for m, w in nbrs.items():
+                scores[lab[m]] = scores.get(lab[m], 0.0) + w
+            new[n] = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_reference_on_random_graphs(spark):
+    """12 seeded random weighted graphs (self-loops and parallel edges
+    included) must match the sequential reference exactly — the sync
+    update plus total tiebreak leaves no nondeterminism to hide in."""
+    import random
+
+    from drive_bc_datapipeline_spark.operators.graph import label_propagation
+
+    for seed in range(12):
+        rng = random.Random(2000 + seed)
+        n = rng.randint(2, 25)
+        m = rng.randint(1, 50)
+        edge_list = [
+            (rng.randrange(n), rng.randrange(n), float(rng.randint(1, 5)))
+            for _ in range(m)
+        ]
+        want = _lpa_reference(edge_list, n_iter=3)
+        edges = spark.createDataFrame(edge_list, "src long, dst long, w double")
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(edges, n_iter=3).collect()
+        }
+        assert got == want, f"seed {seed}: {got} != {want}"

@@ -343,3 +343,25 @@ def test_rfm_no_single_partition_window(spark):
             spec,
             plan,
         )
+
+
+def test_cdc_merge_single_fact_scan(spark):
+    """C33: the array+posexplode fan-out plus the pinned per-status
+    aggregate mean the orders fact is scanned exactly once — a union
+    of keep/update/insert branches would scan it three times."""
+    plan = plan_of(spark, "cdc_merge_apply")
+    assert plan.count("FileScan parquet") <= 1, plan
+
+
+def test_shard_manifest_window_is_shard_partitioned(spark):
+    plan = plan_of(spark, "training_shard_manifest")
+    assert "windowspecdefinition(shard" in plan, plan
+
+
+def test_pq_pins_grid_relation(spark):
+    """G18: the exploded grid relation feeds five subtrees; the eager
+    localCheckpoint must leave at most one embeddings FileScan in the
+    final plan, and the ADC joins must all be broadcasts."""
+    plan = plan_of(spark, "ann_pq_topk")
+    assert plan.count("FileScan parquet") <= 1, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -68,7 +68,9 @@ PICKS = {
     "source_kl_divergence": "(source, token) counts pinned ONCE (localCheckpoint) and reused by all four subtrees — without it Spark re-executes the scan+explode+agg per subtree; token-keyed join + broadcast source totals + 1-row corpus total.",
     "domain_cap_sample": "Single source-partitioned rank window over the scan (one exchange total) — per-domain quota with no global ordering anywhere.",
     "label_propagation_communities": "Sync weighted LPA: symmetrized edge frame cached + pre-partitioned on its join key; per-round join-agg + per-node top-1 window; localCheckpoint truncates lineage per round (plan shown = final round's step).",
-    "ann_pq_topk": "Product quantization: pinned grid relation (corpus exploded once) -> broadcast codebook joins for train/encode -> ADC phase touches only the 2-int-per-vector CODE table x broadcast 5x2x8 LUT, with G1's map-side partial top-k bounding the shuffle.",
+    "training_shard_manifest": "Reproducible shard assignment: md5 bucket arithmetic in the scan projection, ONE shard-partitioned rank window, map-side-combined manifest agg — no global ordering.",
+    "cdc_merge_apply": "CDC apply-and-audit: single fact scan fans each row through array+posexplode into keep/upd/del/ins entries; the pinned per-status aggregate feeds both the state readout and the broadcast op counts.",
+    "ann_pq_topk": "Product quantization: pinned grid relation (corpus exploded once) -> broadcast codebook joins for train/encode -> ADC phase touches only the 8-int-per-vector CODE table x chained broadcast per-subspace LUTs, with G1's map-side partial top-k bounding the shuffle.",
 }
 
 HEADER = """# PLANS — physical-plan audit (generated from live `explain`)
