@@ -4002,3 +4002,122 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     return labels.select(
         F.col("node").alias("event_type"), F.col("label").alias("community")
     )
+
+
+# --------------------------------------------------------------------------
+# B51 — Kaplan-Meier time-to-next-event curve with right-censoring:
+# the honest "when will the user come back?" estimate. Each event
+# contributes one duration — the gap to the user's NEXT event (an
+# observed "death" of the waiting period); a user's LAST event is
+# right-censored at the corpus edge (the next visit hadn't happened
+# yet when observation stopped). Ignoring that censoring (as a plain
+# gap histogram like B23 does) biases return times short; KM corrects
+# it: S(t) = prod_{t_i <= t} (1 - d_i/n_i) over observed gap-hours,
+# computed as exp of a cumulative log sum — identical formula text on
+# both engines, r4+EPS absorbing libm ulp.
+#
+# 100 TB: one events scan through a user-partitioned lead window (the
+# B23 shape) plus a 1-row corpus-edge agg broadcast into it; then
+# everything runs on the |distinct gap hours| frame, bounded by the
+# corpus hour span (like zipf's frequency-of-frequencies frame) — its
+# two global cumulative windows are provably tiny, never event-scale.
+# --------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+_KM_CAP_HOURS = 24 * 14  # readout cap: two weeks of waiting
+
+KM_ORACLE = f"""
+WITH us AS (
+  SELECT user_id, event_id, epoch_us(ts) AS u FROM events
+),
+hi AS (SELECT MAX(u) AS hi FROM us),
+gaps AS (
+  SELECT CASE WHEN nxt IS NULL THEN (h.hi - u) // {_HOUR_US}
+              ELSE (nxt - u) // {_HOUR_US} END AS t,
+         CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS death
+  FROM (
+    SELECT u, LEAD(u) OVER (
+      PARTITION BY user_id ORDER BY u, event_id
+    ) AS nxt
+    FROM us
+  ) CROSS JOIN hi h
+),
+counts AS (
+  SELECT t, CAST(SUM(death) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS m
+  FROM gaps GROUP BY t
+),
+risk AS (
+  SELECT t, d, CAST(SUM(m) OVER (ORDER BY t DESC) AS BIGINT) AS n_at_risk
+  FROM counts
+),
+km AS (
+  -- d = n_at_risk (everyone left dies) would be LN(0): the hit_zero
+  -- flag pins survival to 0 from that row on and keeps the term out
+  -- of the log sum (it can only be the terminal death time).
+  SELECT t, d, n_at_risk,
+         SUM(CASE WHEN n_at_risk > d
+                  THEN LN(CAST(n_at_risk - d AS DOUBLE)
+                          / CAST(n_at_risk AS DOUBLE))
+                  ELSE 0.0 END) OVER (ORDER BY t) AS lsum,
+         MAX(CASE WHEN n_at_risk <= d THEN 1 ELSE 0 END)
+           OVER (ORDER BY t) AS hit_zero
+  FROM risk WHERE d > 0
+)
+SELECT CAST(t AS BIGINT) AS t_hours, d AS n_deaths, n_at_risk,
+       CASE WHEN hit_zero = 1 THEN 0.0
+            ELSE {r4_sql("EXP(lsum)")} END AS survival
+FROM km WHERE t <= {_KM_CAP_HOURS}
+"""
+
+
+@query("kaplan_meier_retention", KM_ORACLE)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    us = e.select("user_id", "event_id", F.unix_micros("ts").alias("u"))
+    hi = us.agg(F.max("u").alias("hi"))
+    w = Window.partitionBy("user_id").orderBy("u", "event_id")
+    gaps = (
+        us.withColumn("nxt", F.lead("u").over(w))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.expr(
+                f"CASE WHEN nxt IS NULL THEN (hi - u) div {_HOUR_US}"
+                f" ELSE (nxt - u) div {_HOUR_US} END"
+            ).alias("t"),
+            F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("death"),
+        )
+    )
+    counts = gaps.groupBy("t").agg(
+        F.sum("death").cast("bigint").alias("d"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    # Both windows run on the |distinct gap hours| frame — bounded by
+    # the corpus hour span, never event-scale (see header).
+    risk = counts.withColumn(
+        "n_at_risk",
+        F.sum("m").over(Window.orderBy(F.desc("t"))).cast("bigint"),
+    ).filter(F.col("d") > 0)
+    surviving = F.col("n_at_risk") > F.col("d")
+    km = risk.withColumn(
+        "lsum",
+        F.sum(
+            F.when(
+                surviving,
+                F.log(
+                    (F.col("n_at_risk") - F.col("d")).cast("double")
+                    / F.col("n_at_risk").cast("double")
+                ),
+            ).otherwise(0.0)
+        ).over(Window.orderBy("t")),
+    ).withColumn(
+        "hit_zero",
+        F.max(F.when(surviving, 0).otherwise(1)).over(Window.orderBy("t")),
+    )
+    return km.filter(F.col("t") <= _KM_CAP_HOURS).select(
+        F.col("t").cast("bigint").alias("t_hours"),
+        F.col("d").alias("n_deaths"),
+        "n_at_risk",
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(r4(F.exp("lsum")))
+        .alias("survival"),
+    )

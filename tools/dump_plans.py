@@ -70,6 +70,7 @@ PICKS = {
     "label_propagation_communities": "Sync weighted LPA: symmetrized edge frame cached + pre-partitioned on its join key; per-round join-agg + per-node top-1 window; localCheckpoint truncates lineage per round (plan shown = final round's step).",
     "training_shard_manifest": "Reproducible shard assignment: md5 bucket arithmetic in the scan projection, ONE shard-partitioned rank window, map-side-combined manifest agg — no global ordering.",
     "cdc_merge_apply": "CDC apply-and-audit: single fact scan fans each row through array+posexplode into keep/upd/del/ins entries; the pinned per-status aggregate feeds both the state readout and the broadcast op counts.",
+    "kaplan_meier_retention": "KM survival: one user-partitioned lead window over the fact + broadcast 1-row corpus edge; all cumulative-product work on the bounded |distinct gap hours| frame.",
     "ann_pq_topk": "Product quantization: pinned grid relation (corpus exploded once) -> broadcast codebook joins for train/encode -> ADC phase touches only the 8-int-per-vector CODE table x chained broadcast per-subspace LUTs, with G1's map-side partial top-k bounding the shuffle.",
 }
 
