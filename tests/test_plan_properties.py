@@ -365,3 +365,11 @@ def test_pq_pins_grid_relation(spark):
     plan = plan_of(spark, "ann_pq_topk")
     assert plan.count("FileScan parquet") <= 1, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_kaplan_meier_windows(spark):
+    """B51: the only event-scale window is the user-partitioned lead;
+    the two global cumulative windows run after the (t)-groupBy, i.e.
+    on the bounded |distinct gap hours| frame."""
+    plan = plan_of(spark, "kaplan_meier_retention")
+    assert "windowspecdefinition(user_id" in plan, plan

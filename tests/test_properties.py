@@ -177,3 +177,99 @@ def test_prefix_filter_candidates_are_lossless(sets, theta):
                     f"lossless violated: {sorted(sets[i])} vs "
                     f"{sorted(sets[j])} at t={theta}"
                 )
+
+
+# ---------------------------------------------------------------------------
+# B51 Kaplan-Meier vs a sequential reference implementation
+# ---------------------------------------------------------------------------
+
+
+def _km_reference(rows, cap_hours):
+    """Textbook KM over inter-event gaps, right-censored at the corpus
+    edge — the sequential mirror of plans/events.kaplan_meier_retention
+    (same tie order (u, event_id), same hit-zero terminal rule)."""
+    import math
+    from collections import Counter, defaultdict
+
+    hour = 3_600_000_000
+    hi = max(u for _, _, u in rows)
+    by = defaultdict(list)
+    for uid, eid, u in rows:
+        by[uid].append((u, eid))
+    d, m = Counter(), Counter()
+    for us in by.values():
+        us.sort()
+        for (a, _), (b, _) in zip(us, us[1:]):
+            g = (b - a) // hour
+            m[g] += 1
+            d[g] += 1
+        g = (hi - us[-1][0]) // hour
+        m[g] += 1
+    ts = sorted(m)
+    total = sum(m.values())
+    out = {}
+    consumed = 0
+    lsum, hit_zero = 0.0, False
+    for t_ in ts:
+        n_at_risk = total - consumed
+        consumed += m[t_]
+        if d[t_] == 0:
+            continue
+        if n_at_risk > d[t_]:
+            lsum += math.log((n_at_risk - d[t_]) / n_at_risk)
+        else:
+            hit_zero = True
+        if t_ <= cap_hours:
+            out[t_] = (
+                d[t_],
+                n_at_risk,
+                0.0 if hit_zero else math.exp(lsum),
+            )
+    return out
+
+
+def test_kaplan_meier_matches_reference_on_random_events(spark, tmp_path):
+    """8 seeded random corpora (ts ties, single-event users, all-user
+    simultaneous finales included) must reproduce the sequential KM
+    exactly (survival to rounding tolerance)."""
+    import datetime
+    import random
+
+    from drive_bc_datapipeline_spark.plans.events import (
+        _KM_CAP_HOURS,
+        kaplan_meier_retention,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    for seed in range(8):
+        rng = random.Random(9000 + seed)
+        n_users = rng.randint(1, 12)
+        rows = []
+        eid = 0
+        for uid in range(n_users):
+            for _ in range(rng.randint(1, 30)):
+                # coarse grid so ts ties and 0-hour gaps actually occur
+                u = rng.randrange(0, 400) * 1_800_000_000
+                rows.append((uid, eid, u))
+                eid += 1
+        sf_dir = tmp_path / f"km{seed}"
+        sf_dir.mkdir()
+        spark.createDataFrame(
+            [
+                (e, base + datetime.timedelta(microseconds=u), u_id,
+                 "click", 1.0, "{}")
+                for (u_id, e, u) in rows
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(str(sf_dir / "events.parquet"))
+        want = _km_reference(rows, _KM_CAP_HOURS)
+        got = {
+            r["t_hours"]: (r["n_deaths"], r["n_at_risk"], r["survival"])
+            for r in kaplan_meier_retention(spark, str(sf_dir)).collect()
+        }
+        assert set(got) == set(want), f"seed {seed}"
+        for t_, (dd, nn, ss) in want.items():
+            gd, gn, gs = got[t_]
+            assert (gd, gn) == (dd, nn), f"seed {seed} t={t_}"
+            assert abs(gs - ss) < 5.1e-5, f"seed {seed} t={t_}: {gs} vs {ss}"

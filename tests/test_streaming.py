@@ -273,3 +273,69 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     }
     assert streamed == expected
     assert len(streamed) > 0
+
+
+def test_exactly_once_sink_stream_matches_batch(spark, tmp_path):
+    """J10 end-to-end: availableNow drain through the commit-log sink
+    equals the batch computation, and a SECOND run of the same stream
+    (fresh checkpoint, so every batch id replays) changes nothing —
+    the at-least-once duplication window is closed."""
+    src = _write_source(tmp_path)
+    sink = str(tmp_path / "sink")
+    sp.start_exactly_once_sink(
+        spark, str(src), sink, str(tmp_path / "ck1")
+    ).awaitTermination(60)
+    want = sorted(
+        map(tuple, sp.clean_events(spark.read.json(str(src), schema=sp.RAW_EVENT_SCHEMA))
+            .select("event_id", "value", "k").collect())
+    )
+    got = sorted(
+        map(tuple, sp.read_committed(spark, sink)
+            .select("event_id", "value", "k").collect())
+    )
+    assert got == want
+    # replay the whole stream into the same sink: same batch ids, but a
+    # fresh checkpoint means Spark re-delivers every batch
+    sp.start_exactly_once_sink(
+        spark, str(src), sink, str(tmp_path / "ck2")
+    ).awaitTermination(60)
+    again = sorted(
+        map(tuple, sp.read_committed(spark, sink)
+            .select("event_id", "value", "k").collect())
+    )
+    assert again == want
+
+
+def test_exactly_once_crash_replay_protocol(spark, tmp_path):
+    """Drive the commit protocol directly through each crash window:
+    (a) crash before rename (tmp garbage), (b) crash after rename but
+    before marker (dir invisible), (c) replay after full commit
+    (no-op). Every path converges to exactly one copy."""
+    import os
+
+    sink = str(tmp_path / "sink")
+    write_batch = sp.exactly_once_batch_writer(sink)
+    df = spark.range(5).withColumnRenamed("id", "v")
+
+    # (a) simulate crash BEFORE rename: stale tmp dir left behind
+    os.makedirs(os.path.join(sink, "_tmp_batch_0"))
+    write_batch(df, 0)
+    assert sorted(
+        r["v"] for r in sp.read_committed(spark, sink).collect()
+    ) == [0, 1, 2, 3, 4]
+
+    # (b) simulate crash AFTER rename, BEFORE marker for batch 1
+    df.write.parquet(os.path.join(sink, "batch=1"))
+    committed = sp.read_committed(spark, sink)
+    assert committed.count() == 5  # uncommitted dir invisible
+    write_batch(df, 1)  # replay completes the commit — exactly once
+    assert sp.read_committed(spark, sink).count() == 10
+
+    # (c) full replay of a committed batch is a no-op
+    write_batch(df, 1)
+    write_batch(df, 0)
+    assert sp.read_committed(spark, sink).count() == 10
+
+    # empty batches commit their emptiness (no dir, marker only)
+    write_batch(df.limit(0), 2)
+    assert sp.read_committed(spark, sink).count() == 10
