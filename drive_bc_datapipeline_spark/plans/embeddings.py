@@ -2220,11 +2220,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id", "sub", "cluster")
             .agg(F.sum(diff * diff).alias("dist"))
         )
-        w = Window.partitionBy("vec_id", "sub").orderBy("dist", "cluster")
-        return (
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "sub", "cluster")
+        # arg-min as MIN over a (dist, cluster) struct: lexicographic
+        # struct ordering gives the same min-cluster tiebreak as the
+        # previous rank window, but as a partial-aggregable groupBy —
+        # map-side combine instead of a full sort shuffle of the
+        # |vectors|·M·K distance relation.
+        return d.groupBy("vec_id", "sub").agg(
+            F.min(F.struct("dist", "cluster"))["cluster"].alias("cluster")
         )
 
     init = qrel.select(

@@ -69,6 +69,12 @@ GATE_PIN: dict[str, int] = {
     # round-7 plan changes that must earn a fresh green row:
     "dedup_ngram_jaccard": 7,  # verification replan (size-bound prefilter)
     "mmr_diversified_topk": 7,  # empty-pool guard in the greedy loop
+    # round-7 memoized pair-input rewire (materialized intermediate):
+    "dedup_connected_components": 7,
+    "dedup_clusters_lsss": 7,
+    "dup_cluster_size_histogram": 7,
+    "dup_graph_triangles": 7,
+    "kcore_peeling": 7,
 }
 
 
@@ -132,11 +138,19 @@ def ordered_queries(
     """
     hist = _gate_history() if history is None else history
     pinned = active_pins(hist)
+    # Debuts outrank pins: a never-gated key has NO driver row at all,
+    # while a pinned key has history and its pin stays active until a
+    # satisfying green row lands — a pin squeezed out of a full window
+    # simply floats into the next round's. This keeps a debut-heavy
+    # round (round 7 pays 46 at once) from re-creating never-gated
+    # debt just because plans changed elsewhere.
+    debuts = sorted(k for k in QUERIES if k not in hist)
+    pinned = [k for k in pinned if k not in debuts]
     rest = sorted(
-        (k for k in QUERIES if k not in pinned),
+        (k for k in QUERIES if k not in pinned and k not in debuts),
         key=lambda k: (hist.get(k, -1), k),
     )
-    return {k: QUERIES[k] for k in [*pinned, *rest]}
+    return {k: QUERIES[k] for k in [*debuts, *pinned, *rest]}
 
 # ---------------------------------------------------------------------------
 # Cross-engine safe rounding.

@@ -375,3 +375,22 @@ def test_label_propagation_matches_reference_on_random_graphs(spark):
             for r in label_propagation(edges, n_iter=3).collect()
         }
         assert got == want, f"seed {seed}: {got} != {want}"
+
+
+def test_pair_memo_identical_and_warm(spark):
+    """The session-scoped pair memo must return the SAME pinned frame
+    on repeat calls, with values identical to a cold rebuild of the
+    full block-verify pipeline."""
+    from drive_bc_datapipeline_spark.plans import documents as D
+
+    sf = "/root/testdata/sf0.001"
+    a = D.ngram_jaccard_pairs(spark, sf)
+    assert D.ngram_jaccard_pairs(spark, sf) is a
+    cold = sorted(map(tuple, D.dedup_ngram_jaccard(spark, sf).collect()))
+    warm = sorted(map(tuple, a.collect()))
+    assert cold == warm
+    s = D.simhash_pairs(spark, sf)
+    assert D.simhash_pairs(spark, sf) is s
+    assert sorted(map(tuple, s.collect())) == sorted(
+        map(tuple, D.dedup_simhash(spark, sf).collect())
+    )

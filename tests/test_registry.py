@@ -17,11 +17,20 @@ def test_every_query_has_an_oracle():
     assert missing == []
 
 
-def test_pinned_keys_lead_the_window():
+def test_debuts_then_pins_lead_the_window():
+    """Ordering contract: never-gated debuts first (a debut has NO
+    driver row at all), then unexpired pins (a pin squeezed out of a
+    full window floats into the next round), then stalest-first."""
+    hist = registry._gate_history()
     ordered = list(registry.ordered_queries())
-    pinned = [k for k in registry.GATE_PIN if k in registry.QUERIES]
-    assert ordered[: len(pinned)] == pinned
-    assert len(pinned) < registry.GATE_WINDOW
+    debuts = sorted(k for k in registry.QUERIES if k not in hist)
+    pinned = [
+        k for k in registry.active_pins(hist)
+        if k in registry.QUERIES and k not in debuts
+    ]
+    assert ordered[: len(debuts)] == debuts
+    assert ordered[len(debuts): len(debuts) + len(pinned)] == pinned
+    assert len(debuts) <= registry.GATE_WINDOW
     assert set(ordered) == set(registry.QUERIES)
 
 
