@@ -152,6 +152,14 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized verified MinHash-LSH pair set (funnel input)."""
+    return _memo_pairs(
+        spark, sf_dir, "minhash_lsh",
+        lambda: dedup_minhash_lsh(spark, sf_dir),
+    )
+
+
 NGRAM_JACCARD_ORACLE = f"""
 WITH shingles AS ({word_ngrams_sql(NGRAM_N)}),
 sizes AS (
@@ -3615,7 +3623,7 @@ def llm_data_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("keep"))
         .select("doc_id")
     )
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
     dropb = (
         pairs.join(
             s5.select(F.col("doc_id").alias("doc_id_a")),

@@ -75,6 +75,7 @@ GATE_PIN: dict[str, int] = {
     "dup_cluster_size_histogram": 7,
     "dup_graph_triangles": 7,
     "kcore_peeling": 7,
+    "llm_data_prep_funnel": 7,
 }
 
 
@@ -130,8 +131,8 @@ def active_pins(history: dict[str, int] | None = None) -> list[str]:
 def ordered_queries(
     history: dict[str, int] | None = None,
 ) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """QUERIES re-keyed for the driver gate: unexpired pins first, then
-    never-gated debuts, then everything else stalest-first.
+    """QUERIES re-keyed for the driver gate: never-gated debuts first,
+    then unexpired pins, then everything else stalest-first.
 
     ``history`` injects a synthetic last-green map (tests simulate
     multi-round rotation with it); default reads the driver artifacts.

@@ -394,3 +394,8 @@ def test_pair_memo_identical_and_warm(spark):
     assert sorted(map(tuple, s.collect())) == sorted(
         map(tuple, D.dedup_simhash(spark, sf).collect())
     )
+    mh = D.minhash_lsh_pairs(spark, sf)
+    assert D.minhash_lsh_pairs(spark, sf) is mh
+    assert sorted(map(tuple, mh.collect())) == sorted(
+        map(tuple, D.dedup_minhash_lsh(spark, sf).collect())
+    )
