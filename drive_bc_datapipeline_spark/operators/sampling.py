@@ -1,0 +1,57 @@
+"""Distributed weighted sampling (SURVEY §2 K20).
+
+Weighted reservoir sampling without replacement, Efraimidis-Spirakis
+(A-Res): each row draws u ~ U(0,1] and keys itself by u^(1/w); the
+sample is the global top-k under that key. On Spark the whole
+algorithm therefore collapses to ONE expression + TakeOrdered — a
+per-partition partial top-k and a k-row merge, no global sort, no
+reservoir state, no driver loop. That IS the 100 TB path: the same
+shape Spark uses for any top-k.
+
+Determinism: u comes from xxhash64(id, seed) mapped into (0, 1], so a
+given (seed, corpus) always draws the same sample on any cluster, any
+partitioning — reproducible pipeline sampling (and testable against a
+sequential reference, tests/test_ml_geo_operators.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_U64_SPAN = 18446744073709551616.0  # 2^64, uniform-map denominator
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """k-row weighted sample without replacement (A-Res / top-k form).
+
+    Rows with weight <= 0 or NULL are excluded (zero mass). Inclusion
+    is by descending u^(1/w) — heavier rows draw systematically larger
+    keys, and P(row i in sample) follows the Efraimidis-Spirakis
+    without-replacement law. Ordering/limit is deterministic: the key
+    is a pure function of (id, seed, weight) and ties (measure-zero in
+    doubles, but possible for identical (id-hash, w)) break on id.
+    """
+    w = F.col(weight_col).cast("double")
+    # xxhash64 -> signed 64-bit; shift into [1, 2^64] so u is in (0, 1]
+    # and log(u) is finite (u=0 would make every weight draw -inf).
+    u = (
+        F.xxhash64(F.col(id_col), F.lit(seed)).cast("double")
+        + F.lit(_U64_SPAN / 2 + 1.0)
+    ) / F.lit(_U64_SPAN)
+    # rank by u^(1/w) via the monotone log form log(u)/w: identical
+    # ordering, immune to double underflow for tiny weights.
+    key = F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("__ares_key", key)
+        .orderBy(F.desc("__ares_key"), F.col(id_col))
+        .limit(k)
+        .drop("__ares_key")
+    )

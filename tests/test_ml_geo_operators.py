@@ -159,3 +159,105 @@ def test_numpy_mlp_learns_linear_signal(spark):
 
     with pytest.raises(ValueError, match="sample the training frame"):
         train_mlp_numpy(df, ["a", "b"], "y", max_train_rows=10)
+
+
+# ---------------------------------------------------------------------------
+# E6 exact AUC / K20 weighted sampling
+# ---------------------------------------------------------------------------
+
+
+def _auc_reference(pairs):
+    """Sequential midrank Mann-Whitney AUC (sklearn semantics)."""
+    pairs = sorted(pairs)
+    ranks, i = {}, 0
+    n = len(pairs)
+    while i < n:
+        j = i
+        while j < n and pairs[j][0] == pairs[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        ranks.setdefault(pairs[i][0], mid)
+        i = j
+    npos = sum(y for _, y in pairs)
+    nneg = n - npos
+    rsum = sum(ranks[s] for s, y in pairs if y)
+    return (rsum - npos * (npos + 1) / 2.0) / (npos * nneg)
+
+
+def test_auc_rank_sum_matches_reference(spark):
+    import random
+
+    from drive_bc_datapipeline_spark.operators.ml import auc_rank_sum
+
+    for seed in range(6):
+        rng = random.Random(400 + seed)
+        n = rng.randint(10, 200)
+        # coarse score grid so ties are common; both classes present
+        pairs = [
+            (rng.randint(0, 12) / 12.0, rng.random() < 0.4) for _ in range(n)
+        ]
+        pairs[0] = (pairs[0][0], True)
+        pairs[1] = (pairs[1][0], False)
+        df = spark.createDataFrame(
+            [(s, int(y)) for s, y in pairs], "score double, label int"
+        )
+        got = auc_rank_sum(df, "label", "score")
+        want = _auc_reference([(s, int(y)) for s, y in pairs])
+        assert abs(got - want) < 1e-12, f"seed {seed}: {got} vs {want}"
+
+
+def test_auc_rank_sum_degenerate_raises(spark):
+    import pytest as _pytest
+
+    from drive_bc_datapipeline_spark.operators.ml import auc_rank_sum
+
+    df = spark.createDataFrame([(0.5, 1), (0.7, 1)], "score double, label int")
+    with _pytest.raises(ValueError):
+        auc_rank_sum(df, "label", "score")
+
+
+def test_weighted_sample_matches_keyed_topk_and_is_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from drive_bc_datapipeline_spark.operators.sampling import (
+        _U64_SPAN,
+        weighted_sample,
+    )
+
+    rows = [(i, float(1 + (i * 7) % 5)) for i in range(300)]
+    rows += [(300, 0.0), (301, -2.0), (302, None)]  # zero-mass excluded
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [r["id"] for r in weighted_sample(df, 25, "w", "id", seed=3).collect()]
+    # sequential reference: same key formula, Spark's own xxhash64
+    keyed = df.filter(F.col("w") > 0).select(
+        "id",
+        "w",
+        ((F.xxhash64("id", F.lit(3)).cast("double") + (_U64_SPAN / 2 + 1.0))
+         / _U64_SPAN).alias("u"),
+    ).collect()
+    import math
+
+    want = [
+        r["id"]
+        for r in sorted(keyed, key=lambda r: (-(math.log(r["u"]) / r["w"]), r["id"]))
+    ][:25]
+    assert got == want
+    again = [r["id"] for r in weighted_sample(df, 25, "w", "id", seed=3).collect()]
+    assert got == again
+    other = [r["id"] for r in weighted_sample(df, 25, "w", "id", seed=4).collect()]
+    assert got != other  # different seed, different draw
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """Rows with 50x the weight must dominate inclusion counts across
+    seeds — the without-replacement inclusion law at work."""
+    from drive_bc_datapipeline_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 50.0 if i < 20 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    heavy = 0
+    for seed in range(8):
+        ids = [r["id"] for r in weighted_sample(df, 20, "w", "id", seed).collect()]
+        assert len(ids) == 20
+        heavy += sum(1 for i in ids if i < 20)
+    assert heavy >= 8 * 20 * 0.55, heavy  # heavies are 10% of rows, >55% of picks
