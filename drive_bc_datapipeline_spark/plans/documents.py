@@ -1074,10 +1074,10 @@ def decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.expr(
         _SPLIT_BUCKET_SQL.replace("CAST(doc_id AS VARCHAR)", "CAST(doc_id AS STRING)")
     )
-    with_bucket = d.withColumn("bucket", bucket)
-    sh = word_ngrams(with_bucket, DECON_N)
-    buckets = with_bucket.select("doc_id", "bucket")
-    sh_b = sh.join(buckets, "doc_id")
+    # bucket is a pure function of doc_id — derive it INLINE on the
+    # shingle frame instead of joining the corpus back (the join shape
+    # re-ran the scan+shingle pipeline once per split branch: 4 scans)
+    sh_b = word_ngrams(d, DECON_N).withColumn("bucket", bucket)
     train_sh = (
         sh_b.filter(F.col("bucket") < TRAIN_PCT).select("shingle").distinct()
     )
@@ -2265,11 +2265,14 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
+    # query-terms-only tf relation feeds BOTH the df aggregate and the
+    # scoring join — pin it so the tokenizing corpus scan runs once
     tf = (
         docs.select("doc_id", F.explode("toks").alias("token"))
         .filter(F.col("token").isin(*BM25_TERMS))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
@@ -3795,6 +3798,9 @@ def apply_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("bigint"),
             ).alias("quota"),
         )
+        # feeds the keep-filter AND the final readout join — tiny
+        # |sources|-row frame, pin it
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"

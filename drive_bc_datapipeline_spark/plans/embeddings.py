@@ -454,17 +454,29 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector via a broadcast nested-loop; one pass over the corpus
     ccos = _dot_terms_spark("embedding", "cemb") / (F.col("nrm") * F.col("cnrm"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
-    ranked_cells = (
+    # ONE |corpus| x NLIST ranking pass, filtered to the rows either
+    # consumer needs and pinned (3 int-ish columns, ~|corpus| rows) —
+    # assign and probes used to re-execute the crossJoin each
+    cells = (
         e.crossJoin(F.broadcast(cent))
         .withColumn("ccos", ccos)
         .withColumn("crnk", F.row_number().over(w_assign))
+        .filter(
+            (F.col("crnk") == 1)
+            | ((F.col("crnk") <= IVF_NPROBE) & (F.col("vec_id") < N_QUERIES))
+        )
+        .select("vec_id", "cid", "crnk")
+        .localCheckpoint(eager=True)
     )
-    assign = ranked_cells.filter(F.col("crnk") == 1).select("vec_id", "cid")
-    probes = ranked_cells.filter(
+    assign = cells.filter(F.col("crnk") == 1).select("vec_id", "cid")
+    probes = cells.filter(
         (F.col("crnk") <= IVF_NPROBE) & (F.col("vec_id") < N_QUERIES)
     ).select(F.col("vec_id").alias("query_id"), "cid")
 
-    qv = e.select(
+    # queries only — broadcasting an UNFILTERED qv would ship the whole
+    # corpus to every executor (the F5 anti-pattern); the predicate
+    # also pushes to the parquet scan
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -1272,6 +1284,10 @@ GROUP BY a.cluster
 @query("kmeans_embeddings", KMEANS_ORACLE)
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
+    # the quantized grid relation feeds every Lloyd step (init, two
+    # centroid updates, two assigns) — pin ONE materialization so the
+    # corpus is exploded exactly once, not once per consuming subtree
+    # (the G18 pattern; was 9 FileScans of embeddings in the final plan)
     qrel = e.select(
         "vec_id", F.posexplode("embedding").alias("pos", "val")
     ).select(
@@ -1280,7 +1296,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("val").cast("double") * KM_GRID + 0.5)
         .cast("bigint")
         .alias("q"),
-    )
+    ).localCheckpoint(eager=True)
 
     def centroids(assign: DataFrame) -> DataFrame:
         return (
@@ -1303,11 +1319,12 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id", "cluster")
             .agg(F.sum(diff * diff).alias("dist"))
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
-        return (
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cluster", "dist")
+        # arg-min as MIN over a (dist, cluster) struct — same tiebreak
+        # as a rank window, but map-side partial-aggregable (G18's move)
+        best = F.min(F.struct("dist", "cluster")).alias("b")
+        return d.groupBy("vec_id").agg(best).select(
+            "vec_id", F.col("b.cluster").alias("cluster"),
+            F.col("b.dist").alias("dist"),
         )
 
     init = qrel.select(
@@ -1315,7 +1332,9 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     c0 = centroids(init)
     a1 = assign(c0).select("vec_id", "cluster")
-    c1 = centroids(a1)
+    # c1 feeds both the final assign and the norms readout — pin the
+    # k*dim-row frame so the whole first Lloyd round runs once
+    c1 = centroids(a1).localCheckpoint(eager=True)
     a2 = assign(c1)
     norms = c1.groupBy("cluster").agg(
         (
@@ -1588,14 +1607,21 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.desc("rel"), F.asc("neighbor_id")
     )
+    # pin the C-per-query pool: it feeds BOTH sides of the pairwise-sim
+    # join and the rel edge list — without the pin each consumer
+    # re-executes the whole corpus relevance scan + partial top-k
+    # (this plan used to show 9 embeddings FileScans)
     cand = (
         pruned.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= MMR_C)
         .drop("rn")
+        .localCheckpoint(eager=True)
     )
     # Re-attach embeddings to the C·|queries|-row pool, then build the
     # per-query pairwise-sim edge list JVM-side (C² rows per query).
     emb = e.select("vec_id", "embedding", "nrm")
+    # c1 also feeds two subtrees (pair sims + the rel edge list); the
+    # pin keeps the pool-to-embedding join single-execution
     c1 = cand.join(
         emb, cand.neighbor_id == emb.vec_id
     ).select(
@@ -1604,7 +1630,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rel",
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
-    )
+    ).localCheckpoint(eager=True)
     c2 = cand.join(
         emb, cand.neighbor_id == emb.vec_id
     ).select(

@@ -2023,14 +2023,21 @@ def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = starts.unionAll(ends).select(
         "event_type", "t", F.sum("delta").over(w).alias("conc")
     )
-    peak = run.groupBy("event_type").agg(
-        F.max("conc").cast("bigint").alias("max_concurrent")
-    )
+    # argmax in ONE grouped pass: MAX over a (conc, -t_us) struct picks
+    # the peak concurrency and, within it, the EARLIEST time (max of
+    # the negated micros) — the previous peak-join shape re-executed
+    # the event-scale sweep-line frame once per consumer.
+    best = F.max(
+        F.struct(F.col("conc"), (-F.unix_micros("t")).alias("neg_us"))
+    ).alias("b")
     return (
-        run.join(peak, "event_type")
-        .filter(F.col("conc") == F.col("max_concurrent"))
-        .groupBy("event_type", "max_concurrent")
-        .agg(F.min("t").alias("peak_ts"))
+        run.groupBy("event_type")
+        .agg(best)
+        .select(
+            "event_type",
+            F.col("b.conc").cast("bigint").alias("max_concurrent"),
+            F.timestamp_micros(-F.col("b.neg_us")).alias("peak_ts"),
+        )
     )
 
 
@@ -2545,9 +2552,11 @@ FROM grid
 def chi2_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     # Spark weekday(): Monday=0 — shift to ISO (Monday=1..Sunday=7)
+    # |types| x 7 contingency frame feeding four subtrees (marginals,
+    # total, grid join) — pin it so the fact scans once, not 4x
     cells = e.groupBy(
         "event_type", (F.expr("weekday(ts)") + 1).alias("dow")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
     rt = cells.groupBy("event_type").agg(F.sum("n").alias("row_n"))
     ct = cells.groupBy("dow").agg(F.sum("n").alias("col_n"))
     tot = cells.agg(F.sum("n").alias("grand"))
@@ -2666,9 +2675,11 @@ GROUP BY t.grand
 @query("mutual_info_type_hour", MI_ORACLE)
 def mutual_info_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
+    # |types| x 24 frame feeding four subtrees — pin so the fact scans
+    # once (the chi2 pattern)
     cells = e.groupBy(
         "event_type", F.hour("ts").cast("int").alias("hr")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
     rt = cells.groupBy("event_type").agg(F.sum("n").alias("row_n"))
     ct = cells.groupBy("hr").agg(F.sum("n").alias("col_n"))
     tot = cells.agg(F.sum("n").alias("grand"))
@@ -2932,13 +2943,16 @@ GROUP BY d.event_type
 @query("value_outliers_mad", MAD_ORACLE)
 def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
+    # pin the two per-type stat frames: `dev` is consumed twice (MAD
+    # pass + flag pass) and re-derives its broadcast side each time —
+    # pinned, exact MAD costs its minimum three fact passes, not four
     med = e.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("m")
-    )
+    ).localCheckpoint(eager=True)
     dev = e.join(F.broadcast(med), "event_type")
     madt = dev.groupBy("event_type").agg(
         F.expr("percentile(abs(value - m), 0.5)").alias("mad")
-    )
+    ).localCheckpoint(eager=True)
     flagged = dev.join(F.broadcast(madt), "event_type")
     return flagged.groupBy("event_type").agg(
         F.count("value").alias("n"),

@@ -76,6 +76,18 @@ GATE_PIN: dict[str, int] = {
     "dup_graph_triangles": 7,
     "kcore_peeling": 7,
     "llm_data_prep_funnel": 7,
+    # round-7 pinned-subtree replans (FileScan-count cuts):
+    "kmeans_embeddings": 7,
+    "ann_ivf_topk": 7,
+    "ann_ivf_recall_at_k": 7,
+    "ann_pq_topk": 7,
+    "apply_mixture_sampling": 7,
+    "chi2_type_by_dow": 7,
+    "mutual_info_type_hour": 7,
+    "max_concurrent_intervals": 7,
+    "value_outliers_mad": 7,
+    "bm25_search_topk": 7,
+    "decontaminate_eval": 7,
 }
 
 

@@ -264,14 +264,17 @@ def test_zipf_heavy_window_is_partitioned(spark):
 
 
 def test_mmr_pool_is_bounded_before_pandas(spark):
-    """G14: the applyInPandas stage must sit above the C-bounded pool,
-    i.e. the plan contains the partial-top-k mapInPandas AND the
-    FlatMapGroupsInPandas, with the corpus scan feeding only the
-    former."""
+    """G14: the greedy applyInPandas stage must sit above the C-bounded
+    pool. Since round 7 the pool (built by the partial-top-k
+    mapInPandas) is PINNED via localCheckpoint, so the final plan shows
+    the greedy FlatMapGroupsInPandas over checkpoint RDDs with at most
+    ONE embeddings FileScan (the re-attach join) — the corpus relevance
+    scan no longer re-executes per consuming subtree (was 9 scans)."""
     df = QUERIES["mmr_diversified_topk"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan, plan[:2000]
-    assert "MapInPandas" in plan, plan[:2000]
+    assert plan.count("FileScan parquet") <= 1, plan[:2000]
+    assert "Scan ExistingRDD" in plan, plan[:2000]  # the pinned pool
 
 
 def test_mmr_truncates_gracefully_on_tiny_pool(spark, tmp_path):
@@ -373,3 +376,28 @@ def test_kaplan_meier_windows(spark):
     on the bounded |distinct gap hours| frame."""
     plan = plan_of(spark, "kaplan_meier_retention")
     assert "windowspecdefinition(user_id" in plan, plan
+
+
+def test_kmeans_grid_is_pinned(spark):
+    """G12: the quantized grid feeds every unrolled Lloyd step; the
+    eager localCheckpoint leaves ZERO embeddings FileScans in the final
+    plan (was 9) and no sort-based arg-min windows."""
+    plan = plan_of(spark, "kmeans_embeddings")
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_ivf_cells_pinned_and_queries_filtered(spark):
+    """G4: one |corpus| x NLIST ranking pass (pinned cells), and the
+    query-vector side carries the vec_id pushdown so the broadcast
+    never ships the whole corpus."""
+    plan = plan_of(spark, "ann_ivf_topk")
+    assert plan.count("FileScan parquet") <= 2, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_mixture_sampling_single_fact_scan(spark):
+    """H36: pinned per-source and quota frames leave exactly one
+    documents scan (the rank window's) in the final plan."""
+    plan = plan_of(spark, "apply_mixture_sampling")
+    assert plan.count("FileScan parquet") <= 1, plan
