@@ -40,12 +40,18 @@ def exclusive_prefix_sum(
     value_col: str,
     out_col: str = "prefix_sum",
     num_partitions: int | None = None,
-) -> DataFrame:
+    with_total: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
     """Add ``out_col`` = sum of ``value_col`` over all rows STRICTLY
     before this one in ``order_col`` order (exclusive scan).
 
     ``order_col`` must be unique (it defines the scan order). Output
     keeps all input columns.
+
+    ``with_total=True`` returns ``(df, total)`` where ``total`` is the
+    grand sum of ``value_col`` — phase 2 already accumulates it on the
+    driver, so callers that need the total (e.g. rank/NTILE arithmetic)
+    get it without an extra aggregation job.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n, F.col(order_col)).sortWithinPartitions(
@@ -91,7 +97,7 @@ def exclusive_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = F.coalesce(F.sum(value_col).over(w), F.lit(0))
-    return (
+    out = (
         with_pid.join(F.broadcast(offsets_df), "__pid", "left")
         .withColumn(
             out_col,
@@ -99,3 +105,4 @@ def exclusive_prefix_sum(
         )
         .drop("__pid", "__offset")
     )
+    return (out, acc) if with_total else out

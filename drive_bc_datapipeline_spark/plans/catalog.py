@@ -133,9 +133,20 @@ BUCKETED_TABLES = (
 N_BUCKETS = 8
 
 
+#: (appId, sf_dir) pairs whose gate bucket tables are already written —
+#: bucketing's contract is write-once-join-many (the layout amortizes
+#: across every subsequent co-located join), so within a session the
+#: immutable source parquet never needs re-bucketing. Keyed on sf_dir
+#: because the tables are overwritten per scale factor.
+_GATE_BUCKETS_WRITTEN: set[tuple[str, str]] = set()
+
+
 def _write_gate_buckets(spark: SparkSession, sf_dir: str) -> None:
     from drive_bc_datapipeline_spark.operators.joins import write_bucketed
 
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key in _GATE_BUCKETS_WRITTEN:
+        return
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {CATALOG_DB}")
     l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
@@ -147,6 +158,12 @@ def _write_gate_buckets(spark: SparkSession, sf_dir: str) -> None:
         write_bucketed(
             df, table, key, n_buckets=N_BUCKETS, path=_table_location(table)
         )
+    # discard stale entries for other sf_dirs: the shared table names
+    # now hold THIS sf_dir's data
+    _GATE_BUCKETS_WRITTEN.difference_update(
+        {k for k in _GATE_BUCKETS_WRITTEN if k[0] == memo_key[0]}
+    )
+    _GATE_BUCKETS_WRITTEN.add(memo_key)
 
 
 @query("bucketed_join_order_totals", BUCKETED_JOIN_ORACLE)

@@ -1690,6 +1690,11 @@ GROUP BY a.source, b.source
 @query("cross_source_content_overlap", SOURCE_OVERLAP_ORACLE)
 def cross_source_content_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
+    # Hash shingles to 64 bits BEFORE the distinct and the self-join
+    # (the F3 hash-early pattern): both shuffles then carry 8-byte
+    # longs instead of N-word strings. Collision risk is the class
+    # _verify_jaccard documents (~|shingles|²/2⁶⁵ corpus-wide) — a
+    # collision would merge two distinct shared shingles in the count.
     sh = (
         d.select("source", F.split("text", " ").alias("toks"))
         .select(
@@ -1699,6 +1704,7 @@ def cross_source_content_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("shingle") != "")
+        .select("source", F.xxhash64("shingle").alias("h"))
         .distinct()
     )
     a = sh.alias("a")
@@ -1706,7 +1712,7 @@ def cross_source_content_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.source") < F.col("b.source")),
         )
         .groupBy(

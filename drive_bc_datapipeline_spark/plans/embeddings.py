@@ -2255,10 +2255,21 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.struct("dist", "cluster"))["cluster"].alias("cluster")
         )
 
-    init = qrel.select(
-        "vec_id", "sub", (F.col("vec_id") % PQ_K).cast("int").alias("cluster")
-    ).distinct()
-    c1 = centroids(assign_codes(centroids(init))).localCheckpoint(eager=True)
+    # init cluster = vec_id % k is a pure function of vec_id, so the
+    # first centroid pass computes it inline on qrel — no distinct
+    # assignment frame, no (vec_id, sub) join for round 0
+    c0 = qrel.groupBy(
+        "sub",
+        (F.col("vec_id") % PQ_K).cast("int").alias("cluster"),
+        "pos",
+    ).agg(
+        F.floor(
+            (2.0 * F.sum("q") + F.count(F.lit(1))) / (2.0 * F.count(F.lit(1)))
+        )
+        .cast("bigint")
+        .alias("cq")
+    )
+    c1 = centroids(assign_codes(c0)).localCheckpoint(eager=True)
     codes = assign_codes(c1)
     lut = (
         qrel.filter(F.col("vec_id") < N_QUERIES)

@@ -3803,6 +3803,14 @@ GROUP BY 1, 2, 3
 
 @query("user_rfm_segments", RFM_ORACLE)
 def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE prefix scan ranks all three metrics: each user row fans out
+    map-side (posexplode) into (which, metric-value) rows, the stacked
+    3n-row frame takes a single range-partitioned exclusive scan
+    ordered by struct(which, value, user_id), and per-metric rank =
+    global rank − which·n (each metric block holds exactly n rows).
+    n itself falls out of the scan's driver-side totals (with_total) —
+    no separate count job. Versus three chained scans this is one
+    sort shuffle + one checkpoint instead of three of each."""
     from drive_bc_datapipeline_spark.operators.prefix import (
         exclusive_prefix_sum,
     )
@@ -3827,29 +3835,44 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("monetary_cents"),
         )
-        .withColumn("__one", F.lit(1))
     )
-    for metric, out in (
-        ("recency_days", "r_q"),
-        ("frequency", "f_q"),
-        ("monetary_cents", "m_q"),
-    ):
-        ordc = f"__ord_{out}"
-        u = (
-            exclusive_prefix_sum(
-                u.withColumn(ordc, F.struct(F.col(metric), F.col("user_id"))),
-                ordc,
-                "__one",
-                out_col=f"__rk_{out}",
-            )
-            .withColumn(f"__rk_{out}", F.col(f"__rk_{out}") + 1)
-            .drop(ordc)
+    stacked = u.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.posexplode(
+            F.array("recency_days", "frequency", "monetary_cents")
+        ).alias("__which", "__mv"),
+    ).select(
+        "*",
+        F.struct("__which", "__mv", "user_id").alias("__ord"),
+        F.lit(1).alias("__one"),
+    )
+    ranked, total = exclusive_prefix_sum(
+        stacked, "__ord", "__one", out_col="__gr", with_total=True
+    )
+    n = total // 3  # 3 metric blocks of exactly n users each
+    rank_in_metric = F.col("__gr") + 1 - F.col("__which") * F.lit(n)
+    pivoted = (
+        ranked.withColumn("__rk", rank_in_metric)
+        .groupBy("user_id")
+        .agg(
+            F.first("recency_days").alias("recency_days"),
+            F.first("frequency").alias("frequency"),
+            F.first("monetary_cents").alias("monetary_cents"),
+            *[
+                F.max(
+                    F.when(F.col("__which") == i, F.col("__rk"))
+                ).alias(f"__rk_{out}")
+                for i, out in enumerate(("r_q", "f_q", "m_q"))
+            ],
         )
-    n = u.groupBy().agg(F.count(F.lit(1)).alias("__n"))
-    u = u.crossJoin(F.broadcast(n))
+        .withColumn("__n", F.lit(n).cast("bigint"))
+    )
     for out in ("r_q", "f_q", "m_q"):
-        u = u.withColumn(out, _rfm_ntile(f"__rk_{out}", "__n"))
-    return u.groupBy("r_q", "f_q", "m_q").agg(
+        pivoted = pivoted.withColumn(out, _rfm_ntile(f"__rk_{out}", "__n"))
+    return pivoted.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_users"),
         r4(F.avg("recency_days")).alias("avg_recency_days"),
         r4(F.avg("frequency")).alias("avg_frequency"),

@@ -88,6 +88,8 @@ GATE_PIN: dict[str, int] = {
     "value_outliers_mad": 7,
     "bm25_search_topk": 7,
     "decontaminate_eval": 7,
+    # round-7 hash-early replan (shuffles carry longs, not shingles):
+    "cross_source_content_overlap": 7,
 }
 
 

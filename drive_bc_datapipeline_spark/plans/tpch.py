@@ -1595,26 +1595,39 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-order sorted brand arrays expand to pairs map-side (no
     basket self-join shuffle); the pair aggregate and two broadcast
     brand-count joins produce lift; global top-25 is TakeOrdered over
-    the |brand-pairs|-bounded scored frame."""
+    the |brand-pairs|-bounded scored frame.
+
+    ONE wide shuffle total: collect_set subsumes the (okey, brand)
+    distinct, so the broadcast join feeds a single groupBy(okey)
+    whose pinned result serves all three consumers — the basket
+    count is a row count of the pinned frame (no distinct shuffle),
+    brand supports re-derive by exploding the per-basket sets (each
+    element IS one distinct (okey, brand) pair), and the pair
+    expansion starts from the already-grouped arrays."""
     l = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
-    baskets = (
+    grouped = (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+        )
+        .groupBy("okey")
+        .agg(F.sort_array(F.collect_set("brand")).alias("bs"))
         .localCheckpoint(eager=True)  # feeds basket count, brand counts, pairs
     )
-    nb = baskets.select("okey").distinct().count()
-    bc = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    nb = grouped.count()
+    bc = (
+        grouped.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     pair_expr = F.expr(
         "flatten(transform(bs, (a, i) -> "
         "transform(slice(bs, i + 2, size(bs)), "
         "b -> named_struct('brand_a', a, 'brand_b', b))))"
     )
     pairs = (
-        baskets.groupBy("okey")
-        .agg(F.sort_array(F.collect_set("brand")).alias("bs"))
-        .select(F.explode(pair_expr).alias("pr"))
+        grouped.select(F.explode(pair_expr).alias("pr"))
         .select("pr.brand_a", "pr.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("n_pair"))

@@ -75,3 +75,27 @@ def test_bucketed_gate_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "Exchange" not in plan, plan
     assert "Bucketed: true" in plan, plan
+
+
+def test_bucket_write_memoized_per_sf(spark, monkeypatch):
+    """Bucketing is write-once-join-many: within a session the gate
+    tables are written once per sf_dir; switching sf_dir invalidates
+    (the shared table names now hold other data) and rewrites."""
+    from drive_bc_datapipeline_spark.operators import joins as J
+    from drive_bc_datapipeline_spark.plans import catalog as C
+
+    calls = []
+    real = J.write_bucketed
+    monkeypatch.setattr(
+        J, "write_bucketed",
+        lambda *a, **kw: (calls.append(1), real(*a, **kw))[1],
+    )
+    C._GATE_BUCKETS_WRITTEN.clear()
+    C._write_gate_buckets(spark, SF_SMOKE)
+    assert len(calls) == 2  # both tables written
+    C._write_gate_buckets(spark, SF_SMOKE)
+    assert len(calls) == 2  # memo hit: no rewrite
+    C._write_gate_buckets(spark, "/root/testdata/sf0.01")
+    assert len(calls) == 4  # sf switch: rewritten
+    C._write_gate_buckets(spark, SF_SMOKE)
+    assert len(calls) == 6  # stale entry was dropped: rewritten again

@@ -63,7 +63,7 @@ PICKS = {
     "dow_seasonality_residuals": "daily counts -> |types|x7 profile broadcast back -> residual rollup; profile and peak frames never shuffle the fact.",
     "token_dropout_augment": "Zero-shuffle narrow plan: keep/drop md5 arithmetic and the augmented-text hash all evaluate in the scan projection.",
     "llm_data_prep_funnel": "End-to-end composition: scan-side stage flags, content-hash canonical join, F2's banded near-dup pairs, 8-gram contamination semi-join — ONE final aggregate, 7 stage rows via array+posexplode (no union re-execution).",
-    "user_rfm_segments": "Three distributed global ranks via the range-partitioned two-phase prefix scan (one pinned exchange each, never a single-partition window); NTILE(4) reproduced as rank arithmetic; broadcast 1-row count + d0 frames.",
+    "user_rfm_segments": "ONE range-partitioned prefix scan ranks all three metrics: per-user rows fan out map-side (posexplode) into a stacked 3n-row frame ordered by struct(which, value, user_id); per-metric rank = global rank - which*n, with n read off the scan's driver-side totals (no count job). NTILE(4) reproduced as rank arithmetic; never a single-partition window.",
     "value_cusum_drift": "CUSUM closed form: pinned |types|x|days| daily frame (events scanned once) -> two per-type sequential windows (running sum + running min) -> broadcast mu/sigma join.",
     "source_kl_divergence": "(source, token) counts pinned ONCE (localCheckpoint) and reused by all four subtrees — without it Spark re-executes the scan+explode+agg per subtree; token-keyed join + broadcast source totals + 1-row corpus total.",
     "domain_cap_sample": "Single source-partitioned rank window over the scan (one exchange total) — per-domain quota with no global ordering anywhere.",
