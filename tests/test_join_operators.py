@@ -321,3 +321,26 @@ def test_rfm_ntile_matches_native_ntile(spark):
         a = sorted((r["rk"], r["b"]) for r in native.collect())
         b = sorted((r["rk"], r["b"]) for r in ours.collect())
         assert a == b, f"n={n}: {a} != {b}"
+
+
+def test_prefix_sum_with_total_matches_grand_sum(spark):
+    """with_total=True returns the driver-side grand total phase 2
+    already accumulated — must equal the exact sum, with the output
+    frame unchanged vs the default call."""
+    from drive_bc_datapipeline_spark.operators.prefix import (
+        exclusive_prefix_sum,
+    )
+
+    df = spark.range(1234).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("int").alias("v")
+    )
+    out, total = exclusive_prefix_sum(
+        df, order_col="k", value_col="v", num_partitions=5, with_total=True
+    )
+    assert total == sum(i % 7 for i in range(1234))
+    rows = sorted((r["k"], r["prefix_sum"]) for r in out.collect())
+    acc, exp = 0, []
+    for i in range(1234):
+        exp.append((i, acc))
+        acc += i % 7
+    assert rows == exp
