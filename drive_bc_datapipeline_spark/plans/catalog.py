@@ -144,7 +144,8 @@ _GATE_BUCKETS_WRITTEN: set[tuple[str, str]] = set()
 def _write_gate_buckets(spark: SparkSession, sf_dir: str) -> None:
     from drive_bc_datapipeline_spark.operators.joins import write_bucketed
 
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    memo_key = (app_id, sf_dir)
     if memo_key in _GATE_BUCKETS_WRITTEN:
         return
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {CATALOG_DB}")
@@ -155,8 +156,19 @@ def _write_gate_buckets(spark: SparkSession, sf_dir: str) -> None:
         (BUCKETED_TABLES[1], o, "o_orderkey"),
     ):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # location scoped by applicationId: the table NAME lives in the
+        # session-local catalog, but a fixed PATH is shared across every
+        # session pointed at this repo — a concurrent session (plan
+        # audit, ad-hoc timing) rewriting the same files at a different
+        # sf would silently change what this session's memoized tables
+        # read. Per-app dirs make the memo race-free; stale dirs from
+        # dead sessions are small (two pruned columns) and inert.
         write_bucketed(
-            df, table, key, n_buckets=N_BUCKETS, path=_table_location(table)
+            df,
+            table,
+            key,
+            n_buckets=N_BUCKETS,
+            path=_table_location(f"{table}__{app_id}"),
         )
     # discard stale entries for other sf_dirs: the shared table names
     # now hold THIS sf_dir's data

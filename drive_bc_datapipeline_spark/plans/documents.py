@@ -1247,6 +1247,11 @@ def term_relevance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = t(spark, sf_dir, "documents")
+    # Re-scan audit note: tf is (doc, token)-scale — proportional to
+    # corpus tokens, NOT dimension-bounded — so its two consumers (df
+    # aggregate + the scored join) re-scan pruned parquet rather than
+    # checkpoint a corpus-sized relation; n_docs is a third, column-
+    # pruned scan. 3 scans by design.
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
@@ -2497,7 +2502,12 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    freq = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    # pinned: the vocab-bounded LM table feeds the corpus total AND the
+    # broadcast scoring join — unpinned, each consumer re-tokenizes the
+    # whole corpus to rebuild it (same fix as zipf_slope)
+    freq = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
     tot = freq.agg(F.sum("n").cast("bigint").alias("total"))
     nll = -F.log2(F.col("n").cast("double") / F.col("total"))
     return (
@@ -2573,9 +2583,13 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the only heavy window is partitioned by (n, salt), which splits
     # the giant hapax tie block S ways instead of one task.
     S = 32
+    # Pin the salted vocabulary: it feeds the block counts AND the
+    # ranked join below, and each consumer otherwise re-tokenizes the
+    # whole corpus to rebuild it (3 documents scans). Vocab rows are
+    # sublinear in corpus size — a dimension-bounded pin.
     salted = freq.withColumn(
         "salt", F.pmod(F.xxhash64("tok"), F.lit(S)).cast("int")
-    )
+    ).localCheckpoint(eager=True)
     blk = salted.groupBy("n", "salt").agg(F.count(F.lit(1)).alias("cnt"))
     nn = blk.groupBy("n").agg(F.sum("cnt").alias("ncnt"))
     wn = Window.orderBy(F.desc("n")).rowsBetween(
@@ -2991,6 +3005,14 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(-(WIN_W - 1), 0)
     )
+    # Pin the winnowed fingerprint relation: the tokenize + gram-hash +
+    # window lineage is the expensive part and previously re-executed
+    # once per consumer (df filter + both sides of the pair self-join =
+    # 4 documents scans). The pinned frame is corpus-tokens/W rows of
+    # 16 bytes — the same pin-the-exploded-relation call ngram-jaccard
+    # makes. Pair generation then follows F3's in-array expansion: one
+    # groupBy(fp) with the df cap applied to the collected doc list —
+    # no fp self-join shuffle at all.
     fps = (
         keyed.select(
             "doc_id", "pos", F.min("key").over(w).alias("wkey")
@@ -3001,19 +3023,19 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("wkey") / WIN_POS_MOD).cast("bigint").alias("fp"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    common = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= WIN_DF_CAP))
-        .select("fp")
+    pair_expr = F.expr(
+        "flatten(transform(docs, (a, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), "
+        "b -> named_struct('doc_id_a', a, 'doc_id_b', b))))"
     )
-    capped = fps.join(common, "fp", "left_semi")
-    a = capped.select(F.col("fp"), F.col("doc_id").alias("doc_id_a"))
-    b = capped.select(F.col("fp"), F.col("doc_id").alias("doc_id_b"))
     return (
-        a.join(b, "fp")
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= WIN_DF_CAP))
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_id_a", "p.doc_id_b")
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         .filter(F.col("n_shared_fps") >= WIN_MIN_SHARED)
@@ -3401,13 +3423,19 @@ def incremental_dedup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_exact", F.lit(1))
     )
 
+    # bucket is a pure function of doc_id, so the batch/corpus slices
+    # are FILTERS on the shingle frame, not semi-joins against doc-id
+    # lists — no extra documents scans, no join shuffles (same pattern
+    # as decontaminate_eval's inline bucket)
     sh = word_ngrams(docs, CONT_N, distinct=True).select(
-        "doc_id", F.xxhash64("shingle").alias("h")
+        "doc_id", F.xxhash64("shingle").alias("h"), bucket.alias("__b")
     )
-    bsh = sh.join(
-        batch.select("doc_id"), "doc_id", "left_semi"
-    ).localCheckpoint(eager=True)  # feeds sizes + the overlap join
-    csh = sh.join(corpus.select("doc_id"), "doc_id", "left_semi").select(
+    bsh = (
+        sh.filter(F.col("__b") >= TRAIN_PCT)
+        .drop("__b")
+        .localCheckpoint(eager=True)  # feeds sizes + the overlap join
+    )
+    csh = sh.filter(F.col("__b") < TRAIN_PCT).select(
         F.col("doc_id").alias("cdoc"), "h"
     )
     bsz = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

@@ -702,6 +702,11 @@ GROUP BY x.query_id
 
 @query("ann_recall_at_k", ANN_RECALL_ORACLE)
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Re-scan audit note: this plan scans embeddings 4x BY DESIGN —
+    # the exact and LSH rankings each read (queries + corpus), and the
+    # corpus-with-norms frame is fact-scale, so re-reading the pruned
+    # parquet beats checkpointing it (the only pin-worthy frames here
+    # are the k-row-per-query outputs, which the final join composes).
     e = (
         t(spark, sf_dir, "embeddings")
         .withColumn("nrm", _norm_spark("embedding"))

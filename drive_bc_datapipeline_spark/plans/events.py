@@ -2303,11 +2303,15 @@ GROUP BY e.event_type, d.day
 def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sketch path: one daily sketch per (type, day), exploded to the 7
     # trailing windows it feeds, hll_union_agg per window — raw rows
-    # are scanned exactly once
+    # are scanned exactly once. Pinned: the (types x days) sketch frame
+    # also stands in for the real-(type, day) filter below, which
+    # otherwise re-scanned events a third time.
     e = t(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .localCheckpoint(eager=True)
+    )
     est = (
         daily.select(
             "event_type",
@@ -2333,10 +2337,9 @@ def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "wend")
         .agg(F.countDistinct("user_id").alias("n_users_7d"))
     )
-    # keep only window-ends that are real (type, day) combinations
-    actual = e.select(
-        "event_type", F.to_date("ts").alias("wend")
-    ).distinct()
+    # keep only window-ends that are real (type, day) combinations —
+    # exactly the pinned daily frame's key set, no third events scan
+    actual = daily.select("event_type", F.col("day").alias("wend"))
     return (
         exact.join(est, ["event_type", "wend"])
         .join(actual, ["event_type", "wend"], "left_semi")
@@ -3306,9 +3309,13 @@ def dow_seasonality_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     day = F.col("ts").cast("date")
     iso_dow = ((F.dayofweek(day) + 5) % 7) + 1
-    daily = e.groupBy(
-        "event_type", day.alias("day"), iso_dow.alias("dow")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # pinned: the (type x day) frame feeds the profile fit AND the
+    # residual join — each consumer otherwise re-scans events
+    daily = (
+        e.groupBy("event_type", day.alias("day"), iso_dow.alias("dow"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     profile = daily.groupBy("event_type", "dow").agg(
         F.avg("n").alias("dow_mean")
     )

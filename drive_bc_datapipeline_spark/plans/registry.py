@@ -90,6 +90,13 @@ GATE_PIN: dict[str, int] = {
     "decontaminate_eval": 7,
     # round-7 hash-early replan (shuffles carry longs, not shingles):
     "cross_source_content_overlap": 7,
+    # round-7 re-scan-audit replans (pinned bounded frames / fan-out
+    # instead of per-consumer fact re-scans):
+    "incremental_dedup_status": 7,
+    "winnowing_fingerprint_pairs": 7,
+    "zipf_slope": 7,
+    "join_cardinality_estimate": 7,
+    "unigram_logprob_score": 7,
 }
 
 

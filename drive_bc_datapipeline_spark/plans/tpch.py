@@ -1272,6 +1272,11 @@ GROUP BY s.s_suppkey, s.s_name
 
 @query("q21_waiting_supplier", Q21_ORACLE)
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Re-scan audit note: lineitem appears 3x BY DESIGN — Q21's text
+    # references it three times (late lines, EXISTS other-supplier,
+    # NOT EXISTS other-late-supplier), each as a differently-filtered
+    # pruned scan; DuckDB plans the same three reads. Checkpointing
+    # the fact table to dedupe them would be strictly worse at scale.
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = t(spark, sf_dir, "supplier")
@@ -1399,22 +1404,35 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    new = o.filter(F.col("o_orderkey") % 97 != 0).select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.when(
-            F.col("o_orderkey") % 13 == 0,
-            F.round(F.col("o_totalprice") * 1.1, 2),
-        )
-        .otherwise(F.col("o_totalprice"))
-        .alias("o_totalprice"),
-    ).unionByName(
-        o.filter((F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") > 0))
-        .select(
-            (-F.col("o_orderkey")).alias("o_orderkey"),
-            "o_orderstatus",
+    # one scan builds both new-snapshot branches (kept/updated rows and
+    # synthetic additions) via the array+explode fan-out — a unionByName
+    # of two filtered selects re-executes the orders scan per branch
+    k = F.col("o_orderkey")
+    kept = F.when(
+        k % 97 != 0,
+        F.struct(
+            k.alias("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.when(k % 13 == 0, F.round(F.col("o_totalprice") * 1.1, 2))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        ),
+    )
+    added = F.when(
+        (k % 101 == 0) & (k > 0),
+        F.struct(
+            (-k).alias("o_orderkey"),
+            F.col("o_orderstatus"),
             F.round(F.col("o_totalprice") * 0.5, 2).alias("o_totalprice"),
+        ),
+    )
+    new = (
+        o.select(
+            F.explode(
+                F.filter(F.array(kept, added), lambda x: x.isNotNull())
+            ).alias("r")
         )
+        .select("r.o_orderkey", "r.o_orderstatus", "r.o_totalprice")
     )
     j = o.alias("o").join(
         new.alias("n"),
@@ -1506,11 +1524,16 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("prod"), F.lit(0)).cast("bigint").alias("exact_rows"),
         F.coalesce(F.max("prod"), F.lit(0)).cast("bigint").alias("max_key_rows"),
     )
-    sides = (
-        li.agg(F.count(F.lit(1)).alias("n_left"))
-        .crossJoin(o.agg(F.count(F.lit(1)).alias("n_right")))
-        .crossJoin(la.agg(F.count(F.lit(1)).alias("ndv_left")))
-        .crossJoin(ob.agg(F.count(F.lit(1)).alias("ndv_right")))
+    # n_rows = SUM of the per-key counts and ndv = the count frame's
+    # row count — one aggregate per side over la/ob, instead of
+    # separate raw-table counts that re-scan each fact a third time
+    sides = la.agg(
+        F.sum("ca").alias("n_left"), F.count(F.lit(1)).alias("ndv_left")
+    ).crossJoin(
+        ob.agg(
+            F.sum("cb").alias("n_right"),
+            F.count(F.lit(1)).alias("ndv_right"),
+        )
     )
     est = F.floor(
         F.col("n_left").cast("bigint")
