@@ -41,18 +41,18 @@ PICKS = {
     "events_expectations_report": "One scan folds 4 row-wise rules into a single aggregate; uniqueness is a second 1-row distinct-count agg; broadcast cross join + posexplode fans out 5 result rows.",
     "embedding_pca_projection": "Distributed PCA: pass 1 = map-side upper-triangle integer Gram (d(d+1)/2 partial sums per task, bounded collect); pass 2 = unit direction as an ARRAY LITERAL inside a zip_with dot product — fully map-side, only the |labels|-row groupBy shuffles.",
     "dup_graph_triangles": "Ordered wedge join over the canonical (u<v) near-dup edge set (one localCheckpoint build feeds 4 subtrees); degrees/edges/triangles reduce to 1-row aggs broadcast-crossed into the single result row.",
-    "unigram_logprob_score": "Unigram LM: one corpus token shuffle builds the model; vocabulary-sized broadcast joins back onto the token stream; per-doc NLL agg rides the explode's doc_id grouping.",
+    "unigram_logprob_score": "Unigram LM: one corpus token shuffle builds the model, PINNED (vocab-bounded) so the corpus-total agg and the broadcast scoring join read it instead of re-tokenizing; per-doc NLL agg rides the explode's doc_id grouping.",
     "ridge_value_model": "Closed-form ridge: single map-side-combined moment pass (9 sums), Cramer solve as column arithmetic on the 1-row frame (no driver round-trip), broadcast betas scored in a second scan for RMSE.",
-    "snapshot_diff_orders": "CDC diff: both snapshots derive from one scan lineage, full-outer join shuffles each side once on the key, classifier is map-side CASE, rollup reduces before the final tiny exchange.",
+    "snapshot_diff_orders": "CDC diff: ONE orders scan builds both new-snapshot branches (array+explode fan-out, no unionByName re-execution); full-outer join shuffles each side once on the key, classifier is map-side CASE, rollup reduces before the final tiny exchange.",
     "table_checksum_by_source": "Order-insensitive audit: md5 row slice computed in the scan projection (codegen), one map-side-combined groupBy — the shuffle carries |sources| partial sums.",
     "dedup_prefix_jaccard": "Lossless AllPairs/PPJoin: df-count shuffle -> per-doc (df ASC, h ASC)-sorted arrays (map-side, doc-length bounded) -> prefix explode equi-join on rare-heavy hashes -> candidate-only verification; recall-1 vs the naive all-pairs oracle by the prefix theorem.",
-    "incremental_dedup_status": "Batch-vs-corpus only: exact tier = left-semi hash join of batch content hashes; near tier = batch-shingle x corpus-shingle equi-join -> max-overlap agg; nothing corpus x corpus.",
+    "incremental_dedup_status": "Batch-vs-corpus only: exact tier = left-semi hash join of batch content hashes; near tier = batch-shingle x corpus-shingle equi-join -> max-overlap agg; batch/corpus slices are inline bucket filters on the shingle frame (bucket is a pure function of doc_id - no doc-list semi-joins); nothing corpus x corpus.",
     "eval_containment_scores": "One shingle equi-join (train x eval), per-pair count agg, broadcast eval-size divide; 8-gram keys keep join fan-out intersection-sized.",
     "chunk_dup_mass_by_source": "Chunk hashes computed map-side -> chunk-df agg -> per-doc back-join (k rows per shared chunk, never k^2 pairs) -> per-source rollup.",
     "ann_filtered_topk": "Label predicate reaches the parquet scan (PushedFilters) BEFORE the broadcast join and distance math; G1's map-side partial top-k bounds the shuffle.",
     "mmr_diversified_topk": "Distributed top-C pool (broadcast queries + mapInPandas partial top-k), C^2-bounded per-query sim edges, greedy rounds inside ONE applyInPandas group per query — iteration never touches the corpus again.",
-    "join_cardinality_estimate": "Two map-side-combined per-key COUNT aggs + an ndv-sized count-frame join; the estimated join is never executed — output size arrives from |keys|-row frames.",
-    "zipf_slope": "Salted two-level rank: heavy window partitioned by (n, salt) splits the hapax tie block; base/offset frames are freq-of-freq sized (O(sqrt tokens)) and broadcast.",
+    "join_cardinality_estimate": "Two map-side-combined per-key COUNT aggs + an ndv-sized count-frame join; per-side row counts and ndv fall out of ONE aggregate over each count frame - the estimated join is never executed.",
+    "zipf_slope": "Salted two-level rank over the PINNED salted vocabulary (each consumer otherwise re-tokenizes the corpus); heavy window partitioned by (n, salt) splits the hapax tie block; base/offset frames are freq-of-freq sized (O(sqrt tokens)) and broadcast.",
     "apply_mixture_sampling": "Per-source counts -> 1-row normalizer -> broadcast quota -> source-partitioned rank window -> rollup; the only heavy shuffle is the source-keyed exchange.",
     "temporal_split_leakage": "1-row min/max span broadcast as the cut; one labeled scan folds into a user-keyed groupBy; all readouts ride the single 1-row rollup.",
     "geo_point_in_polygon": "Ray-cast containment as ONE codegen'd column expression over literal vertices — no join, no UDF; linear scan at any scale.",
