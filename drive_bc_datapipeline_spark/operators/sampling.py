@@ -55,3 +55,45 @@ def weighted_sample(
         .limit(k)
         .drop("__ares_key")
     )
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Deterministic global permutation for reproducible training-data
+    order (SURVEY §2 L13): every row gets a shard and an intra-shard
+    sort key, both pure functions of (id, seed) — the SAME corpus and
+    seed yield the SAME shard contents and the SAME within-shard order
+    on any cluster, any partitioning, any run.
+
+    Why not a global sort by random key: ``repartitionByRange`` samples
+    its boundaries per run (the L4 determinism lesson), so shard = file
+    boundaries drift run-to-run even though the total order doesn't.
+    Fixed-width hash bucketing has no sampling anywhere:
+
+      shard = pmod(xxhash64(id, seed), n_shards)       -- which shard
+      pos_key = xxhash64(id, seed + 1)                  -- order inside
+
+    Writers emit reproducible epochs with
+    ``.repartition(n_shards, "shard").sortWithinPartitions("shard",
+    "pos_key")`` + ``partitionBy("shard")`` — one hash shuffle, local
+    sorts bounded by shard size, never a single-task global sort. At
+    100 TB the shuffle moves each row once; shard skew is hash-uniform
+    (±O(sqrt(n/shards))).
+
+    Independence of the two keys: distinct literal seeds make the
+    shard and position draws independent xxhash64 streams; a row's
+    shard says nothing about its position. ``id_col`` must be unique —
+    it defines the permutation.
+    """
+    sid = F.col(id_col)
+    return df.select(
+        "*",
+        F.pmod(F.xxhash64(sid, F.lit(seed)), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        F.xxhash64(sid, F.lit(seed + 1)).alias("pos_key"),
+    )
