@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _U64_SPAN = 18446744073709551616.0  # 2^64, uniform-map denominator
 
@@ -96,4 +97,63 @@ def seeded_shuffle(
         .cast("int")
         .alias("shard"),
         F.xxhash64(sid, F.lit(seed + 1)).alias("pos_key"),
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    source_col: str,
+    tau: float = 0.7,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source mixing by deterministic repetition
+    (SURVEY §2 H40): re-weights a multi-source corpus toward
+    q_s ∝ p_s^tau (tau < 1 upweights rare sources — the standard
+    multilingual/LLM mixing rule), keeping total size ≈ unchanged.
+
+    Each row's multiplicity m_s = q_s / p_s is realized as
+    floor(m_s) copies plus one more iff the row's uniform hash draw
+    u(id, seed) < frac(m_s) — so per-source totals are exact up to the
+    deterministic per-row draws (no RNG state, reproducible anywhere),
+    and rows of downweighted sources drop with probability 1 - m_s.
+
+    Plan shape: one scan for per-source counts (a |sources|-row
+    aggregate broadcast back), one scan fanned out by
+    explode(sequence(1, n_copies)) — no shuffle of the fact beyond the
+    tiny count aggregate; the output carries a copy index so exact
+    dedup downstream can distinguish intentional repetition.
+    """
+    p = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__n_s"))
+        .withColumn("__n_tot", F.sum("__n_s").over(Window.partitionBy()))
+        .withColumn(
+            "__q_raw", F.pow(F.col("__n_s") / F.col("__n_tot"), F.lit(tau))
+        )
+        .withColumn(
+            "__m",
+            (F.col("__q_raw") / F.sum("__q_raw").over(Window.partitionBy()))
+            / (F.col("__n_s") / F.col("__n_tot")),
+        )
+        .select(source_col, "__m")
+    )
+    u = (
+        F.xxhash64(F.col(id_col), F.lit(seed)).cast("double")
+        + F.lit(_U64_SPAN / 2 + 1.0)
+    ) / F.lit(_U64_SPAN)
+    n_copies = (
+        F.floor("__m") + F.when(u < F.col("__m") % 1.0, 1).otherwise(0)
+    ).cast("int")
+    return (
+        df.join(F.broadcast(p), source_col)
+        .withColumn("__copies", n_copies)
+        .filter(F.col("__copies") > 0)
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(1), F.col("__copies"))).alias(
+                "copy_idx"
+            ),
+        )
+        .drop("__m", "__copies")
     )

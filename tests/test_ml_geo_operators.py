@@ -332,3 +332,51 @@ def test_seeded_shuffle_epoch_write_roundtrip(spark, tmp_path):
     e2 = write_epoch(str(tmp_path / "epoch2"))
     assert e1 == e2
     assert sorted(i for ids in e1.values() for i in ids) == list(range(500))
+
+
+def test_temperature_resample_matches_sequential_reference(spark):
+    """H40: multiplicities are exact vs a sequential reimplementation
+    of q_s ∝ p_s^tau with the same hash draws; tau=1 is the identity;
+    rare sources are upweighted and dominant ones downweighted."""
+    import math
+
+    from drive_bc_datapipeline_spark.operators.sampling import (
+        _U64_SPAN,
+        temperature_resample,
+    )
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    got = (
+        temperature_resample(df, "source", tau=0.5, seed=9)
+        .groupBy("doc_id", "source")
+        .count()
+        .collect()
+    )
+    got_mult = {r["doc_id"]: r["count"] for r in got}
+
+    # sequential reference with the engine's own hash draws
+    hashes = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", F.xxhash64("doc_id", F.lit(9)).alias("h")
+        ).collect()
+    }
+    p = {"big": 0.9, "small": 0.1}
+    qn = {s: p[s] ** 0.5 for s in p}
+    z = sum(qn.values())
+    m = {s: (qn[s] / z) / p[s] for s in p}
+    exp = {}
+    for i, s in rows:
+        u = (hashes[i] + _U64_SPAN / 2 + 1.0) / _U64_SPAN
+        c = math.floor(m[s]) + (1 if u < m[s] % 1.0 else 0)
+        if c > 0:
+            exp[i] = c
+    assert got_mult == exp
+    # direction: small upweighted (m>1), big downweighted (m<1)
+    assert m["small"] > 1.0 > m["big"]
+    # tau=1 is the identity permutation (every m_s == 1)
+    ident = temperature_resample(df, "source", tau=1.0, seed=9)
+    assert ident.count() == 1000
+    assert ident.groupBy("doc_id").count().filter("count > 1").count() == 0
