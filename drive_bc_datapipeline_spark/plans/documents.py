@@ -1407,10 +1407,18 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint, not cache() — same GC-freed-blocks rationale as
     # dedup_minhash_lsh above.
     shingles = word_ngrams(d, MH_N, distinct=False).localCheckpoint(eager=True)
+    # Pin the signature table too: it feeds four subtrees (both sides
+    # of the band self-join + both sides of the signature-agreement
+    # compare). Measured at sf0.1: steady-state is a wash (AQE's
+    # exchange reuse already de-duplicates most of the aggregation),
+    # but the COLD pass — which is what the driver's once-per-round
+    # gate and the first bench pass pay — drops ~2x (6.7s -> 3.7s).
+    # |docs| rows x 16 fixed-width hex — linear, narrow.
     sigs = (
         shingles.select("doc_id", *_mh_slice_cols())
         .groupBy("doc_id")
         .agg(*_mh_cols_spark())
+        .localCheckpoint(eager=True)
     )
     band_arr = F.array(
         *[

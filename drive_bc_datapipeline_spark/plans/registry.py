@@ -97,6 +97,7 @@ GATE_PIN: dict[str, int] = {
     "zipf_slope": 7,
     "join_cardinality_estimate": 7,
     "unigram_logprob_score": 7,
+    "minhash_estimate_quality": 7,
 }
 
 
