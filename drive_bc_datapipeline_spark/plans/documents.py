@@ -763,7 +763,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         s_j = F.sum(F.col("cnt") * (2 * bit - 1))
         bit_cases.append(F.when(s_j > 0, F.lit(1 << j)).otherwise(F.lit(0)))
     simhash = reduce(lambda x, y: x + y, bit_cases).cast("long")
-    sim = toks.groupBy("doc_id").agg(simhash.alias("simhash"))
+    # Pin the per-doc simhash table: both sides of the chunk self-join
+    # otherwise re-run the tokenize + two-level aggregation (the plan
+    # shows two documents scans and no ReusedExchange). |docs| rows x
+    # one long — dimension-bounded.
+    sim = (
+        toks.groupBy("doc_id")
+        .agg(simhash.alias("simhash"))
+        .localCheckpoint(eager=True)
+    )
     # explode into (chunk_id, chunk_val) bands → candidate equi-join
     chunks = F.array(
         *[

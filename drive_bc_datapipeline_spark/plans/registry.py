@@ -98,6 +98,7 @@ GATE_PIN: dict[str, int] = {
     "join_cardinality_estimate": 7,
     "unigram_logprob_score": 7,
     "minhash_estimate_quality": 7,
+    "dedup_simhash": 7,
 }
 
 
