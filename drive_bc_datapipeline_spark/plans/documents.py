@@ -626,10 +626,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # returned frame is GC'd; cache() pins a CacheManager entry for the
     # rest of the session (one leak per invocation).
     shingles = word_ngrams(d, MH_N, distinct=False).localCheckpoint(eager=True)
+    # Pinned like estimate-quality's signature table: both sides of the
+    # band self-join otherwise re-run the 16 min-aggregations (the
+    # initial plan shows no ReusedExchange for the aliased subtrees).
+    # |docs| rows x 16 fixed-width hex — dimension-bounded.
     sigs = (
         shingles.select("doc_id", *_mh_slice_cols())
         .groupBy("doc_id")
         .agg(*_mh_cols_spark())
+        .localCheckpoint(eager=True)
     )
     # ALL band hashes in one projection + posexplode — a union of four
     # sigs.select(...) branches would re-run the signature aggregation

@@ -99,6 +99,7 @@ GATE_PIN: dict[str, int] = {
     "unigram_logprob_score": 7,
     "minhash_estimate_quality": 7,
     "dedup_simhash": 7,
+    "dedup_minhash_lsh": 7,
 }
 
 
