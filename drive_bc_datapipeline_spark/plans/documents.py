@@ -1721,6 +1721,10 @@ def cross_source_content_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # longs instead of N-word strings. Collision risk is the class
     # _verify_jaccard documents (~|shingles|²/2⁶⁵ corpus-wide) — a
     # collision would merge two distinct shared shingles in the count.
+    # Pinned: both sides of the self-join otherwise re-run the full
+    # tokenize + explode + distinct (no ReusedExchange for the aliased
+    # subtrees — the simhash/minhash finding). |distinct (source, h)|
+    # rows x 16 bytes, far below the raw token stream.
     sh = (
         d.select("source", F.split("text", " ").alias("toks"))
         .select(
@@ -1732,6 +1736,7 @@ def cross_source_content_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shingle") != "")
         .select("source", F.xxhash64("shingle").alias("h"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     a = sh.alias("a")
     b = sh.alias("b")
