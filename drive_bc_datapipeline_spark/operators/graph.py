@@ -218,7 +218,6 @@ def pagerank(
         .distinct()
         .cache()
     )
-    n_nodes = nodes.count()
     outw = (
         edges.groupBy(src)
         .agg(F.sum(weight).cast("double").alias("out_w"))
@@ -236,45 +235,48 @@ def pagerank(
         .repartition("e_src")
         .cache()
     )
-    has_out = outw.select(F.col(src).alias("node"))
-    ranks = nodes.select(
-        "node", F.lit(1.0 / n_nodes).alias("rank")
-    ).localCheckpoint(eager=True)
-    for _ in range(n_iter):
-        contribs = (
-            trans.join(
-                ranks.withColumnRenamed("node", "e_src"), "e_src"
+    try:  # finally-unpersist so a mid-iteration failure can't leak
+        # the three CacheManager entries for the rest of the session
+        n_nodes = nodes.count()
+        has_out = outw.select(F.col(src).alias("node"))
+        ranks = nodes.select(
+            "node", F.lit(1.0 / n_nodes).alias("rank")
+        ).localCheckpoint(eager=True)
+        for _ in range(n_iter):
+            contribs = (
+                trans.join(
+                    ranks.withColumnRenamed("node", "e_src"), "e_src"
+                )
+                .groupBy(F.col("e_dst").alias("node"))
+                .agg(F.sum(F.col("rank") * F.col("p")).alias("contrib"))
             )
-            .groupBy(F.col("e_dst").alias("node"))
-            .agg(F.sum(F.col("rank") * F.col("p")).alias("contrib"))
-        )
-        dangling = (
-            ranks.join(has_out, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass"))
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n_nodes)
-                    + damping
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("mass") / n_nodes
-                    )
-                ).alias("rank"),
+            dangling = (
+                ranks.join(has_out, "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass"))
             )
-            .localCheckpoint(eager=True)
-        )
-    # the final ranks frame is checkpoint-truncated, so the iteration
-    # scaffolding can be released instead of pinning CacheManager
-    # entries for the rest of the session
-    trans.unpersist()
-    outw.unpersist()
-    nodes.unpersist()
-    return ranks
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n_nodes)
+                        + damping
+                        * (
+                            F.coalesce(F.col("contrib"), F.lit(0.0))
+                            + F.col("mass") / n_nodes
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        # the final ranks frame is checkpoint-truncated, so the
+        # iteration scaffolding is safe to release on every exit path
+        return ranks
+    finally:
+        trans.unpersist()
+        outw.unpersist()
+        nodes.unpersist()
 
 
 def triangle_census(

@@ -4099,7 +4099,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# H40 — per-source (domain) quota cap: RefinedWeb/C4-style "no single
+# H43 — per-source (domain) quota cap: RefinedWeb/C4-style "no single
 # domain dominates the corpus" sampling. Each source keeps its first
 # DOMAIN_CAP docs in deterministic pseudo-random order (the H5 md5
 # bucket, tie-broken by doc_id) and the query reports the per-source

@@ -217,6 +217,36 @@ def test_pagerank_dangling_and_weights(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_failure_does_not_leak_caches(spark):
+    """r7 verdict nit: a mid-computation failure must still unpersist
+    pagerank's three cached frames (nodes/outw/trans) via try/finally,
+    matching connected_components and label_propagation. Forced here
+    with an empty edge frame: ``n_nodes == 0`` raises ZeroDivisionError
+    after all three caches are registered.
+
+    Asserted via the CacheManager's canonicalized-plan lookup on an
+    independently-built equivalent of the internal ``nodes`` frame
+    (same idiom as test_non_convergence_does_not_leak_cache — GC-timed
+    persistent-RDD counts flake under full-suite load)."""
+    from pyspark.sql import functions as F
+
+    from drive_bc_datapipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src INT, dst INT, w DOUBLE")
+    nodes_equiv = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert not cache_mgr.lookupCachedData(nodes_equiv._jdf).isDefined()
+    with pytest.raises(ZeroDivisionError):
+        pagerank(edges, damping=0.85, n_iter=3)
+    assert not cache_mgr.lookupCachedData(nodes_equiv._jdf).isDefined(), (
+        "pagerank failure path leaked the cached nodes frame"
+    )
+
+
 # --------------------------------------------------------------------------
 # triangle_census
 # --------------------------------------------------------------------------

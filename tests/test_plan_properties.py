@@ -309,7 +309,7 @@ def test_mmr_truncates_gracefully_on_tiny_pool(spark, tmp_path):
 
 
 def test_domain_cap_single_exchange(spark):
-    """H40's per-domain quota must plan as exactly one hash exchange
+    """H43's per-domain quota must plan as exactly one hash exchange
     (the source-keyed window) — any global ordering or extra shuffle
     is a regression."""
     plan = plan_of(spark, "domain_cap_sample")
