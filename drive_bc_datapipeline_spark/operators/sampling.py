@@ -21,6 +21,33 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 _U64_SPAN = 18446744073709551616.0  # 2^64, uniform-map denominator
+_U64_HALF = 9223372036854775808.0  # 2^63, signed-hash offset
+_U_NUDGE = 2.0**-64  # post-division nudge keeping u strictly positive
+
+
+def _hash_unit(col, seed: int):
+    """u(id, seed) in (0, 1]: xxhash64 mapped through
+    (h + 2^63) / 2^64 + 2^-64.
+
+    The nudge is added AFTER the division: a pre-division "+1" (2^63+1)
+    is not representable in double and silently rounds away, leaving
+    u == 0 exactly for hash == -2^63 and a NULL log. Post-division,
+    hash == -2^63 maps to 2^-64 > 0 (finite log); for u >= ~2^-11 the
+    nudge is below double epsilon and a no-op, so the draw distribution
+    is unchanged. u can still collide across ids at ~2^-64/row — the
+    callers' orderings all carry an id tiebreak.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        F.xxhash64(col, F.lit(seed)).cast("double") + F.lit(_U64_HALF)
+    ) / F.lit(_U64_SPAN) + F.lit(_U_NUDGE)
+
+
+def hash_unit_py(h: int) -> float:
+    """Sequential twin of ``_hash_unit`` for reference implementations
+    in tests: takes the already-computed signed xxhash64 value."""
+    return (float(h) + _U64_HALF) / _U64_SPAN + _U_NUDGE
 
 
 def weighted_sample(
@@ -40,12 +67,9 @@ def weighted_sample(
     doubles, but possible for identical (id-hash, w)) break on id.
     """
     w = F.col(weight_col).cast("double")
-    # xxhash64 -> signed 64-bit; shift into [1, 2^64] so u is in (0, 1]
-    # and log(u) is finite (u=0 would make every weight draw -inf).
-    u = (
-        F.xxhash64(F.col(id_col), F.lit(seed)).cast("double")
-        + F.lit(_U64_SPAN / 2 + 1.0)
-    ) / F.lit(_U64_SPAN)
+    # u in (0, 1] with a finite log for every hash value, including
+    # the -2^63 corner — see _hash_unit.
+    u = _hash_unit(F.col(id_col), seed)
     # rank by u^(1/w) via the monotone log form log(u)/w: identical
     # ordering, immune to double underflow for tiny weights.
     key = F.log(u) / w
@@ -138,10 +162,7 @@ def temperature_resample(
         )
         .select(source_col, "__m")
     )
-    u = (
-        F.xxhash64(F.col(id_col), F.lit(seed)).cast("double")
-        + F.lit(_U64_SPAN / 2 + 1.0)
-    ) / F.lit(_U64_SPAN)
+    u = _hash_unit(F.col(id_col), seed)
     n_copies = (
         F.floor("__m") + F.when(u < F.col("__m") % 1.0, 1).otherwise(0)
     ).cast("int")

@@ -1717,14 +1717,18 @@ GROUP BY a.source, b.source
 def cross_source_content_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     # Hash shingles to 64 bits BEFORE the distinct and the self-join
-    # (the F3 hash-early pattern): both shuffles then carry 8-byte
-    # longs instead of N-word strings. Collision risk is the class
-    # _verify_jaccard documents (~|shingles|²/2⁶⁵ corpus-wide) — a
-    # collision would merge two distinct shared shingles in the count.
-    # Pinned: both sides of the self-join otherwise re-run the full
-    # tokenize + explode + distinct (no ReusedExchange for the aliased
-    # subtrees — the simhash/minhash finding). |distinct (source, h)|
-    # rows x 16 bytes, far below the raw token stream.
+    # (the F3 hash-early pattern): both shuffles then carry fixed-width
+    # keys instead of N-word strings. The join key is (h, shingle
+    # length), not h alone: a bare-64-bit collision between DISTINCT
+    # shingles shared across a source pair would inflate
+    # shared_shingles vs the oracle's raw-string join with nothing
+    # downstream to catch it (unlike the _verify_jaccard paths). The
+    # length guard makes a miscount require equal hash AND equal byte
+    # length — residual risk ~|same-length shingles|²/2⁶⁵, and the
+    # shuffle rows grow 16 → 20 bytes, still far below the raw token
+    # stream. Pinned: both sides of the self-join otherwise re-run the
+    # full tokenize + explode + distinct (no ReusedExchange for the
+    # aliased subtrees — the simhash/minhash finding).
     sh = (
         d.select("source", F.split("text", " ").alias("toks"))
         .select(
@@ -1734,7 +1738,11 @@ def cross_source_content_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("shingle") != "")
-        .select("source", F.xxhash64("shingle").alias("h"))
+        .select(
+            "source",
+            F.xxhash64("shingle").alias("h"),
+            F.length("shingle").alias("ln"),
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -1744,6 +1752,7 @@ def cross_source_content_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.ln") == F.col("b.ln"))
             & (F.col("a.source") < F.col("b.source")),
         )
         .groupBy(

@@ -3484,6 +3484,28 @@ _STREAM_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
 _STREAM_EXPORT_CACHE: dict[tuple[str, int], str] = {}
+_STREAM_TMP_ROOTS: list[str] = []
+
+
+def _stream_tmp_root() -> str:
+    """A fresh temp root for one stream run (src symlink + checkpoint +
+    sink), registered for process-exit cleanup: repeated gate/bench runs
+    in one session previously accumulated unbounded mkdtemp dirs and
+    stream checkpoints (they were never removed at all)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    if not _STREAM_TMP_ROOTS:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True)
+                for p in _STREAM_TMP_ROOTS
+            ]
+        )
+    _STREAM_TMP_ROOTS.append(root)
+    return root
 
 
 def _export_stream_source(spark: SparkSession, sf_dir: str, n_files: int = 6) -> str:
@@ -3497,15 +3519,14 @@ def _export_stream_source(spark: SparkSession, sf_dir: str, n_files: int = 6) ->
     steady passes and repeated gate runs then time the STREAM, not the
     repeated JSONL re-export. Checkpoints/sinks are NOT cached — each
     call gets a fresh subdir so exactly-once replay is still exercised
-    end-to-end every run."""
-    import tempfile
-
+    end-to-end every run. Every root (cached export included) is
+    removed at process exit via ``_stream_tmp_root``."""
     cached = _STREAM_EXPORT_CACHE.get((sf_dir, n_files))
     if cached is not None and os.path.isdir(f"{cached}/src"):
-        root = tempfile.mkdtemp(prefix="spark_graft_stream_")
+        root = _stream_tmp_root()
         os.symlink(f"{cached}/src", f"{root}/src")
         return root
-    root = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    root = _stream_tmp_root()
     src = f"{root}/src"
     (
         t(spark, sf_dir, "events")

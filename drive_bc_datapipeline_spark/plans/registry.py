@@ -88,8 +88,10 @@ GATE_PIN: dict[str, int] = {
     "value_outliers_mad": 7,
     "bm25_search_topk": 7,
     "decontaminate_eval": 7,
-    # round-7 hash-early replan (shuffles carry longs, not shingles):
-    "cross_source_content_overlap": 7,
+    # round-7 hash-early replan; round-8 (h, length) collision guard on
+    # the self-join key — no r7 green row exists, so the bump to 8 is
+    # the same window slot, just documented precisely:
+    "cross_source_content_overlap": 8,
     # round-7 re-scan-audit replans (pinned bounded frames / fan-out
     # instead of per-consumer fact re-scans):
     "incremental_dedup_status": 7,

@@ -221,7 +221,7 @@ def test_weighted_sample_matches_keyed_topk_and_is_deterministic(spark):
     from pyspark.sql import functions as F
 
     from drive_bc_datapipeline_spark.operators.sampling import (
-        _U64_SPAN,
+        hash_unit_py,
         weighted_sample,
     )
 
@@ -231,22 +231,38 @@ def test_weighted_sample_matches_keyed_topk_and_is_deterministic(spark):
     got = [r["id"] for r in weighted_sample(df, 25, "w", "id", seed=3).collect()]
     # sequential reference: same key formula, Spark's own xxhash64
     keyed = df.filter(F.col("w") > 0).select(
-        "id",
-        "w",
-        ((F.xxhash64("id", F.lit(3)).cast("double") + (_U64_SPAN / 2 + 1.0))
-         / _U64_SPAN).alias("u"),
+        "id", "w", F.xxhash64("id", F.lit(3)).alias("h")
     ).collect()
     import math
 
     want = [
         r["id"]
-        for r in sorted(keyed, key=lambda r: (-(math.log(r["u"]) / r["w"]), r["id"]))
+        for r in sorted(
+            keyed,
+            key=lambda r: (-(math.log(hash_unit_py(r["h"])) / r["w"]), r["id"]),
+        )
     ][:25]
     assert got == want
     again = [r["id"] for r in weighted_sample(df, 25, "w", "id", seed=3).collect()]
     assert got == again
     other = [r["id"] for r in weighted_sample(df, 25, "w", "id", seed=4).collect()]
     assert got != other  # different seed, different draw
+
+
+def test_hash_unit_is_strictly_positive_at_both_hash_extremes():
+    """The -2^63 corner must map to a positive u with a finite log —
+    the pre-division '+1' variant rounded away and drew u == 0 there."""
+    import math
+
+    from drive_bc_datapipeline_spark.operators.sampling import hash_unit_py
+
+    lo = hash_unit_py(-(2**63))
+    hi = hash_unit_py(2**63 - 1)
+    assert lo == 2.0**-64 > 0.0
+    assert math.isfinite(math.log(lo))
+    assert hi <= 1.0  # nudge is sub-epsilon at the top of the range
+    # monotone in the hash, so the order statistics are undisturbed
+    assert lo < hash_unit_py(0) < hi
 
 
 def test_weighted_sample_favors_heavy_rows(spark):
@@ -341,7 +357,7 @@ def test_temperature_resample_matches_sequential_reference(spark):
     import math
 
     from drive_bc_datapipeline_spark.operators.sampling import (
-        _U64_SPAN,
+        hash_unit_py,
         temperature_resample,
     )
 
@@ -369,7 +385,7 @@ def test_temperature_resample_matches_sequential_reference(spark):
     m = {s: (qn[s] / z) / p[s] for s in p}
     exp = {}
     for i, s in rows:
-        u = (hashes[i] + _U64_SPAN / 2 + 1.0) / _U64_SPAN
+        u = hash_unit_py(hashes[i])
         c = math.floor(m[s]) + (1 if u < m[s] % 1.0 else 0)
         if c > 0:
             exp[i] = c
