@@ -135,6 +135,41 @@ def main() -> None:
             pass_timings[name] = round(time.time() - t0, 3)
         spark.catalog.clearCache()  # plans re-run their own .cache() fills
     timings = {n: min(steady1[n], steady2[n]) for n in names}
+
+    # Contention defense (r8 verdict): this box shares hardware, and one
+    # externally-loaded window can inflate BOTH steady passes (r8's
+    # artifact showed dedup_embedding_cosine at 9.8s where three clean
+    # re-runs measured 0.8s). Any key whose min-steady exceeds 2x its
+    # previous round's retained value (from the tracked BENCH_full.json)
+    # gets ONE more run and keeps the min — a regression must now
+    # reproduce in a later window to survive into the artifact. The
+    # +0.25s absolute slack keeps sub-100ms keys from retrying on
+    # scheduler jitter.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
+    )
+    prior_q: dict[str, float] = {}
+    try:
+        with open(full_path) as fh:
+            prior = json.load(fh)
+        if abs(float(prior.get("sf", -1.0)) - sf) < 1e-9:
+            prior_q = {
+                k: float(v) for k, v in prior.get("queries", {}).items()
+            }
+    except (OSError, ValueError):
+        pass
+    retried: dict[str, float] = {}
+    for name in names:
+        prev = prior_q.get(name)
+        if prev is not None and timings[name] > 2.0 * prev + 0.25:
+            fn = registry.QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            retried[name] = round(time.time() - t0, 3)
+            timings[name] = min(timings[name], retried[name])
+    if retried:
+        spark.catalog.clearCache()
+
     for name in names:
         print(f"  {name}: {timings[name]}s (cold {cold[name]}s)", file=sys.stderr)
 
@@ -153,29 +188,37 @@ def main() -> None:
     # surviving suffix arbitrary) — with truncation eating the head,
     # the slowest, most informative keys sit at the surviving tail,
     # adjacent to slowest_10 and the totals.
-    print(
-        json.dumps(
-            {
-                "queries": dict(
-                    sorted(timings.items(), key=lambda kv: kv[1])
-                ),
-                "slowest_10": dict(
-                    sorted(timings.items(), key=lambda kv: -kv[1])[:10]
-                ),
-                "metric": "bench_total",
-                "value": total,
-                "unit": "sec",
-                "cold_value": round(sum(cold.values()), 3),
-                "r5_comparable_value": round(
-                    sum(timings[n] for n in HEADLINE[:62]), 3
-                ),
-                "sf": sf,
-                "n_queries": len(names),
-                "load_avg_start": load_start,
-                "load_avg_end": round(os.getloadavg()[0], 2),
-            }
-        )
-    )
+    payload = {
+        "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
+        "slowest_10": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+        ),
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "cold_value": round(sum(cold.values()), 3),
+        "r5_comparable_value": round(
+            sum(timings[n] for n in HEADLINE[:62]), 3
+        ),
+        "sf": sf,
+        "n_queries": len(names),
+        "n_retried": len(retried),
+        "retried": dict(sorted(retried.items())),
+        "load_avg_start": load_start,
+        "load_avg_end": round(os.getloadavg()[0], 2),
+    }
+    # The FULL per-query map goes to a tracked file BEFORE stdout: the
+    # driver archives only the tail of long artifacts (~145/200 map
+    # entries were lost to truncation in r7/r8), so cross-round
+    # per-query comparison — and the retry reference above — lives in
+    # git history instead of depending on what survives truncation.
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=False)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries the totals
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -34,11 +34,12 @@ def _hash_unit(col, seed: int):
     u == 0 exactly for hash == -2^63 and a NULL log. Post-division,
     hash == -2^63 maps to 2^-64 > 0 (finite log); for u >= ~2^-11 the
     nudge is below double epsilon and a no-op, so the draw distribution
-    is unchanged. u can still collide across ids at ~2^-64/row — the
-    callers' orderings all carry an id tiebreak.
+    is unchanged. The map is many-to-one at BOTH extremes: besides the
+    low-end collisions, hashes within ~2^11 of +2^63 round up to
+    u == 1.0 exactly (double has 53 mantissa bits), so their keys tie
+    at log(1.0)/w == 0. Harmless for determinism — the callers'
+    orderings all carry an id tiebreak — but u is not injective.
     """
-    from pyspark.sql import functions as F
-
     return (
         F.xxhash64(col, F.lit(seed)).cast("double") + F.lit(_U64_HALF)
     ) / F.lit(_U64_SPAN) + F.lit(_U_NUDGE)

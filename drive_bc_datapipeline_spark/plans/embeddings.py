@@ -288,9 +288,10 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # this runs behind the LSH bucketing above — same scoring expression).
 # --------------------------------------------------------------------------
 
-# All-pairs ceiling: 200k rows × 32 dims × 8 B ≈ 50 MB broadcast and
-# 4·10¹⁰ candidate pairs — already the outer limit of sane for a
-# verification pass; anything bigger must go through F9's LSH buckets.
+# All-pairs ceiling: 200k rows × 64 dims (the testdata embedding
+# width) × 8 B ≈ 100 MB broadcast and 4·10¹⁰ candidate pairs — already
+# the outer limit of sane for a verification pass; anything bigger
+# must go through F9's LSH buckets.
 EMB_ALLPAIRS_MAX_ROWS = 200_000
 
 EMB_DEDUP_ORACLE = f"""

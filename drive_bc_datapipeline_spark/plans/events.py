@@ -3546,6 +3546,40 @@ def _export_stream_source(spark: SparkSession, sf_dir: str, n_files: int = 6) ->
     return root
 
 
+def _release_stream_run(root: str, keep: tuple[str, ...] = ()) -> None:
+    """Best-effort EAGER cleanup of a finished stream run's disk
+    footprint: the checkpoint state store and the per-run src symlink
+    are dead the moment ``awaitTermination`` returns, and a long-lived
+    session running many gate/bench iterations otherwise accumulates
+    one of each per run until process exit (the atexit sweep never
+    fires under SIGKILL). ``keep`` names subdirs that must outlive the
+    call — J1's parquet sink is read lazily by the returned DataFrame.
+    The memoized JSONL export root is never touched here (other runs
+    symlink into it); the atexit sweep in ``_stream_tmp_root`` stays as
+    the backstop for whatever this pass keeps or misses."""
+    import shutil
+
+    if root in _STREAM_EXPORT_CACHE.values():
+        return  # this run owns the cached export; atexit reaps it
+    for sub in ("ckpt", "src", "sink"):
+        if sub in keep:
+            continue
+        p = f"{root}/{sub}"
+        try:
+            if os.path.islink(p):
+                os.unlink(p)
+            else:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    if not keep:
+        try:
+            os.rmdir(root)
+            _STREAM_TMP_ROOTS.remove(root)
+        except (OSError, ValueError):
+            pass
+
+
 STREAMING_ETL_ORACLE = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -3581,6 +3615,7 @@ def streaming_etl_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         timestamp_format=_STREAM_TS_FMT,
     )
     q.awaitTermination(300)
+    _release_stream_run(root, keep=("sink",))  # sink is read lazily below
     out = spark.read.parquet(f"{root}/sink")
     return out.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -3647,6 +3682,7 @@ def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         timestamp_format=_STREAM_TS_FMT,
     )
     q.awaitTermination(300)
+    _release_stream_run(root)  # memory sink — no on-disk output to keep
     return spark.table(qname).select(
         F.col("user_id").cast("long").alias("user_id"),
         "session_start",
@@ -3699,6 +3735,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         timestamp_format=_STREAM_TS_FMT,
     )
     q.awaitTermination(300)
+    _release_stream_run(root)  # memory sink — no on-disk output to keep
     return spark.table(qname).select(
         "window_start",
         "window_end",
@@ -3752,6 +3789,7 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         timestamp_format=_STREAM_TS_FMT,
     )
     q.awaitTermination(300)
+    _release_stream_run(root)  # memory sink — no on-disk output to keep
     return (
         spark.table(qname)
         .groupBy(
