@@ -53,15 +53,26 @@ def run_pipeline(
     """Run `jobs` (default: the reference's ETL+analytics set) and
     write each result to ``out_dir/<name>/``. Returns the manifest."""
     registry.load_all_plans()
+    # Pipeline constituents that are no longer registry keys (their
+    # gate slot was ceded under the 200-key cap) still run here — the
+    # K7 runner is name-based, so resolve them from this fallback.
+    from drive_bc_datapipeline_spark.plans import events as _events_plans
+
+    extra_plans = {
+        "counts_by_day_month_year": _events_plans.counts_by_day_month_year,
+        "counts_by_hour": _events_plans.counts_by_hour,
+    }
     jobs = jobs if jobs is not None else DEFAULT_JOBS
-    unknown = [j for j in jobs if j not in registry.QUERIES]
+    unknown = [
+        j for j in jobs if j not in registry.QUERIES and j not in extra_plans
+    ]
     if unknown:
         raise KeyError(f"unknown queries: {unknown}")
 
     manifest: dict = {"sf_dir": sf_dir, "jobs": {}}
     for name in jobs:
         t0 = time.time()
-        df = registry.QUERIES[name](spark, sf_dir)
+        df = (registry.QUERIES.get(name) or extra_plans[name])(spark, sf_dir)
         # Row counts via an Observation attached to the WRITE pass —
         # the metric rides the job that writes the parquet, so the
         # manifest costs zero extra jobs (the previous version

@@ -52,14 +52,32 @@ def _dup_window_occurrences(
     min_len: int,
     min_count: int,
     cross_doc_only: bool,
+    carry_cols: tuple[str, ...] = (),
 ):
     """(doc_id, pos) of every length-``min_len`` token window whose
     content occurs often enough to count as duplicated, plus the
-    per-doc token counts frame (all docs, for the left join back)."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("tk")
-    ).select("doc_id", "tk", F.size("tk").alias("n_tokens"))
-    n_tokens = toks.select("doc_id", "n_tokens")
+    per-doc token counts frame (all docs, for the left join back).
+    ``carry_cols`` (functionally dependent on the id, e.g. source)
+    ride the per-doc frame so callers can roll up without re-scanning
+    the corpus for the dimension."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            *carry_cols,
+            _tokens(text_col).alias("tk"),
+        )
+        .select("doc_id", *carry_cols, "tk", F.size("tk").alias("n_tokens"))
+        # Pin the tokenized corpus ONCE (the H31 move): three consumers
+        # read it — the gram stream feeds both the duplicate-detection
+        # aggregate and the semi-join probe, and the per-doc counts
+        # frame joins back at the end. Without the pin each consumer
+        # re-scans the source parquet (3 FileScans observed); with it
+        # the text is read and split exactly once, at the cost of
+        # materializing the token arrays to executor-local blocks
+        # (freed on GC of the returned frames).
+        .localCheckpoint(eager=True)
+    )
+    n_tokens = toks.select("doc_id", *carry_cols, "n_tokens")
     # Window starts 0..n-L. sequence(0, n-L) DESCENDS when n < L (the
     # functions/text lesson), so short docs are filtered out first.
     gram = F.array_join(
@@ -105,6 +123,7 @@ def duplicated_span_stats(
     min_len: int = 8,
     min_count: int = 2,
     cross_doc_only: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document masked-span accounting for exact substring dedup.
 
@@ -124,7 +143,8 @@ def duplicated_span_stats(
     (gap == L exactly) merge — their masked tokens touch.
     """
     dup_occ, n_tokens = _dup_window_occurrences(
-        docs, text_col, id_col, min_len, min_count, cross_doc_only
+        docs, text_col, id_col, min_len, min_count, cross_doc_only,
+        carry_cols,
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     gap = F.col("pos") - F.lag("pos").over(w)
@@ -147,6 +167,7 @@ def duplicated_span_stats(
     zero = F.lit(0).cast("bigint")
     return n_tokens.join(per_doc, "doc_id", "left").select(
         "doc_id",
+        *carry_cols,
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.coalesce(F.col("dup_windows").cast("bigint"), zero).alias(
             "dup_windows"

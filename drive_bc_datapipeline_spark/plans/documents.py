@@ -3293,6 +3293,104 @@ def chunk_dup_mass_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# F16 driver gate — exact substring-run dedup (Lee et al. 2022
+# ExactSubstr), rolled up per source: how many tokens sit inside some
+# duplicated run of >= L tokens, per corpus slice. H31 answers the
+# same question at fixed 16-token chunk granularity (misses runs that
+# straddle chunk edges and over-counts partially-duplicated chunks);
+# this is the position-exact version via stride-1 window hashing + a
+# per-doc lag-window interval union (operators/substring_dedup.py —
+# the sequential-reference property tests live there too).
+#
+# Cross-engine note: Spark classifies duplicates on (xxhash64(gram),
+# char_len) where the oracle uses the gram string itself — identical
+# up to same-length 64-bit collisions (~n²/2^65, the H14 argument).
+#
+# 100 TB: gram stream linear in corpus tokens, ONE map-side-combined
+# hash aggregate finds duplicated windows, ONE equi-join back, the
+# interval union is a doc-partitioned window, and the rollup is
+# |sources| rows. source rides the per-doc frame (carry_cols) so the
+# corpus is scanned exactly once.
+# --------------------------------------------------------------------------
+
+SUBSTR_L = 8
+
+SUBSTR_DUP_MASS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, source, w.pos AS pos, w.g AS g
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(range(0, len(tk) - {SUBSTR_L} + 1),
+                  i -> struct_pack(pos := i,
+                       g := array_to_string(
+                              tk[i + 1 : i + {SUBSTR_L}], ' ')))) AS w
+    FROM toks WHERE len(tk) >= {SUBSTR_L}
+  )
+),
+dup AS (SELECT g FROM occ GROUP BY g HAVING COUNT(*) >= 2),
+docc AS (SELECT o.doc_id, o.source, o.pos FROM occ o JOIN dup d USING (g)),
+masked AS (
+  SELECT doc_id, source,
+         COALESCE(LEAST(pos - LAG(pos) OVER (PARTITION BY doc_id
+                                             ORDER BY pos),
+                        {SUBSTR_L}), {SUBSTR_L}) AS nm
+  FROM docc
+),
+per_doc AS (
+  SELECT doc_id, source, SUM(nm) AS masked FROM masked GROUP BY 1, 2
+),
+base AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(len(tk)) AS total_tokens
+  FROM toks GROUP BY source
+),
+agg AS (
+  SELECT source, COUNT(*) AS docs_with_dups, SUM(masked) AS masked_tokens
+  FROM per_doc GROUP BY source
+)
+SELECT b.source,
+       CAST(b.n_docs AS BIGINT) AS n_docs,
+       CAST(b.total_tokens AS BIGINT) AS total_tokens,
+       CAST(COALESCE(a.docs_with_dups, 0) AS BIGINT) AS docs_with_dups,
+       CAST(COALESCE(a.masked_tokens, 0) AS BIGINT) AS masked_tokens,
+       CASE WHEN b.total_tokens > 0
+            THEN {r6_sql("COALESCE(a.masked_tokens, 0)"
+                         " / CAST(b.total_tokens AS DOUBLE)")}
+            ELSE 0.0 END AS masked_frac
+FROM base b LEFT JOIN agg a USING (source)
+"""
+
+
+@query("substring_dup_mass_by_source", SUBSTR_DUP_MASS_ORACLE)
+def substring_dup_mass_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from drive_bc_datapipeline_spark.operators.substring_dedup import (
+        duplicated_span_stats,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    stats = duplicated_span_stats(
+        d, min_len=SUBSTR_L, carry_cols=("source",)
+    )
+    total = F.sum("n_tokens")
+    masked = F.sum("masked_tokens")
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        total.cast("bigint").alias("total_tokens"),
+        F.sum((F.col("masked_tokens") > 0).cast("int"))
+        .cast("bigint")
+        .alias("docs_with_dups"),
+        masked.cast("bigint").alias("masked_tokens"),
+        F.when(total > 0, r6(masked / total.cast("double")))
+        .otherwise(F.lit(0.0))
+        .alias("masked_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
 # H32 — asymmetric containment decontamination scores. F8 flags eval
 # docs sharing ANY train 8-gram; real decontamination pipelines rank
 # by CONTAINMENT |sh(eval) ∩ sh(train)| / |sh(eval)| (asymmetric

@@ -195,17 +195,14 @@ def counts_by_type_month_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "counts_by_day_month_year",
-    """
-    SELECT CAST(day(ts) AS INTEGER)   AS day,
-           CAST(month(ts) AS INTEGER) AS month,
-           CAST(year(ts) AS INTEGER)  AS year,
-           COUNT(*) AS cnt
-    FROM events GROUP BY 1, 2, 3
-    """,
-)
 def counts_by_day_month_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 daily rollup — deliberately NOT a registry key since round 9:
+    it is a near-twin of counts_by_type_month_year/counts_by_hour (same
+    scan, same one-shuffle grouped-count shape), and its registry slot
+    was ceded to ``exact_auc_purchase`` (plans/ml.py) so the 200-key
+    cap and the 4-round rotation bound hold without registry growth.
+    Still exercised by the K7 batch pipeline (jobs.py DEFAULT_JOBS) and
+    tests/test_jobs.py."""
     e = t(spark, sf_dir, "events")
     return (
         e.withColumn("day", F.dayofmonth("ts").cast("int"))
@@ -216,14 +213,12 @@ def counts_by_day_month_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "counts_by_hour",
-    """
-    SELECT CAST(hour(ts) AS INTEGER) AS hour, COUNT(*) AS cnt
-    FROM events GROUP BY 1
-    """,
-)
 def counts_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 hour-of-day histogram — de-registered in r9 like B3: the
+    hour-grouped count shape is covered by B6/B9/B12 and the grouped
+    count itself by B1/B2, so its slot under the 200-key cap went to
+    F16's ``substring_dup_mass_by_source`` (plans/documents.py). Still
+    exercised by the K7 pipeline (jobs.py) and tests/test_jobs.py."""
     e = t(spark, sf_dir, "events")
     return (
         e.withColumn("hour", F.hour("ts").cast("int"))

@@ -134,6 +134,91 @@ GROUP BY b.n, b.b0, b.b1, b.b2
 """
 
 
+# --------------------------------------------------------------------------
+# E6 driver gate — exact distributed ROC-AUC via the Mann-Whitney
+# rank-sum identity with midrank ties (sklearn.roc_auc_score
+# semantics), promoted from tests-only in round 9 (the registry slot
+# ceded by the counts_by_day_month_year near-twin). Label: the event
+# is a purchase; score: value. Same algebra as operators/ml.py's
+# auc_rank_sum, but the AUC lands as a COLUMN on a 1-row frame — no
+# driver round-trip beyond L4's |partitions|-row offsets collect.
+#
+# Cross-engine exactness: rank_mid = below + (1 + m)/2 is always an
+# exact multiple of 0.5 (below/m are integers), so SUM(pos * rank_mid)
+# is exact in doubles below 2^53 on both engines regardless of
+# summation order; the single final division is then deterministic and
+# r6's epsilon-nudged rounding absorbs nothing but true half-boundary
+# noise.
+#
+# 100 TB: one hash aggregate on score value (map-side combined), the
+# L4 two-phase prefix scan over the |distinct scores| frame (bounded
+# for quantized model outputs; at worst the same shuffle any exact
+# global rank pays), one 1-row aggregate. The fact table is scanned
+# ONCE; nothing sorts globally in a single task.
+# --------------------------------------------------------------------------
+
+
+def _auc_oracle() -> str:
+    from drive_bc_datapipeline_spark.plans.registry import r6_sql
+
+    return f"""
+WITH per AS (
+  SELECT value AS s,
+         COUNT(*) AS m,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY value
+),
+ranked AS (
+  SELECT pos, m,
+         COALESCE(SUM(m) OVER (ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0)
+           + (1.0 + m) / 2.0 AS rank_mid
+  FROM per
+)
+SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(m - pos) AS BIGINT) AS n_neg,
+       {r6_sql(
+           "(SUM(pos * rank_mid)"
+           " - CAST(SUM(pos) AS DOUBLE) * (SUM(pos) + 1) / 2.0)"
+           " / (CAST(SUM(pos) AS DOUBLE) * SUM(m - pos))"
+       )} AS auc
+FROM ranked
+"""
+
+
+@query("exact_auc_purchase", _auc_oracle())
+def exact_auc_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from drive_bc_datapipeline_spark.operators.prefix import (
+        exclusive_prefix_sum,
+    )
+    from drive_bc_datapipeline_spark.plans.registry import r6
+
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    per = e.groupBy(F.col("value").alias("s")).agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("pos"),
+    )
+    ranked = exclusive_prefix_sum(per, "s", "m", out_col="below").withColumn(
+        "rank_mid", F.col("below") + (F.lit(1.0) + F.col("m")) / 2.0
+    )
+    npos = F.sum("pos")
+    nneg = F.sum(F.col("m") - F.col("pos"))
+    return ranked.agg(
+        npos.cast("bigint").alias("n_pos"),
+        nneg.cast("bigint").alias("n_neg"),
+        r6(
+            (
+                F.sum(F.col("pos") * F.col("rank_mid"))
+                - npos.cast("double") * (npos + 1) / 2.0
+            )
+            / (npos.cast("double") * nneg)
+        ).alias("auc"),
+    )
+
+
 @query("ridge_value_model", _ridge_oracle())
 def ridge_value_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     from drive_bc_datapipeline_spark.plans.registry import r4, r6

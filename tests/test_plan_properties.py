@@ -401,3 +401,23 @@ def test_mixture_sampling_single_fact_scan(spark):
     documents scan (the rank window's) in the final plan."""
     plan = plan_of(spark, "apply_mixture_sampling")
     assert plan.count("FileScan parquet") <= 1, plan
+
+
+def test_exact_auc_no_global_window_single_scan(spark):
+    """E6 gate: the events scan happens once (eagerly, inside the L4
+    prefix pin — ZERO FileScans survive in the final plan) and the
+    midrank cumulative window is __pid-partitioned, never a
+    single-partition global sort. The only SinglePartition exchange is
+    the 1-row final aggregate."""
+    plan = plan_of(spark, "exact_auc_purchase")
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "windowspecdefinition(__pid" in plan, plan
+
+
+def test_substring_dup_mass_pins_tokenized_corpus(spark):
+    """F16 gate: the tokenized corpus is pinned once (ZERO documents
+    FileScans survive — was 3 pre-pin: gram stream x2 + token counts)
+    and the interval-union window partitions by doc_id."""
+    plan = plan_of(spark, "substring_dup_mass_by_source")
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "windowspecdefinition(doc_id" in plan, plan

@@ -72,6 +72,8 @@ PICKS = {
     "cdc_merge_apply": "CDC apply-and-audit: single fact scan fans each row through array+posexplode into keep/upd/del/ins entries; the pinned per-status aggregate feeds both the state readout and the broadcast op counts.",
     "kaplan_meier_retention": "KM survival: one user-partitioned lead window over the fact + broadcast 1-row corpus edge; all cumulative-product work on the bounded |distinct gap hours| frame.",
     "ann_pq_topk": "Product quantization: pinned grid relation (corpus exploded once) -> broadcast codebook joins for train/encode -> ADC phase touches only the 8-int-per-vector CODE table x chained broadcast per-subspace LUTs, with G1's map-side partial top-k bounding the shuffle.",
+    "exact_auc_purchase": "Rank-sum AUC: ONE map-side-combined per-score aggregate over the fact, L4 two-phase prefix scan for the global midranks (pinned range partitioning, per-__pid local windows), 1-row final aggregate — no global sort, no threshold sweep.",
+    "substring_dup_mass_by_source": "ExactSubstr dedup: tokenized corpus pinned once; stride-1 window hashes -> duplicated-(hash, len) hash aggregate -> semi-join back -> doc-partitioned lag-window interval union -> |sources|-row rollup. Nothing corpus².",
 }
 
 HEADER = """# PLANS — physical-plan audit (generated from live `explain`)
