@@ -97,6 +97,28 @@ HEADLINE = [
 # r5-comparable total is the sum over the first 62 names.
 
 
+def needs_retry(current: float, prior: float | None) -> bool:
+    """Contention-defense trigger: retry a key whose min-of-two-steady
+    time exceeds 2x its previous round's retained value plus a 0.25s
+    absolute slack (so sub-100ms keys never retry on scheduler jitter).
+    Keys with no prior (debuts, sf change) never retry — there is
+    nothing to defend against."""
+    return prior is not None and current > 2.0 * prior + 0.25
+
+
+def load_prior_queries(full_path: str, sf: float) -> dict[str, float]:
+    """Per-query map from the tracked BENCH_full.json of a previous
+    run, empty when absent/unreadable or recorded at a different SF."""
+    try:
+        with open(full_path) as fh:
+            prior = json.load(fh)
+        if abs(float(prior.get("sf", -1.0)) - sf) < 1e-9:
+            return {k: float(v) for k, v in prior.get("queries", {}).items()}
+    except (OSError, ValueError):
+        pass
+    return {}
+
+
 def main() -> None:
     load_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -148,20 +170,10 @@ def main() -> None:
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
     )
-    prior_q: dict[str, float] = {}
-    try:
-        with open(full_path) as fh:
-            prior = json.load(fh)
-        if abs(float(prior.get("sf", -1.0)) - sf) < 1e-9:
-            prior_q = {
-                k: float(v) for k, v in prior.get("queries", {}).items()
-            }
-    except (OSError, ValueError):
-        pass
+    prior_q = load_prior_queries(full_path, sf)
     retried: dict[str, float] = {}
     for name in names:
-        prev = prior_q.get(name)
-        if prev is not None and timings[name] > 2.0 * prev + 0.25:
+        if needs_retry(timings[name], prior_q.get(name)):
             fn = registry.QUERIES[name]
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -1,0 +1,30 @@
+"""bench.py contention-defense unit tests (no Spark needed): the
+retry trigger and the tracked-prior loader are pure functions, so the
+mechanism that guards the driver's perf artifact is itself gated."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def test_needs_retry_threshold():
+    assert not bench.needs_retry(1.0, None)  # debut: nothing to defend
+    assert not bench.needs_retry(0.5, 0.3)  # 0.5 <= 2*0.3 + 0.25
+    assert not bench.needs_retry(0.3, 0.05)  # slack absorbs tiny keys
+    assert bench.needs_retry(0.36, 0.05)  # 0.36 > 0.35
+    assert bench.needs_retry(9.8, 0.8)  # the r8 artifact case
+    assert not bench.needs_retry(1.6, 0.8)  # honest 2x drift: keep it
+
+
+def test_load_prior_queries_roundtrip(tmp_path):
+    p = tmp_path / "BENCH_full.json"
+    p.write_text(json.dumps({"sf": 0.1, "queries": {"q1": 1.5, "q2": 0.2}}))
+    assert bench.load_prior_queries(str(p), 0.1) == {"q1": 1.5, "q2": 0.2}
+    # different SF: priors do not transfer
+    assert bench.load_prior_queries(str(p), 0.01) == {}
+    # absent / corrupt files degrade to no priors, never raise
+    assert bench.load_prior_queries(str(tmp_path / "missing.json"), 0.1) == {}
+    p.write_text("{not json")
+    assert bench.load_prior_queries(str(p), 0.1) == {}
