@@ -59,6 +59,7 @@ def run_pipeline(
     from drive_bc_datapipeline_spark.plans import events as _events_plans
 
     extra_plans = {
+        "counts_by_type_month_year": _events_plans.counts_by_type_month_year,
         "counts_by_day_month_year": _events_plans.counts_by_day_month_year,
         "counts_by_hour": _events_plans.counts_by_hour,
     }

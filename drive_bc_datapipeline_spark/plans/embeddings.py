@@ -2332,3 +2332,194 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.sqrt(F.col("adist").cast("double")) / KM_GRID).alias("approx_l2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# G19 — hybrid lexical+vector retrieval fused by reciprocal rank
+# fusion (the production RAG hybrid-search readout). Two independent
+# per-query rankings over the SAME corpus (doc_id ≡ vec_id in
+# testdata): a lexical more-like-this ranking by distinct-token
+# Jaccard to the query document, and the exact-cosine vector ranking
+# over the aligned embeddings. RRF (operators/retrieval.rrf_fuse)
+# sums 1/(k0+rank) per (query, doc) — rank-only fusion, no score
+# calibration across systems.
+#
+# Scale shape (100 TB): the query side of BOTH rankings is
+# |queries|-bounded and broadcast; the corpus is scanned once per
+# modality; candidate lists are top-C-per-query before fusion, so the
+# fuse aggregate and the fused-rank window move C·|queries|·2 rows.
+# The lexical token join fans out by shared tokens — at real corpus
+# scale you cap candidate tokens by document frequency first (the
+# H9/F3 df-cap pattern); the testdata vocabulary is tiny so every
+# token is df-capped trivially.
+# --------------------------------------------------------------------------
+
+HYB_CAND_K = 20  # per-system candidate depth feeding the fusion
+HYB_K0 = 60  # the Cormack et al. constant
+HYB_TOP_K = 10
+
+HYBRID_RRF_ORACLE = f"""
+WITH dt AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '),
+                                   x -> x <> '')) AS toks
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, len(toks) AS sz, unnest(toks) AS tok FROM dt
+),
+inter AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+         q.sz AS qsz, c.sz AS csz, COUNT(*) AS i
+  FROM toks q JOIN toks c ON c.tok = q.tok AND c.doc_id <> q.doc_id
+  WHERE q.doc_id < {N_QUERIES}
+  GROUP BY 1, 2, 3, 4
+),
+lexk AS (
+  SELECT query_id, doc_id, rnk FROM (
+    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY CAST(i AS DOUBLE) / (qsz + csz - i) DESC, doc_id
+    ) AS rnk
+    FROM inter
+  ) WHERE rnk <= {HYB_CAND_K}
+),
+e AS (
+  SELECT vec_id, embedding, {_norm_sql("embedding")} AS nrm
+  FROM embeddings
+),
+vs AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS doc_id,
+         ({_dot_terms_sql("q.embedding", "v.embedding")})
+           / (q.nrm * v.nrm) AS cos
+  FROM e q JOIN e v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+veck AS (
+  SELECT query_id, doc_id, rnk FROM (
+    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, doc_id
+    ) AS rnk
+    FROM vs
+  ) WHERE rnk <= {HYB_CAND_K}
+),
+fused AS (
+  SELECT query_id, doc_id,
+         SUM(1.0 / ({HYB_K0} + rnk)) AS score,
+         CAST(COUNT(*) AS INTEGER) AS n_rankings
+  FROM (SELECT * FROM lexk UNION ALL SELECT * FROM veck)
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, {r6_sql("score")} AS rrf_score, n_rankings,
+       CAST(fused_rank AS INTEGER) AS fused_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id
+  ) AS fused_rank
+  FROM fused
+)
+WHERE fused_rank <= {HYB_TOP_K}
+"""
+
+
+@query("hybrid_rrf_search_topk", HYBRID_RRF_ORACLE)
+def hybrid_rrf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical (token-Jaccard) + vector (exact cosine) rankings fused
+    by RRF. Determinism across engines: Jaccard is one double division
+    of exact integers, cosine reuses G1's left-assoc chain, RRF scores
+    are sums of ≤2 unit fractions of integer ranks (IEEE-commutative),
+    and every rank window tie-breaks on doc_id.
+
+    Parity: the reference has no retrieval surface (its closest shape
+    is Athena full-scan SQL, athena.sql); hybrid fusion is the
+    training-data/RAG extension SURVEY §2 G19 claims.
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas worker dependency
+
+    from drive_bc_datapipeline_spark.operators.retrieval import rrf_fuse
+
+    # ---- lexical ranking: distinct-token Jaccard to the query doc.
+    # The (doc_id, sz, tok) relation feeds the query side and the
+    # corpus side — pin one materialization (bm25 tf-pin pattern) so
+    # the tokenizing documents scan runs once.
+    d = t(spark, sf_dir, "documents")
+    arr = F.array_distinct(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    )
+    toks = d.select(
+        "doc_id", F.size(arr).alias("sz"), F.explode(arr).alias("tok")
+    ).localCheckpoint(eager=True)
+    qt = toks.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("sz").alias("qsz"),
+        "tok",
+    )
+    inter = (
+        toks.join(F.broadcast(qt), "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id", "qsz", "sz")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i").cast("double") / (
+        F.col("qsz") + F.col("sz") - F.col("i")
+    )
+    wlex = Window.partitionBy("query_id").orderBy(F.desc("jac"), "doc_id")
+    lex = (
+        inter.withColumn("jac", jac)
+        .withColumn("rank", F.row_number().over(wlex))
+        .filter(F.col("rank") <= HYB_CAND_K)
+        .select("query_id", "doc_id", "rank")
+    )
+
+    # ---- vector ranking: G1's broadcast-queries shape with map-side
+    # partial top-k ahead of the rank window's exchange.
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm_spark("embedding")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    v = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("v_emb"),
+        F.col("nrm").alias("v_nrm"),
+    )
+    cos = _dot_terms_spark("q_emb", "v_emb") / (
+        F.col("q_nrm") * F.col("v_nrm")
+    )
+    scored = v.join(
+        F.broadcast(q), F.col("doc_id") != F.col("query_id")
+    ).select("query_id", "doc_id", cos.alias("cos"))
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(
+                        ["query_id", "cos", "doc_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(HYB_CAND_K)
+                )
+
+    pruned = scored.mapInPandas(
+        partial_topk, "query_id long, doc_id long, cos double"
+    )
+    wvec = Window.partitionBy("query_id").orderBy(F.desc("cos"), "doc_id")
+    vec = (
+        pruned.withColumn("rank", F.row_number().over(wvec))
+        .filter(F.col("rank") <= HYB_CAND_K)
+        .select("query_id", "doc_id", "rank")
+    )
+
+    fused = rrf_fuse([lex, vec], k0=HYB_K0, top_k=HYB_TOP_K)
+    return fused.select(
+        "query_id",
+        "doc_id",
+        r6(F.col("rrf_score")).alias("rrf_score"),
+        "n_rankings",
+        "fused_rank",
+    )

@@ -175,17 +175,12 @@ def counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
 
 
-@query(
-    "counts_by_type_month_year",
-    """
-    SELECT event_type,
-           CAST(month(ts) AS INTEGER) AS month,
-           CAST(year(ts) AS INTEGER)  AS year,
-           COUNT(*) AS cnt
-    FROM events GROUP BY 1, 2, 3
-    """,
-)
 def counts_by_type_month_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 composite rollup — de-registered in r9 like B3/B4: the
+    derived-column grouped count is the same scan + one-shuffle shape
+    as B1/B3, so its slot under the 200-key cap went to G19's
+    ``hybrid_rrf_search_topk`` (plans/embeddings.py). Still exercised
+    by the K7 pipeline (jobs.py DEFAULT_JOBS) and tests/test_jobs.py."""
     e = t(spark, sf_dir, "events")
     return (
         e.withColumn("month", F.month("ts").cast("int"))
