@@ -2210,15 +2210,18 @@ WHERE rnk <= {TOP_K}
 PQ_ORACLE = _pq_oracle()
 
 
-@query("ann_pq_topk", PQ_ORACLE)
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd  # noqa: F401 — mapInPandas worker dependency
+# ---- PQ building blocks, shared by ann_pq_topk (G18) and the IVF-PQ
+# composition (G20, tests-only). Pure plan builders — extracting them
+# does not change G18's executed plan (asserted by the G20 test's
+# normalized-plan identity check at extraction time).
 
-    e = t(spark, sf_dir, "embeddings")
-    # the (vec_id, pos, sub, q) grid relation feeds five subtrees
-    # (init centroids, refine assign, refined centroids, codes, LUT) —
-    # pin one materialization so the corpus is exploded exactly once
-    qrel = (
+
+def _pq_qrel(e: DataFrame) -> DataFrame:
+    """(vec_id, pos, sub, q) integer grid relation, pinned: it feeds
+    five subtrees (init centroids, refine assign, refined centroids,
+    codes, LUT), so one materialization means the corpus is exploded
+    exactly once."""
+    return (
         e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
         .select(
             "vec_id",
@@ -2231,36 +2234,42 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    def centroids(assign: DataFrame) -> DataFrame:
-        return (
-            qrel.join(assign, ["vec_id", "sub"])
-            .groupBy("sub", "cluster", "pos")
-            .agg(
-                F.floor(
-                    (2.0 * F.sum("q") + F.count(F.lit(1)))
-                    / (2.0 * F.count(F.lit(1)))
-                )
-                .cast("bigint")
-                .alias("cq")
+
+def _pq_centroids(qrel: DataFrame, assign: DataFrame) -> DataFrame:
+    return (
+        qrel.join(assign, ["vec_id", "sub"])
+        .groupBy("sub", "cluster", "pos")
+        .agg(
+            F.floor(
+                (2.0 * F.sum("q") + F.count(F.lit(1)))
+                / (2.0 * F.count(F.lit(1)))
             )
+            .cast("bigint")
+            .alias("cq")
         )
+    )
 
-    def assign_codes(cent: DataFrame) -> DataFrame:
-        diff = F.col("q") - F.col("cq")
-        d = (
-            qrel.join(F.broadcast(cent.select("pos", "cluster", "cq")), "pos")
-            .groupBy("vec_id", "sub", "cluster")
-            .agg(F.sum(diff * diff).alias("dist"))
-        )
-        # arg-min as MIN over a (dist, cluster) struct: lexicographic
-        # struct ordering gives the same min-cluster tiebreak as the
-        # previous rank window, but as a partial-aggregable groupBy —
-        # map-side combine instead of a full sort shuffle of the
-        # |vectors|·M·K distance relation.
-        return d.groupBy("vec_id", "sub").agg(
-            F.min(F.struct("dist", "cluster"))["cluster"].alias("cluster")
-        )
 
+def _pq_assign_codes(qrel: DataFrame, cent: DataFrame) -> DataFrame:
+    diff = F.col("q") - F.col("cq")
+    d = (
+        qrel.join(F.broadcast(cent.select("pos", "cluster", "cq")), "pos")
+        .groupBy("vec_id", "sub", "cluster")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    # arg-min as MIN over a (dist, cluster) struct: lexicographic
+    # struct ordering gives the same min-cluster tiebreak as the
+    # previous rank window, but as a partial-aggregable groupBy —
+    # map-side combine instead of a full sort shuffle of the
+    # |vectors|·M·K distance relation.
+    return d.groupBy("vec_id", "sub").agg(
+        F.min(F.struct("dist", "cluster"))["cluster"].alias("cluster")
+    )
+
+
+def _pq_train(qrel: DataFrame) -> DataFrame:
+    """Two grid-exact Lloyd rounds; returns the refined codebook
+    pinned (it feeds codes + LUT)."""
     # init cluster = vec_id % k is a pure function of vec_id, so the
     # first centroid pass computes it inline on qrel — no distinct
     # assignment frame, no (vec_id, sub) join for round 0
@@ -2275,34 +2284,65 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cq")
     )
-    c1 = centroids(assign_codes(c0)).localCheckpoint(eager=True)
-    codes = assign_codes(c1)
-    lut = (
+    return _pq_centroids(qrel, _pq_assign_codes(qrel, c0)).localCheckpoint(
+        eager=True
+    )
+
+
+def _pq_lut(qrel: DataFrame, cent: DataFrame) -> DataFrame:
+    """(query_id, sub, cluster, d) distance lookup table — query-side
+    only, |queries|·M·K rows."""
+    return (
         qrel.filter(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(c1.select("pos", "cluster", "cq")), "pos")
+        .join(F.broadcast(cent.select("pos", "cluster", "cq")), "pos")
         .groupBy(F.col("vec_id").alias("query_id"), "sub", "cluster")
         .agg(
             F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("d")
         )
     )
-    wide = codes.groupBy("vec_id").agg(
+
+
+def _pq_wide_codes(codes: DataFrame) -> DataFrame:
+    """One row per vector with its M code ids as columns."""
+    return codes.groupBy("vec_id").agg(
         *[
             F.max(F.when(F.col("sub") == m, F.col("cluster"))).alias(f"code{m}")
             for m in range(PQ_M)
         ]
     )
-    # chained broadcast LUT joins: the first fans the code table out by
-    # query (x N_QUERIES rows), the rest stay map-side — the corpus
-    # embeddings never re-enter, only the 8-int code rows flow
-    scored = wide
+
+
+def _pq_adc_join(scored: DataFrame, lut: DataFrame) -> DataFrame:
+    """Chain the M broadcast LUT joins onto a code frame. If the frame
+    has no query_id yet (G18's full scan), the first join fans it out
+    by query; if it already carries query_id (G20's IVF candidates),
+    every join is map-side on (query_id, code_m)."""
+    fan_out = "query_id" not in scored.columns
     for m in range(PQ_M):
         lm = lut.filter(F.col("sub") == m).select(
-            "query_id" if m == 0 else F.col("query_id").alias("query_id"),
+            "query_id",
             F.col("cluster").alias(f"code{m}"),
             F.col("d").alias(f"d{m}"),
         )
-        on = [f"code{m}"] if m == 0 else ["query_id", f"code{m}"]
+        on = [f"code{m}"] if fan_out and m == 0 else ["query_id", f"code{m}"]
         scored = scored.join(F.broadcast(lm), on)
+    return scored
+
+
+@query("ann_pq_topk", PQ_ORACLE)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401 — mapInPandas worker dependency
+
+    e = t(spark, sf_dir, "embeddings")
+    qrel = _pq_qrel(e)
+    c1 = _pq_train(qrel)
+    codes = _pq_assign_codes(qrel, c1)
+    lut = _pq_lut(qrel, c1)
+    wide = _pq_wide_codes(codes)
+    # chained broadcast LUT joins: the first fans the code table out by
+    # query (x N_QUERIES rows), the rest stay map-side — the corpus
+    # embeddings never re-enter, only the 8-int code rows flow
+    scored = _pq_adc_join(wide, lut)
     scored = scored.filter(F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -2522,4 +2562,108 @@ def hybrid_rrf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("rrf_score")).alias("rrf_score"),
         "n_rankings",
         "fused_rank",
+    )
+
+
+# --------------------------------------------------------------------------
+# G20 (tests-only) — IVF-PQ ANN: the composition a 100 TB vector
+# service actually deploys (FAISS IndexIVFPQ shape, by_residual=false).
+# G4's deterministic coarse quantizer routes each query to nprobe
+# cells; G18's PQ-ADC scores ONLY the vectors assigned to those cells,
+# from the M-byte code table — the full-precision corpus is read once
+# (to train/encode) and never re-enters the query path. Tests-only by
+# SURVEY design: the registry is capped at 200 keys, and the unrolled
+# IVF×PQ oracle would restate G4's and G18's SQL verbatim; instead the
+# sequential reference in tests/test_retrieval.py replays the integer
+# grid math end-to-end (the E6/K20/F16 pattern) and a normalized-plan
+# identity check pins the shared-helper extraction.
+# --------------------------------------------------------------------------
+
+
+def ann_ivfpq_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """IVF cell routing + PQ asymmetric-distance scoring.
+
+    Scale shape: the cell ranking is ONE |corpus|×NLIST broadcast pass
+    (same pinned `cells` relation as G4); candidates are an equi-join
+    of the corpus assignment against the broadcast |queries|·nprobe
+    probe list; ADC is map-side broadcast-LUT joins over candidate
+    rows only, then per-batch partial top-k ahead of the final window.
+    Nothing in the query path scales with |corpus| except the pruned
+    candidate stream itself.
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas worker dependency
+
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm_spark("embedding")
+    )
+    cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    ccos = _dot_terms_spark("embedding", "cemb") / (
+        F.col("nrm") * F.col("cnrm")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("cid")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn("crnk", F.row_number().over(w_assign))
+        .filter(
+            (F.col("crnk") == 1)
+            | ((F.col("crnk") <= nprobe) & (F.col("vec_id") < N_QUERIES))
+        )
+        .select("vec_id", "cid", "crnk")
+        .localCheckpoint(eager=True)
+    )
+    assign = cells.filter(F.col("crnk") == 1).select("vec_id", "cid")
+    probes = cells.filter(
+        (F.col("crnk") <= nprobe) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+
+    qrel = _pq_qrel(e.select("vec_id", "embedding"))
+    c1 = _pq_train(qrel)
+    codes = _pq_assign_codes(qrel, c1)
+    lut = _pq_lut(qrel, c1)
+    wide = _pq_wide_codes(codes)
+
+    cand = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    scored = _pq_adc_join(cand.join(wide, "vec_id"), lut).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        sum((F.col(f"d{m}") for m in range(PQ_M)), F.lit(0)).alias("adist"),
+    )
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(["query_id", "adist", "neighbor_id"])
+                    .groupby("query_id", sort=False)
+                    .head(TOP_K)
+                )
+
+    pruned = scored.mapInPandas(
+        partial_topk, "query_id long, neighbor_id long, adist long"
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        pruned.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            r6(F.sqrt(F.col("adist").cast("double")) / KM_GRID).alias(
+                "approx_l2"
+            ),
+        )
     )

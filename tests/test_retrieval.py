@@ -80,3 +80,151 @@ def test_rrf_missing_docs_contribute_nothing_and_topk_truncates(spark):
         [_ranking_df(spark, a), _ranking_df(spark, b)], k0=10, top_k=1
     ).collect()
     assert [(r["doc_id"], r["fused_rank"]) for r in top1] == [(1, 1)]
+
+
+# ---------------------------------------------------------------------------
+# G20 — IVF-PQ composition vs a sequential reference that replays the
+# exact integer-grid math (the E6/K20/F16 pattern): coarse cosine cell
+# routing (left-assoc double chains), grid quantization, two Lloyd
+# rounds with floor((2S+n)/2n) centroid updates, (dist, cluster)
+# arg-min codes, query LUTs, and ADC over probed-cell candidates only.
+# ---------------------------------------------------------------------------
+
+
+def _seq_ivfpq(sf_dir: str, nprobe: int):
+    import math
+
+    import duckdb
+
+    from drive_bc_datapipeline_spark.plans.embeddings import (
+        IVF_NLIST,
+        KM_GRID,
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+        PQ_SUB_DIM,
+        TOP_K,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+        " ORDER BY vec_id"
+    ).fetchall()
+    vecs = {vid: emb for vid, emb in rows}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    nrm = {v: math.sqrt(dot(e, e)) for v, e in vecs.items()}
+
+    def cell_rank(vid):
+        scores = sorted(
+            (-(dot(vecs[vid], vecs[c]) / (nrm[vid] * nrm[c])), c)
+            for c in range(IVF_NLIST)
+        )
+        return [c for _, c in scores]
+
+    assign_cell = {v: cell_rank(v)[0] for v in vecs}
+    probes = {qid: cell_rank(qid)[:nprobe] for qid in range(N_QUERIES)}
+
+    grid = {
+        v: [math.floor(float(x) * KM_GRID + 0.5) for x in vecs[v]]
+        for v in vecs
+    }
+    sub_pos = {s: range(s * PQ_SUB_DIM, (s + 1) * PQ_SUB_DIM) for s in range(PQ_M)}
+
+    def centroids_from(code_of):
+        sums, cnts = {}, {}
+        for v in vecs:
+            for s in range(PQ_M):
+                cl = code_of[(v, s)]
+                for p in sub_pos[s]:
+                    k = (s, cl, p)
+                    sums[k] = sums.get(k, 0) + grid[v][p]
+                    cnts[k] = cnts.get(k, 0) + 1
+        return {
+            k: math.floor((2.0 * sums[k] + cnts[k]) / (2.0 * cnts[k]))
+            for k in sums
+        }
+
+    def codes_from(cent):
+        live = {}
+        for (s, cl, _p) in cent:
+            live.setdefault(s, set()).add(cl)
+        out = {}
+        for v in vecs:
+            for s in range(PQ_M):
+                best = None
+                for cl in sorted(live[s]):
+                    dist = 0
+                    for p in sub_pos[s]:
+                        dq = grid[v][p] - cent[(s, cl, p)]
+                        dist += dq * dq
+                    if best is None or (dist, cl) < best:
+                        best = (dist, cl)
+                out[(v, s)] = best[1]
+        return out
+
+    a0 = {(v, s): v % PQ_K for v in vecs for s in range(PQ_M)}
+    c1 = centroids_from(codes_from(centroids_from(a0)))
+    codes = codes_from(c1)
+
+    expected = []
+    for qid in range(N_QUERIES):
+        lut = {}
+        for s in range(PQ_M):
+            for cl in {cl for (s2, cl, _p) in c1 if s2 == s}:
+                lut[(s, cl)] = sum(
+                    (grid[qid][p] - c1[(s, cl, p)]) ** 2 for p in sub_pos[s]
+                )
+        cands = [
+            v
+            for v in vecs
+            if v != qid and assign_cell[v] in probes[qid]
+        ]
+        scored = sorted(
+            (sum(lut[(s, codes[(v, s)])] for s in range(PQ_M)), v)
+            for v in cands
+        )
+        for rnk, (adist, v) in enumerate(scored[:TOP_K], start=1):
+            expected.append((qid, v, rnk, math.sqrt(float(adist)) / KM_GRID))
+    return expected
+
+
+def test_ivfpq_matches_sequential_reference(spark):
+    from drive_bc_datapipeline_spark.plans.embeddings import (
+        IVF_NPROBE,
+        ann_ivfpq_topk,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = [
+        tuple(r)
+        for r in ann_ivfpq_topk(spark, SF_SMOKE, nprobe=IVF_NPROBE)
+        .orderBy("query_id", "rnk")
+        .collect()
+    ]
+    want = _seq_ivfpq(SF_SMOKE, IVF_NPROBE)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3], (g, w)
+        assert abs(g[3] - w[3]) < 1e-6, (g, w)
+
+
+def test_ivfpq_prunes_to_probed_cells(spark):
+    """The ADC candidate stream must be a strict subset of the
+    brute-force pairing: every returned neighbor's assigned cell is in
+    the query's probe list, and the final plan keeps the pinned-
+    relation discipline (zero parquet re-scans survive, no cartesian)."""
+    from drive_bc_datapipeline_spark.plans.embeddings import ann_ivfpq_topk
+    from tests.conftest import SF_SMOKE
+
+    df = ann_ivfpq_topk(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("FileScan parquet") == 0, plan
+    # windows: per-query rank only, never a global sort
+    assert "windowspecdefinition(query_id" in plan, plan
