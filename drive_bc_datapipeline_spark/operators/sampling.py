@@ -179,3 +179,54 @@ def temperature_resample(
         )
         .drop("__m", "__copies")
     )
+
+
+def group_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    eval_frac: float,
+    seed: int = 0,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Leakage-safe train/eval split (SURVEY §2 F17): near-duplicate
+    rows land on the SAME side, or the eval set silently contains
+    paraphrases of training rows and overstates generalization — the
+    dedup-aware split that large-corpus dedup work (Lee et al. 2022)
+    prescribes and a per-row random split violates.
+
+    ``pairs`` is any near-dup pair relation (src, dst) — MinHash-LSH,
+    SimHash, embedding-LSH output all fit. Pair-graph components are
+    resolved distributed (graph.connected_components, min-label
+    O(diameter)); a row in no pair is its own group. ONE split draw
+    per group: u = hash_unit(group_rep, seed) < eval_frac, so group
+    membership is atomic and the assignment is a pure function of
+    (ids, seed) — reproducible on any cluster, partitioning, or run.
+
+    Scale: components run over near-dup pairs only (|pairs| ≪
+    |corpus| after LSH banding); the group map joins back on the id
+    (one shuffle on the join key); singletons take
+    coalesce(component, own id) and never enter the CC iteration.
+
+    Returns df + (group_rep, split) with split ∈ {'train', 'eval'}.
+    """
+    from drive_bc_datapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    if not 0.0 <= eval_frac <= 1.0:
+        raise ValueError(f"eval_frac must be in [0, 1], got {eval_frac}")
+    comp = connected_components(pairs, src=src, dst=dst).withColumnRenamed(
+        "node", id_col
+    )
+    joined = df.join(comp, id_col, "left")
+    rep = F.coalesce(F.col("component"), F.col(id_col))
+    u = _hash_unit(rep, seed)
+    return joined.select(
+        *df.columns,
+        rep.alias("group_rep"),
+        F.when(u < F.lit(float(eval_frac)), F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

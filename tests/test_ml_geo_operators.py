@@ -396,3 +396,77 @@ def test_temperature_resample_matches_sequential_reference(spark):
     ident = temperature_resample(df, "source", tau=1.0, seed=9)
     assert ident.count() == 1000
     assert ident.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# F17 — leakage-safe group split
+# ---------------------------------------------------------------------------
+
+
+def test_group_split_keeps_components_together(spark):
+    from drive_bc_datapipeline_spark.operators.sampling import group_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # two chains (0-1-2, 10-11) and a 2-cycle (20, 21)
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (21, 20)],
+        "src long, dst long",
+    )
+    out = group_split(docs, pairs, "doc_id", eval_frac=0.3, seed=7)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 200
+    # every component entirely on one side, labeled by its min id
+    for grp in [(0, 1, 2), (10, 11), (20, 21)]:
+        sides = {rows[i]["split"] for i in grp}
+        reps = {rows[i]["group_rep"] for i in grp}
+        assert len(sides) == 1 and reps == {min(grp)}, grp
+    # singletons are their own group
+    assert rows[99]["group_rep"] == 99
+    # deterministic: same seed → same assignment; the draw is per-GROUP,
+    # so fraction lands near eval_frac over ~195 groups
+    again = {r["doc_id"]: r["split"] for r in
+             group_split(docs, pairs, "doc_id", 0.3, seed=7).collect()}
+    assert again == {k: v["split"] for k, v in rows.items()}
+    n_eval = sum(1 for r in rows.values() if r["split"] == "eval")
+    assert 0.15 * 200 < n_eval < 0.45 * 200, n_eval
+
+
+def test_group_split_draws_once_per_group(spark):
+    """The u-draw must use the group REP, not the row id: flipping a
+    member's own hash draw cannot move it off its group's side."""
+    from drive_bc_datapipeline_spark.operators.sampling import (
+        _hash_unit,
+        group_split,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(50)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 25) for i in range(25)], "src long, dst long"
+    )
+    out = group_split(docs, pairs, "doc_id", eval_frac=0.5, seed=3)
+    rows = out.collect()
+    # recompute the expected side from the rep's hash draw alone
+    reps = out.select(F.col("group_rep").alias("r")).distinct()
+    u_of = {
+        r["r"]: r["u"]
+        for r in reps.select("r", _hash_unit(F.col("r"), 3).alias("u")).collect()
+    }
+    for r in rows:
+        want = "eval" if u_of[r["group_rep"]] < 0.5 else "train"
+        assert r["split"] == want, r
+
+
+def test_group_split_rejects_bad_fraction(spark):
+    import pytest
+
+    from drive_bc_datapipeline_spark.operators.sampling import group_split
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="eval_frac"):
+        group_split(docs, pairs, "doc_id", eval_frac=1.5)
