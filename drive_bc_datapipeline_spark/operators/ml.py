@@ -267,3 +267,85 @@ def auc_rank_sum(df: DataFrame, label: str = "label", score: str = "score") -> f
     if not npos or not nneg:
         raise ValueError("AUC undefined: need both positive and negative rows")
     return (agg["rsum"] - npos * (npos + 1) / 2.0) / (npos * nneg)
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy k-center (Gonzalez farthest-point) coreset selection
+    (SURVEY §2 E8): pick k rows that 2-approximate the optimal
+    k-center cover of the embedding space — the diversity-first data
+    selection step of a training-data curation pipeline (cover the
+    space before sampling density inside it).
+
+    Returns (round, center_id, radius): radius is the max-min squared
+    L2 distance the pick closed (the coverage radius of the previous
+    set; round 0 seeds at the minimum id with radius 0.0).
+
+    Distributed shape, honest at 100 TB:
+    - the corpus projection (id, vec) is pinned once; each of the k
+      rounds is ONE map pass computing distance-to-new-center inline
+      (the center rides the plan as a 64-literal array — no join, no
+      broadcast table) + a partial-aggregable (dist, id) arg-max;
+    - driver state is k ids + k vectors, independent of |corpus|;
+      the running min-distance column re-checkpoints per round, so
+      lineage stays O(1) and each pass reads the previous pass's
+      |corpus|-row (id, vec, md) state, never the raw source again;
+    - determinism: distances fold left-associated per dimension
+      (bit-reproducible vs a sequential loop), and every arg-max
+      breaks ties on the smaller id via min(struct(-d, id)).
+
+    k is a SMALL constant (selection rounds are inherently
+    sequential); raise for k that would make round-count the
+    bottleneck rather than silently looping.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k > 64:
+        raise ValueError(
+            f"k={k}: greedy k-center runs k sequential corpus passes; "
+            "past ~64 rounds use kmeans_embeddings (G12) or IVF cells "
+            "(G4) for cover selection instead"
+        )
+    base = df.select(id_col, vec_col).localCheckpoint(eager=True)
+
+    def d2_to(vec) -> "F.Column":
+        arr = F.array(*[F.lit(float(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                arr,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    first = base.agg(F.min(id_col).alias("i")).collect()[0]["i"]
+    if first is None:
+        raise ValueError("kcenter_coreset needs a non-empty frame")
+    cvec = base.filter(F.col(id_col) == first).collect()[0][vec_col]
+    centers = [(0, first, 0.0)]
+    cur = base.withColumn("md", d2_to(cvec)).localCheckpoint(eager=True)
+    for rnd in range(1, k):
+        far = cur.agg(
+            F.min(
+                F.struct(
+                    (-F.col("md")).alias("nd"), F.col(id_col).alias("i")
+                )
+            ).alias("s")
+        ).collect()[0]["s"]
+        radius, cid = -far["nd"], far["i"]
+        if radius == 0.0:
+            break  # fewer distinct points than k: cover is exact
+        centers.append((rnd, cid, radius))
+        cvec = base.filter(F.col(id_col) == cid).collect()[0][vec_col]
+        cur = cur.withColumn(
+            "md", F.least(F.col("md"), d2_to(cvec))
+        ).localCheckpoint(eager=True)
+    return df.sparkSession.createDataFrame(
+        centers, "round int, center_id long, radius double"
+    )

@@ -470,3 +470,86 @@ def test_group_split_rejects_bad_fraction(spark):
     pairs = spark.createDataFrame([(1, 1)], "src long, dst long")
     with pytest.raises(ValueError, match="eval_frac"):
         group_split(docs, pairs, "doc_id", eval_frac=1.5)
+
+
+# ---------------------------------------------------------------------------
+# E8 — greedy k-center coreset vs sequential reference
+# ---------------------------------------------------------------------------
+
+
+def _seq_kcenter(sf_dir: str, k: int):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+        " ORDER BY vec_id"
+    ).fetchall()
+    vecs = dict(rows)
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            dx = float(x) - float(y)
+            acc += dx * dx
+        return acc
+
+    first = min(vecs)
+    centers = [(0, first, 0.0)]
+    md = {v: d2(vecs[v], vecs[first]) for v in vecs}
+    for rnd in range(1, k):
+        # arg-max distance, smaller id on ties (min over (-d, id))
+        nd, cid = min((-md[v], v) for v in vecs)
+        if nd == 0.0:
+            break
+        centers.append((rnd, cid, -nd))
+        for v in vecs:
+            md[v] = min(md[v], d2(vecs[v], vecs[cid]))
+    return centers
+
+
+def test_kcenter_matches_sequential_reference(spark):
+    from drive_bc_datapipeline_spark.operators.ml import kcenter_coreset
+    from drive_bc_datapipeline_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = [
+        (r["round"], r["center_id"], r["radius"])
+        for r in kcenter_coreset(emb, k=6).orderBy("round").collect()
+    ]
+    want = _seq_kcenter(SF_SMOKE, 6)
+    assert len(got) == len(want) == 6
+    for g, w in zip(got, want):
+        assert g[:2] == w[:2], (g, w)
+        assert abs(g[2] - w[2]) < 1e-9, (g, w)
+    # radii are non-increasing (each pick can only shrink the cover)
+    radii = [r for _, _, r in got[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+
+
+def test_kcenter_short_circuits_on_duplicates(spark):
+    from drive_bc_datapipeline_spark.operators.ml import kcenter_coreset
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = kcenter_coreset(df, k=3).orderBy("round").collect()
+    # only 2 distinct points exist: round 2's max-min distance is 0,
+    # so selection stops at 2 centers instead of picking a duplicate
+    assert [(r["round"], r["center_id"]) for r in rows] == [(0, 1), (1, 3)]
+    assert abs(rows[1]["radius"] - 25.0) < 1e-12
+
+
+def test_kcenter_guards(spark):
+    import pytest
+
+    from drive_bc_datapipeline_spark.operators.ml import kcenter_coreset
+
+    df = spark.createDataFrame(
+        [(1, [0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="k must be"):
+        kcenter_coreset(df, k=0)
+    with pytest.raises(ValueError, match="sequential corpus passes"):
+        kcenter_coreset(df, k=65)
