@@ -102,6 +102,9 @@ GATE_PIN: dict[str, int] = {
     "minhash_estimate_quality": 7,
     "dedup_simhash": 7,
     "dedup_minhash_lsh": 7,
+    # round-9 replan: fingerprint min folded in-row (array_min) —
+    # explode+groupBy removed, zero-shuffle projection:
+    "doc_fingerprint": 9,
 }
 
 
