@@ -2388,15 +2388,21 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # |queries|-bounded and broadcast; the corpus is scanned once per
 # modality; candidate lists are top-C-per-query before fusion, so the
 # fuse aggregate and the fused-rank window move C·|queries|·2 rows.
-# The lexical token join fans out by shared tokens — at real corpus
-# scale you cap candidate tokens by document frequency first (the
-# H9/F3 df-cap pattern); the testdata vocabulary is tiny so every
-# token is df-capped trivially.
+# The lexical token join is BOUNDED (r10 replan, Lucene-MLT shape —
+# operators/retrieval.mlt_token_jaccard_ranking): tokens in more than
+# HYB_DF_MAX_FRAC of docs are screened out of both sides and both set
+# sizes, and each query keeps only its HYB_QUERY_TERMS rarest tokens,
+# so the candidate intermediate is ≤ |queries|·M·(frac-capped df)
+# rows instead of Σ_tok q_count(tok)·df(tok). The testdata vocabulary
+# is uniform (31 tokens, df ≈ 0.8·N), so the screen keeps everything
+# there; the rarest-M cap binds (docs hold ~23 distinct tokens).
 # --------------------------------------------------------------------------
 
 HYB_CAND_K = 20  # per-system candidate depth feeding the fusion
 HYB_K0 = 60  # the Cormack et al. constant
 HYB_TOP_K = 10
+HYB_DF_MAX_FRAC = 0.95  # stopword screen: drop tokens in > frac·N docs
+HYB_QUERY_TERMS = 16  # rarest-M query-term cap (Lucene maxQueryTerms)
 
 HYBRID_RRF_ORACLE = f"""
 WITH dt AS (
@@ -2405,14 +2411,33 @@ WITH dt AS (
                                    x -> x <> '')) AS toks
   FROM documents
 ),
-toks AS (
-  SELECT doc_id, len(toks) AS sz, unnest(toks) AS tok FROM dt
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok FROM dt
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
+keep AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok
+  HAVING COUNT(DISTINCT doc_id)
+         <= (SELECT n FROM n) * {HYB_DF_MAX_FRAC}
+),
+scr AS (
+  SELECT t.doc_id, t.tok, k.df,
+         COUNT(*) OVER (PARTITION BY t.doc_id) AS csz
+  FROM tok t JOIN keep k USING (tok)
+),
+qt AS (
+  SELECT doc_id AS query_id, tok,
+         COUNT(*) OVER (PARTITION BY doc_id) AS qsz
+  FROM (
+    SELECT doc_id, tok, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY df, tok
+    ) AS rn
+    FROM scr WHERE doc_id < {N_QUERIES}
+  ) WHERE rn <= {HYB_QUERY_TERMS}
 ),
 inter AS (
-  SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
-         q.sz AS qsz, c.sz AS csz, COUNT(*) AS i
-  FROM toks q JOIN toks c ON c.tok = q.tok AND c.doc_id <> q.doc_id
-  WHERE q.doc_id < {N_QUERIES}
+  SELECT q.query_id, c.doc_id, q.qsz, c.csz, COUNT(*) AS i
+  FROM scr c JOIN qt q ON c.tok = q.tok AND c.doc_id <> q.query_id
   GROUP BY 1, 2, 3, 4
 ),
 lexk AS (
@@ -2464,11 +2489,21 @@ WHERE fused_rank <= {HYB_TOP_K}
 
 @query("hybrid_rrf_search_topk", HYBRID_RRF_ORACLE)
 def hybrid_rrf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lexical (token-Jaccard) + vector (exact cosine) rankings fused
-    by RRF. Determinism across engines: Jaccard is one double division
-    of exact integers, cosine reuses G1's left-assoc chain, RRF scores
-    are sums of ≤2 unit fractions of integer ranks (IEEE-commutative),
-    and every rank window tie-breaks on doc_id.
+    """Lexical (df-bounded token-Jaccard more-like-this) + vector
+    (exact cosine) rankings fused by RRF. Determinism across engines:
+    Jaccard is one double division of exact integers, the rarest-M
+    query-term cap orders by (integer df, token string), cosine reuses
+    G1's left-assoc chain, RRF scores are sums of ≤2 unit fractions of
+    integer ranks (IEEE-commutative), and every rank window tie-breaks
+    on doc_id.
+
+    r10 replan: the lexical side moved to
+    operators/retrieval.mlt_token_jaccard_ranking, which screens
+    stopword-grade tokens (df > HYB_DF_MAX_FRAC·N) out of the join and
+    the set sizes and keeps only each query's HYB_QUERY_TERMS rarest
+    tokens — the r9 verdict's unbounded Σ q_count(tok)·df(tok) fan-out
+    is now ≤ |queries|·M·(frac-capped df). Scores changed (qsz ≤ M),
+    oracle updated symmetrically, GATE_PINned 10.
 
     Parity: the reference has no retrieval surface (its closest shape
     is Athena full-scan SQL, athena.sql); hybrid fusion is the
@@ -2476,39 +2511,28 @@ def hybrid_rrf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd  # noqa: F401 — mapInPandas worker dependency
 
-    from drive_bc_datapipeline_spark.operators.retrieval import rrf_fuse
+    from drive_bc_datapipeline_spark.operators.retrieval import (
+        mlt_token_jaccard_ranking,
+        rrf_fuse,
+    )
 
-    # ---- lexical ranking: distinct-token Jaccard to the query doc.
-    # The (doc_id, sz, tok) relation feeds the query side and the
-    # corpus side — pin one materialization (bm25 tf-pin pattern) so
-    # the tokenizing documents scan runs once.
+    # ---- lexical ranking: bounded more-like-this. The (doc_id, tok)
+    # relation feeds the df screen, the query side, and the corpus
+    # side — pin one materialization (bm25 tf-pin pattern) so the
+    # tokenizing documents scan runs once.
     d = t(spark, sf_dir, "documents")
     arr = F.array_distinct(
         F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     )
-    toks = d.select(
-        "doc_id", F.size(arr).alias("sz"), F.explode(arr).alias("tok")
-    ).localCheckpoint(eager=True)
-    qt = toks.filter(F.col("doc_id") < N_QUERIES).select(
-        F.col("doc_id").alias("query_id"),
-        F.col("sz").alias("qsz"),
-        "tok",
+    toks = d.select("doc_id", F.explode(arr).alias("tok")).localCheckpoint(
+        eager=True
     )
-    inter = (
-        toks.join(F.broadcast(qt), "tok")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .groupBy("query_id", "doc_id", "qsz", "sz")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    jac = F.col("i").cast("double") / (
-        F.col("qsz") + F.col("sz") - F.col("i")
-    )
-    wlex = Window.partitionBy("query_id").orderBy(F.desc("jac"), "doc_id")
-    lex = (
-        inter.withColumn("jac", jac)
-        .withColumn("rank", F.row_number().over(wlex))
-        .filter(F.col("rank") <= HYB_CAND_K)
-        .select("query_id", "doc_id", "rank")
+    lex = mlt_token_jaccard_ranking(
+        toks,
+        F.col("doc_id") < N_QUERIES,
+        max_df_frac=HYB_DF_MAX_FRAC,
+        max_query_terms=HYB_QUERY_TERMS,
+        cand_k=HYB_CAND_K,
     )
 
     # ---- vector ranking: G1's broadcast-queries shape with map-side

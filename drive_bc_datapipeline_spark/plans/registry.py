@@ -105,6 +105,10 @@ GATE_PIN: dict[str, int] = {
     # round-9 replan: fingerprint min folded in-row (array_min) —
     # explode+groupBy removed, zero-shuffle projection:
     "doc_fingerprint": 9,
+    # round-10 replan: lexical candidate generation bounded (df screen
+    # + rarest-M query terms — Lucene MLT shape); scores change (qsz
+    # is now the capped set size), oracle updated symmetrically:
+    "hybrid_rrf_search_topk": 10,
 }
 
 

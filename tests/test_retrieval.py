@@ -1,10 +1,16 @@
-"""G19 — reciprocal rank fusion vs a sequential reference."""
+"""G19 — reciprocal rank fusion + bounded MLT lexical ranking vs
+sequential references."""
 
 from __future__ import annotations
 
 import random
 
-from drive_bc_datapipeline_spark.operators.retrieval import rrf_fuse
+import pytest
+
+from drive_bc_datapipeline_spark.operators.retrieval import (
+    mlt_token_jaccard_ranking,
+    rrf_fuse,
+)
 
 
 def _ref_rrf(rankings, k0):
@@ -80,6 +86,146 @@ def test_rrf_missing_docs_contribute_nothing_and_topk_truncates(spark):
         [_ranking_df(spark, a), _ranking_df(spark, b)], k0=10, top_k=1
     ).collect()
     assert [(r["doc_id"], r["fused_rank"]) for r in top1] == [(1, 1)]
+
+
+# ---------------------------------------------------------------------------
+# G19 lexical side — bounded more-like-this token-Jaccard ranking.
+# Sequential reference replays the df screen, the rarest-M query-term
+# cap, and the Jaccard rank math; corner tests pin the two bounds
+# functionally (a universal token never produces a candidate; tokens
+# beyond the M rarest never produce one either).
+# ---------------------------------------------------------------------------
+
+
+def _ref_mlt(docsets, n_queries, max_df_frac, max_query_terms, cand_k):
+    """docsets: {doc_id: set(tokens)} -> {(q, d): rank}."""
+    n = len(docsets)
+    df = {}
+    for toks in docsets.values():
+        for tok in toks:
+            df[tok] = df.get(tok, 0) + 1
+    keep = {tok for tok, c in df.items() if c <= n * max_df_frac}
+    scr = {d: {tok for tok in toks if tok in keep} for d, toks in docsets.items()}
+    out = {}
+    for q in range(n_queries):
+        qtoks = sorted(scr[q], key=lambda tok: (df[tok], tok))[:max_query_terms]
+        qset, scored = set(qtoks), []
+        for d, ctoks in scr.items():
+            if d == q:
+                continue
+            i = len(qset & ctoks)
+            if i:
+                scored.append((-(i / (len(qset) + len(ctoks) - i)), d))
+        for rnk, (_s, d) in enumerate(sorted(scored)[:cand_k], start=1):
+            out[(q, d)] = rnk
+    return out
+
+
+def _toks_df(spark, docsets):
+    rows = [(d, tok) for d, toks in docsets.items() for tok in sorted(toks)]
+    return spark.createDataFrame(rows, "doc_id long, tok string")
+
+
+def _run_mlt(spark, docsets, **kw):
+    from pyspark.sql import functions as F
+
+    n_queries = kw.pop("n_queries")
+    got = mlt_token_jaccard_ranking(
+        _toks_df(spark, docsets), F.col("doc_id") < n_queries, **kw
+    ).collect()
+    return {(r["query_id"], r["doc_id"]): r["rank"] for r in got}
+
+
+def test_mlt_matches_sequential_reference(spark):
+    rng = random.Random(17)
+    # Zipf-ish vocabulary: token t has weight ~ 1/(t+1), docs draw 8-20
+    # (fixed-width names so Python and Spark tie-break identically)
+    vocab = [f"t{t:02d}" for t in range(40)]
+    weights = [1.0 / (t + 1) for t in range(40)]
+    docsets = {
+        d: set(rng.choices(vocab, weights=weights, k=rng.randint(8, 20)))
+        for d in range(30)
+    }
+    kw = dict(max_df_frac=0.6, max_query_terms=5, cand_k=4)
+    got = _run_mlt(spark, docsets, n_queries=6, **kw)
+    want = _ref_mlt(docsets, 6, **kw)
+    assert got == want
+
+
+def test_mlt_df_screen_drops_universal_tokens(spark):
+    # 'stop' is in every doc; docs 3/4 share ONLY 'stop' with query 0,
+    # so they must never appear; csz must also exclude 'stop': doc 1
+    # {stop, a} has screened size 1, so Jaccard(q0, d1) = 1/2 (not 1/3)
+    # and d1 ties d2 ({stop, a, zz} -> 1/2? no: i=1, qsz=1, csz=2 -> 1/2
+    # vs d2 i=1, qsz=1, csz=2 -> 1/2) — both 1/2, tiebreak doc_id.
+    docsets = {
+        0: {"stop", "a"},
+        1: {"stop", "a"},
+        2: {"stop", "a", "zz"},
+        3: {"stop", "b"},
+        4: {"stop"},
+    }
+    got = _run_mlt(
+        spark, docsets, n_queries=1, max_df_frac=0.9, max_query_terms=16,
+        cand_k=10,
+    )
+    want = _ref_mlt(docsets, 1, 0.9, 16, 10)
+    assert got == want
+    assert (0, 3) not in got and (0, 4) not in got
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 2
+
+
+def test_mlt_rarest_m_cap_excludes_common_query_terms(spark):
+    # Query 0 holds 3 tokens; with max_query_terms=2 only the two
+    # rarest ('r1' df=2, 'r2' df=3) survive — doc 3, sharing only the
+    # commonest ('c' df=4), must not be a candidate.
+    docsets = {
+        0: {"r1", "r2", "c"},
+        1: {"r1", "x"},
+        2: {"r2", "c", "y"},
+        3: {"c", "z"},
+        4: {"r2", "c"},
+    }
+    got = _run_mlt(
+        spark, docsets, n_queries=1, max_df_frac=1.0, max_query_terms=2,
+        cand_k=10,
+    )
+    want = _ref_mlt(docsets, 1, 1.0, 2, 10)
+    assert got == want
+    assert (0, 3) not in got
+    assert {d for (_q, d) in got} == {1, 2, 4}
+
+
+def test_mlt_rejects_reserved_columns(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "a", 1)], "doc_id long, tok string, __df long"
+    )
+    with pytest.raises(ValueError, match="__-prefixed"):
+        mlt_token_jaccard_ranking(df, F.col("doc_id") < 1)
+
+
+def test_hybrid_rrf_plan_pins_the_df_cap(spark):
+    """The gated G19 plan must carry the bounded lexical shape: the df
+    screen's __df filter and the rarest-M row_number cap are in the
+    executed plan, the pinned toks relation means zero parquet
+    re-scans on the lexical side, and no cartesian product anywhere."""
+    from drive_bc_datapipeline_spark.plans.embeddings import (
+        hybrid_rrf_search_topk,
+    )
+    from tests.conftest import SF_SMOKE
+
+    df = hybrid_rrf_search_topk(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "__df" in plan, plan  # df screen survives optimization
+    assert "__rn" in plan, plan  # rarest-M query-term cap
+    # documents is consumed only through the localCheckpoint'd toks;
+    # the only parquet scans left are the embeddings side (query +
+    # corpus read through one pinned relation would be 0; G1's shape
+    # reads embeddings once per side from the same scan node).
+    assert plan.count("FileScan parquet") <= 2, plan
 
 
 # ---------------------------------------------------------------------------
