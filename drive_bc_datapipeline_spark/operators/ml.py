@@ -289,18 +289,27 @@ def kcenter_coreset(
     - the corpus projection (id, vec) is pinned once; each of the k
       rounds is ONE map pass computing distance-to-new-center inline
       (the center rides the plan as a 64-literal array — no join, no
-      broadcast table) + a partial-aggregable (dist, id) arg-max;
-    - driver state is k ids + k vectors, independent of |corpus|;
-      the running min-distance column re-checkpoints per round, so
-      lineage stays O(1) and each pass reads the previous pass's
-      |corpus|-row (id, vec, md) state, never the raw source again;
+      broadcast table) + a partial-aggregable arg-max whose struct
+      carries (dist, id, vec), so the round's single 1-row collect
+      returns the farthest point's vector too — no second corpus pass;
+    - driver state is the current center vector + k (round, id,
+      radius) tuples, independent of |corpus|; the running
+      min-distance state is persist()ed per round and the PREVIOUS
+      round's blocks are unpersisted as soon as the new state
+      materializes, so at most two |corpus|-row states are ever
+      resident (r10 fix: the earlier per-round localCheckpoint
+      accumulated up to k full-corpus copies with no eager release);
     - determinism: distances fold left-associated per dimension
       (bit-reproducible vs a sequential loop), and every arg-max
-      breaks ties on the smaller id via min(struct(-d, id)).
+      breaks ties on the smaller id via min(struct(-d, id, vec))
+      (id is the caller's key; the vec leg is never compared).
 
     k is a SMALL constant (selection rounds are inherently
     sequential); raise for k that would make round-count the
     bottleneck rather than silently looping.
+
+    ``center_id`` in the result carries ``df``'s own ``id_col`` type
+    (string/int/long ids all round-trip unchanged).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -310,7 +319,21 @@ def kcenter_coreset(
             "past ~64 rounds use kmeans_embeddings (G12) or IVF cells "
             "(G4) for cover selection instead"
         )
-    base = df.select(id_col, vec_col).localCheckpoint(eager=True)
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("round", IntegerType(), False),
+            StructField("center_id", id_type, True),
+            StructField("radius", DoubleType(), True),
+        ]
+    )
 
     def d2_to(vec) -> "F.Column":
         arr = F.array(*[F.lit(float(x)) for x in vec])
@@ -324,28 +347,43 @@ def kcenter_coreset(
             lambda acc, v: acc + v,
         )
 
-    first = base.agg(F.min(id_col).alias("i")).collect()[0]["i"]
-    if first is None:
-        raise ValueError("kcenter_coreset needs a non-empty frame")
-    cvec = base.filter(F.col(id_col) == first).collect()[0][vec_col]
-    centers = [(0, first, 0.0)]
-    cur = base.withColumn("md", d2_to(cvec)).localCheckpoint(eager=True)
-    for rnd in range(1, k):
-        far = cur.agg(
+    def argmax_far(state: DataFrame):
+        """One pass: the farthest row's (distance, id, vector)."""
+        row = state.agg(
             F.min(
                 F.struct(
-                    (-F.col("md")).alias("nd"), F.col(id_col).alias("i")
+                    (-F.col("md")).alias("nd"),
+                    F.col(id_col).alias("i"),
+                    F.col(vec_col).alias("v"),
                 )
             ).alias("s")
         ).collect()[0]["s"]
-        radius, cid = -far["nd"], far["i"]
-        if radius == 0.0:
-            break  # fewer distinct points than k: cover is exact
-        centers.append((rnd, cid, radius))
-        cvec = base.filter(F.col(id_col) == cid).collect()[0][vec_col]
-        cur = cur.withColumn(
-            "md", F.least(F.col("md"), d2_to(cvec))
-        ).localCheckpoint(eager=True)
-    return df.sparkSession.createDataFrame(
-        centers, "round int, center_id long, radius double"
-    )
+        return (None if row is None else (-row["nd"], row["i"], row["v"]))
+
+    base = df.select(id_col, vec_col).persist()
+    cur = None
+    try:
+        # Seed at the minimum id; md=0 makes argmax_far return exactly
+        # that row (with its vector) in the materializing pass.
+        seed = argmax_far(base.withColumn("md", F.lit(0.0)))
+        if seed is None:
+            raise ValueError("kcenter_coreset needs a non-empty frame")
+        _zero, first, cvec = seed
+        centers = [(0, first, 0.0)]
+        cur = base.withColumn("md", d2_to(cvec)).persist()
+        for rnd in range(1, k):
+            far = argmax_far(cur)
+            radius, cid, cvec = far
+            if radius == 0.0:
+                break  # fewer distinct points than k: cover is exact
+            centers.append((rnd, cid, radius))
+            nxt = cur.withColumn("md", F.least(F.col("md"), d2_to(cvec)))
+            nxt = nxt.persist()
+            nxt.count()  # materialize before releasing the old state
+            cur.unpersist()
+            cur = nxt
+        return df.sparkSession.createDataFrame(centers, out_schema)
+    finally:
+        if cur is not None:
+            cur.unpersist()
+        base.unpersist()

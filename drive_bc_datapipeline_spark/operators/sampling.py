@@ -210,6 +210,10 @@ def group_split(
     coalesce(component, own id) and never enter the CC iteration.
 
     Returns df + (group_rep, split) with split ∈ {'train', 'eval'}.
+    ``df`` must not already carry the output columns (group_rep,
+    split) or the reserved ``__component`` working name — raised
+    rather than silently shadowed (r10, the temperature_resample
+    __-prefix discipline).
     """
     from drive_bc_datapipeline_spark.operators.graph import (
         connected_components,
@@ -217,11 +221,18 @@ def group_split(
 
     if not 0.0 <= eval_frac <= 1.0:
         raise ValueError(f"eval_frac must be in [0, 1], got {eval_frac}")
-    comp = connected_components(pairs, src=src, dst=dst).withColumnRenamed(
-        "node", id_col
+    clash = [c for c in df.columns if c in ("group_rep", "split", "__component")]
+    if clash:
+        raise ValueError(
+            f"group_split writes columns {clash}; rename them in df first"
+        )
+    comp = (
+        connected_components(pairs, src=src, dst=dst)
+        .withColumnRenamed("node", id_col)
+        .withColumnRenamed("component", "__component")
     )
     joined = df.join(comp, id_col, "left")
-    rep = F.coalesce(F.col("component"), F.col(id_col))
+    rep = F.coalesce(F.col("__component"), F.col(id_col))
     u = _hash_unit(rep, seed)
     return joined.select(
         *df.columns,

@@ -472,6 +472,35 @@ def test_group_split_rejects_bad_fraction(spark):
         group_split(docs, pairs, "doc_id", eval_frac=1.5)
 
 
+def test_group_split_tolerates_and_guards_column_names(spark):
+    """r10: a df already carrying a 'component' column must NOT be
+    shadowed by the CC working column (reserved __component now), and
+    output-name clashes (group_rep / split) raise instead of silently
+    producing ambiguous frames."""
+    import pytest
+
+    from drive_bc_datapipeline_spark.operators.sampling import group_split
+
+    docs = spark.createDataFrame(
+        [(1, "a", 99), (2, "b", 98), (3, "c", 97)],
+        "doc_id long, text string, component long",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "src long, dst long")
+    rows = {
+        r["doc_id"]: r
+        for r in group_split(docs, pairs, "doc_id", 0.5, seed=1).collect()
+    }
+    # the user column survives untouched and the grouping still works
+    assert [rows[i]["component"] for i in (1, 2, 3)] == [99, 98, 97]
+    assert rows[1]["group_rep"] == rows[2]["group_rep"] == 1
+    assert rows[3]["group_rep"] == 3
+
+    for bad in ("group_rep", "split", "__component"):
+        clash = docs.withColumn(bad, docs.doc_id)
+        with pytest.raises(ValueError, match="rename them"):
+            group_split(clash, pairs, "doc_id", 0.5)
+
+
 # ---------------------------------------------------------------------------
 # E8 — greedy k-center coreset vs sequential reference
 # ---------------------------------------------------------------------------
@@ -553,3 +582,24 @@ def test_kcenter_guards(spark):
         kcenter_coreset(df, k=0)
     with pytest.raises(ValueError, match="sequential corpus passes"):
         kcenter_coreset(df, k=65)
+
+
+def test_kcenter_preserves_id_type_and_releases_state(spark):
+    """r10: center_id carries the caller's id type (here string), and
+    no cached corpus state survives the call (the per-round states are
+    eagerly unpersisted — previously up to k localCheckpoint copies
+    accumulated)."""
+    from drive_bc_datapipeline_spark.operators.ml import kcenter_coreset
+
+    df = spark.createDataFrame(
+        [("a", [0.0, 0.0]), ("b", [3.0, 4.0]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<float>",
+    )
+    persisted_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = kcenter_coreset(df, k=3)
+    assert dict(out.dtypes)["center_id"] == "string"
+    rows = [(r["round"], r["center_id"]) for r in out.orderBy("round").collect()]
+    # seed = min id 'a'; farthest from a is b (25.0); then c (1.0)
+    assert rows == [(0, "a"), (1, "b"), (2, "c")]
+    persisted_after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert persisted_after <= persisted_before, "leaked persisted state"
