@@ -438,3 +438,60 @@ def test_hybrid_rrf_pins_tokens_and_broadcasts_queries(spark):
     assert all("embeddings" in ln for ln in scans), plan
     assert "BroadcastHashJoin" in plan, plan
     assert "windowspecdefinition(query_id" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Normalized-plan identity snapshots (r9 verdict #5): keys that share
+# extracted helpers are pinned to a frozen executed plan, so a helper
+# refactor that silently changes the physical plan fails a test
+# instead of relying on builder diligence. Regenerate deliberately
+# (after a pinned gate re-verification) with:
+#     REGEN_PLAN_SNAPSHOTS=1 python -m pytest tests/test_plan_properties.py -k snapshot
+# ---------------------------------------------------------------------------
+
+import os
+import pathlib
+
+_SNAP_DIR = pathlib.Path(__file__).parent / "plan_snapshots"
+
+
+def _normalize_plan(plan: str) -> str:
+    """Strip per-session identifiers (exprIds, codegen plan ids) so
+    two structurally identical plans compare equal across sessions."""
+    plan = re.sub(r"#\d+L?", "#", plan)
+    plan = re.sub(r"plan_id=\d+", "plan_id=", plan)
+    return plan
+
+
+def _pq_plan(spark):
+    return plan_of(spark, "ann_pq_topk")
+
+
+def _ivfpq_plan(spark):
+    from drive_bc_datapipeline_spark.plans.embeddings import ann_ivfpq_topk
+
+    df = ann_ivfpq_topk(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "key", ["ann_pq_topk", "ann_ivfpq_topk"], ids=str
+)
+def test_plan_snapshot_identity(spark, key):
+    """G18/G20 share the PQ helper stack (grid quantize, Lloyd
+    codebook, LUT/ADC builders); their executed plans must match the
+    frozen snapshots bit-for-bit after identifier normalization."""
+    live = _normalize_plan(
+        {"ann_pq_topk": _pq_plan, "ann_ivfpq_topk": _ivfpq_plan}[key](spark)
+    )
+    snap_file = _SNAP_DIR / f"{key}.txt"
+    if os.environ.get("REGEN_PLAN_SNAPSHOTS"):
+        _SNAP_DIR.mkdir(exist_ok=True)
+        snap_file.write_text(live)
+        pytest.skip(f"regenerated {snap_file}")
+    frozen = snap_file.read_text()
+    assert live == frozen, (
+        f"{key}: executed plan drifted from tests/plan_snapshots/{key}.txt."
+        " If the change is deliberate, GATE_PIN the key (if gated) and"
+        " regenerate with REGEN_PLAN_SNAPSHOTS=1."
+    )
