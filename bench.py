@@ -107,13 +107,17 @@ def needs_retry(current: float, prior: float | None) -> bool:
 
 
 def load_prior_queries(full_path: str, sf: float) -> dict[str, float]:
-    """Per-query map from the tracked BENCH_full.json of a previous
-    run, empty when absent/unreadable or recorded at a different SF."""
+    """Per-query retry priors from the tracked BENCH_full.json of a
+    previous run, empty when absent/unreadable or recorded at a
+    different SF. Prefers the ``retry_priors`` map (the running MIN
+    across rounds — see main()); falls back to the measured
+    ``queries`` map for files written before r10."""
     try:
         with open(full_path) as fh:
             prior = json.load(fh)
         if abs(float(prior.get("sf", -1.0)) - sf) < 1e-9:
-            return {k: float(v) for k, v in prior.get("queries", {}).items()}
+            src = prior.get("retry_priors") or prior.get("queries", {})
+            return {k: float(v) for k, v in src.items()}
     except (OSError, ValueError):
         pass
     return {}
@@ -182,6 +186,18 @@ def main() -> None:
     if retried:
         spark.catalog.clearCache()
 
+    # Retry priors retain the running MIN across rounds (r9 verdict):
+    # a contended run can inflate the MEASURED map (kept honest below)
+    # but must never desensitize the 2x trigger — min(new, prior) means
+    # thresholds only tighten. A key made structurally slower by a
+    # deliberate replan will retry once per run (visible as a standing
+    # n_retried entry) rather than silently raising its own bar.
+    retry_priors = {
+        n: round(min(timings[n], prior_q[n]), 3) if n in prior_q
+        else timings[n]
+        for n in names
+    }
+
     for name in names:
         print(f"  {name}: {timings[name]}s (cold {cold[name]}s)", file=sys.stderr)
 
@@ -201,6 +217,10 @@ def main() -> None:
     # the slowest, most informative keys sit at the surviving tail,
     # adjacent to slowest_10 and the totals.
     payload = {
+        # retry_priors leads: it's consumed from the TRACKED file only
+        # (never truncated), so it must not push the headline numbers
+        # out of the stdout artifact's surviving tail.
+        "retry_priors": dict(sorted(retry_priors.items())),
         "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
         "slowest_10": dict(
             sorted(timings.items(), key=lambda kv: -kv[1])[:10]

@@ -28,3 +28,26 @@ def test_load_prior_queries_roundtrip(tmp_path):
     assert bench.load_prior_queries(str(tmp_path / "missing.json"), 0.1) == {}
     p.write_text("{not json")
     assert bench.load_prior_queries(str(p), 0.1) == {}
+
+
+def test_load_prior_queries_prefers_min_retained_retry_priors(tmp_path):
+    """r10: the retry trigger reads the running-MIN retry_priors map
+    when present (a contended run inflates the measured `queries` map
+    but must never desensitize the 2x threshold); pre-r10 files with
+    only `queries` still load."""
+    p = tmp_path / "BENCH_full.json"
+    p.write_text(
+        json.dumps(
+            {
+                "sf": 0.1,
+                "queries": {"q1": 3.1, "q2": 0.9},  # the contended run
+                "retry_priors": {"q1": 1.5, "q2": 0.2},  # running min
+            }
+        )
+    )
+    assert bench.load_prior_queries(str(p), 0.1) == {"q1": 1.5, "q2": 0.2}
+    # the min-retained prior keeps the trigger sensitized where the
+    # contended measurement would have let a 5s q1 pass silently
+    priors = bench.load_prior_queries(str(p), 0.1)
+    assert bench.needs_retry(5.0, priors["q1"])
+    assert not bench.needs_retry(5.0, 3.1)
