@@ -1,10 +1,11 @@
 """Hybrid-retrieval rank fusion + bounded lexical candidates (G19).
 
 Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009): given K
-independent rankings of candidates per query (the gated G19 fuses the
-df-bounded token-Jaccard more-like-this ranking below with G1's exact
-cosine ranking; ``rrf_fuse`` takes any list, so H22's BM25 ranks can
-be fused as an additional system), fuse them by
+independent rankings of candidates per query (the gated G19 fuses
+THREE systems: the df-bounded token-Jaccard more-like-this ranking
+and the BM25 more-like-this ranking below — both consuming the same
+capped query terms — plus G1's exact cosine ranking; ``rrf_fuse``
+takes any list), fuse them by
 
     rrf(d) = Σ_i 1 / (k0 + rank_i(d))
 
@@ -22,10 +23,12 @@ top-N-per-query sized (bounded by upstream retrieval), so both
 exchanges move k·|queries|·|rankings| rows, never corpus-scale data.
 
 Determinism: rank_i are integers, so the fused score is an exact sum
-of unit fractions with k0 <= 60-ish denominators — identical across
-engines/orders up to double associativity on at most |rankings| terms
-(ties possible only for genuinely symmetric rank profiles); the final
-ordering tie-breaks on doc_id.
+of unit fractions with k0 <= 60-ish denominators. With 3+ rankings the
+sum's ASSOCIATION order is engine- and row-order-dependent (±1 ulp),
+so the fused rank orders by the 6-dp-quantized score (r10; the H22
+recipe — distinct rank profiles differ by ≥ ~1e-4 at k0=60, far above
+the grid, while equal profiles collapse to the doc_id tiebreak
+identically in every engine).
 """
 
 from __future__ import annotations
@@ -82,33 +85,37 @@ def mlt_token_jaccard_ranking(
     stream post-screen. Nothing downstream of the screen exceeds
     |queries|·M·(frac-capped df) rows.
     """
-    reserved = [c for c in toks.columns if c.startswith("__")]
-    if reserved:
-        raise ValueError(f"toks must not carry __-prefixed columns: {reserved}")
-    ndocs = toks.select(F.countDistinct(doc_col).alias("__n"))
-    dfrel = toks.groupBy(tok_col).agg(F.countDistinct(doc_col).alias("__df"))
-    keep = (
-        dfrel.crossJoin(F.broadcast(ndocs))
-        .filter(F.col("__df") <= F.col("__n") * F.lit(float(max_df_frac)))
-        .select(tok_col, "__df")
+    scrbase, qt = mlt_candidate_terms(
+        toks,
+        query_pred,
+        max_df_frac=max_df_frac,
+        max_query_terms=max_query_terms,
+        doc_col=doc_col,
+        tok_col=tok_col,
     )
-    scr = (
-        toks.select(doc_col, tok_col)
-        .join(F.broadcast(keep), tok_col)
-        .withColumn("__csz", F.count(F.lit(1)).over(Window.partitionBy(doc_col)))
+    return jaccard_mlt_ranking(
+        scrbase, qt, cand_k=cand_k, doc_col=doc_col, tok_col=tok_col
     )
-    w_rare = Window.partitionBy(doc_col).orderBy("__df", tok_col)
-    qt = (
-        scr.filter(query_pred)
-        .withColumn("__rn", F.row_number().over(w_rare))
-        .filter(F.col("__rn") <= max_query_terms)
-        .select(F.col(doc_col).alias("__query_id"), tok_col)
-        .withColumn(
-            "__qsz", F.count(F.lit(1)).over(Window.partitionBy("__query_id"))
-        )
+
+
+def jaccard_mlt_ranking(
+    scrbase: DataFrame,
+    qt: DataFrame,
+    *,
+    cand_k: int = 20,
+    doc_col: str = "doc_id",
+    tok_col: str = "tok",
+) -> DataFrame:
+    """The Jaccard scoring stage over ``mlt_candidate_terms`` output —
+    split out so a plan fusing several MLT rankings (Jaccard + BM25)
+    computes the screen and the capped query terms ONCE."""
+    scr = scrbase.select(doc_col, tok_col).withColumn(
+        "__csz", F.count(F.lit(1)).over(Window.partitionBy(doc_col))
     )
     inter = (
-        scr.join(F.broadcast(qt), tok_col)
+        scr.join(
+            F.broadcast(qt.select("__query_id", tok_col, "__qsz")), tok_col
+        )
         .filter(F.col(doc_col) != F.col("__query_id"))
         .groupBy("__query_id", doc_col, "__qsz", "__csz")
         .agg(F.count(F.lit(1)).alias("__i"))
@@ -120,6 +127,125 @@ def mlt_token_jaccard_ranking(
     return (
         inter.withColumn("__jac", jac)
         .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= cand_k)
+        .select(
+            F.col("__query_id").alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            "rank",
+        )
+    )
+
+
+def mlt_candidate_terms(
+    toks: DataFrame,
+    query_pred: Column,
+    *,
+    max_df_frac: float = 0.95,
+    max_query_terms: int = 16,
+    doc_col: str = "doc_id",
+    tok_col: str = "tok",
+    pin_query_terms: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared bounding machinery behind the MLT rankings: returns
+    ``(scrbase, qt)`` where
+
+    - ``scrbase`` is the screened corpus token stream (doc_col,
+      tok_col, __df) — tokens with df > max_df_frac·|docs| dropped;
+    - ``qt`` is the capped per-query term relation (__query_id,
+      tok_col, __df, __qsz) — each query's ``max_query_terms`` rarest
+      screened tokens, ordered by (df, token), with the capped set
+      size alongside.
+
+    ``qt`` is |queries|·M rows; ``pin_query_terms`` eagerly
+    localCheckpoints it (default) so downstream consumers — the
+    Jaccard ranking, a BM25 ranking, any other candidate generator —
+    never re-run the df aggregates per consumer.
+    """
+    reserved = [c for c in toks.columns if c.startswith("__")]
+    if reserved:
+        raise ValueError(f"toks must not carry __-prefixed columns: {reserved}")
+    ndocs = toks.select(F.countDistinct(doc_col).alias("__n"))
+    dfrel = toks.groupBy(tok_col).agg(F.countDistinct(doc_col).alias("__df"))
+    keep = (
+        dfrel.crossJoin(F.broadcast(ndocs))
+        .filter(F.col("__df") <= F.col("__n") * F.lit(float(max_df_frac)))
+        .select(tok_col, "__df")
+    )
+    scrbase = toks.select(doc_col, tok_col).join(F.broadcast(keep), tok_col)
+    w_rare = Window.partitionBy(doc_col).orderBy("__df", tok_col)
+    qt = (
+        scrbase.filter(query_pred)
+        .withColumn("__rn", F.row_number().over(w_rare))
+        .filter(F.col("__rn") <= max_query_terms)
+        .select(F.col(doc_col).alias("__query_id"), tok_col, "__df")
+        .withColumn(
+            "__qsz", F.count(F.lit(1)).over(Window.partitionBy("__query_id"))
+        )
+    )
+    if pin_query_terms:
+        qt = qt.localCheckpoint(eager=True)
+    return scrbase, qt
+
+
+def bm25_mlt_ranking(
+    tf_toks: DataFrame,
+    qt: DataFrame,
+    stats: DataFrame,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    cand_k: int = 20,
+    doc_col: str = "doc_id",
+    tok_col: str = "tok",
+    dl_col: str = "dl",
+) -> DataFrame:
+    """Per-query BM25 more-like-this ranking (query, doc, rank) over
+    the SAME capped query terms as the Jaccard ranking — the Okapi
+    scoring H22 gates, generalized from one fixed term set to one term
+    set per query document.
+
+    ``tf_toks`` is the NON-distinct token stream (doc_col, dl_col,
+    tok_col) — one row per token occurrence, full doc length in-row;
+    ``qt``/``stats`` come from ``mlt_candidate_terms`` and a 1-row
+    (__n_docs, __avgdl) aggregate. Only postings matching a capped
+    query term survive the broadcast join, so the shuffled relation is
+    bounded by the capped terms' document frequencies (the H22
+    "query-terms-only tf" move, per query).
+
+    Cross-engine determinism (H22's recipe): idf and the saturation
+    denominator are single float expressions of exact integers; the
+    per-(query, doc) score is rounded to 6 dp with the registry's
+    epsilon nudge BEFORE ranking, and ranks tie-break on doc_id.
+    """
+    cand = (
+        tf_toks.select(doc_col, dl_col, tok_col)
+        .join(F.broadcast(qt.select("__query_id", tok_col, "__df")), tok_col)
+        .filter(F.col(doc_col) != F.col("__query_id"))
+    )
+    tf = cand.groupBy("__query_id", doc_col, tok_col, dl_col, "__df").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    idf = F.log(
+        1.0
+        + (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    denom = F.col("__tf") + k1 * (
+        1.0 - b + b * F.col(dl_col) / F.col("__avgdl")
+    )
+    term_score = idf * F.col("__tf") * (k1 + 1.0) / denom
+    # 1e-9 epsilon before the 6-dp quantization: same boundary-nudge
+    # contract as plans.registry.r6 (kept literal here so the operator
+    # layer stays import-independent of the plans layer).
+    scored = (
+        tf.crossJoin(F.broadcast(stats))
+        .groupBy("__query_id", doc_col)
+        .agg(F.round(F.sum(term_score) + 1e-9, 6).alias("__score"))
+    )
+    w_rank = Window.partitionBy("__query_id").orderBy(
+        F.desc("__score"), doc_col
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= cand_k)
         .select(
             F.col("__query_id").alias("query_id"),
@@ -165,8 +291,11 @@ def rrf_fuse(
         F.sum("__contrib").alias("rrf_score"),
         F.count(F.lit(1)).cast("int").alias("n_rankings"),
     )
+    # Rank on the quantized score (1e-9 nudge + 6 dp, the registry.r6
+    # contract): the raw sum of 3+ unit fractions is association-order
+    # sensitive at the ulp level, and ranking must not be.
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("rrf_score"), F.col("doc_id")
+        F.desc(F.round(F.col("rrf_score") + 1e-9, 6)), F.col("doc_id")
     )
     out = fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
     if top_k is not None:

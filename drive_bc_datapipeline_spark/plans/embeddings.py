@@ -2376,12 +2376,14 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # G19 — hybrid lexical+vector retrieval fused by reciprocal rank
-# fusion (the production RAG hybrid-search readout). Two independent
+# fusion (the production RAG hybrid-search readout). THREE independent
 # per-query rankings over the SAME corpus (doc_id ≡ vec_id in
 # testdata): a lexical more-like-this ranking by distinct-token
-# Jaccard to the query document, and the exact-cosine vector ranking
-# over the aligned embeddings. RRF (operators/retrieval.rrf_fuse)
-# sums 1/(k0+rank) per (query, doc) — rank-only fusion, no score
+# Jaccard to the query document, a BM25 more-like-this ranking over
+# the same capped query terms (r10 — the Okapi scoring H22 gates,
+# per query document), and the exact-cosine vector ranking over the
+# aligned embeddings. RRF (operators/retrieval.rrf_fuse) sums
+# 1/(k0+rank) per (query, doc) — rank-only fusion, no score
 # calibration across systems.
 #
 # Scale shape (100 TB): the query side of BOTH rankings is
@@ -2403,41 +2405,52 @@ HYB_K0 = 60  # the Cormack et al. constant
 HYB_TOP_K = 10
 HYB_DF_MAX_FRAC = 0.95  # stopword screen: drop tokens in > frac·N docs
 HYB_QUERY_TERMS = 16  # rarest-M query-term cap (Lucene maxQueryTerms)
+HYB_BM25_K1 = 1.2  # Okapi saturation (H22's constants)
+HYB_BM25_B = 0.75  # Okapi length normalization
 
 HYBRID_RRF_ORACLE = f"""
 WITH dt AS (
   SELECT doc_id,
-         list_distinct(list_filter(string_split(text, ' '),
-                                   x -> x <> '')) AS toks
+         list_filter(string_split(text, ' '), x -> x <> '') AS rawtoks
   FROM documents
 ),
 tok AS (
-  SELECT doc_id, unnest(toks) AS tok FROM dt
+  SELECT doc_id, unnest(list_distinct(rawtoks)) AS tok FROM dt
+),
+tfs AS (
+  SELECT doc_id, len(rawtoks) AS dl, unnest(rawtoks) AS tok FROM dt
 ),
 n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM (SELECT doc_id, MIN(dl) AS dl FROM tfs GROUP BY doc_id)
+),
 keep AS (
   SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok
   HAVING COUNT(DISTINCT doc_id)
          <= (SELECT n FROM n) * {HYB_DF_MAX_FRAC}
 ),
 scr AS (
-  SELECT t.doc_id, t.tok, k.df,
-         COUNT(*) OVER (PARTITION BY t.doc_id) AS csz
+  SELECT t.doc_id, t.tok, k.df
   FROM tok t JOIN keep k USING (tok)
 ),
 qt AS (
-  SELECT doc_id AS query_id, tok,
+  SELECT doc_id AS query_id, tok, df,
          COUNT(*) OVER (PARTITION BY doc_id) AS qsz
   FROM (
-    SELECT doc_id, tok, ROW_NUMBER() OVER (
+    SELECT doc_id, tok, df, ROW_NUMBER() OVER (
         PARTITION BY doc_id ORDER BY df, tok
     ) AS rn
     FROM scr WHERE doc_id < {N_QUERIES}
   ) WHERE rn <= {HYB_QUERY_TERMS}
 ),
+jscr AS (
+  SELECT doc_id, tok, COUNT(*) OVER (PARTITION BY doc_id) AS csz
+  FROM scr
+),
 inter AS (
   SELECT q.query_id, c.doc_id, q.qsz, c.csz, COUNT(*) AS i
-  FROM scr c JOIN qt q ON c.tok = q.tok AND c.doc_id <> q.query_id
+  FROM jscr c JOIN qt q ON c.tok = q.tok AND c.doc_id <> q.query_id
   GROUP BY 1, 2, 3, 4
 ),
 lexk AS (
@@ -2447,6 +2460,30 @@ lexk AS (
         ORDER BY CAST(i AS DOUBLE) / (qsz + csz - i) DESC, doc_id
     ) AS rnk
     FROM inter
+  ) WHERE rnk <= {HYB_CAND_K}
+),
+btf AS (
+  SELECT q.query_id, c.doc_id, c.dl, c.tok, q.df, COUNT(*) AS tf
+  FROM tfs c JOIN qt q ON c.tok = q.tok AND c.doc_id <> q.query_id
+  GROUP BY 1, 2, 3, 4, 5
+),
+bsc AS (
+  SELECT query_id, doc_id,
+         {r6_sql(
+             f"SUM(ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5))"
+             f" * tf * ({HYB_BM25_K1} + 1.0)"
+             f" / (tf + {HYB_BM25_K1}"
+             f" * (1.0 - {HYB_BM25_B} + {HYB_BM25_B} * dl / s.avgdl)))"
+         )} AS bscore
+  FROM btf CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+bmk AS (
+  SELECT query_id, doc_id, rnk FROM (
+    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY bscore DESC, doc_id
+    ) AS rnk
+    FROM bsc
   ) WHERE rnk <= {HYB_CAND_K}
 ),
 e AS (
@@ -2472,14 +2509,15 @@ fused AS (
   SELECT query_id, doc_id,
          SUM(1.0 / ({HYB_K0} + rnk)) AS score,
          CAST(COUNT(*) AS INTEGER) AS n_rankings
-  FROM (SELECT * FROM lexk UNION ALL SELECT * FROM veck)
+  FROM (SELECT * FROM lexk UNION ALL SELECT * FROM bmk
+        UNION ALL SELECT * FROM veck)
   GROUP BY 1, 2
 )
 SELECT query_id, doc_id, {r6_sql("score")} AS rrf_score, n_rankings,
        CAST(fused_rank AS INTEGER) AS fused_rank
 FROM (
   SELECT *, ROW_NUMBER() OVER (
-      PARTITION BY query_id ORDER BY score DESC, doc_id
+      PARTITION BY query_id ORDER BY {r6_sql("score")} DESC, doc_id
   ) AS fused_rank
   FROM fused
 )
@@ -2489,21 +2527,24 @@ WHERE fused_rank <= {HYB_TOP_K}
 
 @query("hybrid_rrf_search_topk", HYBRID_RRF_ORACLE)
 def hybrid_rrf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lexical (df-bounded token-Jaccard more-like-this) + vector
+    """Lexical (df-bounded token-Jaccard MLT) + BM25 MLT + vector
     (exact cosine) rankings fused by RRF. Determinism across engines:
     Jaccard is one double division of exact integers, the rarest-M
-    query-term cap orders by (integer df, token string), cosine reuses
-    G1's left-assoc chain, RRF scores are sums of ≤2 unit fractions of
-    integer ranks (IEEE-commutative), and every rank window tie-breaks
-    on doc_id.
+    query-term cap orders by (integer df, token string), BM25 ranks on
+    its 6-dp-quantized score (H22's recipe), cosine reuses G1's
+    left-assoc chain, and the fused rank orders by the quantized RRF
+    score (3-term float sums are association-order sensitive at the
+    ulp level) — every rank window tie-breaks on doc_id.
 
-    r10 replan: the lexical side moved to
-    operators/retrieval.mlt_token_jaccard_ranking, which screens
-    stopword-grade tokens (df > HYB_DF_MAX_FRAC·N) out of the join and
-    the set sizes and keeps only each query's HYB_QUERY_TERMS rarest
-    tokens — the r9 verdict's unbounded Σ q_count(tok)·df(tok) fan-out
-    is now ≤ |queries|·M·(frac-capped df). Scores changed (qsz ≤ M),
-    oracle updated symmetrically, GATE_PINned 10.
+    r10 replan: the lexical side moved to bounded operators
+    (operators/retrieval.mlt_candidate_terms + jaccard/bm25 scorers):
+    stopword-grade tokens (df > HYB_DF_MAX_FRAC·N) are screened out of
+    the joins and the set sizes, and each query keeps only its
+    HYB_QUERY_TERMS rarest tokens — the r9 verdict's unbounded
+    Σ q_count(tok)·df(tok) fan-out is now ≤ |queries|·M·(frac-capped
+    df); the verdict's preferred BM25 third ranking fuses through the
+    same capped terms. Scores changed, oracle updated symmetrically,
+    GATE_PINned 10.
 
     Parity: the reference has no retrieval surface (its closest shape
     is Athena full-scan SQL, athena.sql); hybrid fusion is the
@@ -2512,26 +2553,55 @@ def hybrid_rrf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd  # noqa: F401 — mapInPandas worker dependency
 
     from drive_bc_datapipeline_spark.operators.retrieval import (
-        mlt_token_jaccard_ranking,
+        bm25_mlt_ranking,
+        jaccard_mlt_ranking,
+        mlt_candidate_terms,
         rrf_fuse,
     )
 
-    # ---- lexical ranking: bounded more-like-this. The (doc_id, tok)
-    # relation feeds the df screen, the query side, and the corpus
-    # side — pin one materialization (bm25 tf-pin pattern) so the
-    # tokenizing documents scan runs once.
+    # ---- lexical rankings: bounded more-like-this, two scorers over
+    # ONE screen + capped-term computation. The (doc_id, dl, tok)
+    # distinct-token relation is pinned (bm25 tf-pin pattern) and
+    # feeds the df screen, the query side, the Jaccard corpus side,
+    # and the corpus stats; qt itself is pinned inside
+    # mlt_candidate_terms (|queries|·M rows).
     d = t(spark, sf_dir, "documents")
-    arr = F.array_distinct(
-        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    )
-    toks = d.select("doc_id", F.explode(arr).alias("tok")).localCheckpoint(
-        eager=True
-    )
-    lex = mlt_token_jaccard_ranking(
+    raw = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    toks = d.select(
+        "doc_id",
+        F.size(raw).alias("dl"),
+        F.explode(F.array_distinct(raw)).alias("tok"),
+    ).localCheckpoint(eager=True)
+    scrbase, qt = mlt_candidate_terms(
         toks,
         F.col("doc_id") < N_QUERIES,
         max_df_frac=HYB_DF_MAX_FRAC,
         max_query_terms=HYB_QUERY_TERMS,
+    )
+    lex = jaccard_mlt_ranking(scrbase, qt, cand_k=HYB_CAND_K)
+    # BM25 side: NON-distinct postings (tf needs multiplicities) with
+    # the full doc length in-row — the one documents re-read in the
+    # plan; corpus stats come from the pinned stream instead (one
+    # narrow (doc, dl) aggregate, no third text scan).
+    stats = (
+        toks.groupBy("doc_id")
+        .agg(F.min("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("__n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias(
+                "__avgdl"
+            ),
+        )
+    )
+    tf_toks = d.select(
+        "doc_id", F.size(raw).alias("dl"), F.explode(raw).alias("tok")
+    )
+    bm = bm25_mlt_ranking(
+        tf_toks,
+        qt,
+        stats,
+        k1=HYB_BM25_K1,
+        b=HYB_BM25_B,
         cand_k=HYB_CAND_K,
     )
 
@@ -2579,7 +2649,7 @@ def hybrid_rrf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "rank")
     )
 
-    fused = rrf_fuse([lex, vec], k0=HYB_K0, top_k=HYB_TOP_K)
+    fused = rrf_fuse([lex, bm, vec], k0=HYB_K0, top_k=HYB_TOP_K)
     return fused.select(
         "query_id",
         "doc_id",

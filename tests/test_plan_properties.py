@@ -424,18 +424,20 @@ def test_substring_dup_mass_pins_tokenized_corpus(spark):
 
 
 def test_hybrid_rrf_pins_tokens_and_broadcasts_queries(spark):
-    """G19 gate: the lexical (doc_id, sz, tok) relation is pinned once
-    (no documents FileScan survives in the final plan — the only
-    parquet scans left are the two embeddings sides of the G1-shape
-    cosine ranking), the token join's query side is a broadcast hash
-    join, and both rank windows partition by query_id (never a
+    """G19 gate: the lexical (doc_id, dl, tok) relation and the capped
+    query terms are pinned once (the only documents FileScan left is
+    the BM25 non-distinct postings side — tf needs multiplicities; the
+    other two scans are the embeddings sides of the G1-shape cosine
+    ranking), the token joins' query side is a broadcast hash join,
+    and the rank windows partition by query_id (never a
     single-partition global sort)."""
     plan = plan_of(spark, "hybrid_rrf_search_topk")
     scans = [
         ln for ln in plan.splitlines() if "FileScan parquet" in ln
     ]
-    assert len(scans) == 2, plan
-    assert all("embeddings" in ln for ln in scans), plan
+    assert len(scans) == 3, plan
+    assert sum("embeddings" in ln for ln in scans) == 2, plan
+    assert sum("documents" in ln for ln in scans) == 1, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "windowspecdefinition(query_id" in plan, plan
 

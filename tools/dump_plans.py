@@ -28,7 +28,7 @@ PICKS = {
     "q2_min_cost_supplier": "WindowGroupLimit (partial+final) prunes to the per-part minimum BEFORE the window exchange; supplier⋈nation⋈region is a broadcast chain.",
     "q21_waiting_supplier": "EXISTS/NOT-EXISTS become semi + anti hash joins, all partitioned on l_orderkey — no cartesian, no window over the fact.",
     "hll_weekly_rollup": "Sketch path: ObjectHashAggregate with partial_hll_union_agg map-side — the weekly shuffle moves fixed-size sketch blobs, not events.",
-    "hybrid_rrf_search_topk": "Hybrid RAG retrieval: pinned token relation feeds the df screen and both sides of the lexical Jaccard join (r10: stopword-grade tokens dropped by the broadcast df-cap, each query capped to its 16 rarest terms — the join intermediate is ≤ |queries|·M·capped-df, never Σ df(tok)); vector side is G1's broadcast-queries + partial-top-k shape; RRF fusion is one hash aggregate on (query, doc) + a query-partitioned rank window over top-C candidate rows only.",
+    "hybrid_rrf_search_topk": "Hybrid RAG retrieval, three fused systems (r10): pinned token relation feeds the df screen, the capped query terms (pinned, 16 rarest per query), the Jaccard corpus side, and the corpus stats — stopword-grade tokens dropped by the broadcast df-cap, so the lexical join intermediates are ≤ |queries|·M·capped-df, never Σ df(tok); BM25 scores non-distinct postings against the same capped terms (the one documents re-read); vector side is G1's broadcast-queries + partial-top-k shape; RRF fusion is one hash aggregate on (query, doc) + a query-partitioned rank window over top-C candidate rows, ranked on the quantized score.",
     "bitmap_distinct_users": "Two-level exact distinct: rows fold into per-(key, bucket) bitmaps map-side; the second shuffle moves only bitmap blobs.",
     "pagerank_type_graph": "Weighted PageRank: edge transition-probability frame cached + pre-partitioned on src, per-round join-agg with broadcast dangling mass, localCheckpoint truncates lineage per iteration.",
     "bm25_search_topk": "Inverted-index shape: postings explode filtered to query terms, broadcast df + corpus stats, TakeOrdered global top-k (never a full sort).",
