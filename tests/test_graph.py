@@ -438,3 +438,61 @@ def test_pair_memo_identical_and_warm(spark):
     assert sorted(map(tuple, mh.collect())) == sorted(
         map(tuple, D.dedup_minhash_lsh(spark, sf).collect())
     )
+    from drive_bc_datapipeline_spark.plans import embeddings as EM
+
+    el = EM.embedding_lsh_pairs(spark, sf)
+    assert EM.embedding_lsh_pairs(spark, sf) is el
+    assert sorted(map(tuple, el.collect())) == sorted(
+        map(tuple, EM.dedup_embedding_lsh(spark, sf).collect())
+    )
+
+
+def test_pagerank_type_graph_guard_names_the_operator(spark, monkeypatch):
+    """r10: the gated plan iterates on the driver over the collected
+    edge matrix, justified by the enumerable event_type domain — the
+    guard must refuse an unbounded node set and point at the
+    distributed operator."""
+    import pytest
+
+    from drive_bc_datapipeline_spark.plans import events as E
+
+    monkeypatch.setattr(E, "_PR_MAX_NODES", 2)
+    with pytest.raises(ValueError, match="graph.pagerank"):
+        E.pagerank_type_graph(spark, "/root/testdata/sf0.001")
+
+
+def test_pagerank_type_graph_matches_operator(spark):
+    """The driver-side iteration and the distributed operator walk the
+    same arithmetic: ranks agree to fp noise on the real type graph."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from drive_bc_datapipeline_spark.operators.graph import pagerank
+    from drive_bc_datapipeline_spark.plans import events as E
+    from drive_bc_datapipeline_spark.plans.registry import t
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r["pagerank"]
+        for r in E.pagerank_type_graph(spark, sf).collect()
+    }
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    want = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, damping=0.85, n_iter=5).collect()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        # the gated plan quantizes to 6 dp (registry.r6)
+        assert abs(got[k] - v) < 5.1e-7, (k, got[k], v)
+    assert abs(sum(got.values()) - 1.0) < 1e-5  # ranks sum to 1
