@@ -30,7 +30,7 @@ PICKS = {
     "hll_weekly_rollup": "Sketch path: ObjectHashAggregate with partial_hll_union_agg map-side — the weekly shuffle moves fixed-size sketch blobs, not events.",
     "hybrid_rrf_search_topk": "Hybrid RAG retrieval, three fused systems (r10): pinned token relation feeds the df screen, the capped query terms (pinned, 16 rarest per query), the Jaccard corpus side, and the corpus stats — stopword-grade tokens dropped by the broadcast df-cap, so the lexical join intermediates are ≤ |queries|·M·capped-df, never Σ df(tok); BM25 scores non-distinct postings against the same capped terms (the one documents re-read); vector side is G1's broadcast-queries + partial-top-k shape; RRF fusion is one hash aggregate on (query, doc) + a query-partitioned rank window over top-C candidate rows, ranked on the quantized score.",
     "bitmap_distinct_users": "Two-level exact distinct: rows fold into per-(key, bucket) bitmaps map-side; the second shuffle moves only bitmap blobs.",
-    "pagerank_type_graph": "Weighted PageRank: edge transition-probability frame cached + pre-partitioned on src, per-round join-agg with broadcast dangling mass, localCheckpoint truncates lineage per iteration.",
+    "pagerank_type_graph": "Weighted PageRank over the enumerable event-type graph (r10): ONE distributed window+agg pass builds the pinned weighted edge list; the 5 damped iterations run on the driver over the collected ≤|types|² edges (PCA d²-Gram boundedness, 4096-node guard) — the plan shown is the edge aggregate + the literal result projection; operators/graph.pagerank keeps the per-round join-agg shape for unbounded graphs.",
     "bm25_search_topk": "Inverted-index shape: postings explode filtered to query terms, broadcast df + corpus stats, TakeOrdered global top-k (never a full sort).",
     "embedding_gram_matrix": "Map-side upper-triangle pair expansion + single partial-agg groupBy — the shuffle carries only partitions x 36 partial sums, no self-join of the corpus.",
     "max_concurrent_intervals": "Sweep-line: union of +1/-1 points, per-type window running sum (no global single-partition window), broadcast peak join.",
