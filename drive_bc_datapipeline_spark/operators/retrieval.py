@@ -145,6 +145,8 @@ def mlt_candidate_terms(
     doc_col: str = "doc_id",
     tok_col: str = "tok",
     pin_query_terms: bool = True,
+    n_docs: int | None = None,
+    tokens_distinct: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The shared bounding machinery behind the MLT rankings: returns
     ``(scrbase, qt)`` where
@@ -160,17 +162,33 @@ def mlt_candidate_terms(
     localCheckpoints it (default) so downstream consumers — the
     Jaccard ranking, a BM25 ranking, any other candidate generator —
     never re-run the df aggregates per consumer.
+
+    Stage-count knobs (r10, the gated plan uses both): ``n_docs``
+    passes the screen denominator as a driver scalar (skips the
+    ndocs aggregate + broadcast cross-join — callers usually know
+    \\|docs\\| from a metadata-cheap count); ``tokens_distinct``
+    declares ``toks`` is already one row per (doc, distinct token),
+    letting the df relation use a single-level count instead of the
+    duplicate-safe two-level countDistinct.
     """
     reserved = [c for c in toks.columns if c.startswith("__")]
     if reserved:
         raise ValueError(f"toks must not carry __-prefixed columns: {reserved}")
-    ndocs = toks.select(F.countDistinct(doc_col).alias("__n"))
-    dfrel = toks.groupBy(tok_col).agg(F.countDistinct(doc_col).alias("__df"))
-    keep = (
-        dfrel.crossJoin(F.broadcast(ndocs))
-        .filter(F.col("__df") <= F.col("__n") * F.lit(float(max_df_frac)))
-        .select(tok_col, "__df")
+    df_agg = (
+        F.count(F.lit(1)) if tokens_distinct else F.countDistinct(doc_col)
     )
+    dfrel = toks.groupBy(tok_col).agg(df_agg.alias("__df"))
+    if n_docs is not None:
+        keep = dfrel.filter(
+            F.col("__df") <= F.lit(float(n_docs)) * F.lit(float(max_df_frac))
+        ).select(tok_col, "__df")
+    else:
+        ndocs = toks.select(F.countDistinct(doc_col).alias("__n"))
+        keep = (
+            dfrel.crossJoin(F.broadcast(ndocs))
+            .filter(F.col("__df") <= F.col("__n") * F.lit(float(max_df_frac)))
+            .select(tok_col, "__df")
+        )
     scrbase = toks.select(doc_col, tok_col).join(F.broadcast(keep), tok_col)
     w_rare = Window.partitionBy(doc_col).orderBy("__df", tok_col)
     qt = (

@@ -2438,7 +2438,7 @@ tok AS (
 tfs AS (
   SELECT doc_id, len(rawtoks) AS dl, unnest(rawtoks) AS tok FROM dt
 ),
-n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
+n AS (SELECT COUNT(*) AS n FROM documents),
 stats AS (
   SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
   FROM (SELECT doc_id, MIN(dl) AS dl FROM tfs GROUP BY doc_id)
@@ -2585,16 +2585,24 @@ def hybrid_rrf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mlt_candidate_terms (|queries|·M rows).
     d = t(spark, sf_dir, "documents")
     raw = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    # eager: measured faster than folding the materialization into the
+    # qt pin job (lazy checkpoint serializes the toks build into the
+    # consumer job's critical path).
     toks = d.select(
         "doc_id",
         F.size(raw).alias("dl"),
         F.explode(F.array_distinct(raw)).alias("tok"),
     ).localCheckpoint(eager=True)
+    # screen denominator = |documents| (Lucene's maxDocFreqPct is over
+    # all docs): a parquet footer count, no extra aggregate in-plan;
+    # tokens_distinct holds by construction (array_distinct above).
     scrbase, qt = mlt_candidate_terms(
         toks,
         F.col("doc_id") < N_QUERIES,
         max_df_frac=HYB_DF_MAX_FRAC,
         max_query_terms=HYB_QUERY_TERMS,
+        n_docs=d.count(),
+        tokens_distinct=True,
     )
     lex = jaccard_mlt_ranking(scrbase, qt, cand_k=HYB_CAND_K)
     # BM25 side: NON-distinct postings (tf needs multiplicities) with
