@@ -3146,13 +3146,18 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins each doc's (df ASC, h ASC)-prefix — correct by the prefix
     theorem above, scalable because prefixes are rare-shingle-heavy.
     """
+    from drive_bc_datapipeline_spark.tables import spread
+
     d = t(spark, sf_dir, "documents")
     # Hash shingles to 64-bit longs before any exchange (same
     # rationale + collision class as dedup_ngram_jaccard). One eager
     # materialization feeds the df aggregate, the prefix build, and
-    # the verification docsets.
+    # the verification docsets. spread: the single-row-group testdata
+    # scan would otherwise shingle on one core and pin a 1-partition
+    # layout into every consumer's first stage (r10; no-op on
+    # multi-file corpora).
     sh = (
-        word_ngrams(d, PPJ_N, distinct=True)
+        word_ngrams(spread(d), PPJ_N, distinct=True)
         .select("doc_id", F.xxhash64("shingle").alias("h"))
         .localCheckpoint(eager=True)
     )

@@ -2583,12 +2583,18 @@ def hybrid_rrf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds the df screen, the query side, the Jaccard corpus side,
     # and the corpus stats; qt itself is pinned inside
     # mlt_candidate_terms (|queries|·M rows).
+    from drive_bc_datapipeline_spark.tables import spread
+
     d = t(spark, sf_dir, "documents")
+    # spread: the testdata scan is one row group = one input partition,
+    # which would single-thread BOTH tokenize passes (and pin that
+    # layout into toks' consumers); no-op on multi-file corpora.
+    ds = spread(d)
     raw = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     # eager: measured faster than folding the materialization into the
     # qt pin job (lazy checkpoint serializes the toks build into the
     # consumer job's critical path).
-    toks = d.select(
+    toks = ds.select(
         "doc_id",
         F.size(raw).alias("dl"),
         F.explode(F.array_distinct(raw)).alias("tok"),
@@ -2619,7 +2625,7 @@ def hybrid_rrf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    tf_toks = d.select(
+    tf_toks = ds.select(
         "doc_id", F.size(raw).alias("dl"), F.explode(raw).alias("tok")
     )
     bm = bm25_mlt_ranking(

@@ -119,6 +119,9 @@ GATE_PIN: dict[str, int] = {
     # memo (materialized-view rule; rows identical, cold==warm-tested).
     # Already in the r10 window (last green r5) — no extra slot:
     "semantic_dedup_canonical": 10,
+    # round-10 replan: spread() widens the single-row-group scan before
+    # shingling (rows identical; layout-only). In-window (r6) — free:
+    "dedup_prefix_jaccard": 10,
 }
 
 

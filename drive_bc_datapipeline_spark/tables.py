@@ -84,3 +84,26 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Widen a narrow scan to the session's core count — ONLY when it
+    is actually narrow.
+
+    Single-file parquet with one row group (this repo's testdata) scans
+    as ONE input partition no matter what ``maxPartitionBytes`` says
+    (row groups don't split), so every CPU-heavy projection downstream
+    — tokenization, shingling, hashing — runs on one core while the
+    other 31 idle, and a localCheckpoint of that scan pins the
+    single-partition layout onto every consumer's first stage too.
+
+    On a real multi-file dataset the scan already has >= ``min_parts``
+    partitions and this returns ``df`` unchanged — no exchange enters
+    the plan, so the 100 TB story (never shuffle the raw corpus just
+    to re-balance) is preserved; the repartition only exists in the
+    degenerate local layout where the shuffle is bytes-trivial.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

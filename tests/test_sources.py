@@ -381,3 +381,20 @@ def test_profile_output_files_detects_small_files(spark, tmp_path):
     prof2 = profile_output_files(spark, out2, target_bytes=4)
     assert prof2["n_files"] == 1
     assert prof2["compaction_recommended"] is False
+
+
+def test_spread_widens_narrow_scans_only(spark):
+    """r10: spread() repartitions a below-parallelism frame to the
+    session core count and is an exact no-op (same plan object) on
+    frames that are already wide enough."""
+    from drive_bc_datapipeline_spark.tables import spread
+
+    narrow = spark.range(100).coalesce(1)
+    wide_n = spark.sparkContext.defaultParallelism
+    out = spread(narrow)
+    assert out.rdd.getNumPartitions() == wide_n
+    assert sorted(r["id"] for r in out.collect()) == list(range(100))
+
+    wide = spark.range(100).repartition(wide_n)
+    assert spread(wide) is wide  # no exchange added
+    assert spread(narrow, min_parts=1) is narrow
