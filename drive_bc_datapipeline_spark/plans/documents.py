@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from drive_bc_datapipeline_spark.functions import text as text_fns
+from drive_bc_datapipeline_spark.tables import spread
 from drive_bc_datapipeline_spark.plans.registry import (
     query,
     r2,
@@ -3146,8 +3147,6 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins each doc's (df ASC, h ASC)-prefix — correct by the prefix
     theorem above, scalable because prefixes are rare-shingle-heavy.
     """
-    from drive_bc_datapipeline_spark.tables import spread
-
     d = t(spark, sf_dir, "documents")
     # Hash shingles to 64-bit longs before any exchange (same
     # rationale + collision class as dedup_ngram_jaccard). One eager

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from drive_bc_datapipeline_spark.functions import vectors
+from drive_bc_datapipeline_spark.tables import spread
 from drive_bc_datapipeline_spark.plans.registry import (
     query,
     r4,
@@ -1085,7 +1086,9 @@ FROM proj GROUP BY label
 
 @query("embedding_pca_projection", _pca_oracle())
 def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    # spread (r10): the single-row-group scan would run the d²-fan-out
+    # pair-product explode on one core; no-op on multi-file data
+    e = spread(t(spark, sf_dir, "embeddings"))
     quant = e.select(
         "vec_id",
         "label",
@@ -2583,8 +2586,6 @@ def hybrid_rrf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds the df screen, the query side, the Jaccard corpus side,
     # and the corpus stats; qt itself is pinned inside
     # mlt_candidate_terms (|queries|·M rows).
-    from drive_bc_datapipeline_spark.tables import spread
-
     d = t(spark, sf_dir, "documents")
     # spread: the testdata scan is one row group = one input partition,
     # which would single-thread BOTH tokenize passes (and pin that

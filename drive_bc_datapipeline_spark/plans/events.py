@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from drive_bc_datapipeline_spark.tables import spread
 from drive_bc_datapipeline_spark.plans.registry import (
     query,
     r2,
@@ -1917,7 +1918,9 @@ GROUP BY event_type
 
 @query("pii_scrub_stats", PII_SCRUB_ORACLE)
 def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
+    # spread (r10): the single-row-group events scan would run the
+    # three regexp passes on one core; no-op on multi-file data
+    e = spread(t(spark, sf_dir, "events"))
     s = F.concat(
         F.col("props"),
         F.lit(" uid="),

@@ -120,8 +120,15 @@ GATE_PIN: dict[str, int] = {
     # Already in the r10 window (last green r5) — no extra slot:
     "semantic_dedup_canonical": 10,
     # round-10 replan: spread() widens the single-row-group scan before
-    # shingling (rows identical; layout-only). In-window (r6) — free:
+    # the CPU-heavy projections (rows identical; layout-only; no-op on
+    # multi-file corpora). A/B-kept only where it measured faster —
+    # regex-heavy pii scrub and the d²-fan-out PCA Gram — plus the F13
+    # shingle pin (flat, kept for consumer-stage layout); light
+    # tokenize+partial-agg keys were A/B-reverted (the exchange cost
+    # more than single-core tokenize). All in the r10 window — free:
     "dedup_prefix_jaccard": 10,
+    "pii_scrub_stats": 10,
+    "embedding_pca_projection": 10,
 }
 
 
