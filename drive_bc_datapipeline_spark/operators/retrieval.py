@@ -37,6 +37,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# Quantization contract shared by the scorers below: nudge by an
+# epsilon far above float noise but far below the 6-dp grid, then
+# round — the same boundary-nudge rule as plans.registry.r6/EPS4
+# (kept as a module constant here so the operator layer stays
+# import-independent of the plans layer; tests/test_retrieval.py
+# asserts the two never diverge).
+QUANT_EPS = 1e-9
+
 
 def mlt_token_jaccard_ranking(
     toks: DataFrame,
@@ -168,16 +176,18 @@ def mlt_candidate_terms(
     ndocs aggregate + broadcast cross-join — callers usually know
     \\|docs\\| from a metadata-cheap count); ``tokens_distinct``
     declares ``toks`` is already one row per (doc, distinct token),
-    letting the df relation use a single-level count instead of the
-    duplicate-safe two-level countDistinct.
+    skipping the defensive dropDuplicates. Duplicate (doc, token)
+    rows are deduped UP FRONT when not declared distinct (r10 review
+    fix: every downstream consumer — the rarest-M cap, __qsz, the
+    Jaccard intersection and __csz — counts rows, so a surviving
+    duplicate would silently corrupt scores, not just the df).
     """
     reserved = [c for c in toks.columns if c.startswith("__")]
     if reserved:
         raise ValueError(f"toks must not carry __-prefixed columns: {reserved}")
-    df_agg = (
-        F.count(F.lit(1)) if tokens_distinct else F.countDistinct(doc_col)
-    )
-    dfrel = toks.groupBy(tok_col).agg(df_agg.alias("__df"))
+    if not tokens_distinct:
+        toks = toks.dropDuplicates([doc_col, tok_col])
+    dfrel = toks.groupBy(tok_col).agg(F.count(F.lit(1)).alias("__df"))
     if n_docs is not None:
         keep = dfrel.filter(
             F.col("__df") <= F.lit(float(n_docs)) * F.lit(float(max_df_frac))
@@ -251,13 +261,10 @@ def bm25_mlt_ranking(
         1.0 - b + b * F.col(dl_col) / F.col("__avgdl")
     )
     term_score = idf * F.col("__tf") * (k1 + 1.0) / denom
-    # 1e-9 epsilon before the 6-dp quantization: same boundary-nudge
-    # contract as plans.registry.r6 (kept literal here so the operator
-    # layer stays import-independent of the plans layer).
     scored = (
         tf.crossJoin(F.broadcast(stats))
         .groupBy("__query_id", doc_col)
-        .agg(F.round(F.sum(term_score) + 1e-9, 6).alias("__score"))
+        .agg(F.round(F.sum(term_score) + QUANT_EPS, 6).alias("__score"))
     )
     w_rank = Window.partitionBy("__query_id").orderBy(
         F.desc("__score"), doc_col
@@ -289,6 +296,12 @@ def rrf_fuse(
     result list are simply absent. ``top_k`` truncates the fused list
     per query (None keeps every fused candidate). ``fused_rank`` uses
     row_number with a doc_id tiebreak so the output is deterministic.
+
+    ``rrf_score`` is returned QUANTIZED (QUANT_EPS nudge + 6 dp) and
+    ``fused_rank`` orders on exactly that value (r10 review fix: the
+    raw sum of 3+ unit fractions is association-order sensitive at
+    the ulp level, and returning a raw score that can disagree with
+    the returned rank would be self-inconsistent).
     """
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
@@ -306,14 +319,11 @@ def rrf_fuse(
     for p in parts[1:]:
         unioned = unioned.unionByName(p)
     fused = unioned.groupBy("query_id", "doc_id").agg(
-        F.sum("__contrib").alias("rrf_score"),
+        F.round(F.sum("__contrib") + QUANT_EPS, 6).alias("rrf_score"),
         F.count(F.lit(1)).cast("int").alias("n_rankings"),
     )
-    # Rank on the quantized score (1e-9 nudge + 6 dp, the registry.r6
-    # contract): the raw sum of 3+ unit fractions is association-order
-    # sensitive at the ulp level, and ranking must not be.
     w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(F.col("rrf_score") + 1e-9, 6)), F.col("doc_id")
+        F.desc("rrf_score"), F.col("doc_id")
     )
     out = fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
     if top_k is not None:

@@ -2205,7 +2205,8 @@ FROM r{_PR_ITER}"""
     return head + "".join(iters) + tail
 
 
-_PR_MAX_NODES = 4096  # driver edge matrix stays ≤ |nodes|² rows
+_PR_MAX_NODES = 4096  # python-loop cost per iteration ~ |edges| ≤ cap below
+_PR_MAX_EDGES = 262_144  # the actually-collected quantity (~20 MB of rows)
 
 
 @query("pagerank_type_graph", _pagerank_oracle())
@@ -2236,18 +2237,15 @@ def pagerank_type_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
         .localCheckpoint(eager=True)
     )
-    # distinct over src ∪ dst without re-running the upstream window:
-    # one tiny agg on the pinned edge frame
-    n_nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionAll(edges.select(F.col("dst").alias("node")))
-        .agg(F.countDistinct("node").alias("n"))
-        .collect()[0]["n"]
-    )
-    if n_nodes > _PR_MAX_NODES:
+    # Guard on the quantity that is actually collected (r10 review
+    # fix: a ≤4096-node graph can still hold nodes² ≈ 16.7M edges —
+    # the node cap alone under-protected the driver). One count on
+    # the pinned frame, BEFORE any row reaches the driver.
+    n_edges = edges.count()
+    if n_edges > _PR_MAX_EDGES:
         raise ValueError(
-            f"{n_nodes} nodes: the driver-side iteration is for "
-            f"enumerable domains (≤{_PR_MAX_NODES}); use "
+            f"{n_edges} edges: the driver-side iteration is for "
+            f"enumerable domains (≤{_PR_MAX_EDGES} edges); use "
             "operators.graph.pagerank for unbounded graphs"
         )
     rows = sorted(
@@ -2255,6 +2253,12 @@ def pagerank_type_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = sorted({s for s, _d, _w in rows} | {d for _s, d, _w in rows})
     n = len(nodes)
+    if n > _PR_MAX_NODES:
+        raise ValueError(
+            f"{n} nodes: the driver-side iteration is for "
+            f"enumerable domains (≤{_PR_MAX_NODES}); use "
+            "operators.graph.pagerank for unbounded graphs"
+        )
     outw: dict[str, float] = {}
     for s, _d, wt in rows:
         outw[s] = outw.get(s, 0.0) + wt

@@ -102,6 +102,12 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     the plan, so the 100 TB story (never shuffle the raw corpus just
     to re-balance) is preserved; the repartition only exists in the
     degenerate local layout where the shuffle is bytes-trivial.
+
+    Contract: call this on FRESHLY-LOADED SCANS. The partition probe
+    goes through ``df.rdd``, which physically plans the frame — on a
+    frame with upstream exchanges, AQE executes those shuffle stages
+    eagerly at call time (a surprising side-effect job in plan-build
+    contexts); on a bare scan it is only an extra planning pass.
     """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

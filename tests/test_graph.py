@@ -459,6 +459,13 @@ def test_pagerank_type_graph_guard_names_the_operator(spark, monkeypatch):
     monkeypatch.setattr(E, "_PR_MAX_NODES", 2)
     with pytest.raises(ValueError, match="graph.pagerank"):
         E.pagerank_type_graph(spark, "/root/testdata/sf0.001")
+    monkeypatch.undo()
+    # the edge guard bounds the actually-collected quantity BEFORE any
+    # row reaches the driver (r10 review fix: 4096 nodes can still
+    # mean nodes^2 ~ 16.7M edges)
+    monkeypatch.setattr(E, "_PR_MAX_EDGES", 3)
+    with pytest.raises(ValueError, match="edges.*graph.pagerank"):
+        E.pagerank_type_graph(spark, "/root/testdata/sf0.001")
 
 
 def test_pagerank_type_graph_matches_operator(spark):

@@ -14,13 +14,15 @@ from drive_bc_datapipeline_spark.operators.retrieval import (
 
 
 def _ref_rrf(rankings, k0):
-    """rankings: list of {(q, d): rank}. Returns {(q, d): (score, n)}."""
+    """rankings: list of {(q, d): rank}. Returns {(q, d): (score, n)}
+    with the score quantized exactly like the operator (QUANT_EPS
+    nudge + 6 dp — rrf_score is returned quantized since r10)."""
     fused = {}
     for r in rankings:
         for (q, d), rank in r.items():
             s, n = fused.get((q, d), (0.0, 0))
             fused[(q, d)] = (s + 1.0 / (k0 + rank), n + 1)
-    return fused
+    return {k: (round(s + 1e-9, 6), n) for k, (s, n) in fused.items()}
 
 
 def _ranking_df(spark, mapping):
@@ -49,7 +51,7 @@ def test_rrf_matches_reference_and_orders_deterministically(spark):
     ref = _ref_rrf(systems, 60)
     assert set(got) == set(ref)
     for key, (score, n) in ref.items():
-        assert abs(got[key][0] - score) < 1e-12, key
+        assert abs(got[key][0] - score) < 1e-9, key
         assert got[key][1] == n, key
     # fused_rank is a deterministic dense 1..n_q per query, descending
     # score with doc_id tiebreak
@@ -75,7 +77,7 @@ def test_rrf_missing_docs_contribute_nothing_and_topk_truncates(spark):
         ).collect()
     }
     assert out[1]["n_rankings"] == 2
-    assert abs(out[1]["rrf_score"] - (1 / 11 + 1 / 12)) < 1e-12
+    assert abs(out[1]["rrf_score"] - round(1 / 11 + 1 / 12 + 1e-9, 6)) < 1e-9
     assert out[2]["n_rankings"] == 1 and out[3]["n_rankings"] == 1
     # doc 1 (two hits) outranks the single-hit docs; 2 and 3 tie on
     # score (both rank-matched) and break on doc_id
@@ -289,6 +291,49 @@ def test_bm25_mlt_matches_sequential_reference(spark):
     }
     want = _ref_bm25_mlt(doclists, 5, cand_k=6, **kw)
     assert got == want
+
+
+def test_quantization_epsilon_matches_registry():
+    """The operator layer's QUANT_EPS must never drift from the plans
+    layer's EPS4 — both sides of every oracle comparison quantize with
+    the same nudge."""
+    from drive_bc_datapipeline_spark.operators import retrieval
+    from drive_bc_datapipeline_spark.plans import registry
+
+    assert retrieval.QUANT_EPS == registry.EPS4
+
+
+def test_mlt_duplicate_rows_do_not_corrupt_scores(spark):
+    """r10 review fix: with tokens_distinct=False (default) duplicate
+    (doc, tok) rows are deduped up front, so rankings are identical to
+    the distinct input — duplicates previously inflated qsz/csz/i."""
+    from pyspark.sql import functions as F
+
+    docsets = {
+        0: {"a", "b", "c"},
+        1: {"a", "b"},
+        2: {"b", "c", "d"},
+        3: {"d", "e"},
+    }
+    clean = _toks_df(spark, docsets)
+    dup_rows = [(d, tok) for d, toks in docsets.items() for tok in sorted(toks)]
+    dup = spark.createDataFrame(
+        dup_rows + dup_rows[::2], "doc_id long, tok string"
+    )
+    kw = dict(max_df_frac=1.0, max_query_terms=2, cand_k=10)
+    want = {
+        (r["query_id"], r["doc_id"]): r["rank"]
+        for r in mlt_token_jaccard_ranking(
+            clean, F.col("doc_id") < 1, **kw
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["doc_id"]): r["rank"]
+        for r in mlt_token_jaccard_ranking(
+            dup, F.col("doc_id") < 1, **kw
+        ).collect()
+    }
+    assert got == want and want  # non-empty and duplicate-invariant
 
 
 def test_mlt_rejects_reserved_columns(spark):
