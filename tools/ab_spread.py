@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""A/B a plan's use of tables.spread(): time each named query with the
+helper active vs patched to identity, in ONE session, min-of-N passes.
+
+The r10 finding this tool codifies: spread() pays only where the
+scan-side work is heavy (fan-out explodes, multi-regex, multi-consumer
+pinned token relations); for light tokenize + partial-agg keys the
+extra exchange costs more than single-core tokenize. Before applying
+spread to a key in a rotation batch, run:
+
+    PYTHONPATH=. python tools/ab_spread.py <key> [<key> ...] \
+        [--sf-dir /root/testdata/sf0.1] [--passes 3]
+
+and keep the treatment only where `on` beats `off` clearly. The tool
+patches the module-level `spread` reference in every plans module, so
+it works for keys whose plans import it at module scope.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("keys", nargs="+")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--passes", type=int, default=3)
+    args = ap.parse_args()
+
+    from drive_bc_datapipeline_spark.plans import (
+        documents,
+        embeddings,
+        events,
+        registry,
+    )
+    from drive_bc_datapipeline_spark.session import get_spark
+    from drive_bc_datapipeline_spark.tables import spread as real_spread
+
+    registry.load_all_plans()
+    unknown = [k for k in args.keys if k not in registry.QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown keys: {unknown}")
+
+    spark = get_spark("ab-spread")
+    registry.t(spark, args.sf_dir, "lineitem").count()  # warm JVM
+
+    modules = [m for m in (documents, embeddings, events) if hasattr(m, "spread")]
+
+    def run(key: str) -> float:
+        vals = []
+        for _ in range(args.passes):
+            t0 = time.time()
+            registry.QUERIES[key](spark, args.sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            vals.append(time.time() - t0)
+        return round(min(vals), 3)
+
+    identity = lambda df, min_parts=None: df  # noqa: E731
+    for key in args.keys:
+        res = {}
+        for label, fn in (("on", real_spread), ("off", identity)):
+            for m in modules:
+                m.spread = fn
+            res[label] = run(key)
+        verdict = "KEEP" if res["on"] < res["off"] * 0.9 else "revert"
+        print(f"{key}: on={res['on']}s off={res['off']}s -> {verdict}")
+    for m in modules:
+        m.spread = real_spread
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
