@@ -362,6 +362,8 @@ def kcenter_coreset(
 
     base = df.select(id_col, vec_col).persist()
     cur = None
+    prev = None  # previous round's state, covered by the finally so a
+    # throw between persist() and unpersist() can't leak blocks
     try:
         # Seed at the minimum id; md=0 makes argmax_far return exactly
         # that row (with its vector) in the materializing pass.
@@ -379,11 +381,16 @@ def kcenter_coreset(
             centers.append((rnd, cid, radius))
             nxt = cur.withColumn("md", F.least(F.col("md"), d2_to(cvec)))
             nxt = nxt.persist()
-            nxt.count()  # materialize before releasing the old state
-            cur.unpersist()
-            cur = nxt
+            # Swap BEFORE materializing: both states are now reachable
+            # from the finally, whichever call below throws.
+            prev, cur = cur, nxt
+            cur.count()  # materialize before releasing the old state
+            prev.unpersist()
+            prev = None
         return df.sparkSession.createDataFrame(centers, out_schema)
     finally:
+        if prev is not None:
+            prev.unpersist()
         if cur is not None:
             cur.unpersist()
         base.unpersist()

@@ -51,3 +51,25 @@ def test_load_prior_queries_prefers_min_retained_retry_priors(tmp_path):
     priors = bench.load_prior_queries(str(p), 0.1)
     assert bench.needs_retry(5.0, priors["q1"])
     assert not bench.needs_retry(5.0, 3.1)
+
+
+def test_apply_prior_refresh():
+    """r11 (r10 ADVICE): an accepted-slowdown key can re-baseline its
+    min-retained prior via $SPARK_GRAFT_REFRESH_PRIORS instead of
+    retrying on every future bench run forever."""
+    priors = {"q1": 1.5, "q2": 0.2, "q3": 0.9}
+    names = ["q1", "q2", "q3"]
+    # no spec: priors untouched
+    kept, unknown = bench.apply_prior_refresh(priors, names, "")
+    assert kept == priors and unknown == []
+    # named keys drop (whitespace tolerated); others retained
+    kept, unknown = bench.apply_prior_refresh(priors, names, " q1, q3 ")
+    assert kept == {"q2": 0.2} and unknown == []
+    # 'all' clears every prior
+    kept, unknown = bench.apply_prior_refresh(priors, names, "all")
+    assert kept == {} and unknown == []
+    # unknown keys surface for the warning instead of silently no-oping
+    kept, unknown = bench.apply_prior_refresh(priors, names, "q2,nope")
+    assert kept == {"q1": 1.5, "q3": 0.9} and unknown == ["nope"]
+    # a dropped key no longer triggers the retry (no floor to defend)
+    assert not bench.needs_retry(5.0, kept.get("q2"))

@@ -52,27 +52,36 @@ def main() -> None:
 
     modules = [m for m in (documents, embeddings, events) if hasattr(m, "spread")]
 
-    def run(key: str) -> float:
-        vals = []
-        for _ in range(args.passes):
-            t0 = time.time()
-            registry.QUERIES[key](spark, args.sf_dir).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            vals.append(time.time() - t0)
-        return round(min(vals), 3)
+    def time_once(key: str) -> float:
+        t0 = time.time()
+        registry.QUERIES[key](spark, args.sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.time() - t0
 
     identity = lambda df, min_parts=None: df  # noqa: E731
-    for key in args.keys:
-        res = {}
-        for label, fn in (("on", real_spread), ("off", identity)):
-            for m in modules:
-                m.spread = fn
-            res[label] = run(key)
-        verdict = "KEEP" if res["on"] < res["off"] * 0.9 else "revert"
-        print(f"{key}: on={res['on']}s off={res['off']}s -> {verdict}")
-    for m in modules:
-        m.spread = real_spread
+    try:
+        for key in args.keys:
+            # Interleave arms and alternate which goes first per pass,
+            # so warm-session effects (JIT, page cache) don't
+            # systematically favor the second arm.
+            vals: dict[str, list[float]] = {"on": [], "off": []}
+            for p in range(args.passes):
+                order = (("on", real_spread), ("off", identity))
+                if p % 2:
+                    order = order[::-1]
+                for label, fn in order:
+                    for m in modules:
+                        m.spread = fn
+                    vals[label].append(time_once(key))
+            res = {lbl: round(min(v), 3) for lbl, v in vals.items()}
+            verdict = "KEEP" if res["on"] < res["off"] * 0.9 else "revert"
+            print(f"{key}: on={res['on']}s off={res['off']}s -> {verdict}")
+    finally:
+        # Restore the real helper even if a run() raises, so an aborted
+        # A/B can't leave the plans modules patched to the wrong arm.
+        for m in modules:
+            m.spread = real_spread
     spark.stop()
 
 
