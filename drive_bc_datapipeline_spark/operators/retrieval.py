@@ -167,9 +167,13 @@ def mlt_candidate_terms(
       size alongside.
 
     ``qt`` is |queries|·M rows; ``pin_query_terms`` eagerly
-    localCheckpoints it (default) so downstream consumers — the
-    Jaccard ranking, a BM25 ranking, any other candidate generator —
-    never re-run the df aggregates per consumer.
+    localCheckpoints it (default) so consumers of the QUERY-TERM
+    subtree — the Jaccard ranking, a BM25 ranking, any other candidate
+    generator — never re-run its df aggregate + screen + rarest-M
+    window. ``scrbase`` itself is returned UNPINNED: each consumer of
+    the corpus side re-executes the df aggregate + screen join unless
+    the caller pins it (callers with one scrbase consumer, like the
+    gated hybrid plan, don't need to).
 
     Stage-count knobs (r10, the gated plan uses both): ``n_docs``
     passes the screen denominator as a driver scalar (skips the
@@ -226,33 +230,47 @@ def bm25_mlt_ranking(
     doc_col: str = "doc_id",
     tok_col: str = "tok",
     dl_col: str = "dl",
+    tf_col: str | None = None,
 ) -> DataFrame:
     """Per-query BM25 more-like-this ranking (query, doc, rank) over
     the SAME capped query terms as the Jaccard ranking — the Okapi
     scoring H22 gates, generalized from one fixed term set to one term
     set per query document.
 
-    ``tf_toks`` is the NON-distinct token stream (doc_col, dl_col,
-    tok_col) — one row per token occurrence, full doc length in-row;
-    ``qt``/``stats`` come from ``mlt_candidate_terms`` and a 1-row
-    (__n_docs, __avgdl) aggregate. Only postings matching a capped
-    query term survive the broadcast join, so the shuffled relation is
-    bounded by the capped terms' document frequencies (the H22
-    "query-terms-only tf" move, per query).
+    ``tf_toks`` is the token stream with full doc length in-row
+    (doc_col, dl_col, tok_col): by default one row per token
+    OCCURRENCE (tf is counted after the query-term screen); with
+    ``tf_col`` the caller passes a PRE-AGGREGATED relation instead —
+    exactly one row per (doc, distinct token) carrying its
+    multiplicity — and the per-(query, doc, token) tf groupBy is
+    skipped entirely (r11: lets the hybrid plan tokenize the corpus
+    ONCE and feed both the distinct-set machinery and BM25 from the
+    same pinned relation). ``qt``/``stats`` come from
+    ``mlt_candidate_terms`` and a 1-row (__n_docs, __avgdl)
+    aggregate. Only postings matching a capped query term survive the
+    broadcast join, so the shuffled relation is bounded by the capped
+    terms' document frequencies (the H22 "query-terms-only tf" move,
+    per query).
 
     Cross-engine determinism (H22's recipe): idf and the saturation
     denominator are single float expressions of exact integers; the
     per-(query, doc) score is rounded to 6 dp with the registry's
     epsilon nudge BEFORE ranking, and ranks tie-break on doc_id.
     """
+    tf_cols = [tf_col] if tf_col is not None else []
     cand = (
-        tf_toks.select(doc_col, dl_col, tok_col)
+        tf_toks.select(doc_col, dl_col, tok_col, *tf_cols)
         .join(F.broadcast(qt.select("__query_id", tok_col, "__df")), tok_col)
         .filter(F.col(doc_col) != F.col("__query_id"))
     )
-    tf = cand.groupBy("__query_id", doc_col, tok_col, dl_col, "__df").agg(
-        F.count(F.lit(1)).alias("__tf")
-    )
+    if tf_col is None:
+        tf = cand.groupBy("__query_id", doc_col, tok_col, dl_col, "__df").agg(
+            F.count(F.lit(1)).alias("__tf")
+        )
+    else:
+        # One row per (doc, token) by caller contract: the multiplicity
+        # rides in-row, no shuffle needed to recover it.
+        tf = cand.withColumn("__tf", F.col(tf_col).cast("long")).drop(tf_col)
     idf = F.log(
         1.0
         + (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)

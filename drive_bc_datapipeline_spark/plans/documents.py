@@ -306,6 +306,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtrees, and checkpoint blocks are freed by the ContextCleaner
     # when the DataFrame is collected, instead of pinning CacheManager
     # storage for the session.
+    # No spread: A/B-measured SLOWER here (r11, tools/ab_spread.py —
+    # 3.7s off vs 4.5s on at sf0.1); the 8-byte-hash projection is
+    # cheap enough that the extra exchange dominates.
     shingles = (
         word_ngrams(d, NGRAM_N, distinct=False)
         .select("doc_id", F.xxhash64("shingle").alias("h"))
@@ -636,7 +639,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint, not cache(): checkpoint blocks are freed when the
     # returned frame is GC'd; cache() pins a CacheManager entry for the
     # rest of the session (one leak per invocation).
-    shingles = word_ngrams(d, MH_N, distinct=False).localCheckpoint(eager=True)
+    # spread: parallelize the shingle explode + 16 min-hash slices off
+    # the one-row-group scan (no-op on multi-file corpora). r11 A/B
+    # (tools/ab_spread.py, interleaved arms, min-of-3 at sf0.1):
+    # 2.20s on vs 2.81s off — kept.
+    shingles = word_ngrams(spread(d), MH_N, distinct=False).localCheckpoint(
+        eager=True
+    )
     # Pinned like estimate-quality's signature table: both sides of the
     # band self-join otherwise re-run the 16 min-aggregations (the
     # initial plan shows no ReusedExchange for the aliased subtrees).
@@ -766,6 +775,9 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {SH_HAMMING_MAX}
 @query("dedup_simhash", SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
+    # No spread: A/B-measured SLOWER (r11, tools/ab_spread.py — 2.5s
+    # off vs 2.9s on at sf0.1); light tokenize + partial agg is the
+    # profile the r10 A/B already showed doesn't pay for the exchange.
     toks = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
@@ -1429,8 +1441,12 @@ JOIN sizes sb ON sb.doc_id = e.doc_id_b
 def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     # localCheckpoint, not cache() — same GC-freed-blocks rationale as
-    # dedup_minhash_lsh above.
-    shingles = word_ngrams(d, MH_N, distinct=False).localCheckpoint(eager=True)
+    # dedup_minhash_lsh above; spread for the same one-row-group
+    # shingle parallelism. r11 A/B (tools/ab_spread.py, interleaved
+    # arms, min-of-3 at sf0.1): 2.62s on vs 3.18s off — kept.
+    shingles = word_ngrams(spread(d), MH_N, distinct=False).localCheckpoint(
+        eager=True
+    )
     # Pin the signature table too: it feeds four subtrees (both sides
     # of the band self-join + both sides of the signature-agreement
     # compare). Measured at sf0.1: steady-state is a wash (AQE's

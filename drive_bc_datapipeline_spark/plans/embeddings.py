@@ -2567,6 +2567,19 @@ def hybrid_rrf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same capped terms. Scores changed, oracle updated symmetrically,
     GATE_PINned 10.
 
+    r11 replan: ONE tokenize pass instead of two. The pinned relation
+    is now the tf-annotated distinct-token table — explode raw
+    occurrences once, groupBy (doc, dl, tok) count — whose rows ARE
+    the distinct relation and whose `tf` column carries the BM25
+    multiplicities (map-side combine collapses the occurrence stream
+    to distinct-relation size before the exchange, the same size the
+    checkpoint writes anyway). BM25 consumes it with tf_col="tf"
+    (skipping its per-(query, doc, tok) tf groupBy — the multiplicity
+    rides in-row), so the documents text is read and split exactly
+    once. Result set bit-identical to the r10 plan (exceptAll both
+    ways = 0 at sf0.1); A/B interleaved min-of-3: 10.8s -> 3.9s in
+    the same session. GATE_PINned 11.
+
     Parity: the reference has no retrieval surface (its closest shape
     is Athena full-scan SQL, athena.sql); hybrid fusion is the
     training-data/RAG extension SURVEY §2 G19 claims.
@@ -2581,28 +2594,35 @@ def hybrid_rrf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ---- lexical rankings: bounded more-like-this, two scorers over
-    # ONE screen + capped-term computation. The (doc_id, dl, tok)
-    # distinct-token relation is pinned (bm25 tf-pin pattern) and
-    # feeds the df screen, the query side, the Jaccard corpus side,
-    # and the corpus stats; qt itself is pinned inside
+    # ONE screen + capped-term computation. The pinned relation is the
+    # tf-annotated distinct-token table (doc_id, dl, tok, tf): its
+    # rows feed the df screen, the query side, the Jaccard corpus side
+    # and the corpus stats; its tf column feeds BM25 — one text scan,
+    # one tokenize, for all consumers. qt itself is pinned inside
     # mlt_candidate_terms (|queries|·M rows).
     d = t(spark, sf_dir, "documents")
     # spread: the testdata scan is one row group = one input partition,
-    # which would single-thread BOTH tokenize passes (and pin that
-    # layout into toks' consumers); no-op on multi-file corpora.
+    # which would single-thread the tokenize (and pin that layout into
+    # toks' consumers); no-op on multi-file corpora.
     ds = spread(d)
     raw = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    # eager: measured faster than folding the materialization into the
-    # qt pin job (lazy checkpoint serializes the toks build into the
-    # consumer job's critical path).
-    toks = ds.select(
-        "doc_id",
-        F.size(raw).alias("dl"),
-        F.explode(F.array_distinct(raw)).alias("tok"),
-    ).localCheckpoint(eager=True)
+    # groupBy, not array_distinct: the partial (map-side) aggregate
+    # collapses occurrences to the distinct relation BEFORE the
+    # exchange, and the count rides along as tf — BM25's multiplicity
+    # for free, no second tokenize. Eager: measured faster than
+    # folding the materialization into the qt pin job (lazy checkpoint
+    # serializes the toks build into the consumer job's critical path).
+    toks = (
+        ds.select(
+            "doc_id", F.size(raw).alias("dl"), F.explode(raw).alias("tok")
+        )
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     # screen denominator = |documents| (Lucene's maxDocFreqPct is over
     # all docs): a parquet footer count, no extra aggregate in-plan;
-    # tokens_distinct holds by construction (array_distinct above).
+    # tokens_distinct holds by construction (the groupBy above).
     scrbase, qt = mlt_candidate_terms(
         toks,
         F.col("doc_id") < N_QUERIES,
@@ -2612,10 +2632,8 @@ def hybrid_rrf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens_distinct=True,
     )
     lex = jaccard_mlt_ranking(scrbase, qt, cand_k=HYB_CAND_K)
-    # BM25 side: NON-distinct postings (tf needs multiplicities) with
-    # the full doc length in-row — the one documents re-read in the
-    # plan; corpus stats come from the pinned stream instead (one
-    # narrow (doc, dl) aggregate, no third text scan).
+    # corpus stats from the pinned relation: one narrow (doc, dl)
+    # aggregate, no extra text scan.
     stats = (
         toks.groupBy("doc_id")
         .agg(F.min("dl").alias("dl"))
@@ -2626,16 +2644,15 @@ def hybrid_rrf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    tf_toks = ds.select(
-        "doc_id", F.size(raw).alias("dl"), F.explode(raw).alias("tok")
-    )
+    # BM25 side: the SAME pinned relation, multiplicities in-row.
     bm = bm25_mlt_ranking(
-        tf_toks,
+        toks,
         qt,
         stats,
         k1=HYB_BM25_K1,
         b=HYB_BM25_B,
         cand_k=HYB_CAND_K,
+        tf_col="tf",
     )
 
     # ---- vector ranking: G1's broadcast-queries shape with map-side

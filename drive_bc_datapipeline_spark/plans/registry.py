@@ -129,6 +129,23 @@ GATE_PIN: dict[str, int] = {
     "dedup_prefix_jaccard": 10,
     "pii_scrub_stats": 10,
     "embedding_pca_projection": 10,
+    # round-11 replan: spread() widens the one-row-group scan ahead of
+    # the shingle explode (layout-only; rows identical; no-op on
+    # multi-file corpora). A/B-kept with tools/ab_spread.py
+    # (interleaved arms, min-of-3 at sf0.1): minhash_lsh 2.81->2.20s,
+    # estimate_quality 3.18->2.62s; the same treatment was A/B-REVERTED
+    # on dedup_ngram_jaccard and dedup_simhash (slower). Both keys are
+    # in the r11 staleness window (last green r7) — no extra slot:
+    "dedup_minhash_lsh": 11,
+    "minhash_estimate_quality": 11,
+    # round-11 replan: one tokenize pass — the pinned relation is the
+    # tf-annotated distinct-token table (groupBy count with map-side
+    # combine); BM25 consumes tf in-row (tf_col), the second documents
+    # text scan is gone. Result set bit-identical (exceptAll both ways
+    # = 0 at sf0.1); A/B interleaved min-of-3 in one session: 10.8s ->
+    # 3.9s. NOT in the r11 staleness window (last green r10) — this
+    # pin deliberately spends one window slot, the round's only such:
+    "hybrid_rrf_search_topk": 11,
 }
 
 

@@ -352,9 +352,10 @@ def test_hybrid_rrf_plan_pins_the_df_cap(spark):
     localCheckpoint'd, so the screen/cap subtree never re-runs per
     consumer), the Jaccard and BM25 sides join broadcast(qt), and no
     cartesian product except the two 1-row stats broadcasts. Parquet
-    scans: 2 embeddings (G1's cosine shape) + 1 documents (the BM25
-    non-distinct postings — tf needs multiplicities the pinned
-    distinct stream lost)."""
+    scans: 2 embeddings (G1's cosine shape) and ZERO documents — the
+    r11 single-tokenize replan pins the tf-annotated distinct-token
+    relation, so every lexical consumer (screen, Jaccard, BM25, stats)
+    reads the checkpoint, never the text again."""
     from drive_bc_datapipeline_spark.plans.embeddings import (
         hybrid_rrf_search_topk,
     )
@@ -368,9 +369,9 @@ def test_hybrid_rrf_plan_pins_the_df_cap(spark):
     # is pinned functionally by the corner tests above)
     assert "__df" in plan, plan
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
-    assert len(scans) == 3, plan
+    assert len(scans) == 2, plan
     assert sum("embeddings" in ln for ln in scans) == 2, plan
-    assert sum("documents" in ln for ln in scans) == 1, plan
+    assert sum("documents" in ln for ln in scans) == 0, plan
 
 
 # ---------------------------------------------------------------------------
