@@ -1,0 +1,140 @@
+"""H44 — distributed BPE tokenizer training vs a sequential reference
+(the E6/K20/F16 pattern): the merge sequence, every pair count, and
+the segmentations must bit-match a plain-Python replay of Sennrich
+et al.'s algorithm over the same corpus."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from drive_bc_datapipeline_spark.operators.bpe import (
+    EOW,
+    MAX_MERGES,
+    bpe_segment,
+    bpe_train,
+    bpe_train_df,
+)
+from tests.conftest import SF_SMOKE
+
+# ---------------------------------------------------------------------------
+# Sequential reference: get_stats counts every adjacent occurrence
+# (overlaps included); apply is greedy left-to-right non-overlapping;
+# tie-break = (count desc, pair lexicographic asc).
+# ---------------------------------------------------------------------------
+
+
+def _seq_apply(syms: tuple[str, ...], left: str, right: str) -> tuple[str, ...]:
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _seq_train(texts: list[str], n_merges: int, min_count: int = 2):
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in t.split(" ") if w)
+    syms = {w: tuple(list(w) + [EOW]) for w in words}
+    merges = []
+    for rank in range(n_merges):
+        stats: Counter = Counter()
+        for w, c in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                stats[(s[i], s[i + 1])] += c
+        if not stats:
+            break
+        (left, right), n = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if n < min_count:
+            break
+        merges.append((rank, left, right, left + right, n))
+        syms = {w: _seq_apply(s, left, right) for w, s in syms.items()}
+    return merges
+
+
+def _seq_segment(word: str, merges) -> list[str]:
+    syms = tuple(list(word) + [EOW])
+    for _rank, left, right, _m, _n in merges:
+        syms = _seq_apply(syms, left, right)
+    return list(syms)
+
+
+def _smoke_texts(limit: int | None = None) -> list[str]:
+    q = f"SELECT text FROM '{SF_SMOKE}/documents.parquet' ORDER BY doc_id"
+    if limit:
+        q += f" LIMIT {limit}"
+    return [r[0] for r in duckdb.sql(q).fetchall()]
+
+
+def test_bpe_train_bit_matches_sequential_reference(spark):
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = bpe_train(d, 24)
+    want = _seq_train(_smoke_texts(), 24)
+    assert got == want
+    assert len(got) == 24  # this corpus has >= 24 productive merges
+
+
+def test_bpe_train_df_shape_and_order(spark):
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = bpe_train_df(d, 6)
+    rows = out.collect()
+    assert out.columns == [
+        "merge_rank", "left", "right", "merged", "pair_count",
+    ]
+    assert [r["merge_rank"] for r in rows] == list(range(6))
+    # counts are non-increasing ONLY per-pair-lifetime, not globally,
+    # but every merged symbol must be its parts concatenated
+    assert all(r["merged"] == r["left"] + r["right"] for r in rows)
+
+
+def test_bpe_greedy_overlap_and_early_stop(spark):
+    # [a,a,a]: pair (a,a) counts overlaps (2 per 'aaa'), but greedy
+    # apply merges non-overlapping left-to-right -> [aa, a, </w>]
+    d = spark.createDataFrame(
+        [(0, "aa aa aaa")], "doc_id long, text string"
+    )
+    merges = bpe_train(d, MAX_MERGES)
+    want = _seq_train(["aa aa aaa"], MAX_MERGES)
+    assert merges == want
+    assert merges[0][1:] == ("a", "a", "aa", 4)  # 2x'aa' + 2 overlaps
+    # early stop: every remaining pair eventually drops below
+    # min_count=2, well before MAX_MERGES rounds
+    assert len(merges) < MAX_MERGES
+
+
+def test_bpe_segment_matches_sequential_replay(spark):
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    merges = bpe_train(d, 16)
+    seg = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in bpe_segment(d.limit(40), merges).collect()
+    }
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet' "
+        "ORDER BY doc_id LIMIT 40"
+    ).fetchall()
+    for doc_id, text in texts:
+        want = [
+            s for w in text.split(" ") if w for s in _seq_segment(w, merges)
+        ]
+        assert seg[doc_id] == (want, len(want)), doc_id
+
+
+def test_bpe_guards(spark):
+    d = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match=">= 1"):
+        bpe_train(d, 0)
+    with pytest.raises(ValueError, match="dedicated tokenizer"):
+        bpe_train(d, MAX_MERGES + 1)
+    empty = spark.createDataFrame([(0, " ")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="at least one word"):
+        bpe_train(empty, 4)
