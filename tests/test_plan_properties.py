@@ -424,20 +424,20 @@ def test_substring_dup_mass_pins_tokenized_corpus(spark):
 
 
 def test_hybrid_rrf_pins_tokens_and_broadcasts_queries(spark):
-    """G19 gate: the lexical (doc_id, dl, tok) relation and the capped
-    query terms are pinned once (the only documents FileScan left is
-    the BM25 non-distinct postings side — tf needs multiplicities; the
-    other two scans are the embeddings sides of the G1-shape cosine
-    ranking), the token joins' query side is a broadcast hash join,
-    and the rank windows partition by query_id (never a
-    single-partition global sort)."""
+    """G19 gate: the tf-annotated lexical (doc_id, dl, tok, tf)
+    relation and the capped query terms are pinned once — r11's
+    single-tokenize replan feeds BM25 from the same pin (tf in-row),
+    so ZERO documents FileScans survive; the two remaining scans are
+    the embeddings sides of the G1-shape cosine ranking. The token
+    joins' query side is a broadcast hash join, and the rank windows
+    partition by query_id (never a single-partition global sort)."""
     plan = plan_of(spark, "hybrid_rrf_search_topk")
     scans = [
         ln for ln in plan.splitlines() if "FileScan parquet" in ln
     ]
-    assert len(scans) == 3, plan
+    assert len(scans) == 2, plan
     assert sum("embeddings" in ln for ln in scans) == 2, plan
-    assert sum("documents" in ln for ln in scans) == 1, plan
+    assert sum("documents" in ln for ln in scans) == 0, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "windowspecdefinition(query_id" in plan, plan
 

@@ -17,7 +17,7 @@ PICKS = {
     "q6_forecast_revenue": "Every predicate pushed to the scan (PushedFilters); single-row result, so scan selectivity is the whole cost.",
     "q5_local_supplier": "All four dims broadcast; the only shuffle join is lineitem⋈orders.",
     "q18_large_orders": "Lineitem pre-aggregated and HAVING-filtered BEFORE joining dims — survivors only.",
-    "dedup_minhash_lsh": "Shingle cache → map-side signatures → banding equi-join → array_intersect verification on candidates only.",
+    "dedup_minhash_lsh": "Shingle cache (scan spread()-widened off the one-row-group testdata layout, r11 A/B-kept) → map-side signatures → banding equi-join → array_intersect verification on candidates only.",
     "ann_cosine_topk": "Broadcast query set; one corpus scan; map-side partial top-k (mapInPandas) before the exchange.",
     "range_join_clicks_near_errors": "Bucket replication turns the interval predicate into an equi-join; exact Δt filter applied post-join.",
     "dedup_connected_components": "Iterative min-label propagation (plan shown = final iteration's step).",
@@ -28,7 +28,7 @@ PICKS = {
     "q2_min_cost_supplier": "WindowGroupLimit (partial+final) prunes to the per-part minimum BEFORE the window exchange; supplier⋈nation⋈region is a broadcast chain.",
     "q21_waiting_supplier": "EXISTS/NOT-EXISTS become semi + anti hash joins, all partitioned on l_orderkey — no cartesian, no window over the fact.",
     "hll_weekly_rollup": "Sketch path: ObjectHashAggregate with partial_hll_union_agg map-side — the weekly shuffle moves fixed-size sketch blobs, not events.",
-    "hybrid_rrf_search_topk": "Hybrid RAG retrieval, three fused systems (r10): pinned token relation feeds the df screen, the capped query terms (pinned, 16 rarest per query), the Jaccard corpus side, and the corpus stats — stopword-grade tokens dropped by the broadcast df-cap, so the lexical join intermediates are ≤ |queries|·M·capped-df, never Σ df(tok); BM25 scores non-distinct postings against the same capped terms (the one documents re-read); vector side is G1's broadcast-queries + partial-top-k shape; RRF fusion is one hash aggregate on (query, doc) + a query-partitioned rank window over top-C candidate rows, ranked on the quantized score.",
+    "hybrid_rrf_search_topk": "Hybrid RAG retrieval, three fused systems (r11, single tokenize): the pinned tf-annotated distinct-token relation feeds the df screen, the capped query terms (pinned, 16 rarest per query), the Jaccard corpus side, BM25 (tf in-row — zero documents FileScans in the executed plan) and the corpus stats; stopword-grade tokens dropped by the broadcast df-cap, so the lexical join intermediates are ≤ |queries|·M·capped-df, never Σ df(tok); vector side is G1's broadcast-queries + partial-top-k shape; RRF fusion is one hash aggregate on (query, doc) + a query-partitioned rank window over top-C candidate rows, ranked on the quantized score.",
     "bitmap_distinct_users": "Two-level exact distinct: rows fold into per-(key, bucket) bitmaps map-side; the second shuffle moves only bitmap blobs.",
     "pagerank_type_graph": "Weighted PageRank over the enumerable event-type graph (r10): ONE distributed window+agg pass builds the pinned weighted edge list; the 5 damped iterations run on the driver over the collected ≤|types|² edges (PCA d²-Gram boundedness, 4096-node guard) — the plan shown is the edge aggregate + the literal result projection; operators/graph.pagerank keeps the per-round join-agg shape for unbounded graphs.",
     "bm25_search_topk": "Inverted-index shape: postings explode filtered to query terms, broadcast df + corpus stats, TakeOrdered global top-k (never a full sort).",
