@@ -2355,6 +2355,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd  # noqa: F401 — mapInPandas worker dependency
 
     e = t(spark, sf_dir, "embeddings")
+    # No spread on the qrel scan: A/B-measured SLOWER (r11,
+    # tools/ab_spread.py — 3.6s off vs 5.2s on at sf0.1). The explode
+    # is integer projection (cheap per row), and the Lloyd cost sits in
+    # the post-checkpoint shuffles, which re-balance on their own.
     qrel = _pq_qrel(e)
     c1 = _pq_train(qrel)
     codes = _pq_assign_codes(qrel, c1)
