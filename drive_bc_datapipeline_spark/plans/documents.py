@@ -642,10 +642,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: parallelize the shingle explode + 16 min-hash slices off
     # the one-row-group scan (no-op on multi-file corpora). r11 A/B
     # (tools/ab_spread.py, interleaved arms, min-of-3 at sf0.1):
-    # 2.20s on vs 2.81s off — kept.
-    shingles = word_ngrams(spread(d), MH_N, distinct=False).localCheckpoint(
-        eager=True
-    )
+    # 2.20s on vs 2.81s off — kept; hash-by-doc_id beat round-robin
+    # 2.09→1.61s (skips the pre-round-robin local row sort).
+    shingles = word_ngrams(
+        spread(d, by="doc_id"), MH_N, distinct=False
+    ).localCheckpoint(eager=True)
     # Pinned like estimate-quality's signature table: both sides of the
     # band self-join otherwise re-run the 16 min-aggregations (the
     # initial plan shows no ReusedExchange for the aliased subtrees).
@@ -1443,10 +1444,12 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint, not cache() — same GC-freed-blocks rationale as
     # dedup_minhash_lsh above; spread for the same one-row-group
     # shingle parallelism. r11 A/B (tools/ab_spread.py, interleaved
-    # arms, min-of-3 at sf0.1): 2.62s on vs 3.18s off — kept.
-    shingles = word_ngrams(spread(d), MH_N, distinct=False).localCheckpoint(
-        eager=True
-    )
+    # arms, min-of-3 at sf0.1): 2.62s on vs 3.18s off — kept;
+    # hash-by-doc_id beat round-robin 2.14→1.45s (no pre-round-robin
+    # local row sort).
+    shingles = word_ngrams(
+        spread(d, by="doc_id"), MH_N, distinct=False
+    ).localCheckpoint(eager=True)
     # Pin the signature table too: it feeds four subtrees (both sides
     # of the band self-join + both sides of the signature-agreement
     # compare). Measured at sf0.1: steady-state is a wash (AQE's

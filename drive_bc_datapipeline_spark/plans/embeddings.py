@@ -2607,7 +2607,11 @@ def hybrid_rrf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     # spread: the testdata scan is one row group = one input partition,
     # which would single-thread the tokenize (and pin that layout into
-    # toks' consumers); no-op on multi-file corpora.
+    # toks' consumers); no-op on multi-file corpora. ROUND-ROBIN, not
+    # hash-by-doc_id (r11 A/B: rr 3.38s vs hash 4.17s min-of-3
+    # interleaved): the whole doc-length token stream is built on the
+    # spread layout, and hashing by doc_id leaves doc-length skew in
+    # the tokenize+partial-agg stage that round-robin evens out.
     ds = spread(d)
     raw = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     # groupBy, not array_distinct: the partial (map-side) aggregate

@@ -133,9 +133,13 @@ GATE_PIN: dict[str, int] = {
     # the shingle explode (layout-only; rows identical; no-op on
     # multi-file corpora). A/B-kept with tools/ab_spread.py
     # (interleaved arms, min-of-3 at sf0.1): minhash_lsh 2.81->2.20s,
-    # estimate_quality 3.18->2.62s; the same treatment was A/B-REVERTED
-    # on dedup_ngram_jaccard and dedup_simhash (slower). Both keys are
-    # in the r11 staleness window (last green r7) — no extra slot:
+    # estimate_quality 3.18->2.62s; a second A/B then switched both to
+    # hash-by-doc_id partitioning (2.20->1.61s, 2.62->1.45s — skips
+    # round-robin's pre-exchange local row sort; tables.spread
+    # docstring). The same treatment was A/B-REVERTED on
+    # dedup_ngram_jaccard, dedup_simhash and ann_pq_topk (slower).
+    # NOTE these two are r8-era (the r10 verdict mislabeled them
+    # in-window), so each pin spends an r11 slot:
     "dedup_minhash_lsh": 11,
     "minhash_estimate_quality": 11,
     # round-11 replan: one tokenize pass — the pinned relation is the

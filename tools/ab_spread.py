@@ -59,7 +59,7 @@ def main() -> None:
         ).mode("overwrite").save()
         return time.time() - t0
 
-    identity = lambda df, min_parts=None: df  # noqa: E731
+    identity = lambda df, min_parts=None, by=None: df  # noqa: E731
     try:
         for key in args.keys:
             # Interleave arms and alternate which goes first per pass,
