@@ -398,3 +398,22 @@ def test_spread_widens_narrow_scans_only(spark):
     wide = spark.range(100).repartition(wide_n)
     assert spread(wide) is wide  # no exchange added
     assert spread(narrow, min_parts=1) is narrow
+
+
+def test_spread_by_hash_partitions_without_row_sort(spark):
+    """r11: spread(by=<id col>) hash-partitions instead of round-robin
+    — same rows, same target width, but the plan carries
+    hashpartitioning (no pre-exchange local row sort) and co-locates
+    equal keys; a wide frame is still an exact no-op."""
+    from drive_bc_datapipeline_spark.tables import spread
+
+    narrow = spark.range(100).coalesce(1)
+    wide_n = spark.sparkContext.defaultParallelism
+    out = spread(narrow, by="id")
+    assert out.rdd.getNumPartitions() == wide_n
+    assert sorted(r["id"] for r in out.collect()) == list(range(100))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(id" in plan, plan
+
+    wide = spark.range(100).repartition(wide_n)
+    assert spread(wide, by="id") is wide  # probe-only on wide frames
