@@ -107,8 +107,10 @@ GATE_PIN: dict[str, int] = {
     "doc_fingerprint": 9,
     # round-10 replan: lexical candidate generation bounded (df screen
     # + rarest-M query terms — Lucene MLT shape); scores change (qsz
-    # is now the capped set size), oracle updated symmetrically:
-    "hybrid_rrf_search_topk": 10,
+    # is now the capped set size), oracle updated symmetrically. That
+    # pin (value 10, satisfied by the r10 green row) is superseded by
+    # the r11 single-tokenize entry below — a dict literal can't carry
+    # the same key twice, so the expired pin lives in this comment:
     # round-10 replan: driver-side iteration over the collected
     # ≤|types|² edge matrix (enumerable-domain boundedness) replaces
     # the distributed join-agg rounds; same arithmetic, same oracle.
