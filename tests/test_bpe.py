@@ -129,6 +129,32 @@ def test_bpe_segment_matches_sequential_replay(spark):
         assert seg[doc_id] == (want, len(want)), doc_id
 
 
+def test_bpe_random_corpora_property(spark):
+    """Property check (derandomized, Spark round-trip per example so
+    the example count stays small): on random small corpora over a
+    3-letter alphabet — maximal pair-count ties, overlap-heavy words —
+    the distributed trainer bit-matches the sequential reference."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+    corpus = st.lists(
+        st.lists(word, min_size=1, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(corpus)
+    def check(texts):
+        d = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        assert bpe_train(d, 8, min_count=2) == _seq_train(texts, 8)
+
+    check()
+
+
 def test_bpe_guards(spark):
     d = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match=">= 1"):
