@@ -174,3 +174,22 @@ def test_unigram_guards(spark):
     with pytest.raises(ValueError, match="at least one word"):
         unigram_train(empty, 4)
     assert MAX_SEED_PIECES == 262_144  # the documented model-state bound
+
+
+def test_unigram_seed_guard_trips_before_collect(spark):
+    """The MAX_SEED_PIECES guard must raise (naming the knobs to turn)
+    before any piece row reaches the driver: 40 distinct 1000-char
+    words at min_count=1 seed ~40k·8 unique substrings > 262,144."""
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrst"
+    words = [
+        "".join(rng.choice(alpha) for _ in range(1500))
+        for _ in range(80)
+    ]
+    d = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="MAX_SEED_PIECES"):
+        unigram_train(d, 50, min_count=1)
