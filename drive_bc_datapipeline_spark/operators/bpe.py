@@ -111,10 +111,14 @@ def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # zero-width split between characters; the (?!$) leg matters —
+    # zero-width split between characters; the (?!\z) leg matters —
     # Spark's split keeps trailing empties (Java limit=-1), so a bare
-    # (?!^) would append a phantom '' symbol to every word
-    chars = F.split(F.col("word"), "(?!^)(?!$)")
+    # (?!^) would append a phantom '' symbol to every word. It must be
+    # \z (true end of input), NOT $: Java's $ also matches BEFORE a
+    # final line terminator, so a word ending in \n or \r\n would keep
+    # its last char fused to the terminator as one two-char symbol —
+    # silently diverging from list(word) (r11 ADVICE, fixed r12).
+    chars = F.split(F.col("word"), r"(?!^)(?!\z)")
     return words.withColumn(
         "syms", F.concat(chars, F.array(F.lit(EOW)))
     )
@@ -204,7 +208,9 @@ def bpe_segment(
     """
     ranks = {(m[1], m[2]): m[0] for m in merges}
     joined = {(m[1], m[2]): m[3] for m in merges}
-    out_schema = f"{id_col} long, tokens array<string>, n_tokens int"
+    # carry the caller's id type through (string/int ids are legal too)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, tokens array<string>, n_tokens int"
 
     def seg_word(word: str) -> list[str]:
         syms = list(word) + [EOW]

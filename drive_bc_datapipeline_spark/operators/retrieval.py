@@ -245,7 +245,14 @@ def bm25_mlt_ranking(
     multiplicity — and the per-(query, doc, token) tf groupBy is
     skipped entirely (r11: lets the hybrid plan tokenize the corpus
     ONCE and feed both the distinct-set machinery and BM25 from the
-    same pinned relation). ``qt``/``stats`` come from
+    same pinned relation). The one-row-per-(doc, token) contract is
+    the CALLER's to uphold and is deliberately unchecked here (a
+    dropDuplicates would re-add the exact shuffle this path exists to
+    skip): duplicate rows double-count straight into the score sum.
+    The internal hybrid caller satisfies it by construction — its tf
+    relation IS a groupBy(doc, dl, tok) output — and
+    tests/test_retrieval.py pins tf_col-path == default-path scores
+    on the same corpus (a duplicated relation would diverge). ``qt``/``stats`` come from
     ``mlt_candidate_terms`` and a 1-row (__n_docs, __avgdl)
     aggregate. Only postings matching a capped query term survive the
     broadcast join, so the shuffled relation is bounded by the capped

@@ -145,6 +145,13 @@ def unigram_train(
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
     if not (0.0 < keep_frac < 1.0):
         raise ValueError(f"keep_frac must be in (0, 1), got {keep_frac}")
+    # fail fast: max_piece_len=0 would make sequence(1, 0) DESCEND
+    # ([1, 0]), seeding empty-string pieces via substring(word, i, 0)
+    # and silently diverging from the sequential reference (r11 ADVICE)
+    if max_piece_len < 1:
+        raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
     wt = word_counts(df, text_col).localCheckpoint(eager=True)
     if not wt.take(1):
         raise ValueError("unigram_train needs a corpus with at least one word")
@@ -178,13 +185,17 @@ def unigram_train(
                     {"piece": list(counts), "c": list(counts.values())}
                 )
 
-        rows = (
-            wt.mapInPandas(run, "piece string, c long")
-            .groupBy("piece")
-            .agg(F.sum("c").alias("c"))
-            .collect()
-        )
-        blogp.destroy()
+        # destroy in finally: a failed E-step job must not leak the
+        # broadcast for the session (one per failed round otherwise)
+        try:
+            rows = (
+                wt.mapInPandas(run, "piece string, c long")
+                .groupBy("piece")
+                .agg(F.sum("c").alias("c"))
+                .collect()
+            )
+        finally:
+            blogp.destroy()
         return {r["piece"]: int(r["c"]) for r in rows}
 
     def logprobs(counts: dict[str, int]) -> dict[str, float]:
@@ -242,7 +253,9 @@ def unigram_segment(
     table ships as a plain broadcast dict (model state)."""
     logp = {p: lp for p, _c, lp in pieces}
     max_len = max((len(p) for p in logp), default=1)
-    out_schema = f"{id_col} long, pieces array<string>, n_pieces int"
+    # carry the caller's id type through (string/int ids are legal too)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, pieces array<string>, n_pieces int"
 
     def run(batches):
         for pdf in batches:

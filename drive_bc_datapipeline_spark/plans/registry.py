@@ -99,9 +99,13 @@ GATE_PIN: dict[str, int] = {
     "zipf_slope": 7,
     "join_cardinality_estimate": 7,
     "unigram_logprob_score": 7,
-    "minhash_estimate_quality": 7,
     "dedup_simhash": 7,
-    "dedup_minhash_lsh": 7,
+    # minhash_estimate_quality and dedup_minhash_lsh were pinned at 7
+    # here too (satisfied by their r8 green rows); a dict literal can't
+    # carry the same key twice, so those expired pins live in this
+    # comment and the keys appear once below with their r11 re-pins
+    # (r11 verdict hygiene item — the duplicate literals were F601-class
+    # noise, behavior unchanged since Python kept the later value):
     # round-9 replan: fingerprint min folded in-row (array_min) —
     # explode+groupBy removed, zero-shuffle projection:
     "doc_fingerprint": 9,

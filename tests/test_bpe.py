@@ -155,6 +155,41 @@ def test_bpe_random_corpora_property(spark):
     check()
 
 
+def test_bpe_train_words_with_trailing_newlines(spark):
+    """Regression (r11 ADVICE): the char-split regex must use \\z, not
+    Java's $ — $ also matches BEFORE a final line terminator, so a word
+    ending in \\n (or \\r\\n) kept its last char fused to the
+    terminator as one two-char initial symbol, silently diverging from
+    the sequential reference's list(word)."""
+    texts = ["foo\n foo\n bar", "foo\n baz\r\n baz\r\n", "a\nb a\nb"]
+    d = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = bpe_train(d, 12, min_count=2)
+    want = _seq_train(texts, 12, min_count=2)
+    assert got == want
+    # the buggy regex would have produced an 'o\n' initial symbol; the
+    # learned merges must instead build it from 'o' and '\n'
+    assert any(m[1] == "o" and m[2] == "\n" for m in got) or any(
+        "\n" in (m[1] + m[2]) for m in got
+    )
+
+
+def test_bpe_segment_carries_caller_id_type(spark):
+    """Regression (r11 ADVICE): the output schema must derive the id
+    field's type from the input, not hardcode long."""
+    d = spark.createDataFrame(
+        [("d0", "aa aa aaa"), ("d1", "aa bb")], "doc_id string, text string"
+    )
+    merges = bpe_train(d, 4, min_count=2)
+    out = bpe_segment(d, merges)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    rows = {r["doc_id"]: r["tokens"] for r in out.collect()}
+    assert rows["d0"] == [
+        s for w in "aa aa aaa".split(" ") for s in _seq_segment(w, merges)
+    ]
+
+
 def test_bpe_guards(spark):
     d = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match=">= 1"):

@@ -293,6 +293,70 @@ def test_bm25_mlt_matches_sequential_reference(spark):
     assert got == want
 
 
+def test_bm25_tf_col_path_matches_default_path(spark):
+    """The tf_col fast path trusts a one-row-per-(doc, token) caller
+    contract (r11 ADVICE): pin that a correctly pre-aggregated relation
+    scores bit-identically to the default occurrence path, and that a
+    contract-violating duplicated relation diverges (double-counts) —
+    the failure mode the docstring names."""
+    from pyspark.sql import functions as F
+
+    from drive_bc_datapipeline_spark.operators.retrieval import (
+        bm25_mlt_ranking,
+        mlt_candidate_terms,
+    )
+
+    rng = random.Random(31)
+    vocab = [f"t{t:02d}" for t in range(20)]
+    weights = [1.0 / (t + 1) for t in range(20)]
+    doclists = {
+        d: rng.choices(vocab, weights=weights, k=rng.randint(6, 20))
+        for d in range(20)
+    }
+    occ = spark.createDataFrame(
+        [(d, len(t), tok) for d, t in doclists.items() for tok in t],
+        "doc_id long, dl int, tok string",
+    )
+    # the hybrid plan's shape: occurrences collapsed to distinct w/ tf
+    pre = occ.groupBy("doc_id", "dl", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    _scr, qt = mlt_candidate_terms(
+        pre, F.col("doc_id") < 4, max_df_frac=0.7, max_query_terms=5,
+        tokens_distinct=True,
+    )
+    stats = (
+        pre.groupBy("doc_id")
+        .agg(F.min("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("__n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias(
+                "__avgdl"
+            ),
+        )
+    )
+
+    def ranks(tf_toks, **kws):
+        return {
+            (r["query_id"], r["doc_id"]): r["rank"]
+            for r in bm25_mlt_ranking(
+                tf_toks, qt, stats, cand_k=6, **kws
+            ).collect()
+        }
+
+    default = ranks(occ)
+    fast = ranks(pre, tf_col="tf")
+    assert fast == default
+    # contract violation: duplicating only the even docs' rows doubles
+    # THEIR tf (the saturation term grows with tf), so boosted docs
+    # must leapfrog at least one rank — proving the path really skips
+    # dedup and the caller contract is load-bearing
+    dup = ranks(
+        pre.unionAll(pre.filter(F.col("doc_id") % 2 == 0)), tf_col="tf"
+    )
+    assert dup != default
+
+
 def test_quantization_epsilon_matches_registry():
     """The operator layer's QUANT_EPS must never drift from the plans
     layer's EPS4 — both sides of every oracle comparison quantize with

@@ -173,7 +173,31 @@ def test_unigram_guards(spark):
     empty = spark.createDataFrame([(0, " ")], "doc_id long, text string")
     with pytest.raises(ValueError, match="at least one word"):
         unigram_train(empty, 4)
+    # r11 ADVICE: max_piece_len=0 would make sequence(1, 0) descend and
+    # seed empty-string pieces — must fail fast, like min_count=0
+    with pytest.raises(ValueError, match="max_piece_len"):
+        unigram_train(d, 4, max_piece_len=0)
+    with pytest.raises(ValueError, match="min_count"):
+        unigram_train(d, 4, min_count=0)
     assert MAX_SEED_PIECES == 262_144  # the documented model-state bound
+
+
+def test_unigram_segment_carries_caller_id_type(spark):
+    """Regression (r11 ADVICE): the output schema must derive the id
+    field's type from the input, not hardcode long."""
+    d = spark.createDataFrame(
+        [("d0", "ab ab abc"), ("d1", "ab c")], "doc_id string, text string"
+    )
+    pieces = unigram_train(d, 8, max_piece_len=3, min_count=2)
+    out = unigram_segment(d, pieces)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    logp = {p: lp for p, _c, lp in pieces}
+    max_len = max(len(p) for p in logp)
+    rows = {r["doc_id"]: r["pieces"] for r in out.collect()}
+    assert rows["d0"] == [
+        p for w in "ab ab abc".split(" ")
+        for p in _ref_viterbi(w, logp, max_len)
+    ]
 
 
 def test_unigram_seed_guard_trips_before_collect(spark):
