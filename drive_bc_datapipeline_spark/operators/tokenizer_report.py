@@ -1,0 +1,160 @@
+"""Tokenizer fertility / compression readout (SURVEY §2 H46).
+
+Completes the H44/H45 tokenizer-training family with the go/no-go
+metric for applying a trained vocabulary to a new corpus: per source,
+pieces-per-word (fertility), bytes-per-token (compression) and the
+OOV-token rate (tokens the segmenter emitted that are NOT in the
+trained vocabulary — the Viterbi/char fallback path). A vocab trained
+on one distribution "fits" a corpus when fertility stays near its
+training value and OOV is ~0; a fertility jump or a non-trivial OOV
+rate says retrain or re-mix before spending GPU-hours on tokenized
+shards.
+
+Spark-first shape (100 TB honest):
+- consumes the (id, tokens, n_tokens) output of ``bpe_segment`` /
+  ``unigram_segment`` — the report does NOT re-segment;
+- per-document counters (words, text bytes, tokens) are JVM column
+  expressions folded into ONE partial-aggregable groupBy(source);
+- OOV detection is a broadcast LEFT ANTI join of the exploded token
+  stream against the vocabulary relation (model state, ≤ H45's
+  MAX_SEED_PIECES rows — never an In-list literal, which would inline
+  262k comparisons into the plan) aggregated per source, then joined
+  back on the tiny source dimension;
+- ratios divide exact int64 counters as doubles — IEEE-deterministic,
+  bit-matched by the sequential reference in
+  tests/test_tokenizer_report.py.
+
+Parity: the reference repo has no tokenizer surface (its text path is
+Athena SQL over event payloads); this is the training-data extension
+the r11 verdict ranked Next #3. Tests-only by the 200-key registry
+cap (the E6/K20/F16/H44/H45 pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from drive_bc_datapipeline_spark.operators.bpe import EOW
+
+
+def bpe_vocab(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """(token) — the vocabulary a BPE merge list can emit over the
+    corpus it was trained on: every distinct character of the training
+    words, the EOW marker, and every merged symbol.
+
+    One distributed pass (explode words → explode chars → distinct,
+    all map-side-combinable) unioned with the ≤ MAX_MERGES merge
+    outputs; row count is alphabet + merges — model state.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # the same \z-anchored zero-width split as word_freq_table: a char
+    # split with $ would fuse a final line terminator into its
+    # preceding char (the r11 ADVICE bug class)
+    chars = (
+        df.select(F.explode(words).alias("word"))
+        .select(F.explode(F.split("word", r"(?!^)(?!\z)")).alias("token"))
+        .distinct()
+    )
+    spark = df.sparkSession
+    learned = spark.createDataFrame(
+        [(EOW,)] + [(m[3],) for m in merges], "token string"
+    )
+    return chars.unionByName(learned).distinct()
+
+
+def unigram_vocab(
+    df: DataFrame, pieces: list[tuple[str, int, float]]
+) -> DataFrame:
+    """(token) — a unigram piece table as a vocabulary relation."""
+    return df.sparkSession.createDataFrame(
+        [(p,) for p, _c, _lp in pieces], "token string"
+    ).distinct()
+
+
+def tokenizer_fertility_report(
+    df: DataFrame,
+    seg: DataFrame,
+    vocab: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Per-source fertility/compression report for a segmented corpus.
+
+    ``df`` carries (id_col, source_col, text_col); ``seg`` is the
+    segmenter output keyed by id_col with a ``tokens_col`` array;
+    ``vocab`` is a 1-column (token) relation of the trained vocabulary
+    (``bpe_vocab`` / ``unigram_vocab``).
+
+    Returns (source, n_docs, n_words, n_tokens, n_text_bytes,
+    n_oov_tokens, pieces_per_word, bytes_per_token, oov_token_rate)
+    sorted by source; ratio columns are NULL when their denominator is
+    zero (an all-empty source) rather than NaN/error.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = (
+        df.select(
+            id_col,
+            source_col,
+            F.size(words).alias("__nw"),
+            F.octet_length(text_col).alias("__nb"),
+        )
+        .join(seg.select(id_col, tokens_col), id_col)
+        .select(
+            source_col,
+            "__nw",
+            "__nb",
+            F.size(tokens_col).alias("__nt"),
+            F.col(tokens_col).alias("__toks"),
+        )
+    )
+    per_source = base.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nw").cast("long").alias("n_words"),
+        F.sum("__nt").cast("long").alias("n_tokens"),
+        F.sum("__nb").cast("long").alias("n_text_bytes"),
+    )
+    # OOV = emitted tokens absent from the trained vocabulary: explode
+    # the token stream and broadcast-anti-join the model-state relation
+    # (no shuffle on the corpus side; the groupBy partial-aggregates)
+    oov = (
+        base.select(source_col, F.explode("__toks").alias("token"))
+        .join(F.broadcast(vocab.select("token")), "token", "left_anti")
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_oov_tokens"))
+    )
+    out = (
+        per_source.join(oov, source_col, "left")
+        .withColumn(
+            "n_oov_tokens", F.coalesce("n_oov_tokens", F.lit(0).cast("long"))
+        )
+        .withColumn(
+            "pieces_per_word",
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_tokens").cast("double") / F.col("n_words"),
+            ),
+        )
+        .withColumn(
+            "bytes_per_token",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_text_bytes").cast("double") / F.col("n_tokens"),
+            ),
+        )
+        .withColumn(
+            "oov_token_rate",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_oov_tokens").cast("double") / F.col("n_tokens"),
+            ),
+        )
+    )
+    return out.orderBy(source_col)

@@ -1,0 +1,162 @@
+"""H46 — tokenizer fertility/compression readout vs a sequential
+reference (the E6/K20/F16/H44/H45 pattern): every counter and every
+ratio must bit-match a plain-Python replay over the same corpus, for
+both tokenizer families, including the OOV fallback and the
+zero-denominator edge."""
+
+from __future__ import annotations
+
+import duckdb
+
+from drive_bc_datapipeline_spark.operators.bpe import (
+    EOW,
+    bpe_segment,
+    bpe_train,
+)
+from drive_bc_datapipeline_spark.operators.tokenizer_report import (
+    bpe_vocab,
+    tokenizer_fertility_report,
+    unigram_vocab,
+)
+from drive_bc_datapipeline_spark.operators.unigram import (
+    unigram_segment,
+    unigram_train,
+)
+from tests.conftest import SF_SMOKE
+
+OUT_COLS = [
+    "source",
+    "n_docs",
+    "n_words",
+    "n_tokens",
+    "n_text_bytes",
+    "n_oov_tokens",
+    "pieces_per_word",
+    "bytes_per_token",
+    "oov_token_rate",
+]
+
+
+def _ref_report(rows, seg_word, vocab: set[str]):
+    """rows = [(source, text)]; seg_word(word) -> list[str]."""
+    per: dict[str, list[int]] = {}
+    for source, text in rows:
+        words = [w for w in text.split(" ") if w]
+        toks = [t for w in words for t in seg_word(w)]
+        acc = per.setdefault(source, [0, 0, 0, 0, 0])
+        acc[0] += 1
+        acc[1] += len(words)
+        acc[2] += len(toks)
+        acc[3] += len(text.encode("utf-8"))
+        acc[4] += sum(1 for t in toks if t not in vocab)
+    out = []
+    for source in sorted(per):
+        nd, nw, nt, nb, noov = per[source]
+        out.append(
+            (
+                source,
+                nd,
+                nw,
+                nt,
+                nb,
+                noov,
+                nt / nw if nw else None,
+                nb / nt if nt else None,
+                noov / nt if nt else None,
+            )
+        )
+    return out
+
+
+def _smoke_rows(limit: int):
+    return duckdb.sql(
+        f"SELECT source, text FROM '{SF_SMOKE}/documents.parquet' "
+        f"ORDER BY doc_id LIMIT {limit}"
+    ).fetchall()
+
+
+def _seq_bpe_segment(word: str, merges) -> list[str]:
+    syms = list(word) + [EOW]
+    for _rank, left, right, _m, _n in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_fertility_report_bit_matches_reference(spark):
+    d = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter("doc_id < 120")
+        .select("doc_id", "source", "text")
+    )
+    merges = bpe_train(d, 16)
+    seg = bpe_segment(d, merges)
+    vocab_df = bpe_vocab(d, merges)
+    got = tokenizer_fertility_report(d, seg, vocab_df)
+    assert got.columns == OUT_COLS
+    rows = _smoke_rows(120)
+    vocab = {r["token"] for r in vocab_df.collect()}
+    want = _ref_report(rows, lambda w: _seq_bpe_segment(w, merges), vocab)
+    assert [tuple(r) for r in got.collect()] == want
+    # on its own training corpus a BPE vocab covers everything
+    assert all(r[5] == 0 for r in want)
+    assert all(r[6] is not None and r[6] >= 1.0 for r in want)
+
+
+def test_unigram_fertility_report_counts_oov_fallback(spark):
+    """Segment a PROBE corpus with chars the training corpus never saw:
+    the Viterbi falls back to raw chars at UNK_LOGP and the report must
+    count exactly those tokens as OOV, per source."""
+    from drive_bc_datapipeline_spark.operators.unigram import _viterbi
+
+    train = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter("doc_id < 80")
+        .select("doc_id", "source", "text")
+    )
+    pieces = unigram_train(train, 120, max_piece_len=6, min_count=3)
+    probe_rows = [
+        (0, "srcA", _smoke_rows(1)[0][1]),
+        (1, "srcA", "zzz@@ unseen"),
+        (2, "srcB", "@@@"),
+        (3, "srcC", ""),  # zero words/tokens: NULL ratios, 0 OOV
+    ]
+    probe = spark.createDataFrame(
+        probe_rows, "doc_id long, source string, text string"
+    )
+    seg = unigram_segment(probe, pieces)
+    got = tokenizer_fertility_report(
+        probe, seg, unigram_vocab(probe, pieces), tokens_col="pieces"
+    )
+    logp = {p: lp for p, _c, lp in pieces}
+    max_len = max(len(p) for p in logp)
+    want = _ref_report(
+        [(s, t) for _i, s, t in probe_rows],
+        lambda w: _viterbi(w, logp, max_len),
+        set(logp),
+    )
+    assert [tuple(r) for r in got.collect()] == want
+    by_src = {r[0]: r for r in want}
+    assert by_src["srcB"][5] > 0  # the all-unseen probe counted as OOV
+    assert by_src["srcC"][6] is None  # NULL, not NaN/div-by-zero
+    assert by_src["srcC"][5] == 0
+
+
+def test_bpe_vocab_handles_line_terminators(spark):
+    """The vocab char split uses the same \\z anchor as training: a
+    word ending in \\n must contribute '\\n' (and its last real char)
+    as separate alphabet entries, not a fused two-char symbol."""
+    d = spark.createDataFrame(
+        [(0, "srcA", "foo\n foo\n ba")], "doc_id long, source string, text string"
+    )
+    merges = bpe_train(d, 2, min_count=2)
+    vocab = {r["token"] for r in bpe_vocab(d, merges).collect()}
+    assert {"o", "\n", "f", "b", "a", EOW} <= vocab
+    assert not any(len(t) == 2 and t.endswith("\n") and t != EOW for t in vocab - {m[3] for m in merges})
