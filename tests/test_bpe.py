@@ -10,8 +10,10 @@ import pytest
 
 from drive_bc_datapipeline_spark.operators.bpe import (
     EOW,
+    MAX_JVM_SEGMENT_MERGES,
     MAX_MERGES,
     bpe_segment,
+    bpe_segment_jvm,
     bpe_train,
     bpe_train_df,
 )
@@ -153,6 +155,35 @@ def test_bpe_random_corpora_property(spark):
         assert bpe_train(d, 8, min_count=2) == _seq_train(texts, 8)
 
     check()
+
+
+def test_bpe_segment_jvm_bit_matches_arrow_path(spark):
+    """The zero-Python JVM fold segmenter (r11 verdict Next #6) must
+    produce the exact rows of the Arrow-batched path — same corpus,
+    same merges, including newline-bearing words and unseen chars —
+    and refuse merge lists past its nesting bound."""
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(60)
+    merges = bpe_train(d, MAX_JVM_SEGMENT_MERGES)[:MAX_JVM_SEGMENT_MERGES]
+    probe = d.select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(100000, "foo\n q@z unseen"), (100001, "")],
+            "doc_id long, text string",
+        )
+    )
+    arrow = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in bpe_segment(probe, merges).collect()
+    }
+    jvm = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in bpe_segment_jvm(probe, merges).collect()
+    }
+    assert jvm == arrow
+    with pytest.raises(ValueError, match="Arrow-batched"):
+        fake = [(i, f"x{i}", "y", f"x{i}y", 2) for i in range(
+            MAX_JVM_SEGMENT_MERGES + 1
+        )]
+        bpe_segment_jvm(d, fake)
 
 
 def test_bpe_train_words_with_trailing_newlines(spark):

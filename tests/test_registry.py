@@ -111,3 +111,32 @@ def test_every_query_output_is_atomic(spark):
             if not isinstance(field.dataType, AtomicType):
                 offenders.append((name, field.name, str(field.dataType)))
     assert offenders == []
+
+
+def test_gate_pin_literal_has_no_duplicate_keys():
+    """r11 shipped GATE_PIN with the same key at two values (Python
+    silently keeps the later one — F601-class noise the r11 verdict
+    flagged); expired pins must move into comments, not shadowed
+    literals. Parse the source so the gate catches the bug class, not
+    the runtime dict it hides in."""
+    import ast
+    import collections
+    import inspect
+
+    from drive_bc_datapipeline_spark.plans import registry as reg_mod
+
+    tree = ast.parse(inspect.getsource(reg_mod))
+    dup_sets = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Dict):
+            keys = [
+                k.value
+                for k in node.keys
+                if isinstance(k, ast.Constant)
+            ]
+            dups = [
+                k for k, c in collections.Counter(keys).items() if c > 1
+            ]
+            if dups:
+                dup_sets.append(dups)
+    assert dup_sets == []
