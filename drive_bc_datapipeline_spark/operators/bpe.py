@@ -52,6 +52,21 @@ MAX_MERGES = 128
 #: explicit boundary the r11 verdict asked for (Next #6).
 MAX_JVM_SEGMENT_MERGES = 24
 
+#: Zero-width between-characters split. THE one copy: this literal is
+#: the site of the r11 $-anchor bug (Java's $ also matches before a
+#: final line terminator, fusing a trailing \n into its preceding
+#: char), so every consumer — training, JVM segmentation, vocabulary
+#: derivation — must share it, not re-type it. (?!^) keeps Spark's
+#: keep-trailing-empties split from prepending a phantom ''; (?!\z)
+#: from appending one.
+CHAR_SPLIT_RE = r"(?!^)(?!\z)"
+
+
+def words_array(text: Column) -> Column:
+    """array<string> of the non-empty space-separated words of
+    ``text`` — the shared pre-tokenization every BPE consumer uses."""
+    return F.filter(F.split(text, " "), lambda x: x != "")
+
 
 def _adjacent_pairs(syms: Column) -> Column:
     """array<struct<l,r>> of adjacent symbol pairs (overlaps counted,
@@ -113,19 +128,13 @@ def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt, syms) — the ONE corpus pass; syms is the initial
     character split with the terminal EOW symbol."""
     words = (
-        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
-        .filter(F.col("word") != "")
+        df.select(F.explode(words_array(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # zero-width split between characters; the (?!\z) leg matters —
-    # Spark's split keeps trailing empties (Java limit=-1), so a bare
-    # (?!^) would append a phantom '' symbol to every word. It must be
-    # \z (true end of input), NOT $: Java's $ also matches BEFORE a
-    # final line terminator, so a word ending in \n or \r\n would keep
-    # its last char fused to the terminator as one two-char symbol —
-    # silently diverging from list(word) (r11 ADVICE, fixed r12).
-    chars = F.split(F.col("word"), r"(?!^)(?!\z)")
+    # CHAR_SPLIT_RE: see the constant's comment for why \z, not $
+    # (r11 ADVICE, fixed r12; shared with every other char-split site)
+    chars = F.split(F.col("word"), CHAR_SPLIT_RE)
     return words.withColumn(
         "syms", F.concat(chars, F.array(F.lit(EOW)))
     )
@@ -206,12 +215,20 @@ def bpe_segment_jvm(
     """``bpe_segment`` as a pure JVM column expression — no Python in
     the hot path — for SHALLOW merge lists (≤ MAX_JVM_SEGMENT_MERGES).
 
-    Applies the k merges in learned order as k nested ``_merge_pair``
-    folds inside one ``transform()`` over the word array (replaying
-    merges in rank order is equivalent to the segmenter's min-rank
-    greedy loop — the property tests/test_bpe.py pins against the
-    sequential replay). Zero shuffles, zero Arrow transfer; the whole
-    segmentation is one projection.
+    SEMANTICS (be precise — the two paths are not equivalent on every
+    input): this path replays each merge ONCE, in list order — exactly
+    the sequential reference's in-order replay. ``bpe_segment`` runs
+    the canonical subword-nmt min-rank greedy loop, which can RE-apply
+    an earlier merge whose pair a later merge recreates. For merge
+    lists learned by ``bpe_train`` the two coincide (pinned by the
+    bit-match test); for hand-constructed lists where a later merge's
+    output equals an earlier merge's left/right part they diverge —
+    e.g. [(0,'a','bc'), (1,'b','c')] on 'abc': min-rank yields
+    ['abc','</w>'], in-order replay ['a','bc','</w>'].
+    tests/test_bpe.py pins the divergence case too, so the boundary is
+    documented by a failing example, not prose alone. NULL text maps
+    to an empty token array (n_tokens 0) on both paths. Zero shuffles,
+    zero Arrow transfer; the whole segmentation is one projection.
 
     The trade-off this makes explicit (r11 verdict Next #6): the
     expression tree grows one aggregate() level per merge, so codegen
@@ -232,11 +249,13 @@ def bpe_segment_jvm(
             f"per merge and is bounded at {MAX_JVM_SEGMENT_MERGES}; use "
             "the Arrow-batched bpe_segment for deeper merge lists"
         )
-    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # NULL text would otherwise flow through to size(NULL) = -1 —
+    # a silent negative count poisoning downstream sums
+    words = words_array(F.coalesce(F.col(text_col), F.lit("")))
 
     def seg_word(w: Column) -> Column:
         syms = F.concat(
-            F.split(w, r"(?!^)(?!\z)"), F.array(F.lit(EOW))
+            F.split(w, CHAR_SPLIT_RE), F.array(F.lit(EOW))
         )
         for _rank, left, right, merged, _n in merges:
             syms = _merge_pair(syms, left, right, merged)
@@ -302,8 +321,10 @@ def bpe_segment(
 
     def run(batches):
         for pdf in batches:
+            # (txt or ""): NULL text segments to zero tokens, matching
+            # the JVM path's coalesce instead of crashing on None
             toks = [
-                [s for w in txt.split(" ") if w for s in seg_word(w)]
+                [s for w in (txt or "").split(" ") if w for s in seg_word(w)]
                 for txt in pdf[text_col]
             ]
             yield type(pdf)(

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from drive_bc_datapipeline_spark.operators.bpe import EOW
+from drive_bc_datapipeline_spark.operators.bpe import EOW, word_freq_table
 
 
 def bpe_vocab(
@@ -47,21 +47,19 @@ def bpe_vocab(
     corpus it was trained on: every distinct character of the training
     words, the EOW marker, and every merged symbol.
 
-    One distributed pass (explode words → explode chars → distinct,
-    all map-side-combinable) unioned with the ≤ MAX_MERGES merge
-    outputs; row count is alphabet + merges — model state.
+    Built by exploding ``word_freq_table``'s initial symbol arrays —
+    the EXACT split training used (one shared CHAR_SPLIT_RE copy, so
+    vocabulary derivation can never drift from training; the r11
+    $-anchor bug class) — over the deduplicated word vocabulary, not
+    every corpus occurrence. Row count is alphabet + merges — model
+    state.
     """
-    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    # the same \z-anchored zero-width split as word_freq_table: a char
-    # split with $ would fuse a final line terminator into its
-    # preceding char (the r11 ADVICE bug class)
     chars = (
-        df.select(F.explode(words).alias("word"))
-        .select(F.explode(F.split("word", r"(?!^)(?!\z)")).alias("token"))
+        word_freq_table(df, text_col)
+        .select(F.explode("syms").alias("token"))
         .distinct()
     )
-    spark = df.sparkSession
-    learned = spark.createDataFrame(
+    learned = df.sparkSession.createDataFrame(
         [(EOW,)] + [(m[3],) for m in merges], "token string"
     )
     return chars.unionByName(learned).distinct()
@@ -93,12 +91,25 @@ def tokenizer_fertility_report(
     ``vocab`` is a 1-column (token) relation of the trained vocabulary
     (``bpe_vocab`` / ``unigram_vocab``).
 
+    CALLER CONTRACT (the bm25 tf_col convention — stated, not
+    silently assumed): ``seg`` must carry EXACTLY ONE row per id_col
+    value of ``df``. The inner join means a doc missing from ``seg``
+    silently vanishes from every counter (segment the same ``df`` you
+    report on), and a duplicated id double-counts its doc —
+    tests/test_tokenizer_report.py pins the report against a
+    sequential reference over the full input, which any contract
+    violation breaks.
+
     Returns (source, n_docs, n_words, n_tokens, n_text_bytes,
     n_oov_tokens, pieces_per_word, bytes_per_token, oov_token_rate)
     sorted by source; ratio columns are NULL when their denominator is
-    zero (an all-empty source) rather than NaN/error.
+    zero (an all-empty source) rather than NaN/error. A NULL source is
+    a legal group and keeps its OOV count (null-safe join below).
     """
     words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # localCheckpoint: the joined per-doc relation feeds TWO aggregates
+    # (counters, OOV anti-join); without the pin both subtrees re-scan
+    # df + seg and re-run the join (the hybrid pinned-relation pattern)
     base = (
         df.select(
             id_col,
@@ -114,6 +125,7 @@ def tokenizer_fertility_report(
             F.size(tokens_col).alias("__nt"),
             F.col(tokens_col).alias("__toks"),
         )
+        .localCheckpoint(eager=True)
     )
     per_source = base.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -129,9 +141,19 @@ def tokenizer_fertility_report(
         .join(F.broadcast(vocab.select("token")), "token", "left_anti")
         .groupBy(source_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_oov_tokens"))
+        .withColumnRenamed(source_col, "__oov_src")
     )
+    # eqNullSafe: a NULL source is a legal group in both aggregates; a
+    # plain equi-join would never match it and coalesce its real OOV
+    # count down to 0 — masking exactly the signal this report exists
+    # to surface
     out = (
-        per_source.join(oov, source_col, "left")
+        per_source.join(
+            oov,
+            per_source[source_col].eqNullSafe(oov["__oov_src"]),
+            "left",
+        )
+        .drop("__oov_src")
         .withColumn(
             "n_oov_tokens", F.coalesce("n_oov_tokens", F.lit(0).cast("long"))
         )

@@ -259,10 +259,12 @@ def unigram_segment(
 
     def run(batches):
         for pdf in batches:
+            # (txt or ""): NULL text segments to zero pieces, matching
+            # bpe_segment's convention instead of crashing on None
             segs = [
                 [
                     piece
-                    for w in txt.split(" ")
+                    for w in (txt or "").split(" ")
                     if w
                     for piece in _viterbi(w, logp, max_len)
                 ]

@@ -186,6 +186,27 @@ def test_bpe_segment_jvm_bit_matches_arrow_path(spark):
         bpe_segment_jvm(d, fake)
 
 
+def test_bpe_segment_jvm_documented_divergence_and_null_text(spark):
+    """The JVM path replays merges once in list order; bpe_segment
+    runs the canonical min-rank greedy loop which can RE-apply an
+    earlier merge whose pair a later merge recreates. Pin the
+    documented divergence example, and that NULL text yields zero
+    tokens (not size(NULL) = -1) on both paths."""
+    d = spark.createDataFrame(
+        [(0, "abc"), (1, None)], "doc_id long, text string"
+    )
+    # hand-built: rank-1 (b,c)->bc recreates rank-0's pair (a,bc)
+    merges = [(0, "a", "bc", "abc", 9), (1, "b", "c", "bc", 9)]
+    arrow = {r["doc_id"]: r["tokens"] for r in bpe_segment(d, merges).collect()}
+    jvm = {r["doc_id"]: r["tokens"] for r in bpe_segment_jvm(d, merges).collect()}
+    assert arrow[0] == ["abc", EOW]  # min-rank re-applies merge 0
+    assert jvm[0] == ["a", "bc", EOW]  # in-order replay cannot
+    # NULL text: zero tokens on both paths, never a negative count
+    for out in (bpe_segment(d, merges), bpe_segment_jvm(d, merges)):
+        row = {r["doc_id"]: (r["tokens"], r["n_tokens"]) for r in out.collect()}
+        assert row[1] == ([], 0)
+
+
 def test_bpe_train_words_with_trailing_newlines(spark):
     """Regression (r11 ADVICE): the char-split regex must use \\z, not
     Java's $ — $ also matches BEFORE a final line terminator, so a word

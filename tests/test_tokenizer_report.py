@@ -50,7 +50,7 @@ def _ref_report(rows, seg_word, vocab: set[str]):
         acc[3] += len(text.encode("utf-8"))
         acc[4] += sum(1 for t in toks if t not in vocab)
     out = []
-    for source in sorted(per):
+    for source in sorted(per, key=lambda s: (s is not None, s or "")):
         nd, nw, nt, nb, noov = per[source]
         out.append(
             (
@@ -147,6 +147,49 @@ def test_unigram_fertility_report_counts_oov_fallback(spark):
     assert by_src["srcB"][5] > 0  # the all-unseen probe counted as OOV
     assert by_src["srcC"][6] is None  # NULL, not NaN/div-by-zero
     assert by_src["srcC"][5] == 0
+
+
+def test_report_null_source_keeps_its_oov_count(spark):
+    """A NULL source is a legal group: a plain equi-join between the
+    counter aggregate and the OOV aggregate would never match it
+    (NULL = NULL is false) and coalesce its real OOV count to 0 —
+    masking the go/no-go signal. The null-safe join must keep it."""
+    from drive_bc_datapipeline_spark.operators.unigram import (
+        _viterbi,
+        unigram_segment,
+        unigram_train,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "s", "ab ab abc c")], "doc_id long, source string, text string"
+    )
+    pieces = unigram_train(train, 8, max_piece_len=3, min_count=2)
+    probe = spark.createDataFrame(
+        [(0, None, "ab @@@"), (1, "srcA", "ab zz"), (2, None, None)],
+        "doc_id long, source string, text string",
+    )
+    seg = unigram_segment(probe, pieces)
+    got = {
+        r["source"]: tuple(r)[1:]
+        for r in tokenizer_fertility_report(
+            probe, seg, unigram_vocab(probe, pieces), tokens_col="pieces"
+        ).collect()
+    }
+    logp = {p: lp for p, _c, lp in pieces}
+    max_len = max(len(p) for p in logp)
+    want = {
+        r[0]: r[1:]
+        for r in _ref_report(
+            [(s, txt or "") for _i, s, txt in
+             [(0, None, "ab @@@"), (1, "srcA", "ab zz"), (2, None, None)]],
+            lambda w: _viterbi(w, logp, max_len),
+            set(logp),
+        )
+    }
+    assert got == want
+    # the NULL-source group's OOV tokens (@ chars) survived the join
+    assert got[None][4] > 0
+    assert got[None][7] is not None and got[None][7] > 0.0
 
 
 def test_bpe_vocab_handles_line_terminators(spark):
