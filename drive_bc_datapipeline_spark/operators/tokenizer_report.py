@@ -35,7 +35,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from drive_bc_datapipeline_spark.operators.bpe import EOW, word_freq_table
+from drive_bc_datapipeline_spark.operators.bpe import (
+    EOW,
+    word_freq_table,
+    words_array,
+)
 
 
 def bpe_vocab(
@@ -106,7 +110,9 @@ def tokenizer_fertility_report(
     zero (an all-empty source) rather than NaN/error. A NULL source is
     a legal group and keeps its OOV count (null-safe join below).
     """
-    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # words_array: the same word definition training and segmentation
+    # use, so pieces-per-word divides consistent numerators/denominators
+    words = words_array(F.col(text_col))
     # localCheckpoint: the joined per-doc relation feeds TWO aggregates
     # (counters, OOV anti-join); without the pin both subtrees re-scan
     # df + seg and re-run the join (the hybrid pinned-relation pattern)

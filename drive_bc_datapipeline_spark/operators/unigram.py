@@ -95,10 +95,13 @@ def _viterbi(word: str, logp: dict[str, float], max_len: int) -> list[str]:
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, cnt) — the ONE corpus pass."""
+    """(word, cnt) — the ONE corpus pass. Shares BPE's words_array so
+    both tokenizer families (and the H46 fertility report) agree on
+    what a word is."""
+    from drive_bc_datapipeline_spark.operators.bpe import words_array
+
     return (
-        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
-        .filter(F.col("word") != "")
+        df.select(F.explode(words_array(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
