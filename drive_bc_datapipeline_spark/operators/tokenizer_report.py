@@ -78,6 +78,106 @@ def unigram_vocab(
     ).distinct()
 
 
+#: Id emitted for a token outside the vocabulary (the segmenters'
+#: char-fallback output on unseen chars). Reserved below 0 so real ids
+#: can stay dense from 0 — the shape embedding tables expect.
+UNK_ID = -1
+
+
+def token_id_table(
+    vocab: DataFrame, *, by_frequency: DataFrame | None = None
+) -> DataFrame:
+    """(token, token_id) — a deterministic dense id assignment for a
+    vocabulary relation.
+
+    Default order is lexicographic (reproducible from the vocab alone);
+    pass ``by_frequency`` — any (token, cnt) relation, e.g. a trained
+    piece table — to assign ids by (count desc, token asc) so frequent
+    pieces get small ids (the embedding-table locality convention).
+    Ids are 0-based and gapless. The window runs over the vocabulary
+    (model state, ≤ MAX_SEED_PIECES rows), never the corpus, so the
+    single-partition rank is bounded and 100 TB honest.
+    """
+    from pyspark.sql import Window
+
+    v = vocab.select("token").distinct()
+    if by_frequency is not None:
+        v = v.join(
+            by_frequency.groupBy("token").agg(F.sum("cnt").alias("cnt")),
+            "token",
+            "left",
+        ).withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+        order = [F.desc("cnt"), F.asc("token")]
+    else:
+        order = [F.asc("token")]
+    w = Window.orderBy(*order)
+    return v.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("int")
+    ).select("token", "token_id")
+
+
+def encode_token_ids(
+    seg: DataFrame,
+    id_table: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    unk_id: int = UNK_ID,
+) -> DataFrame:
+    """(id_col, token_ids array<int>, n_tokens, n_unk) — the bridge
+    from segmentation (H44/H45) to shard packing/manifest (H16/H42):
+    token strings become dense ids, order preserved, out-of-vocabulary
+    tokens become ``unk_id``.
+
+    Arrow-batched with the id table as a broadcast dict (model state,
+    the segmenters' own pattern): an order-preserving array lookup is
+    a per-element dict probe, not a join — posexplode + join + re-sort
+    would shuffle the whole token stream twice to recover order the
+    rows already have. The id table is guarded at H45's
+    MAX_SEED_PIECES bound, tripping BEFORE any row reaches the driver.
+    """
+    from drive_bc_datapipeline_spark.operators.unigram import (
+        MAX_SEED_PIECES,
+    )
+
+    n_ids = id_table.count()
+    if n_ids > MAX_SEED_PIECES:
+        raise ValueError(
+            f"id table has {n_ids} rows, over MAX_SEED_PIECES "
+            f"({MAX_SEED_PIECES}): the mapping is driver/broadcast "
+            "model state and must stay corpus-independent"
+        )
+    mapping = {
+        r["token"]: int(r["token_id"]) for r in id_table.collect()
+    }
+    id_type = seg.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, token_ids array<int>, "
+        "n_tokens int, n_unk int"
+    )
+    bmap = seg.sparkSession.sparkContext.broadcast(mapping)
+
+    def run(batches):
+        mp = bmap.value
+        for pdf in batches:
+            ids = [
+                [mp.get(t, unk_id) for t in toks]
+                for toks in pdf[tokens_col]
+            ]
+            yield type(pdf)(
+                {
+                    id_col: pdf[id_col],
+                    "token_ids": ids,
+                    "n_tokens": [len(x) for x in ids],
+                    "n_unk": [
+                        sum(1 for i in x if i == unk_id) for x in ids
+                    ],
+                }
+            )
+
+    return seg.select(id_col, tokens_col).mapInPandas(run, out_schema)
+
+
 def tokenizer_fertility_report(
     df: DataFrame,
     seg: DataFrame,

@@ -14,7 +14,10 @@ from drive_bc_datapipeline_spark.operators.bpe import (
     bpe_train,
 )
 from drive_bc_datapipeline_spark.operators.tokenizer_report import (
+    UNK_ID,
     bpe_vocab,
+    encode_token_ids,
+    token_id_table,
     tokenizer_fertility_report,
     unigram_vocab,
 )
@@ -190,6 +193,75 @@ def test_report_null_source_keeps_its_oov_count(spark):
     # the NULL-source group's OOV tokens (@ chars) survived the join
     assert got[None][4] > 0
     assert got[None][7] is not None and got[None][7] > 0.0
+
+
+def test_token_id_encoding_bit_matches_reference(spark):
+    """encode_token_ids bridges segmentation to packing: ids must be
+    dense from 0, deterministic, order-preserving within each doc, and
+    OOV tokens must map to UNK_ID — all bit-matched against a plain
+    dict replay. Frequency ordering must give frequent pieces small
+    ids."""
+    import pytest as _pytest
+
+    train = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter("doc_id < 60")
+        .select("doc_id", "text")
+    )
+    merges = bpe_train(train, 12)
+    vocab_df = bpe_vocab(train, merges)
+    idt = token_id_table(vocab_df)
+    rows = idt.collect()
+    toks = sorted(r["token"] for r in rows)
+    # dense, 0-based, lexicographic by default
+    assert sorted(r["token_id"] for r in rows) == list(range(len(rows)))
+    assert {r["token"]: r["token_id"] for r in rows} == {
+        t: i for i, t in enumerate(toks)
+    }
+    probe = train.unionByName(
+        spark.createDataFrame(
+            [(100000, "q@@z unseen")], "doc_id long, text string"
+        )
+    )
+    seg = bpe_segment(probe, merges)
+    mapping = {r["token"]: r["token_id"] for r in rows}
+    want = {
+        r["doc_id"]: [mapping.get(t, UNK_ID) for t in r["tokens"]]
+        for r in seg.collect()
+    }
+    got = {
+        r["doc_id"]: (r["token_ids"], r["n_tokens"], r["n_unk"])
+        for r in encode_token_ids(seg, idt).collect()
+    }
+    for doc_id, ids in want.items():
+        assert got[doc_id] == (
+            ids, len(ids), sum(1 for i in ids if i == UNK_ID)
+        ), doc_id
+    # '@' never appears in the smoke corpus: the probe doc has real OOV
+    assert got[100000][2] > 0
+    # frequency ordering: the corpus' most frequent vocab token gets id 0
+    freq = (
+        seg.selectExpr("explode(tokens) as token")
+        .groupBy("token")
+        .count()
+        .withColumnRenamed("count", "cnt")
+    )
+    by_freq = {
+        r["token"]: r["token_id"]
+        for r in token_id_table(vocab_df, by_frequency=freq).collect()
+    }
+    top = min(
+        (-r["cnt"], r["token"])
+        for r in freq.collect()
+        if r["token"] in by_freq
+    )[1]
+    assert by_freq[top] == 0
+    # guard: an id table past the model-state bound refuses to collect
+    big = spark.range(0, 300_000).selectExpr(
+        "cast(id as string) as token", "cast(id as int) as token_id"
+    )
+    with _pytest.raises(ValueError, match="MAX_SEED_PIECES"):
+        encode_token_ids(seg, big)
 
 
 def test_bpe_vocab_handles_line_terminators(spark):
