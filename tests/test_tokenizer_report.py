@@ -264,6 +264,68 @@ def test_token_id_encoding_bit_matches_reference(spark):
         encode_token_ids(seg, big)
 
 
+def test_report_and_encoding_random_corpora_property(spark):
+    """Derandomized property check (the H44/H45 house pattern): on
+    random corpora — OOV chars, NULL-able sources, empty docs — the
+    fertility report bit-matches the sequential reference and the id
+    encoding bit-matches a dict replay."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from drive_bc_datapipeline_spark.operators.unigram import (
+        _viterbi,
+        unigram_segment,
+        unigram_train,
+    )
+
+    word = st.text(alphabet="ab@", min_size=1, max_size=5)
+    doc = st.lists(word, min_size=0, max_size=6).map(" ".join)
+    src = st.sampled_from(["s1", "s2", None])
+    corpus = st.lists(st.tuples(src, doc), min_size=1, max_size=6)
+
+    train = spark.createDataFrame(
+        [(0, "s", "ab ab ba ba b a")], "doc_id long, source string, text string"
+    )
+    pieces = unigram_train(train, 6, max_piece_len=2, min_count=2)
+    logp = {p: lp for p, _c, lp in pieces}
+    max_len = max(len(p) for p in logp)
+    vocab_df = unigram_vocab(train, pieces)
+    idt = token_id_table(vocab_df)
+    mapping = {r["token"]: r["token_id"] for r in idt.collect()}
+
+    @settings(max_examples=6, deadline=None, derandomize=True)
+    @given(corpus)
+    def check(rows):
+        probe = spark.createDataFrame(
+            [(i, s, t) for i, (s, t) in enumerate(rows)],
+            "doc_id long, source string, text string",
+        )
+        seg = unigram_segment(probe, pieces)
+        got = [
+            tuple(r)
+            for r in tokenizer_fertility_report(
+                probe, seg, vocab_df, tokens_col="pieces"
+            ).collect()
+        ]
+        want = _ref_report(
+            rows, lambda w: _viterbi(w, logp, max_len), set(logp)
+        )
+        assert got == want
+        enc = {
+            r["doc_id"]: (r["token_ids"], r["n_unk"])
+            for r in encode_token_ids(
+                seg, idt, tokens_col="pieces"
+            ).collect()
+        }
+        for r in seg.collect():
+            ids = [mapping.get(t, UNK_ID) for t in r["pieces"]]
+            assert enc[r["doc_id"]] == (
+                ids, sum(1 for i in ids if i == UNK_ID)
+            )
+
+    check()
+
+
 def test_bpe_vocab_handles_line_terminators(spark):
     """The vocab char split uses the same \\z anchor as training: a
     word ending in \\n must contribute '\\n' (and its last real char)
