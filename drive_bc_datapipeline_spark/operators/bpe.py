@@ -52,14 +52,25 @@ MAX_MERGES = 128
 #: explicit boundary the r11 verdict asked for (Next #6).
 MAX_JVM_SEGMENT_MERGES = 24
 
-#: Zero-width between-characters split. THE one copy: this literal is
+#: Zero-width between-CODE-POINTS split. THE one copy: this literal is
 #: the site of the r11 $-anchor bug (Java's $ also matches before a
 #: final line terminator, fusing a trailing \n into its preceding
 #: char), so every consumer — training, JVM segmentation, vocabulary
 #: derivation — must share it, not re-type it. (?!^) keeps Spark's
 #: keep-trailing-empties split from prepending a phantom ''; (?!\z)
-#: from appending one.
-CHAR_SPLIT_RE = r"(?!^)(?!\z)"
+#: from appending one. (?![\uDC00-\uDFFF]) keeps the split from
+#: landing INSIDE a surrogate pair (the r12 ADVICE bug: without it a
+#: non-BMP char like U+1F600 splits into UTF-16 halves while the
+#: Arrow segmenters' list(word) splits by code point, so bpe_train
+#: learned lone-surrogate merges bpe_segment never applied and
+#: bpe_vocab reported OOV on its own training corpus). Lookahead on
+#: the LOW surrogate, not lookbehind on the high one: Java lookbehind
+#: re-decodes the full preceding code point (so [\uD800-\uDBFF] never
+#: matches and the split still lands mid-pair — measured), while
+#: lookahead at the mid-pair position sees the raw low-surrogate code
+#: unit. Lone low surrogates can't occur in Spark's UTF-8 strings, so
+#: the extra assertion is exact, not heuristic.
+CHAR_SPLIT_RE = r"(?!^)(?!\z)(?![\uDC00-\uDFFF])"
 
 
 def words_array(text: Column) -> Column:

@@ -96,11 +96,28 @@ def token_id_table(
     pieces get small ids (the embedding-table locality convention).
     Ids are 0-based and gapless. The window runs over the vocabulary
     (model state, ≤ MAX_SEED_PIECES rows), never the corpus, so the
-    single-partition rank is bounded and 100 TB honest.
+    single-partition rank is bounded and 100 TB honest — and GUARDED,
+    not just documented (r12 ADVICE): the same MAX_SEED_PIECES count
+    check ``encode_token_ids`` runs trips BEFORE the window, so a
+    corpus-derived relation can't silently funnel through one
+    partition.
     """
     from pyspark.sql import Window
 
+    from drive_bc_datapipeline_spark.operators.unigram import (
+        MAX_SEED_PIECES,
+    )
+
     v = vocab.select("token").distinct()
+    n_tokens = v.count()
+    if n_tokens > MAX_SEED_PIECES:
+        raise ValueError(
+            f"vocabulary has {n_tokens} distinct tokens, over "
+            f"MAX_SEED_PIECES ({MAX_SEED_PIECES}): the id table is "
+            "driver/broadcast model state and must stay "
+            "corpus-independent — a corpus-scale relation would "
+            "funnel through the single-partition rank window"
+        )
     if by_frequency is not None:
         v = v.join(
             by_frequency.groupBy("token").agg(F.sum("cnt").alias("cnt")),

@@ -251,3 +251,48 @@ def test_bpe_guards(spark):
     empty = spark.createDataFrame([(0, " ")], "doc_id long, text string")
     with pytest.raises(ValueError, match="at least one word"):
         bpe_train(empty, 4)
+
+
+def test_bpe_non_bmp_code_point_split(spark):
+    """Regression (r12 ADVICE): the shared CHAR_SPLIT_RE must break
+    between CODE POINTS, never inside a UTF-16 surrogate pair. Without
+    the (?![\\uDC00-\\uDFFF]) assertion, bpe_train learned
+    lone-surrogate merges the Arrow segmenter (list(word) = code
+    points) never applied, and bpe_segment_jvm returned fewer tokens
+    than bpe_segment for the same trained merges on any emoji-bearing
+    corpus."""
+    texts = [
+        "\U0001F600a \U0001F600a b\U0001F600b",
+        "\U0001F600a c\U0001F600 c\U0001F600",
+        "\U0001D54Ax \U0001D54Ax \U0001F600a",
+    ]
+    d = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    merges = bpe_train(d, 8, min_count=2)
+    want = _seq_train(texts, 8, min_count=2)
+    assert merges == want
+    # no learned symbol may contain a lone surrogate half
+    for _rank, left, right, merged, _n in merges:
+        for sym in (left, right, merged):
+            assert not any(0xD800 <= ord(ch) <= 0xDFFF for ch in sym), sym
+    # the emoji participates in merges as ONE code point
+    assert any("\U0001F600" in m[3] for m in merges)
+    # both segmenters agree, including an unseen non-BMP char
+    probe = d.unionByName(
+        spark.createDataFrame(
+            [(100, "\U0001F984 unseen\U0001F600")],
+            "doc_id long, text string",
+        )
+    )
+    arrow = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in bpe_segment(probe, merges).collect()
+    }
+    jvm = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in bpe_segment_jvm(probe, merges).collect()
+    }
+    assert jvm == arrow
+    # and the unseen emoji survived as a single whole-char token
+    assert "\U0001F984" in arrow[100][0]

@@ -337,3 +337,53 @@ def test_bpe_vocab_handles_line_terminators(spark):
     vocab = {r["token"] for r in bpe_vocab(d, merges).collect()}
     assert {"o", "\n", "f", "b", "a", EOW} <= vocab
     assert not any(len(t) == 2 and t.endswith("\n") and t != EOW for t in vocab - {m[3] for m in merges})
+
+
+def test_bpe_vocab_and_report_non_bmp(spark):
+    """Regression (r12 ADVICE): on an emoji-bearing training corpus
+    the vocab must hold whole code points (no UTF-16 halves) and the
+    report's oov_token_rate must be 0 — the go/no-go invariant the
+    surrogate split broke (it reported 0.25 OOV on the vocab's own
+    training corpus)."""
+    rows = [
+        ("a", "\U0001F600x \U0001F600x y\U0001F600"),
+        ("b", "\U0001F600x z z"),
+        (None, "y\U0001F600 y\U0001F600"),
+    ]
+    d = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(rows)],
+        "doc_id long, source string, text string",
+    )
+    merges = bpe_train(d, 6, min_count=2)
+    seg = bpe_segment(d, merges)
+    vocab_df = bpe_vocab(d, merges)
+    vocab = {r["token"] for r in vocab_df.collect()}
+    assert not any(
+        0xD800 <= ord(ch) <= 0xDFFF for t in vocab for ch in t
+    )
+    assert any("\U0001F600" in t for t in vocab)
+    got = tokenizer_fertility_report(d, seg, vocab_df)
+    want = _ref_report(
+        rows, lambda w: _seq_bpe_segment(w, merges), vocab
+    )
+    assert [tuple(r) for r in got.collect()] == want
+    # zero OOV on the vocab's own training corpus — the H46 invariant
+    assert all(r[5] == 0 and r[8] == 0.0 for r in want)
+
+
+def test_token_id_table_guard_trips_on_corpus_scale_vocab(spark):
+    """r12 ADVICE (low): token_id_table's single-partition rank window
+    is bounded by the same MAX_SEED_PIECES guard encode_token_ids
+    uses, tripping BEFORE the window runs."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from drive_bc_datapipeline_spark.operators.unigram import (
+        MAX_SEED_PIECES,
+    )
+
+    big = spark.range(MAX_SEED_PIECES + 1).select(
+        F.col("id").cast("string").alias("token")
+    )
+    with pytest.raises(ValueError, match="MAX_SEED_PIECES"):
+        token_id_table(big)

@@ -217,3 +217,35 @@ def test_unigram_seed_guard_trips_before_collect(spark):
     )
     with pytest.raises(ValueError, match="MAX_SEED_PIECES"):
         unigram_train(d, 50, min_count=1)
+
+def test_unigram_non_bmp_code_point_pieces(spark):
+    """The r12 ADVICE surrogate bug class, unigram side: Spark's
+    substring() (the JVM seed enumeration) and Python slicing (the
+    reference + the Arrow Viterbi) must agree on CODE-POINT semantics
+    for non-BMP chars — train and segment on an emoji corpus must
+    bit-match the sequential reference with no surrogate-half
+    pieces."""
+    texts = [
+        "\U0001F600ab \U0001F600ab x\U0001F600",
+        "\U0001F600ab cc cc x\U0001F600",
+    ]
+    d = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    pieces = unigram_train(d, 24, max_piece_len=4, min_count=2)
+    want = _ref_train(texts, 24, max_piece_len=4, min_count=2)
+    assert pieces == want
+    for p, _c, _lp in pieces:
+        assert not any(0xD800 <= ord(ch) <= 0xDFFF for ch in p), p
+    assert any("\U0001F600" in p for p, _c, _lp in pieces)
+    logp = {p: lp for p, _c, lp in pieces}
+    max_len = max(len(p) for p in logp)
+    got = {
+        r["doc_id"]: r["pieces"]
+        for r in unigram_segment(d, pieces).collect()
+    }
+    for doc_id, txt in enumerate(texts):
+        assert got[doc_id] == [
+            p for w in txt.split(" ") if w
+            for p in _ref_viterbi(w, logp, max_len)
+        ]
