@@ -106,6 +106,19 @@ def needs_retry(current: float, prior: float | None) -> bool:
     return prior is not None and current > 2.0 * prior + 0.25
 
 
+def artifact_path(full_path: str, sf: float) -> str:
+    """Where this run's full per-query payload is written: the TRACKED
+    BENCH_full.json only at the canonical sf=0.1 (r12 verdict Next
+    #6); any other SF goes to an untracked BENCH_smoke_<sf>.json so a
+    contract smoke at sf0.001 can't clobber the sf0.1 record (and its
+    retry priors) in the working tree."""
+    if abs(sf - 0.1) < 1e-9:
+        return full_path
+    return os.path.join(
+        os.path.dirname(full_path), f"BENCH_smoke_{sf}.json"
+    )
+
+
 def load_prior_queries(full_path: str, sf: float) -> dict[str, float]:
     """Per-query retry priors from the tracked BENCH_full.json of a
     previous run, empty when absent/unreadable or recorded at a
@@ -282,8 +295,9 @@ def main() -> None:
     # entries were lost to truncation in r7/r8), so cross-round
     # per-query comparison — and the retry reference above — lives in
     # git history instead of depending on what survives truncation.
+    out_path = artifact_path(full_path, sf)
     try:
-        with open(full_path, "w") as fh:
+        with open(out_path, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=False)
             fh.write("\n")
     except OSError:

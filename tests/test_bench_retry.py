@@ -73,3 +73,15 @@ def test_apply_prior_refresh():
     assert kept == {"q1": 1.5, "q3": 0.9} and unknown == ["nope"]
     # a dropped key no longer triggers the retry (no floor to defend)
     assert not bench.needs_retry(5.0, kept.get("q2"))
+
+
+def test_artifact_path_clobber_guard():
+    """r12 verdict Next #6: only the canonical sf=0.1 run writes the
+    TRACKED BENCH_full.json; any other SF (a sf0.001 contract smoke)
+    diverts to an untracked BENCH_smoke_<sf>.json so the sf0.1 record
+    and its retry priors survive in the working tree."""
+    full = "/repo/BENCH_full.json"
+    assert bench.artifact_path(full, 0.1) == full
+    assert bench.artifact_path(full, 0.001) == "/repo/BENCH_smoke_0.001.json"
+    assert bench.artifact_path(full, 0.01) == "/repo/BENCH_smoke_0.01.json"
+    assert bench.artifact_path(full, -1.0) == "/repo/BENCH_smoke_-1.0.json"
