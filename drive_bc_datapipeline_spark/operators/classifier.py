@@ -1,11 +1,13 @@
-"""Hashed linear text-classifier inference (SURVEY §2 E7).
+"""Hashed linear text-classifier training + inference (SURVEY §2
+E7/E9).
 
-The quality-classifier scoring step of a CCNet/fastText-style
-training-data pipeline: a small linear model over hashed bag-of-token
-features, applied to a 100 TB corpus. The reference has no classifier
+The quality-classifier loop of a CCNet/fastText-style training-data
+pipeline: train a small linear model over hashed bag-of-token features
+on seed labels (``train_hashed_linear``), then score a 100 TB corpus
+with it (``score_hashed_linear``). The reference has no classifier
 surface (its ML scripts train tabular SparkML models,
 ml-sparkml.py / inference-prediction.py); this is the LLM-data
-extension of that inference step, kept as pure column algebra.
+extension of that step, kept as pure column algebra.
 
 Why this shape scales:
 - the MODEL is tiny (n_buckets weights) and rides a broadcast join —
@@ -90,3 +92,169 @@ def score_hashed_linear(
             (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score"),
         )
     )
+
+
+#: Weight vectors are driver/broadcast model state — D doubles per
+#: round — so D is bounded like the unigram piece table
+#: (the MAX_SEED_PIECES guard class).
+MAX_LR_BUCKETS = 262_144
+
+#: Full-batch gradient rounds are inherently sequential (one
+#: distributed aggregate each); past this many the round count is the
+#: bottleneck and the seed-label set belongs in a dedicated trainer.
+MAX_LR_ROUNDS = 200
+
+
+def _gradient_frame(
+    feats: DataFrame, docs: DataFrame, wdf: DataFrame
+) -> DataFrame:
+    """One GD round as a single D-bounded-output plan: broadcast the
+    weight relation onto the sparse features, aggregate per-doc
+    logits, turn them into residuals sigmoid(logit) - y, and aggregate
+    the per-bucket gradient Σ x·r (bucket -1 rows carry the bias
+    gradient). Pure column algebra — the plan-property test pins
+    BroadcastHashJoin-and-no-Python on exactly this frame."""
+    logits = (
+        feats.join(F.broadcast(wdf), "bucket", "left")
+        .groupBy("__id")
+        .agg(
+            F.sum(
+                F.col("x") * F.coalesce(F.col("weight"), F.lit(0.0))
+            ).alias("__logit")
+        )
+    )
+    resid = docs.join(logits, "__id").select(
+        "__id",
+        (
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__logit")))
+            - F.col("__y")
+        ).alias("__r"),
+    )
+    return (
+        feats.join(resid, "__id")
+        .groupBy("bucket")
+        .agg(F.sum(F.col("x") * F.col("__r")).alias("g"))
+    )
+
+
+def train_hashed_linear(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    n_rounds: int = 30,
+    lr: float = 0.5,
+    l2: float = 0.0,
+) -> tuple[dict[int, float], float]:
+    """Train the logistic model ``score_hashed_linear`` scores:
+    full-batch gradient descent on
+        p(doc) = sigmoid(bias + mean_over_tokens(w[bucket(tok)]))
+    against binary labels — the seed-label half of the CCNet/fastText
+    curation loop (train on labeled seeds, score the corpus).
+
+    Returns ``(weights, bias)`` consumable by ``score_hashed_linear``
+    verbatim: weights maps bucket id -> weight, buckets never touched
+    by training are absent (they'd be exactly 0.0).
+
+    Spark-first shape (100 TB honest):
+    - the corpus featurizes ONCE: tokens hash JVM-side (the H15 md5
+      convention shared with the scorer), collapse to per-(doc,
+      bucket) normalized counts x = cnt / n_tokens, and the sparse
+      feature relation is localCheckpoint'd — every round reuses it,
+      nothing re-scans text;
+    - the bias is a sentinel feature: every doc gets one extra row
+      (bucket -1, x 1.0) — unreachable by the hash, which is
+      non-negative — so each round is ONE broadcast join of the
+      D-bounded weight relation, ONE partial-aggregable groupBy(doc)
+      for logits, ONE groupBy(bucket) for the full gradient (bias
+      included), and ONE D-bounded collect (the BPE/unigram
+      driver-state pattern — the MODEL visits the driver, never the
+      data);
+    - the update is plain Python on the driver:
+      w -= lr * (grad/n + l2*w), bias unregularized.
+
+    Gradient math: d/dw_b of the mean log-loss is
+    mean_i((p_i - y_i) * x_ib) with x the normalized bucket histogram
+    (x = 1 for the bias row) — mirrored term-for-term by the
+    sequential numpy reference in tests/test_classifier.py.
+    Token-less docs carry only their bias row, exactly like the
+    scorer's sigmoid(bias) convention.
+
+    CALLER CONTRACT (the bm25/H46 convention — stated, not silently
+    assumed): ``df`` must carry EXACTLY ONE row per ``id_col`` value.
+    A duplicated id fans out through the feats⋈docs joins and
+    double-counts its document in every gradient.
+    """
+    if not 1 <= n_rounds <= MAX_LR_ROUNDS:
+        raise ValueError(
+            f"n_rounds={n_rounds}: each round is one sequential "
+            f"distributed aggregate; use 1..{MAX_LR_ROUNDS}"
+        )
+    if not 1 <= n_buckets <= MAX_LR_BUCKETS:
+        raise ValueError(
+            f"n_buckets={n_buckets}: the weight vector is driver/"
+            f"broadcast model state, bounded at {MAX_LR_BUCKETS}"
+        )
+    if lr <= 0:
+        raise ValueError(f"lr must be > 0, got {lr}")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # per-doc label + token count (token-less docs kept: bias-only)
+    docs = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("double").alias("__y"),
+        F.size(toks).alias("__nt"),
+    ).localCheckpoint(eager=True)
+    bad = docs.filter(
+        F.col("__y").isNull() | ~F.col("__y").isin(0.0, 1.0)
+    ).count()
+    if bad:
+        raise ValueError(
+            f"{bad} rows have labels outside {{0, 1}}: "
+            "train_hashed_linear fits a binary logistic model"
+        )
+    n = docs.count()
+    if not n:
+        raise ValueError("train_hashed_linear needs a non-empty corpus")
+    # sparse normalized features + the per-doc bias row (bucket -1,
+    # x 1.0): ONE text scan, reused every round
+    feats = (
+        df.select(
+            F.col(id_col).alias("__id"), F.explode(toks).alias("tok")
+        )
+        .select(
+            "__id", hash_bucket(F.col("tok"), n_buckets).alias("bucket")
+        )
+        .groupBy("__id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(docs.select("__id", "__nt"), "__id")
+        .select(
+            "__id",
+            "bucket",
+            (F.col("cnt") / F.col("__nt")).alias("x"),
+        )
+        .unionByName(
+            docs.select(
+                "__id",
+                F.lit(-1).alias("bucket"),
+                F.lit(1.0).alias("x"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    model: dict[int, float] = {-1: 0.0}  # -1 = bias
+    for _round in range(n_rounds):
+        wdf = spark.createDataFrame(
+            [(b, w) for b, w in sorted(model.items())],
+            "bucket int, weight double",
+        )
+        grad_rows = _gradient_frame(feats, docs, wdf).collect()
+        for row in grad_rows:
+            b = int(row["bucket"])
+            w = model.get(b, 0.0)
+            reg = 0.0 if b == -1 else l2 * w  # bias unregularized
+            model[b] = w - lr * (float(row["g"]) / n + reg)
+    bias = model.pop(-1)
+    return model, bias

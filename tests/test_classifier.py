@@ -99,3 +99,268 @@ def test_hash_bucket_matches_python_twin(spark):
         ).collect()
     }
     assert got == {t: _bucket_py(t) for t in toks}
+
+
+# ---------------------------------------------------------------------------
+# E9 — train_hashed_linear: the seed-label training half of the
+# curation loop, vs a sequential numpy-free reference (the E6/K20/F16
+# pattern): full-batch GD on the mean log-loss over normalized hashed
+# bucket histograms, bias as a constant feature.
+# ---------------------------------------------------------------------------
+
+
+def _ref_train(rows, *, n_buckets, n_rounds, lr, l2=0.0):
+    """rows = [(doc_id, label, text)]; replays train_hashed_linear's
+    math sequentially: x = bucket histogram / n_tokens, plus a bias
+    feature with x = 1; w -= lr*(grad/n + l2*w), bias unregularized."""
+    feats = []
+    for _id, y, text in rows:
+        toks = [x for x in (text or "").split(" ") if x != ""]
+        hist: dict[int, float] = {}
+        for tk in toks:
+            b = int(hashlib.md5(tk.encode()).hexdigest()[:8], 16) % n_buckets
+            hist[b] = hist.get(b, 0.0) + 1.0
+        x = {b: c / len(toks) for b, c in hist.items()} if toks else {}
+        x[-1] = 1.0  # bias feature
+        feats.append((float(y), x))
+    n = len(feats)
+    model = {-1: 0.0}
+    for _ in range(n_rounds):
+        grad: dict[int, float] = {}
+        for y, x in feats:
+            logit = sum(v * model.get(b, 0.0) for b, v in x.items())
+            r = 1.0 / (1.0 + math.exp(-logit)) - y
+            for b, v in x.items():
+                grad[b] = grad.get(b, 0.0) + v * r
+        for b, g in grad.items():
+            w = model.get(b, 0.0)
+            reg = 0.0 if b == -1 else l2 * w
+            model[b] = w - lr * (g / n + reg)
+    bias = model.pop(-1)
+    return model, bias
+
+
+_SEED_ROWS = [
+    # positives: "good clean prose" vocabulary; negatives: junk tokens
+    (0, 1, "the quick brown fox jumps over the lazy dog"),
+    (1, 1, "a clear sentence with ordinary words and meaning"),
+    (2, 1, "ordinary prose reads well and carries meaning"),
+    (3, 1, "the dog and the fox are ordinary words"),
+    (4, 0, "zx9 qq7 zx9 %%% ### qq7"),
+    (5, 0, "%%% ### zx9 vv2 vv2 ###"),
+    (6, 0, "qq7 vv2 %%% zx9 ### ###"),
+    (7, 0, ""),  # token-less doc: bias-only row
+]
+
+
+def test_train_bit_matches_sequential_reference(spark):
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        train_hashed_linear,
+    )
+
+    df = spark.createDataFrame(
+        _SEED_ROWS, "doc_id long, label int, text string"
+    )
+    got_w, got_b = train_hashed_linear(
+        spark, df, n_buckets=N_BUCKETS, n_rounds=12, lr=0.5, l2=0.01
+    )
+    want_w, want_b = _ref_train(
+        _SEED_ROWS, n_buckets=N_BUCKETS, n_rounds=12, lr=0.5, l2=0.01
+    )
+    assert abs(got_b - want_b) < 1e-9
+    assert set(got_w) == set(want_w)
+    for b, w in want_w.items():
+        assert abs(got_w[b] - w) < 1e-9, b
+
+
+def test_trained_model_scores_through_e7_and_separates(spark):
+    """Round-trip (r12 verdict Next #3): the trained weights feed
+    score_hashed_linear verbatim, reproduce the reference's scores,
+    and actually separate the seed classes."""
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        train_hashed_linear,
+    )
+
+    df = spark.createDataFrame(
+        _SEED_ROWS, "doc_id long, label int, text string"
+    )
+    w, b = train_hashed_linear(
+        spark, df, n_buckets=N_BUCKETS, n_rounds=40, lr=1.0
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in score_hashed_linear(
+            spark, df, w, n_buckets=N_BUCKETS, bias=b
+        ).collect()
+    }
+    # reference scoring with the reference-trained model agrees
+    rw, rb = _ref_train(_SEED_ROWS, n_buckets=N_BUCKETS, n_rounds=40, lr=1.0)
+    for doc_id, _y, text in _SEED_ROWS:
+        toks = [x for x in (text or "").split(" ") if x != ""]
+        ws = sum(rw.get(_bucket_py(tk), 0.0) for tk in toks)
+        logit = rb + (ws / len(toks) if toks else 0.0)
+        assert abs(got[doc_id] - 1.0 / (1.0 + math.exp(-logit))) < 1e-9
+    # separation: every positive outscores every labeled negative
+    pos = [got[i] for i, y, t in _SEED_ROWS if y == 1]
+    neg = [got[i] for i, y, t in _SEED_ROWS if y == 0 and t]
+    assert min(pos) > max(neg)
+    # and unseen same-vocabulary docs rank the right way
+    probe = spark.createDataFrame(
+        [(100, "the fox reads ordinary prose"), (101, "zx9 ### vv2 qq7")],
+        "doc_id long, text string",
+    )
+    ps = {
+        r["doc_id"]: r["score"]
+        for r in score_hashed_linear(
+            spark, probe, w, n_buckets=N_BUCKETS, bias=b
+        ).collect()
+    }
+    assert ps[100] > ps[101]
+
+
+def test_train_guards(spark):
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        MAX_LR_BUCKETS,
+        MAX_LR_ROUNDS,
+        train_hashed_linear,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1, "a b"), (1, 0, "c d")], "doc_id long, label int, text string"
+    )
+    with pytest.raises(ValueError, match="n_rounds"):
+        train_hashed_linear(spark, df, n_rounds=0)
+    with pytest.raises(ValueError, match="n_rounds"):
+        train_hashed_linear(spark, df, n_rounds=MAX_LR_ROUNDS + 1)
+    with pytest.raises(ValueError, match="n_buckets"):
+        train_hashed_linear(spark, df, n_buckets=MAX_LR_BUCKETS + 1)
+    with pytest.raises(ValueError, match="lr"):
+        train_hashed_linear(spark, df, lr=0.0)
+    bad = spark.createDataFrame(
+        [(0, 2, "a b")], "doc_id long, label int, text string"
+    )
+    with pytest.raises(ValueError, match="binary logistic"):
+        train_hashed_linear(spark, bad, n_rounds=1)
+    nul = spark.createDataFrame(
+        [(0, None, "a b")], "doc_id long, label int, text string"
+    )
+    with pytest.raises(ValueError, match="binary logistic"):
+        train_hashed_linear(spark, nul, n_rounds=1)
+    empty = df.filter("doc_id < 0")
+    with pytest.raises(ValueError, match="non-empty"):
+        train_hashed_linear(spark, empty, n_rounds=1)
+
+
+def test_train_round_is_broadcast_and_no_python_udf(spark):
+    """The per-round gradient plan keeps the model on a broadcast join
+    and never leaves the JVM (the E7 plan-property twin)."""
+    from pyspark.sql import functions as F
+
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        _gradient_frame,
+    )
+
+    feats = spark.createDataFrame(
+        [(0, 3, 0.5), (0, -1, 1.0), (1, -1, 1.0)],
+        "__id long, bucket int, x double",
+    )
+    docs = spark.createDataFrame(
+        [(0, 1.0, 2), (1, 0.0, 0)], "__id long, __y double, __nt int"
+    )
+    wdf = spark.createDataFrame(
+        [(-1, 0.1), (3, -0.2)], "bucket int, weight double"
+    )
+    g = _gradient_frame(feats, docs, wdf)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    # and it computes what the reference math says on this tiny input
+    import math as _m
+
+    p0 = 1.0 / (1.0 + _m.exp(-(0.1 + 0.5 * -0.2)))
+    p1 = 1.0 / (1.0 + _m.exp(-0.1))
+    want = {3: 0.5 * (p0 - 1.0), -1: (p0 - 1.0) + (p1 - 0.0)}
+    got = {r["bucket"]: r["g"] for r in g.collect()}
+    assert set(got) == set(want)
+    for b in want:
+        assert abs(got[b] - want[b]) < 1e-12, b
+
+
+def test_train_random_corpora_property(spark):
+    """Property check (derandomized, the BPE/H46 pattern): on random
+    small corpora with random binary labels — hash collisions, empty
+    docs, single-class batches — the distributed trainer matches the
+    sequential reference within float tolerance."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        train_hashed_linear,
+    )
+
+    word = st.text(alphabet="abz#", min_size=1, max_size=4)
+    doc = st.lists(word, min_size=0, max_size=6).map(" ".join)
+    corpus = st.lists(
+        st.tuples(doc, st.integers(min_value=0, max_value=1)),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=6, deadline=None, derandomize=True)
+    @given(corpus)
+    def check(docs_labels):
+        rows = [
+            (i, y, text) for i, (text, y) in enumerate(docs_labels)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, label int, text string"
+        )
+        # tiny bucket space forces collisions; few rounds keeps float
+        # drift far below tolerance
+        got_w, got_b = train_hashed_linear(
+            spark, df, n_buckets=7, n_rounds=5, lr=0.8, l2=0.05
+        )
+        want_w, want_b = _ref_train(
+            rows, n_buckets=7, n_rounds=5, lr=0.8, l2=0.05
+        )
+        assert abs(got_b - want_b) < 1e-9
+        assert set(got_w) == set(want_w)
+        for b, w in want_w.items():
+            assert abs(got_w[b] - w) < 1e-9, b
+
+    check()
+
+
+def test_curation_loop_composes_train_score_filter(spark):
+    """The E9→E7 seam, composed (the tokenizer-chain pattern): train
+    on labeled seeds, score an unlabeled corpus mixing both
+    vocabularies, threshold-filter, and check the kept set is exactly
+    the clean-vocabulary docs — plus budget conservation through the
+    filter (kept + dropped = scored)."""
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        train_hashed_linear,
+    )
+
+    seeds = spark.createDataFrame(
+        _SEED_ROWS, "doc_id long, label int, text string"
+    )
+    w, b = train_hashed_linear(
+        spark, seeds, n_buckets=N_BUCKETS, n_rounds=40, lr=1.0
+    )
+    corpus = spark.createDataFrame(
+        [
+            (200, "the fox and the dog read ordinary prose"),
+            (201, "zx9 qq7 ### vv2 %%%"),
+            (202, "a clear ordinary sentence with meaning"),
+            (203, "### %%% zx9 zx9 qq7 vv2"),
+        ],
+        "doc_id long, text string",
+    )
+    scored = score_hashed_linear(
+        spark, corpus, w, n_buckets=N_BUCKETS, bias=b
+    )
+    kept = scored.filter("score >= 0.5")
+    dropped = scored.filter("score < 0.5")
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == {200, 202}
+    assert kept.count() + dropped.count() == corpus.count()
