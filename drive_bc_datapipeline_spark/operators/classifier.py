@@ -258,3 +258,100 @@ def train_hashed_linear(
             model[b] = w - lr * (float(row["g"]) / n + reg)
     bias = model.pop(-1)
     return model, bias
+
+
+#: The curve frame holds one row per score bin — model-state sized,
+#: and the guard keeps the bounded rank window honest (the
+#: token_id_table MAX_SEED_PIECES class).
+MAX_PR_BINS = 65_536
+
+
+def classifier_pr_curve(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    score_col: str = "score",
+    n_bins: int = 1000,
+) -> DataFrame:
+    """Quantized precision/recall curve for a scored, labeled
+    relation — the threshold-selection step between training (E9) and
+    corpus-wide filtering (E7): pick the highest-recall threshold that
+    still meets a precision target, then filter the 100 TB corpus
+    with a plain ``score >= t``.
+
+    Scores quantize to ``bin = clamp(floor(score * n_bins), 0,
+    n_bins - 1)`` and the curve is EXACT for the quantized rule "keep
+    docs with bin >= threshold_bin" (the sequential reference mirrors
+    the same quantization; an unbinned curve would be corpus-scale —
+    one row per distinct float score — where this is bounded at
+    ``n_bins`` rows). Returns one row per OCCUPIED bin, descending:
+    (threshold, n_kept, n_pos_kept, precision, recall, f1); every
+    occupied bin keeps >= 1 doc so precision is always defined, while
+    recall and f1 are NULL (not NaN) on an input with zero positive
+    labels. ONE partial-aggregable groupBy(bin) shuffle; the
+    cumulative window runs over the ≤ n_bins curve frame (model
+    state, guarded), never the corpus.
+    """
+    if not 1 <= n_bins <= MAX_PR_BINS:
+        raise ValueError(
+            f"n_bins={n_bins}: the curve frame is model state, "
+            f"bounded at {MAX_PR_BINS}"
+        )
+    y = F.col(label_col).cast("double")
+    bad = df.filter(y.isNull() | ~y.isin(0.0, 1.0)).count()
+    if bad:
+        raise ValueError(
+            f"{bad} rows have labels outside {{0, 1}}: the PR curve "
+            "needs binary labels"
+        )
+    binned = df.select(
+        F.least(
+            F.greatest(
+                F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(0)
+            ),
+            F.lit(n_bins - 1),
+        ).alias("__bin"),
+        y.alias("__y"),
+    )
+    per_bin = binned.groupBy("__bin").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__y").cast("long").alias("__np"),
+    )
+    from pyspark.sql import Window
+
+    # bounded frame: ≤ n_bins rows (guarded above) — the single
+    # partition the unpartitioned window plans is model state
+    w = (
+        Window.orderBy(F.desc("__bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = per_bin.agg(
+        F.sum("__np").cast("long").alias("__total_pos")
+    )
+    cum = (
+        per_bin.withColumn("__kept", F.sum("__n").over(w))
+        .withColumn("__pos_kept", F.sum("__np").over(w))
+        .crossJoin(F.broadcast(totals))
+    )
+    precision = F.col("__pos_kept") / F.col("__kept")
+    recall = F.when(
+        F.col("__total_pos") > 0,
+        F.col("__pos_kept") / F.col("__total_pos"),
+    )
+    f1 = F.when(
+        (F.col("__pos_kept") > 0),
+        2.0
+        * precision
+        * recall
+        / (precision + recall),
+    ).otherwise(
+        F.when(recall.isNotNull(), F.lit(0.0))
+    )
+    return cum.select(
+        (F.col("__bin").cast("double") / n_bins).alias("threshold"),
+        F.col("__kept").cast("long").alias("n_kept"),
+        F.col("__pos_kept").alias("n_pos_kept"),
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+    ).orderBy(F.desc("threshold"))

@@ -364,3 +364,123 @@ def test_curation_loop_composes_train_score_filter(spark):
     kept_ids = {r["doc_id"] for r in kept.collect()}
     assert kept_ids == {200, 202}
     assert kept.count() + dropped.count() == corpus.count()
+
+
+# ---------------------------------------------------------------------------
+# E10 — classifier_pr_curve: quantized precision/recall curve vs a
+# sequential reference — the threshold-selection step between E9
+# (train) and E7 (score-and-filter).
+# ---------------------------------------------------------------------------
+
+
+def _ref_pr_curve(rows, n_bins):
+    """rows = [(score, label)]; mirrors the quantized rule exactly."""
+    per: dict[int, list[int]] = {}
+    for s, y in rows:
+        b = min(max(int(math.floor(s * n_bins)), 0), n_bins - 1)
+        acc = per.setdefault(b, [0, 0])
+        acc[0] += 1
+        acc[1] += y
+    total_pos = sum(np for _n, np in per.values())
+    out, kept, pos_kept = [], 0, 0
+    for b in sorted(per, reverse=True):
+        n, np_ = per[b]
+        kept += n
+        pos_kept += np_
+        p = pos_kept / kept
+        r = pos_kept / total_pos if total_pos else None
+        if pos_kept > 0:
+            f1 = 2 * p * r / (p + r)
+        else:
+            f1 = 0.0 if r is not None else None
+        out.append((b / n_bins, kept, pos_kept, p, r, f1))
+    return out
+
+
+def test_pr_curve_matches_sequential_reference(spark):
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        classifier_pr_curve,
+    )
+
+    rows = [
+        (0.91, 1), (0.87, 1), (0.87, 0), (0.55, 1), (0.52, 0),
+        (0.31, 0), (0.12, 1), (0.08, 0), (0.08, 0), (1.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = classifier_pr_curve(df, n_bins=20).collect()
+    want = _ref_pr_curve(rows, 20)
+    assert got[0].asDict() and len(got) == len(want)
+    for g, w in zip(got, want):
+        assert abs(g["threshold"] - w[0]) < 1e-12
+        assert (g["n_kept"], g["n_pos_kept"]) == (w[1], w[2])
+        for gv, wv in zip((g["precision"], g["recall"], g["f1"]), w[3:]):
+            if wv is None:
+                assert gv is None
+            else:
+                assert abs(gv - wv) < 1e-12
+    # curve sanity: recall is monotone non-decreasing down the curve
+    recs = [g["recall"] for g in got]
+    assert recs == sorted(recs)
+
+
+def test_pr_curve_all_negative_and_guards(spark):
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        MAX_PR_BINS,
+        classifier_pr_curve,
+    )
+
+    neg = spark.createDataFrame(
+        [(0.9, 0), (0.1, 0)], "score double, label int"
+    )
+    rows = classifier_pr_curve(neg, n_bins=10).collect()
+    assert all(
+        r["recall"] is None and r["f1"] is None and r["precision"] == 0.0
+        for r in rows
+    )
+    with pytest.raises(ValueError, match="n_bins"):
+        classifier_pr_curve(neg, n_bins=0)
+    with pytest.raises(ValueError, match="n_bins"):
+        classifier_pr_curve(neg, n_bins=MAX_PR_BINS + 1)
+    bad = spark.createDataFrame([(0.5, 3)], "score double, label int")
+    with pytest.raises(ValueError, match="binary"):
+        classifier_pr_curve(bad)
+
+
+def test_pr_curve_composes_with_train_and_score(spark):
+    """Full loop: train on seeds (E9), score a labeled eval set (E7),
+    pick the best-f1 threshold from the curve (E10), and the implied
+    filter keeps exactly the clean docs."""
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        classifier_pr_curve,
+        train_hashed_linear,
+    )
+
+    seeds = spark.createDataFrame(
+        _SEED_ROWS, "doc_id long, label int, text string"
+    )
+    w, b = train_hashed_linear(
+        spark, seeds, n_buckets=N_BUCKETS, n_rounds=40, lr=1.0
+    )
+    eval_rows = [
+        (300, 1, "the fox and the dog read ordinary prose"),
+        (301, 0, "zx9 qq7 ### vv2 %%%"),
+        (302, 1, "a clear ordinary sentence with meaning"),
+        (303, 0, "### %%% zx9 zx9 qq7 vv2"),
+    ]
+    ev = spark.createDataFrame(
+        eval_rows, "doc_id long, label int, text string"
+    )
+    scored = score_hashed_linear(
+        spark, ev, w, n_buckets=N_BUCKETS, bias=b
+    ).join(ev.select("doc_id", "label"), "doc_id")
+    curve = classifier_pr_curve(scored, n_bins=1000).collect()
+    best = max(curve, key=lambda r: (r["f1"], r["threshold"]))
+    assert best["f1"] == 1.0  # separable eval set
+    # the quantized keep rule bin(s) >= t*n is exactly s >= t
+    # (floor(x) >= k <=> x >= k for integer k), so the corpus filter
+    # is a plain predicate on the score column
+    kept = {
+        r["doc_id"]
+        for r in scored.filter(scored.score >= best["threshold"]).collect()
+    }
+    assert kept == {300, 302}
