@@ -40,6 +40,14 @@ def hash_bucket(col, n_buckets: int):
     ).cast("int")
 
 
+def doc_tokens(text_col: str):
+    """array<string> of the non-empty space-separated tokens — THE one
+    copy of the classifier family's token definition (the CHAR_SPLIT_RE
+    convention): trainer and scorer MUST share it, or the trained
+    feature space silently drifts from the scored one."""
+    return F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+
+
 def score_hashed_linear(
     spark: SparkSession,
     df: DataFrame,
@@ -67,7 +75,7 @@ def score_hashed_linear(
         [(int(b), float(w)) for b, w in sorted(weights.items())],
         "bucket int, weight double",
     )
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = doc_tokens(text_col)
     exploded = df.select(id_col, F.explode(toks).alias("tok")).select(
         id_col, hash_bucket(F.col("tok"), n_buckets).alias("bucket")
     )
@@ -200,22 +208,42 @@ def train_hashed_linear(
         )
     if lr <= 0:
         raise ValueError(f"lr must be > 0, got {lr}")
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    if l2 < 0:
+        raise ValueError(
+            f"l2 must be >= 0, got {l2}: a negative decay AMPLIFIES "
+            "weights geometrically instead of regularizing them"
+        )
+    toks = doc_tokens(text_col)
     # per-doc label + token count (token-less docs kept: bias-only)
     docs = df.select(
         F.col(id_col).alias("__id"),
         F.col(label_col).cast("double").alias("__y"),
         F.size(toks).alias("__nt"),
     ).localCheckpoint(eager=True)
-    bad = docs.filter(
-        F.col("__y").isNull() | ~F.col("__y").isin(0.0, 1.0)
-    ).count()
-    if bad:
+    # one validation job: NULL ids would silently vanish from every
+    # equi-join below while still counting in the gradient divisor n;
+    # non-binary labels break the logistic math
+    checks = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                F.col("__y").isNull() | ~F.col("__y").isin(0.0, 1.0)
+            ).cast("int")
+        ).alias("bad_y"),
+        F.sum(F.col("__id").isNull().cast("int")).alias("bad_id"),
+    ).collect()[0]
+    if checks["bad_y"]:
         raise ValueError(
-            f"{bad} rows have labels outside {{0, 1}}: "
+            f"{checks['bad_y']} rows have labels outside {{0, 1}}: "
             "train_hashed_linear fits a binary logistic model"
         )
-    n = docs.count()
+    if checks["bad_id"]:
+        raise ValueError(
+            f"{checks['bad_id']} rows have a NULL {id_col}: they would "
+            "drop out of every feature join while still inflating the "
+            "gradient divisor"
+        )
+    n = checks["n"]
     if not n:
         raise ValueError("train_hashed_linear needs a non-empty corpus")
     # sparse normalized features + the per-doc bias row (bucket -1,
@@ -279,59 +307,78 @@ def classifier_pr_curve(
     still meets a precision target, then filter the 100 TB corpus
     with a plain ``score >= t``.
 
-    Scores quantize to ``bin = clamp(floor(score * n_bins), 0,
-    n_bins - 1)`` and the curve is EXACT for the quantized rule "keep
-    docs with bin >= threshold_bin" (the sequential reference mirrors
-    the same quantization; an unbinned curve would be corpus-scale —
-    one row per distinct float score — where this is bounded at
-    ``n_bins`` rows). Returns one row per OCCUPIED bin, descending:
-    (threshold, n_kept, n_pos_kept, precision, recall, f1); every
-    occupied bin keeps >= 1 doc so precision is always defined, while
-    recall and f1 are NULL (not NaN) on an input with zero positive
-    labels. ONE partial-aggregable groupBy(bin) shuffle; the
-    cumulative window runs over the ≤ n_bins curve frame (model
-    state, guarded), never the corpus.
+    Scores quantize to ``bin = floor(score * n_bins)`` (score 1.0
+    joins the top bin) and the curve is EXACT for the quantized rule
+    "keep docs with bin >= threshold_bin", which COLLAPSES to the
+    plain corpus predicate ``score >= threshold`` because floor(x) >=
+    k <=> x >= k for integer k — the equivalence only holds on the
+    contract that scores live in [0, 1] (the scorer's sigmoid range),
+    so NULL/NaN/out-of-range scores and non-binary labels FAIL FAST
+    instead of silently polluting bin 0 where the filter would never
+    keep them. An unbinned curve would be corpus-scale — one row per
+    distinct float score — where this is bounded at ``n_bins`` rows.
+    Returns one row per OCCUPIED bin, descending: (threshold, n_kept,
+    n_pos_kept, precision, recall, f1); every occupied bin keeps >= 1
+    doc so precision is always defined, while recall and f1 are NULL
+    (not NaN) on an input with zero positive labels.
+
+    Cost: ONE corpus scan — validation rides the same
+    partial-aggregable groupBy(bin) (invalid rows route to a NULL
+    bin, counted then rejected from the checkpointed ≤ n_bins curve
+    frame); the cumulative windows and the total-positives window run
+    over that bounded frame (model state, guarded), never the corpus.
     """
     if not 1 <= n_bins <= MAX_PR_BINS:
         raise ValueError(
             f"n_bins={n_bins}: the curve frame is model state, "
             f"bounded at {MAX_PR_BINS}"
         )
+    s = F.col(score_col)
     y = F.col(label_col).cast("double")
-    bad = df.filter(y.isNull() | ~y.isin(0.0, 1.0)).count()
-    if bad:
-        raise ValueError(
-            f"{bad} rows have labels outside {{0, 1}}: the PR curve "
-            "needs binary labels"
-        )
+    valid = (
+        s.isNotNull()
+        & ~F.isnan(s)
+        & (s >= 0.0)
+        & (s <= 1.0)
+        & y.isin(0.0, 1.0)  # NULL-safe: NULL.isin(...) is NULL, not true
+    )
+    # invalid rows -> NULL bin: the validation COUNT shares the one
+    # corpus scan with the curve aggregate instead of costing its own
     binned = df.select(
-        F.least(
-            F.greatest(
-                F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(0)
-            ),
-            F.lit(n_bins - 1),
+        F.when(
+            valid, F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1))
         ).alias("__bin"),
         y.alias("__y"),
     )
     per_bin = binned.groupBy("__bin").agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__y").cast("long").alias("__np"),
-    )
+    ).localCheckpoint(eager=True)  # <= n_bins+1 rows; scanned 2x below
+    bad = per_bin.filter(F.col("__bin").isNull()).collect()
+    if bad:
+        raise ValueError(
+            f"{bad[0]['__n']} rows have a NULL/NaN/out-of-[0,1] "
+            f"{score_col} or a label outside {{0, 1}}: the curve's "
+            "score >= t equivalence and the logistic-label math both "
+            "break on them — clean the scored relation first"
+        )
     from pyspark.sql import Window
 
     # bounded frame: ≤ n_bins rows (guarded above) — the single
-    # partition the unpartitioned window plans is model state
+    # partition the unpartitioned windows plan is model state
     w = (
         Window.orderBy(F.desc("__bin"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    totals = per_bin.agg(
-        F.sum("__np").cast("long").alias("__total_pos")
+    w_all = Window.orderBy(F.desc("__bin")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     cum = (
         per_bin.withColumn("__kept", F.sum("__n").over(w))
         .withColumn("__pos_kept", F.sum("__np").over(w))
-        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__total_pos", F.sum("__np").over(w_all).cast("long")
+        )
     )
     precision = F.col("__pos_kept") / F.col("__kept")
     recall = F.when(

@@ -441,9 +441,20 @@ def test_pr_curve_all_negative_and_guards(spark):
         classifier_pr_curve(neg, n_bins=0)
     with pytest.raises(ValueError, match="n_bins"):
         classifier_pr_curve(neg, n_bins=MAX_PR_BINS + 1)
-    bad = spark.createDataFrame([(0.5, 3)], "score double, label int")
-    with pytest.raises(ValueError, match="binary"):
-        classifier_pr_curve(bad)
+    # fail fast on anything the score >= t corpus filter would treat
+    # differently than the binned curve: NULL/NaN/out-of-range scores
+    # (they'd silently pollute bin 0) and non-binary/NULL labels
+    for rows, schema in [
+        ([(0.5, 3)], "score double, label int"),
+        ([(0.5, None)], "score double, label int"),
+        ([(None, 1)], "score double, label int"),
+        ([(float("nan"), 1)], "score double, label int"),
+        ([(-0.25, 1)], "score double, label int"),
+        ([(1.75, 1)], "score double, label int"),
+    ]:
+        bad = spark.createDataFrame(rows, schema).unionByName(neg)
+        with pytest.raises(ValueError, match="clean the scored"):
+            classifier_pr_curve(bad)
 
 
 def test_pr_curve_composes_with_train_and_score(spark):
@@ -484,3 +495,51 @@ def test_pr_curve_composes_with_train_and_score(spark):
         for r in scored.filter(scored.score >= best["threshold"]).collect()
     }
     assert kept == {300, 302}
+
+
+def test_train_rejects_null_ids_and_negative_l2(spark):
+    """Same-round review findings: a NULL doc id would drop out of
+    every feature join while still inflating the gradient divisor;
+    a negative l2 turns decay into amplification. Both fail fast."""
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        train_hashed_linear,
+    )
+
+    nul_id = spark.createDataFrame(
+        [(None, 1, "a b"), (2, 0, "c d")],
+        "doc_id long, label int, text string",
+    )
+    with pytest.raises(ValueError, match="NULL doc_id"):
+        train_hashed_linear(spark, nul_id, n_rounds=1)
+    ok = spark.createDataFrame(
+        [(0, 1, "a b"), (1, 0, "c d")],
+        "doc_id long, label int, text string",
+    )
+    with pytest.raises(ValueError, match="l2"):
+        train_hashed_linear(spark, ok, l2=-0.1)
+
+
+def test_trainer_and_scorer_share_one_token_definition():
+    """The CHAR_SPLIT_RE drift class: train and score must build
+    features from the SAME token definition — pin that both call the
+    shared doc_tokens helper rather than re-typing the expression."""
+    import ast
+    import inspect
+
+    from drive_bc_datapipeline_spark.operators import classifier
+
+    for fn in (classifier.train_hashed_linear, classifier.score_hashed_linear):
+        tree = ast.parse(inspect.getsource(fn))
+        calls = [
+            n.func.id
+            for n in ast.walk(tree)
+            if isinstance(n, ast.Call) and isinstance(n.func, ast.Name)
+        ]
+        assert "doc_tokens" in calls, fn.__name__
+        # and neither re-types the split+filter inline
+        attrs = [
+            n.func.attr
+            for n in ast.walk(tree)
+            if isinstance(n, ast.Call) and isinstance(n.func, ast.Attribute)
+        ]
+        assert "split" not in attrs, fn.__name__
