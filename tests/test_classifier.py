@@ -543,3 +543,45 @@ def test_trainer_and_scorer_share_one_token_definition():
             if isinstance(n, ast.Call) and isinstance(n.func, ast.Attribute)
         ]
         assert "split" not in attrs, fn.__name__
+
+
+def test_pr_curve_random_inputs_property(spark):
+    """Property check (derandomized): on random score/label sets —
+    duplicate scores, one-bin pileups, all-one-class — the quantized
+    curve matches the sequential reference exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        classifier_pr_curve,
+    )
+
+    rows_strat = st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=1.0,
+                      allow_nan=False, allow_infinity=False),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=6, deadline=None, derandomize=True)
+    @given(rows_strat)
+    def check(rows):
+        df = spark.createDataFrame(rows, "score double, label int")
+        got = classifier_pr_curve(df, n_bins=8).collect()
+        want = _ref_pr_curve(rows, 8)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert abs(g["threshold"] - w[0]) < 1e-12
+            assert (g["n_kept"], g["n_pos_kept"]) == (w[1], w[2])
+            for gv, wv in zip(
+                (g["precision"], g["recall"], g["f1"]), w[3:]
+            ):
+                if wv is None:
+                    assert gv is None
+                else:
+                    assert abs(gv - wv) < 1e-12
+
+    check()
