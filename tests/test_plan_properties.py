@@ -79,13 +79,84 @@ def test_documents_scan_prunes_for_token_count(spark):
     assert "lang" not in read.group(1)
 
 
-def test_no_cartesian_products_anywhere(spark):
-    # q22's scalar-subquery cross join is a 1-row broadcast nested loop,
-    # which is fine; a CartesianProduct node anywhere is a bug.
+#: Keys ALLOWED to plan unpartitioned (single-partition) windows,
+#: with the bound that makes each honest — every entry is a window
+#: over an AGGREGATED, provably small frame, never the corpus. The
+#: count is a ceiling: a plan improvement may drop below it, but one
+#: NEW unpartitioned window anywhere in the registry fails the sweep.
+UNPARTITIONED_WINDOW_ALLOWLIST = {
+    # KM product = cumulative log-sum over the |distinct gap hours|
+    # frame (≤ corpus-span hours, an aggregated series)
+    "kaplan_meier_retention": 3,
+    # percentage-of-total over the per-touch-type attribution summary
+    # (≤ |event types| rows)
+    "last_touch_attribution": 1,
+    # row_number over the 20 survivors of TakeOrderedAndProject —
+    # the corpus-scale rank is the limit pushdown, not the window
+    "top_bigrams_corpus": 1,
+    # log-rank regression over the |distinct token frequencies| frame
+    # (the per-token rank itself is salted + partitioned)
+    "zipf_slope": 1,
+}
+
+
+def _walk_physical(node, out):
+    """Collect (simpleName, partitionSpec-empty?) for every Window
+    exec node, descending through the AQE / query-stage / reused-
+    exchange wrappers that hide their subtree from children()."""
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        _walk_physical(node.initialPlan(), out)
+        return
+    if name.endswith("QueryStageExec"):
+        _walk_physical(node.plan(), out)
+        return
+    if name == "ReusedExchangeExec":
+        _walk_physical(node.child(), out)
+        return
+    if "Window" in name:
+        try:
+            empty = bool(node.partitionSpec().isEmpty())
+        except Exception:
+            empty = False
+        out.append((name, empty))
+    it = node.children().iterator()
+    while it.hasNext():
+        _walk_physical(it.next(), out)
+    try:
+        sub = node.subqueries().iterator()
+        while sub.hasNext():
+            _walk_physical(sub.next(), out)
+    except Exception:
+        pass
+
+
+def test_no_cartesian_products_or_rogue_global_windows_anywhere(spark):
+    """ONE sweep builds every registered plan and runs both registry-
+    wide scale-killer audits: (a) no CartesianProduct node anywhere
+    (q22's scalar-subquery cross join is a 1-row broadcast nested
+    loop, which is fine); (b) no unpartitioned window outside the
+    justified bounded-frame allowlist above — at 100 TB an
+    unpartitioned window on a data-scale frame puts the dataset in
+    one task, the exact failure mode the per-key tests (rfm,
+    prefix_jaccard, exact_auc) pin individually."""
+    rogue = {}
     for name in sorted(QUERIES):
         df = QUERIES[name](spark, SF)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+        plan = df._jdf.queryExecution().executedPlan()
+        assert "CartesianProduct" not in plan.toString(), (
+            f"{name} plans a cartesian"
+        )
+        wins = []
+        _walk_physical(plan, wins)
+        n_unpart = sum(1 for _n, e in wins if e)
+        if n_unpart > UNPARTITIONED_WINDOW_ALLOWLIST.get(name, 0):
+            rogue[name] = n_unpart
+    assert not rogue, (
+        f"unpartitioned windows outside the bounded-frame allowlist: "
+        f"{rogue} — partition the window or, if the frame is provably "
+        "aggregated/bounded, add it to the allowlist with its bound"
+    )
 
 
 def test_embedding_allpairs_guard_refuses_large_corpus(spark, monkeypatch):
