@@ -144,8 +144,13 @@ def test_no_cartesian_products_or_rogue_global_windows_anywhere(spark):
     for name in sorted(QUERIES):
         df = QUERIES[name](spark, SF)
         plan = df._jdf.queryExecution().executedPlan()
-        assert "CartesianProduct" not in plan.toString(), (
-            f"{name} plans a cartesian"
+        s = plan.toString()
+        assert "CartesianProduct" not in s, f"{name} plans a cartesian"
+        # row-at-a-time Python UDFs are banned everywhere; Python is
+        # only ever Arrow-batched (MapInPandas / FlatMapGroupsInPandas
+        # in the declared multimodal/stateful contracts)
+        assert "BatchEvalPython" not in s, (
+            f"{name} plans a row-at-a-time Python UDF"
         )
         wins = []
         _walk_physical(plan, wins)
