@@ -195,6 +195,100 @@ def encode_token_ids(
     return seg.select(id_col, tokens_col).mapInPandas(run, out_schema)
 
 
+def decode_token_ids(
+    enc: DataFrame,
+    id_table: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    unk_id: int = UNK_ID,
+    unk_token: str = "<unk>",
+) -> DataFrame:
+    """(id_col, tokens array<string>, n_tokens, n_unk) — the inverse
+    of ``encode_token_ids``, closing the round trip: dense ids back to
+    token strings, order preserved, ``unk_id`` rendered as
+    ``unk_token`` (information already lost at encode time).
+
+    Same broadcast-dict shape as the encoder (the table is model
+    state, MAX_SEED_PIECES-guarded; a join would shuffle the id
+    stream twice to recover order). Two fail-fast contracts instead
+    of silent corruption:
+    - the table must be injective on token_id (a duplicated id has no
+      well-defined inverse);
+    - every id must be in the table or equal ``unk_id`` — an unknown
+      id means the encoded corpus and the table are from different
+      vocabularies, and mapping it to ``unk_token`` would silently
+      change n_unk semantics. The error surfaces from the executor
+      task wrapped by Spark, message preserved (test-pinned).
+    """
+    from drive_bc_datapipeline_spark.operators.unigram import (
+        MAX_SEED_PIECES,
+    )
+
+    n_ids = id_table.count()
+    if n_ids > MAX_SEED_PIECES:
+        raise ValueError(
+            f"id table has {n_ids} rows, over MAX_SEED_PIECES "
+            f"({MAX_SEED_PIECES}): the mapping is driver/broadcast "
+            "model state and must stay corpus-independent"
+        )
+    rows = id_table.collect()
+    inverse = {int(r["token_id"]): r["token"] for r in rows}
+    if len(inverse) != len(rows):
+        raise ValueError(
+            "id table is not injective on token_id: a duplicated id "
+            "has no well-defined inverse (token_id_table emits a "
+            "dense bijection — decode with the table you encoded with)"
+        )
+    if unk_id in inverse:
+        raise ValueError(
+            f"id table assigns unk_id ({unk_id}) to a real token: "
+            "the sentinel must stay outside the dense id range"
+        )
+    id_type = enc.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, tokens array<string>, "
+        "n_tokens int, n_unk int"
+    )
+    binv = enc.sparkSession.sparkContext.broadcast(inverse)
+
+    def run(batches):
+        mp = binv.value
+        for pdf in batches:
+            toks, unks = [], []
+            for ids in pdf[ids_col]:
+                out, n_unk = [], 0
+                for i in ids:
+                    i = int(i)
+                    if i == unk_id:
+                        out.append(unk_token)
+                        n_unk += 1  # counted by ID, not by the
+                        # rendered string — a real vocab token may
+                        # literally equal unk_token
+                    else:
+                        tok = mp.get(i)
+                        if tok is None:
+                            raise ValueError(
+                                f"token id {i} is not in the id table "
+                                f"and is not unk_id ({unk_id}): the "
+                                "encoded corpus and the table come "
+                                "from different vocabularies"
+                            )
+                        out.append(tok)
+                toks.append(out)
+                unks.append(n_unk)
+            yield type(pdf)(
+                {
+                    id_col: pdf[id_col],
+                    "tokens": toks,
+                    "n_tokens": [len(x) for x in toks],
+                    "n_unk": unks,
+                }
+            )
+
+    return enc.select(id_col, ids_col).mapInPandas(run, out_schema)
+
+
 def tokenizer_fertility_report(
     df: DataFrame,
     seg: DataFrame,

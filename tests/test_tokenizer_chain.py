@@ -14,7 +14,10 @@ id-encode → shard-pack → manifest and the COMPOSED invariants hold —
   unseen characters reports OOV > 0 through BOTH the report and the
   encoder — the two detectors must agree;
 - determinism: a second full run of the chain from scratch reproduces
-  the packed-shard manifest (checksums included) bit-for-bit.
+  the packed-shard manifest (checksums included) bit-for-bit;
+- invertibility: decode(encode(·)) reproduces the segmenter's token
+  stream exactly on the training mix and agrees with the encoder's
+  UNK count on the held-out probe.
 """
 
 from __future__ import annotations
@@ -31,6 +34,7 @@ from drive_bc_datapipeline_spark.operators.prefix import (
 from drive_bc_datapipeline_spark.operators.tokenizer_report import (
     UNK_ID,
     bpe_vocab,
+    decode_token_ids,
     encode_token_ids,
     token_id_table,
     tokenizer_fertility_report,
@@ -147,6 +151,23 @@ def test_tokenizer_chain_composes_end_to_end(spark):
     )
     n_oov_enc = sum(r["n_unk"] for r in probe_enc.collect())
     assert n_oov_rep == n_oov_enc > 0
+
+    # --- decode closes the loop: decode(encode(seg)) reproduces the
+    #     segmenter's token stream exactly on the OOV-free training
+    #     mix, and renders exactly the encoder's UNK count on the
+    #     probe (n_unk counted by id on both sides of the seam) ------
+    dec = decode_token_ids(enc, idt)
+    seg_toks = {r["doc_id"]: r["tokens"] for r in seg.collect()}
+    for r in dec.collect():
+        assert r["tokens"] == seg_toks[r["doc_id"]], r["doc_id"]
+        assert r["n_unk"] == 0
+    probe_dec_rows = decode_token_ids(probe_enc, idt).collect()
+    assert sum(r["n_unk"] for r in probe_dec_rows) == n_oov_enc
+    assert all(
+        t == "<unk>" or t in {x["token"] for x in id_rows}
+        for r in probe_dec_rows
+        for t in r["tokens"]
+    )
 
     # --- determinism: a fresh end-to-end run reproduces the manifest
     #     (order checksums included) bit-for-bit ----------------------

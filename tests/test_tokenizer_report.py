@@ -387,3 +387,84 @@ def test_token_id_table_guard_trips_on_corpus_scale_vocab(spark):
     )
     with pytest.raises(ValueError, match="MAX_SEED_PIECES"):
         token_id_table(big)
+
+
+def test_decode_inverts_encode_round_trip(spark):
+    """decode(encode(seg)) must reproduce the exact token arrays for
+    in-vocabulary tokens and render UNK_ID as unk_token for OOV ones —
+    with n_unk counted by ID (a real vocab token that literally equals
+    the unk marker must NOT count)."""
+    import pytest
+    from drive_bc_datapipeline_spark.operators.tokenizer_report import (
+        decode_token_ids,
+    )
+
+    train = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter("doc_id < 60")
+        .select("doc_id", "text")
+    )
+    merges = bpe_train(train, 12)
+    vocab_df = bpe_vocab(train, merges)
+    idt = token_id_table(vocab_df)
+    probe = train.unionByName(
+        spark.createDataFrame(
+            [(100000, "q@@z unseen")], "doc_id long, text string"
+        )
+    )
+    seg = bpe_segment(probe, merges)
+    enc = encode_token_ids(seg, idt)
+    dec = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"], r["n_unk"])
+        for r in decode_token_ids(enc, idt).collect()
+    }
+    orig = {r["doc_id"]: r["tokens"] for r in seg.collect()}
+    vocab = {r["token"] for r in idt.collect()}
+    assert set(dec) == set(orig)
+    for doc_id, toks in orig.items():
+        want = [t if t in vocab else "<unk>" for t in toks]
+        n_unk = sum(1 for t in toks if t not in vocab)
+        assert dec[doc_id] == (want, len(want), n_unk), doc_id
+    # the probe doc had real OOV; training docs had none
+    assert dec[100000][2] > 0
+    assert all(
+        dec[d][2] == 0 for d in dec if d != 100000
+    )
+    # contract failures are loud, not silent:
+    dup = spark.createDataFrame(
+        [("a", 0), ("b", 0)], "token string, token_id int"
+    )
+    with pytest.raises(ValueError, match="injective"):
+        decode_token_ids(enc, dup)
+    sentinel = spark.createDataFrame(
+        [("a", 0), ("b", UNK_ID)], "token string, token_id int"
+    )
+    with pytest.raises(ValueError, match="unk_id"):
+        decode_token_ids(enc, sentinel)
+    # an id outside the table (and != unk_id) means a vocabulary
+    # mismatch — the task must fail (Spark-wrapped, message kept),
+    # not emit unk silently
+    alien = spark.createDataFrame(
+        [(1, [0, 999999])], "doc_id long, token_ids array<int>"
+    )
+    with pytest.raises(Exception, match="different vocabularies"):
+        decode_token_ids(alien, idt).collect()
+
+
+def test_decode_counts_unk_by_id_not_string(spark):
+    """A vocabulary containing the literal string '<unk>' as a REAL
+    token must decode with n_unk counting only UNK_ID positions."""
+    from drive_bc_datapipeline_spark.operators.tokenizer_report import (
+        decode_token_ids,
+    )
+
+    idt = spark.createDataFrame(
+        [("<unk>", 0), ("x", 1)], "token string, token_id int"
+    )
+    enc = spark.createDataFrame(
+        [(1, [0, 1, UNK_ID])], "doc_id long, token_ids array<int>"
+    )
+    [row] = decode_token_ids(enc, idt).collect()
+    assert row["tokens"] == ["<unk>", "x", "<unk>"]
+    assert row["n_tokens"] == 3
+    assert row["n_unk"] == 1
