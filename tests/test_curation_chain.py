@@ -1,0 +1,190 @@
+"""End-to-end curation-chain composition (the tokenizer-chain pattern
+applied to the curation family).
+
+Each stage is individually bit-matched (test_classifier.py,
+test_dsir.py, test_ml_geo_operators.py); this file pins the SEAMS of
+the full corpus-curation recipe — quality-classifier gate, then
+distribution-matched selection, then reproducible ordering:
+
+    train (E9) → pr-curve threshold (E10) → score+filter (E7)
+      → DSIR fit/weigh/resample (H47) → seeded_shuffle (L13)
+
+Composed invariants:
+- conservation at every seam: kept + dropped == scored; the weight
+  relation covers exactly the kept set; the sample is a k-subset of
+  the kept set; the shuffle permutes the sample bijectively;
+- the curve-selected threshold behaves as the plain corpus predicate
+  ``score >= t`` (the E10 collapse, exercised here on the seam with a
+  REAL trained model rather than synthetic scores);
+- the quality gate keeps exactly the clean-vocabulary docs, and the
+  DSIR stage then ENRICHES the target domain inside the kept set;
+- determinism: a second full pass (same seeds) reproduces the selected
+  ids and the shard/order assignment bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from drive_bc_datapipeline_spark.operators.classifier import (
+    classifier_pr_curve,
+    score_hashed_linear,
+    train_hashed_linear,
+)
+from drive_bc_datapipeline_spark.operators.dsir import (
+    dsir_bucket_counts,
+    dsir_importance_weights,
+    dsir_log_ratio,
+    dsir_resample,
+)
+from drive_bc_datapipeline_spark.operators.sampling import seeded_shuffle
+
+N_BUCKETS = 512
+DSIR_BUCKETS = 256
+K_SELECT = 30
+
+_JUNK = ["zx9", "qq7", "###", "%%%", "vv2"]
+_CLEAN = ["the", "fox", "dog", "reads", "plain", "prose", "words"]
+_DOMAIN = ["spark", "shuffle", "partition", "broadcast", "join"]
+
+
+def _doc(vocab: list[str], i: int, n: int = 8) -> str:
+    return " ".join(vocab[(i + j) % len(vocab)] for j in range(n))
+
+
+def _corpus_rows():
+    """180 docs: ids 0-59 junk, 60-119 clean-general, 120-179
+    clean-target-domain (clean words mixed with domain words). Texts
+    are drawn from the SAME rotation space as the seeds (i % 10), so
+    every corpus doc is a text twin of some labeled seed — its score
+    lands inside the seed score range and the curve-derived threshold
+    classifies the corpus exactly as it classified the seeds."""
+    rows = []
+    for i in range(60):
+        rows.append((i, _doc(_JUNK, (i % 10) + 3)))
+    for i in range(60):
+        rows.append((60 + i, _doc(_CLEAN, (i % 10) + 3)))
+    for i in range(60):
+        j = i % 10
+        mixed = _doc(_CLEAN, j, 4) + " " + _doc(_DOMAIN, j, 4)
+        rows.append((120 + i, mixed))
+    return rows
+
+
+def _seed_rows():
+    """40 labeled seeds, ids disjoint from the corpus: clean (both
+    kinds) label 1, junk label 0."""
+    rows = []
+    for i in range(10):
+        rows.append((1000 + i, 0, _doc(_JUNK, i + 3)))
+        rows.append((1100 + i, 1, _doc(_CLEAN, i + 3)))
+        rows.append(
+            (1200 + i, 1, _doc(_CLEAN, i, 4) + " " + _doc(_DOMAIN, i, 4))
+        )
+        rows.append((1300 + i, 0, _doc(_JUNK, i + 7)))
+    return rows
+
+
+def _target_rows():
+    """A small target-domain reference set (what we want more of),
+    ids disjoint from corpus and seeds."""
+    return [(2000 + i, _doc(_DOMAIN, i)) for i in range(20)]
+
+
+def _run_chain(spark):
+    seeds = spark.createDataFrame(
+        _seed_rows(), "doc_id long, label int, text string"
+    )
+    corpus = spark.createDataFrame(
+        _corpus_rows(), "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        _target_rows(), "doc_id long, text string"
+    )
+
+    # E9: train the quality gate on the labeled seeds
+    w, b = train_hashed_linear(
+        spark, seeds, n_buckets=N_BUCKETS, n_rounds=40, lr=1.0
+    )
+    # E10: pick the highest-recall threshold with precision >= 0.95
+    # from the curve over the SCORED SEEDS (the held-out-labels step)
+    seed_scored = score_hashed_linear(
+        spark, seeds, w, n_buckets=N_BUCKETS, bias=b
+    ).join(seeds.select("doc_id", "label"), "doc_id")
+    curve = classifier_pr_curve(seed_scored, n_bins=1000).collect()
+    eligible = [r for r in curve if r["precision"] >= 0.95]
+    assert eligible, "the trained gate must reach 0.95 precision"
+    threshold = min(r["threshold"] for r in eligible)
+
+    # E7: score + filter the corpus with the plain predicate the
+    # curve's quantized rule collapses to
+    scored = score_hashed_linear(
+        spark, corpus, w, n_buckets=N_BUCKETS, bias=b
+    )
+    kept = scored.filter(F.col("score") >= threshold).select("doc_id")
+    dropped = scored.filter(F.col("score") < threshold)
+    kept_docs = corpus.join(kept, "doc_id")
+
+    # H47: fit target-vs-kept, weigh the kept docs, resample k
+    tc = dsir_bucket_counts(target, n_buckets=DSIR_BUCKETS)
+    qc = dsir_bucket_counts(kept_docs, n_buckets=DSIR_BUCKETS)
+    table, default = dsir_log_ratio(tc, qc, n_buckets=DSIR_BUCKETS)
+    weights = dsir_importance_weights(
+        spark, kept_docs, table, default, n_buckets=DSIR_BUCKETS
+    )
+    sample = dsir_resample(weights, K_SELECT, seed=11)
+
+    # L13: reproducible training order for the selected docs
+    shuffled = seeded_shuffle(
+        sample.select("doc_id"), "doc_id", seed=5, n_shards=4
+    )
+    return {
+        "corpus": corpus,
+        "scored": scored,
+        "threshold": threshold,
+        "kept": kept,
+        "dropped": dropped,
+        "weights": weights,
+        "sample": sample,
+        "shuffled": {
+            r["doc_id"]: (r["shard"], r["pos_key"])
+            for r in shuffled.collect()
+        },
+    }
+
+
+def test_curation_chain_composes_end_to_end(spark):
+    run = _run_chain(spark)
+
+    kept_ids = {r["doc_id"] for r in run["kept"].collect()}
+    # the gate keeps exactly the clean docs (both kinds), drops junk
+    assert kept_ids == set(range(60, 180))
+    # conservation through the filter seam
+    assert run["kept"].count() + run["dropped"].count() == 180
+
+    # the weight relation covers exactly the kept set — no silent
+    # drops or dups crossing the E7→H47 seam
+    w_rows = run["weights"].collect()
+    assert {r["doc_id"] for r in w_rows} == kept_ids
+    assert len(w_rows) == len(kept_ids)
+
+    # the sample is a k-subset of the kept set
+    sel = [r["doc_id"] for r in run["sample"].collect()]
+    assert len(sel) == K_SELECT == len(set(sel))
+    assert set(sel) <= kept_ids
+
+    # DSIR enriched the target domain: domain docs (ids 120-179) are
+    # overrepresented in the sample vs their share of the kept set
+    dom_sel = sum(1 for d in sel if d >= 120)
+    assert dom_sel / K_SELECT > 60 / 120
+
+    # the shuffle permutes the sample bijectively with bounded shards
+    assert set(run["shuffled"]) == set(sel)
+    assert {s for s, _ in run["shuffled"].values()} <= set(range(4))
+
+    # determinism: a full second pass reproduces threshold, selection
+    # and ordering bit-for-bit
+    again = _run_chain(spark)
+    assert again["threshold"] == run["threshold"]
+    assert {r["doc_id"] for r in again["sample"].collect()} == set(sel)
+    assert again["shuffled"] == run["shuffled"]
