@@ -402,3 +402,154 @@ def classifier_pr_curve(
         recall.alias("recall"),
         f1.alias("f1"),
     ).orderBy(F.desc("threshold"))
+
+
+def isotonic_calibration_table(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    score_col: str = "score",
+    n_bins: int = 1000,
+) -> list[tuple[int, int, int, float]]:
+    """Quantized isotonic calibration (pool-adjacent-violators) of a
+    scored, labeled relation — the step between training (E9) and
+    threshold selection (E10) when the downstream consumer needs the
+    score to MEAN a probability (mixture quotas, expected-quality
+    budgeting), not just to rank.
+
+    Scores quantize to the E10 bin convention (``floor(score *
+    n_bins)``, 1.0 joins the top bin); the per-bin (n, n_pos)
+    aggregate is ONE partial-aggregable corpus scan with the same
+    ride-along validation (NULL/NaN/out-of-[0,1] scores and
+    non-binary labels fail fast), and PAV runs on the driver over the
+    ≤ n_bins occupied rows — model state, the curve-frame class, so
+    the inherently sequential pooling never touches corpus-scale
+    data. Exactly sklearn's IsotonicRegression fit on the binned
+    means with bin counts as weights.
+
+    Returns ``[(bin, n, n_pos, calibrated)]`` ascending by bin with
+    ``calibrated`` non-decreasing in [0, 1]; PAV conserves total
+    positive mass (Σ n·calibrated == Σ n_pos — test-pinned).
+    """
+    if not 1 <= n_bins <= MAX_PR_BINS:
+        raise ValueError(
+            f"n_bins={n_bins}: the calibration frame is model state, "
+            f"bounded at {MAX_PR_BINS}"
+        )
+    s = F.col(score_col)
+    y = F.col(label_col).cast("double")
+    valid = (
+        s.isNotNull()
+        & ~F.isnan(s)
+        & (s >= 0.0)
+        & (s <= 1.0)
+        & y.isin(0.0, 1.0)
+    )
+    per_bin = (
+        df.select(
+            F.when(
+                valid,
+                F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)),
+            ).alias("__bin"),
+            y.alias("__y"),
+        )
+        .groupBy("__bin")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__y").cast("long").alias("__np"),
+        )
+        .collect()
+    )
+    bad = [r for r in per_bin if r["__bin"] is None]
+    if bad:
+        raise ValueError(
+            f"{bad[0]['__n']} rows have a NULL/NaN/out-of-[0,1] "
+            f"{score_col} or a label outside {{0, 1}}: calibration "
+            "needs clean probabilities and binary labels"
+        )
+    if not per_bin:
+        raise ValueError(
+            "isotonic_calibration_table needs a non-empty relation"
+        )
+    # PAV over the ascending occupied bins: pool any adjacent blocks
+    # whose means violate monotonicity, weighted by row count
+    blocks: list[list[float]] = []  # [bin_last, n, n_pos]
+    for r in sorted(per_bin, key=lambda r: r["__bin"]):
+        blocks.append([float(r["__bin"]), float(r["__n"]), float(r["__np"])])
+        while (
+            len(blocks) > 1
+            and blocks[-2][2] * blocks[-1][1]
+            >= blocks[-1][2] * blocks[-2][1]  # mean[-2] >= mean[-1]
+        ):
+            last = blocks.pop()
+            blocks[-1][0] = last[0]
+            blocks[-1][1] += last[1]
+            blocks[-1][2] += last[2]
+    out: list[tuple[int, int, int, float]] = []
+    rows = sorted(per_bin, key=lambda r: r["__bin"])
+    it = iter(blocks)
+    blk = next(it)
+    for r in rows:
+        if r["__bin"] > blk[0]:
+            blk = next(it)
+        out.append(
+            (int(r["__bin"]), int(r["__n"]), int(r["__np"]), blk[2] / blk[1])
+        )
+    return out
+
+
+def apply_isotonic_calibration(
+    df: DataFrame,
+    table: list[tuple[int, int, int, float]],
+    *,
+    score_col: str = "score",
+    n_bins: int = 1000,
+    out_col: str = "calibrated",
+) -> DataFrame:
+    """Attach the calibrated probability for every row's score bin —
+    a broadcast equi-join against the bin table expanded on the
+    driver to ALL n_bins (step-function fill: unoccupied bins take
+    the nearest lower occupied bin's value; below the lowest, its
+    value — model state, ≤ MAX_PR_BINS rows, so the expansion is
+    driver-trivial and the join needs no range/as-of logic). Scores
+    are validated by the same fail-fast rule the fit used: a row the
+    table could never have seen (NULL/NaN/out-of-[0,1]) raises
+    instead of silently joining nothing.
+    """
+    if not table:
+        raise ValueError("empty calibration table")
+    if not 1 <= n_bins <= MAX_PR_BINS:
+        raise ValueError(
+            f"n_bins={n_bins}: the calibration frame is model state, "
+            f"bounded at {MAX_PR_BINS}"
+        )
+    if any(b >= n_bins for b, _n, _np, _c in table):
+        raise ValueError(
+            "calibration table carries bins >= n_bins: fit and apply "
+            "with the same n_bins"
+        )
+    spark = df.sparkSession
+    filled: list[tuple[int, float]] = []
+    it = iter(sorted(table))
+    b_next = next(it)
+    cur = b_next[3]  # below the lowest occupied bin: its value
+    for b in range(n_bins):
+        if b_next is not None and b == b_next[0]:
+            cur = b_next[3]
+            b_next = next(it, None)
+        filled.append((b, cur))
+    cal = spark.createDataFrame(filled, "__bin int, {} double".format(out_col))
+    s = F.col(score_col)
+    n_bad = df.filter(
+        s.isNull() | F.isnan(s) | (s < 0.0) | (s > 1.0)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"{n_bad} rows have a NULL/NaN/out-of-[0,1] {score_col}: "
+            "the calibration table has no bin for them"
+        )
+    binned = df.withColumn(
+        "__bin",
+        F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)),
+    )
+    return binned.join(F.broadcast(cal), "__bin").drop("__bin")

@@ -585,3 +585,172 @@ def test_pr_curve_random_inputs_property(spark):
                     assert abs(gv - wv) < 1e-12
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# E11 — isotonic_calibration_table / apply_isotonic_calibration:
+# quantized PAV calibration vs an independent sequential reference.
+# ---------------------------------------------------------------------------
+
+
+def _ref_pav(rows, n_bins):
+    """Independent PAV: bin identically, then repeatedly sweep the
+    full block list merging ANY adjacent violator pair until a fixed
+    point — O(n^2), structurally different from the operator's
+    single-pass stack."""
+    per: dict[int, list[float]] = {}
+    for s, y in rows:
+        b = min(max(int(math.floor(s * n_bins)), 0), n_bins - 1)
+        acc = per.setdefault(b, [0.0, 0.0])
+        acc[0] += 1
+        acc[1] += y
+    blocks = [
+        [b, b, per[b][0], per[b][1]] for b in sorted(per)
+    ]  # [first, last, n, np]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(blocks) - 1):
+            a, c = blocks[i], blocks[i + 1]
+            if a[3] / a[2] >= c[3] / c[2]:
+                blocks[i] = [a[0], c[1], a[2] + c[2], a[3] + c[3]]
+                del blocks[i + 1]
+                changed = True
+                break
+    out = {}
+    for first, last, n, np_ in blocks:
+        for b in sorted(per):
+            if first <= b <= last:
+                out[b] = (int(per[b][0]), int(per[b][1]), np_ / n)
+    return out
+
+
+def _cal_rows():
+    """Deterministic scores/labels with real violations: label rate
+    dips in the middle bins so PAV must pool."""
+    rows = []
+    for i in range(400):
+        s = (i % 100) / 100.0 + 0.004
+        # base trend up, violation band at 0.4-0.6
+        if s < 0.4:
+            y = 1 if (i * 7) % 10 < 3 else 0
+        elif s < 0.6:
+            y = 1 if (i * 7) % 10 < 1 else 0  # the dip
+        else:
+            y = 1 if (i * 7) % 10 < 8 else 0
+        rows.append((float(s), y))
+    rows.append((1.0, 1))  # score 1.0 joins the top bin
+    rows.append((0.0, 0))
+    return rows
+
+
+def test_isotonic_calibration_matches_independent_pav(spark):
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        isotonic_calibration_table,
+    )
+
+    rows = _cal_rows()
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = isotonic_calibration_table(df, n_bins=100)
+    want = _ref_pav(rows, 100)
+    assert {b for b, _n, _np, _c in got} == set(want)
+    for b, n, np_, c in got:
+        wn, wnp, wc = want[b]
+        assert (n, np_) == (wn, wnp), b
+        assert abs(c - wc) < 1e-12, b
+    # monotone, bounded, mass-conserving
+    cals = [c for _b, _n, _np, c in got]
+    assert cals == sorted(cals)
+    assert all(0.0 <= c <= 1.0 for c in cals)
+    mass = sum(n * c for _b, n, _np, c in got)
+    assert abs(mass - sum(np_ for _b, _n, np_, _c in got)) < 1e-9
+
+
+def test_apply_isotonic_calibration_step_function(spark):
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        apply_isotonic_calibration,
+        isotonic_calibration_table,
+    )
+
+    fit = spark.createDataFrame(
+        # occupied bins (n_bins=10): 1 -> 0.0, 5 -> 1.0
+        [(0.15, 0), (0.15, 0), (0.55, 1), (0.55, 1)],
+        "score double, label int",
+    )
+    table = isotonic_calibration_table(fit, n_bins=10)
+    probe = spark.createDataFrame(
+        [(1, 0.05), (2, 0.15), (3, 0.35), (4, 0.55), (5, 0.95), (6, 1.0)],
+        "doc_id long, score double",
+    )
+    got = {
+        r["doc_id"]: r["calibrated"]
+        for r in apply_isotonic_calibration(
+            probe, table, n_bins=10
+        ).collect()
+    }
+    # below lowest occupied bin -> its value; unoccupied -> fill-down;
+    # score 1.0 -> top bin -> fill-down from bin 5
+    assert got == {1: 0.0, 2: 0.0, 3: 0.0, 4: 1.0, 5: 1.0, 6: 1.0}
+    # row count conserved (inner join against a COMPLETE bin table)
+    assert len(got) == 6
+
+
+def test_calibration_guards(spark):
+    import pytest
+
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        apply_isotonic_calibration,
+        isotonic_calibration_table,
+    )
+
+    bad = spark.createDataFrame(
+        [(float("nan"), 1)], "score double, label int"
+    )
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        isotonic_calibration_table(bad, n_bins=10)
+    empty = spark.createDataFrame([], "score double, label int")
+    with pytest.raises(ValueError, match="non-empty"):
+        isotonic_calibration_table(empty, n_bins=10)
+    ok = spark.createDataFrame([(0.5, 1)], "score double, label int")
+    with pytest.raises(ValueError, match="n_bins"):
+        isotonic_calibration_table(ok, n_bins=0)
+    table = isotonic_calibration_table(ok, n_bins=10)
+    with pytest.raises(ValueError, match="same n_bins"):
+        apply_isotonic_calibration(ok, table, n_bins=2)
+    with pytest.raises(ValueError, match="empty"):
+        apply_isotonic_calibration(ok, [], n_bins=10)
+    with pytest.raises(ValueError, match="no bin"):
+        apply_isotonic_calibration(bad.select("score"), table, n_bins=10)
+
+
+def test_calibration_composes_with_trained_model(spark):
+    """E9 -> E11 seam: calibrate a REAL trained model's seed scores,
+    apply to a corpus — calibrated values must be probabilities,
+    non-decreasing in raw score, and the seed-set calibrated mean
+    must equal the seed positive rate (mass conservation through the
+    fit)."""
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        apply_isotonic_calibration,
+        isotonic_calibration_table,
+        train_hashed_linear,
+    )
+
+    seeds = spark.createDataFrame(
+        _SEED_ROWS, "doc_id long, label int, text string"
+    )
+    w, b = train_hashed_linear(
+        spark, seeds, n_buckets=N_BUCKETS, n_rounds=40, lr=1.0
+    )
+    scored = score_hashed_linear(
+        spark, seeds, w, n_buckets=N_BUCKETS, bias=b
+    ).join(seeds.select("doc_id", "label"), "doc_id")
+    table = isotonic_calibration_table(scored, n_bins=100)
+    out = apply_isotonic_calibration(scored, table, n_bins=100)
+    rows = sorted(
+        (r["score"], r["calibrated"]) for r in out.collect()
+    )
+    assert all(0.0 <= c <= 1.0 for _s, c in rows)
+    assert [c for _s, c in rows] == sorted(c for _s, c in rows)
+    n_pos = sum(r[1] for r in _SEED_ROWS)
+    mean_cal = sum(c for _s, c in rows) / len(rows)
+    assert abs(mean_cal - n_pos / len(_SEED_ROWS)) < 1e-9
