@@ -59,6 +59,15 @@ from drive_bc_datapipeline_spark.operators.sampling import _hash_unit
 U_BELOW_ONE = math.nextafter(1.0, 0.0)
 
 
+def _check_n_buckets(n_buckets: int) -> None:
+    """THE one copy of the model-state bucket bound check."""
+    if not 1 <= n_buckets <= MAX_LR_BUCKETS:
+        raise ValueError(
+            f"n_buckets={n_buckets}: the log-ratio vector is driver/"
+            f"broadcast model state, bounded at {MAX_LR_BUCKETS}"
+        )
+
+
 def _grams(text_col: str, *, use_bigrams: bool = True) -> Column:
     """array<string> of the word unigrams (+ space-joined bigrams) of
     ``text`` — THE one copy of the DSIR gram definition; fitting and
@@ -95,11 +104,7 @@ def dsir_bucket_counts(
     map-side, so the shuffle is bucket-bounded regardless of corpus
     size. NULL text yields zero grams (explode drops it) — a NULL doc
     simply contributes no mass, it cannot skew the fit."""
-    if not 1 <= n_buckets <= MAX_LR_BUCKETS:
-        raise ValueError(
-            f"n_buckets={n_buckets}: the log-ratio vector is driver/"
-            f"broadcast model state, bounded at {MAX_LR_BUCKETS}"
-        )
+    _check_n_buckets(n_buckets)
     grams = _grams(text_col, use_bigrams=use_bigrams)
     return (
         df.select(F.explode(grams).alias("g"))
@@ -133,11 +138,7 @@ def dsir_log_ratio(
     construction, so the collects are B-bounded (the classifier
     weight-vector class), never corpus-scale.
     """
-    if not 1 <= n_buckets <= MAX_LR_BUCKETS:
-        raise ValueError(
-            f"n_buckets={n_buckets}: the log-ratio vector is driver/"
-            f"broadcast model state, bounded at {MAX_LR_BUCKETS}"
-        )
+    _check_n_buckets(n_buckets)
     if smoothing <= 0:
         raise ValueError(
             f"smoothing must be > 0, got {smoothing}: zero-count "
@@ -190,14 +191,18 @@ def dsir_importance_weights(
     eligible for selection at unit weight and the caller can filter
     on ``n_grams`` if that is not wanted (stated, test-pinned).
 
+    A NULL ``id_col`` fails fast AT EXECUTION (the train_hashed_linear
+    hazard, caught ride-along instead of with a separate validation
+    pass): its gram rows would group under the NULL key and the
+    re-attach equi-join would never match, silently demoting a
+    possibly strongly-matched doc to the neutral weight — the output
+    projection raises on the first NULL id it sees, costing nothing
+    on clean data.
+
     One broadcast join + one partial-aggregable groupBy: the
     classifier scorer's plan shape, corpus scanned once.
     """
-    if not 1 <= n_buckets <= MAX_LR_BUCKETS:
-        raise ValueError(
-            f"n_buckets={n_buckets}: the log-ratio vector is driver/"
-            f"broadcast model state, bounded at {MAX_LR_BUCKETS}"
-        )
+    _check_n_buckets(n_buckets)
     bad = [b for b in log_ratio if not 0 <= b < n_buckets]
     if bad:
         raise ValueError(
@@ -224,13 +229,26 @@ def dsir_importance_weights(
             ).alias("log_w"),
         )
     )
-    # re-attach gram-less docs (explode dropped them): neutral weight
+    # re-attach gram-less docs (explode dropped them): neutral weight.
+    # The NULL-id raise rides this projection — no extra corpus pass.
     return (
         df.select(id_col)
         .join(per_doc, id_col, "left")
         .select(
             id_col,
-            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.when(
+                F.col(id_col).isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"dsir_importance_weights: NULL {id_col} — it "
+                        "would silently take the neutral weight (its "
+                        "grams group under NULL and the re-attach "
+                        "join never matches)"
+                    )
+                ),
+            )
+            .otherwise(F.coalesce(F.col("n_grams"), F.lit(0)))
+            .alias("n_grams"),
             F.coalesce(F.col("log_w"), F.lit(0.0)).alias("log_w"),
         )
     )
@@ -253,9 +271,12 @@ def dsir_resample(
 
     The Gumbel draw ``g = -log(-log u)`` uses the K20 xxhash64 unit
     map, so selection is a pure function of (corpus ids, seed). Rows
-    with a NULL ``logw_col`` are rejected fast — NULL keys would sort
-    last and silently never select, which reads as "sampled" but
-    isn't. Ties (measure-zero in doubles) break on id.
+    with a NULL or NaN ``logw_col`` are rejected AT EXECUTION, riding
+    the key projection (a separate count() would execute the whole
+    upstream weights plan twice): a NULL key would sort last and
+    silently never select, while a NaN key sorts ABOVE every double
+    in Spark's descending order and would silently occupy a top-k
+    slot on every draw. Ties (measure-zero in doubles) break on id.
 
     The unit map's documented high-end rounding (hashes within ~2^11
     of +2^63 round to u == 1.0 exactly) is harmless for A-Res
@@ -267,14 +288,18 @@ def dsir_resample(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    n_bad = weights.filter(F.col(logw_col).isNull()).count()
-    if n_bad:
-        raise ValueError(
-            f"{n_bad} rows have a NULL {logw_col}: they would sort "
-            "last and silently never be selected"
-        )
     u = F.least(_hash_unit(F.col(id_col), seed), F.lit(U_BELOW_ONE))
-    key = F.col(logw_col).cast("double") - F.log(-F.log(u))
+    w = F.col(logw_col).cast("double")
+    key = F.when(
+        w.isNull() | F.isnan(w),
+        F.raise_error(
+            F.lit(
+                f"dsir_resample: NULL/NaN {logw_col} — NULL would "
+                "sort last and never select, NaN would sort first "
+                "and always select"
+            )
+        ),
+    ).otherwise(w - F.log(-F.log(u)))
     return (
         weights.withColumn("__gumbel_key", key)
         .orderBy(F.desc("__gumbel_key"), F.col(id_col))

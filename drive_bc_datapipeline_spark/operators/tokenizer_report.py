@@ -133,6 +133,25 @@ def token_id_table(
     ).select("token", "token_id")
 
 
+def _collect_id_table(id_table: DataFrame) -> list:
+    """MAX_SEED_PIECES-guarded collect of an id-table relation — THE
+    one copy of the encode/decode model-state boundary (a
+    corpus-derived relation must trip BEFORE any row reaches the
+    driver)."""
+    from drive_bc_datapipeline_spark.operators.unigram import (
+        MAX_SEED_PIECES,
+    )
+
+    n_ids = id_table.count()
+    if n_ids > MAX_SEED_PIECES:
+        raise ValueError(
+            f"id table has {n_ids} rows, over MAX_SEED_PIECES "
+            f"({MAX_SEED_PIECES}): the mapping is driver/broadcast "
+            "model state and must stay corpus-independent"
+        )
+    return id_table.collect()
+
+
 def encode_token_ids(
     seg: DataFrame,
     id_table: DataFrame,
@@ -153,19 +172,8 @@ def encode_token_ids(
     rows already have. The id table is guarded at H45's
     MAX_SEED_PIECES bound, tripping BEFORE any row reaches the driver.
     """
-    from drive_bc_datapipeline_spark.operators.unigram import (
-        MAX_SEED_PIECES,
-    )
-
-    n_ids = id_table.count()
-    if n_ids > MAX_SEED_PIECES:
-        raise ValueError(
-            f"id table has {n_ids} rows, over MAX_SEED_PIECES "
-            f"({MAX_SEED_PIECES}): the mapping is driver/broadcast "
-            "model state and must stay corpus-independent"
-        )
     mapping = {
-        r["token"]: int(r["token_id"]) for r in id_table.collect()
+        r["token"]: int(r["token_id"]) for r in _collect_id_table(id_table)
     }
     id_type = seg.schema[id_col].dataType.simpleString()
     out_schema = (
@@ -220,19 +228,12 @@ def decode_token_ids(
       vocabularies, and mapping it to ``unk_token`` would silently
       change n_unk semantics. The error surfaces from the executor
       task wrapped by Spark, message preserved (test-pinned).
-    """
-    from drive_bc_datapipeline_spark.operators.unigram import (
-        MAX_SEED_PIECES,
-    )
 
-    n_ids = id_table.count()
-    if n_ids > MAX_SEED_PIECES:
-        raise ValueError(
-            f"id table has {n_ids} rows, over MAX_SEED_PIECES "
-            f"({MAX_SEED_PIECES}): the mapping is driver/broadcast "
-            "model state and must stay corpus-independent"
-        )
-    rows = id_table.collect()
+    A NULL ``ids_col`` value or a NULL array element also raises with
+    a named message (not an opaque TypeError): the encoder never
+    emits either, so both mean the input is not an encoder output.
+    """
+    rows = _collect_id_table(id_table)
     inverse = {int(r["token_id"]): r["token"] for r in rows}
     if len(inverse) != len(rows):
         raise ValueError(
@@ -257,8 +258,23 @@ def decode_token_ids(
         for pdf in batches:
             toks, unks = [], []
             for ids in pdf[ids_col]:
+                if ids is None:
+                    raise ValueError(
+                        f"decode_token_ids: NULL {ids_col} — the "
+                        "encoder never emits one; this is not an "
+                        "encoder output"
+                    )
                 out, n_unk = [], 0
                 for i in ids:
+                    # NULL elements arrive as None or NaN depending
+                    # on the Arrow->pandas path; i != i is the
+                    # import-free NaN test
+                    if i is None or i != i:
+                        raise ValueError(
+                            f"decode_token_ids: NULL element in "
+                            f"{ids_col} — the encoder never emits "
+                            "one; this is not an encoder output"
+                        )
                     i = int(i)
                     if i == unk_id:
                         out.append(unk_token)

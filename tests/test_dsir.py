@@ -311,13 +311,31 @@ def test_validation_errors(spark, fitted):
         dsir_importance_weights(
             spark, df, {300: 0.1}, 0.0, n_buckets=8
         )
+    # NULL and NaN weights are rejected AT EXECUTION, riding the key
+    # projection (NULL would sort last and never select; NaN sorts
+    # ABOVE every double descending and would always select)
     wdf = spark.createDataFrame(
         [(1, 0.5), (2, None)], "doc_id long, log_w double"
     )
-    with pytest.raises(ValueError, match="NULL log_w"):
-        dsir_resample(wdf, 1)
+    with pytest.raises(Exception, match="NULL/NaN log_w"):
+        dsir_resample(wdf, 1).collect()
+    nan_wdf = spark.createDataFrame(
+        [(1, 0.5), (2, float("nan"))], "doc_id long, log_w double"
+    )
+    with pytest.raises(Exception, match="NULL/NaN log_w"):
+        dsir_resample(nan_wdf, 1).collect()
     with pytest.raises(ValueError, match="k must be"):
         dsir_resample(wdf.filter("log_w IS NOT NULL"), 0)
+    # NULL doc ids fail fast in the weights projection — they would
+    # silently take the neutral weight (grams group under NULL, the
+    # re-attach join never matches)
+    null_id = spark.createDataFrame(
+        [(None, "spark shuffle broadcast")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="NULL doc_id"):
+        dsir_importance_weights(
+            spark, null_id, {0: 0.1}, 0.0, n_buckets=8
+        ).collect()
 
 
 def test_dsir_random_corpora_property(spark):

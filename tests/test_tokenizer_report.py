@@ -468,3 +468,27 @@ def test_decode_counts_unk_by_id_not_string(spark):
     assert row["tokens"] == ["<unk>", "x", "<unk>"]
     assert row["n_tokens"] == 3
     assert row["n_unk"] == 1
+
+
+def test_decode_rejects_null_ids_arrays(spark):
+    """A NULL token_ids value or a NULL element is not an encoder
+    output — decode must raise its named message, not an opaque
+    TypeError from iterating None."""
+    import pytest
+    from drive_bc_datapipeline_spark.operators.tokenizer_report import (
+        decode_token_ids,
+    )
+
+    idt = spark.createDataFrame(
+        [("a", 0)], "token string, token_id int"
+    )
+    null_arr = spark.createDataFrame(
+        [(1, None)], "doc_id long, token_ids array<int>"
+    )
+    with pytest.raises(Exception, match="NULL token_ids"):
+        decode_token_ids(null_arr, idt).collect()
+    null_elem = spark.createDataFrame(
+        [(1, [0, None])], "doc_id long, token_ids array<int>"
+    )
+    with pytest.raises(Exception, match="NULL element"):
+        decode_token_ids(null_elem, idt).collect()
