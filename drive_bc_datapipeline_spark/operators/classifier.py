@@ -294,6 +294,42 @@ def train_hashed_linear(
 MAX_PR_BINS = 65_536
 
 
+def _binned_scores(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    n_bins: int,
+    *,
+    with_score: bool = False,
+):
+    """(__bin, __y[, __s]) projection — THE one copy of the
+    E10/E11/E12 score-bin convention (the doc_tokens rule: the curve's
+    threshold, the calibration table and the reliability report must
+    bin identically or the score >= t equivalence silently breaks).
+    ``floor(score * n_bins)`` with 1.0 joining the top bin;
+    NULL/NaN/out-of-[0,1] scores and non-binary labels route to a
+    NULL bin so the caller's validation COUNT rides the same corpus
+    scan as its aggregate."""
+    s = F.col(score_col)
+    y = F.col(label_col).cast("double")
+    valid = (
+        s.isNotNull()
+        & ~F.isnan(s)
+        & (s >= 0.0)
+        & (s <= 1.0)
+        & y.isin(0.0, 1.0)  # NULL-safe: NULL.isin(...) is NULL, not true
+    )
+    cols = [
+        F.when(
+            valid, F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1))
+        ).alias("__bin"),
+        y.alias("__y"),
+    ]
+    if with_score:
+        cols.append(s.cast("double").alias("__s"))
+    return df.select(*cols)
+
+
 def classifier_pr_curve(
     df: DataFrame,
     *,
@@ -333,23 +369,9 @@ def classifier_pr_curve(
             f"n_bins={n_bins}: the curve frame is model state, "
             f"bounded at {MAX_PR_BINS}"
         )
-    s = F.col(score_col)
-    y = F.col(label_col).cast("double")
-    valid = (
-        s.isNotNull()
-        & ~F.isnan(s)
-        & (s >= 0.0)
-        & (s <= 1.0)
-        & y.isin(0.0, 1.0)  # NULL-safe: NULL.isin(...) is NULL, not true
-    )
     # invalid rows -> NULL bin: the validation COUNT shares the one
     # corpus scan with the curve aggregate instead of costing its own
-    binned = df.select(
-        F.when(
-            valid, F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1))
-        ).alias("__bin"),
-        y.alias("__y"),
-    )
+    binned = _binned_scores(df, label_col, score_col, n_bins)
     per_bin = binned.groupBy("__bin").agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__y").cast("long").alias("__np"),
@@ -436,23 +458,10 @@ def isotonic_calibration_table(
             f"n_bins={n_bins}: the calibration frame is model state, "
             f"bounded at {MAX_PR_BINS}"
         )
-    s = F.col(score_col)
-    y = F.col(label_col).cast("double")
-    valid = (
-        s.isNotNull()
-        & ~F.isnan(s)
-        & (s >= 0.0)
-        & (s <= 1.0)
-        & y.isin(0.0, 1.0)
-    )
+    # _binned_scores: the ONE copy of the E10 bin convention — the
+    # curve's threshold and this table must bin identically
     per_bin = (
-        df.select(
-            F.when(
-                valid,
-                F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)),
-            ).alias("__bin"),
-            y.alias("__y"),
-        )
+        _binned_scores(df, label_col, score_col, n_bins)
         .groupBy("__bin")
         .agg(
             F.count(F.lit(1)).alias("__n"),
@@ -511,10 +520,11 @@ def apply_isotonic_calibration(
     driver to ALL n_bins (step-function fill: unoccupied bins take
     the nearest lower occupied bin's value; below the lowest, its
     value — model state, ≤ MAX_PR_BINS rows, so the expansion is
-    driver-trivial and the join needs no range/as-of logic). Scores
-    are validated by the same fail-fast rule the fit used: a row the
-    table could never have seen (NULL/NaN/out-of-[0,1]) raises
-    instead of silently joining nothing.
+    driver-trivial and the join needs no range/as-of logic). A score
+    the fit could never have binned (NULL/NaN/out-of-[0,1]) raises AT
+    EXECUTION, riding the bin projection — a separate validation
+    count() would scan the corpus twice (the pr-curve ride-along
+    convention applied to a function that cannot collect).
     """
     if not table:
         raise ValueError("empty calibration table")
@@ -523,10 +533,17 @@ def apply_isotonic_calibration(
             f"n_bins={n_bins}: the calibration frame is model state, "
             f"bounded at {MAX_PR_BINS}"
         )
-    if any(b >= n_bins for b, _n, _np, _c in table):
+    bins = [b for b, _n, _np, _c in table]
+    if len(set(bins)) != len(bins) or any(
+        not 0 <= b < n_bins for b in bins
+    ):
+        # a negative or duplicate bin would strand the fill-down
+        # iterator below and silently mis-calibrate every row
         raise ValueError(
-            "calibration table carries bins >= n_bins: fit and apply "
-            "with the same n_bins"
+            "calibration table bins must be unique and in "
+            f"[0, {n_bins}): fit and apply with the same n_bins "
+            "(got bins outside that contract: "
+            f"{sorted(set(bins))[:5]}...)"
         )
     spark = df.sparkSession
     filled: list[tuple[int, float]] = []
@@ -540,16 +557,138 @@ def apply_isotonic_calibration(
         filled.append((b, cur))
     cal = spark.createDataFrame(filled, "__bin int, {} double".format(out_col))
     s = F.col(score_col)
-    n_bad = df.filter(
-        s.isNull() | F.isnan(s) | (s < 0.0) | (s > 1.0)
-    ).count()
-    if n_bad:
-        raise ValueError(
-            f"{n_bad} rows have a NULL/NaN/out-of-[0,1] {score_col}: "
-            "the calibration table has no bin for them"
-        )
+    valid = s.isNotNull() & ~F.isnan(s) & (s >= 0.0) & (s <= 1.0)
     binned = df.withColumn(
         "__bin",
-        F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)),
+        F.when(
+            valid,
+            F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"apply_isotonic_calibration: NULL/NaN/"
+                    f"out-of-[0,1] {score_col} — the calibration "
+                    "table has no bin for it"
+                )
+            )
+        ),
     )
     return binned.join(F.broadcast(cal), "__bin").drop("__bin")
+
+
+def calibration_report(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    score_col: str = "score",
+    n_bins: int = 20,
+) -> DataFrame:
+    """Quantized reliability table for a scored, labeled relation —
+    the audit AFTER calibration (E12, closing the E9→E11 loop): does
+    the score actually mean its probability, per score band?
+
+    One partial-aggregable corpus scan through the shared
+    ``_binned_scores`` convention (the ride-along validation: invalid
+    rows route to a NULL bin, counted on the bounded frame, raised);
+    the returned frame holds one row per OCCUPIED bin, ascending:
+    (bin, threshold_lo, n, n_pos, mean_score, observed_rate, abs_gap)
+    where abs_gap = |mean_score - observed_rate| is the per-bin
+    reliability residual that ECE weights. Occupied bins keep n >= 1
+    so the rates divide safely.
+    """
+    if not 1 <= n_bins <= MAX_PR_BINS:
+        raise ValueError(
+            f"n_bins={n_bins}: the reliability frame is model state, "
+            f"bounded at {MAX_PR_BINS}"
+        )
+    per_bin = (
+        _binned_scores(df, label_col, score_col, n_bins, with_score=True)
+        .groupBy("__bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").cast("long").alias("n_pos"),
+            F.sum("__s").alias("__ssum"),
+        )
+        .localCheckpoint(eager=True)  # <= n_bins+1 rows, scanned twice
+    )
+    bad = per_bin.filter(F.col("__bin").isNull()).collect()
+    if bad:
+        raise ValueError(
+            f"{bad[0]['n']} rows have a NULL/NaN/out-of-[0,1] "
+            f"{score_col} or a label outside {{0, 1}}: the "
+            "reliability table needs clean probabilities and binary "
+            "labels"
+        )
+    mean_score = F.col("__ssum") / F.col("n")
+    observed = F.col("n_pos") / F.col("n")
+    return (
+        per_bin.select(
+            F.col("__bin").alias("bin"),
+            (F.col("__bin").cast("double") / n_bins).alias("threshold_lo"),
+            "n",
+            "n_pos",
+            mean_score.alias("mean_score"),
+            observed.alias("observed_rate"),
+            F.abs(mean_score - observed).alias("abs_gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    score_col: str = "score",
+    n_bins: int = 20,
+) -> dict[str, float]:
+    """Scalar calibration summary: ``{"n", "ece", "mce", "brier"}``.
+
+    ECE = Σ_b (n_b / N) · |mean_score_b − observed_rate_b| (the
+    standard quantized estimator); MCE is the max per-bin gap; Brier
+    = mean((score − y)²), binning-free. ONE corpus scan — the Brier
+    sum rides the same groupBy(bin) aggregate as the reliability
+    counters (Σ (s−y)² decomposes exactly over any partition of the
+    rows), and the summary folds driver-side over the ≤ n_bins
+    collected rows (model state, the E10 curve-frame class).
+    """
+    if not 1 <= n_bins <= MAX_PR_BINS:
+        raise ValueError(
+            f"n_bins={n_bins}: the reliability frame is model state, "
+            f"bounded at {MAX_PR_BINS}"
+        )
+    rows = (
+        _binned_scores(df, label_col, score_col, n_bins, with_score=True)
+        .groupBy("__bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("np"),
+            F.sum("__s").alias("ssum"),
+            F.sum(
+                (F.col("__s") - F.col("__y")) * (F.col("__s") - F.col("__y"))
+            ).alias("sqerr"),
+        )
+        .collect()
+    )
+    bad = [r for r in rows if r["__bin"] is None]
+    if bad:
+        raise ValueError(
+            f"{bad[0]['n']} rows have a NULL/NaN/out-of-[0,1] "
+            f"{score_col} or a label outside {{0, 1}}: the "
+            "calibration summary needs clean probabilities and "
+            "binary labels"
+        )
+    if not rows:
+        raise ValueError(
+            "expected_calibration_error needs a non-empty relation"
+        )
+    n_total = sum(r["n"] for r in rows)
+    gaps = [
+        (r["n"], abs(r["ssum"] / r["n"] - r["np"] / r["n"])) for r in rows
+    ]
+    return {
+        "n": float(n_total),
+        "ece": sum(n * g for n, g in gaps) / n_total,
+        "mce": max(g for _n, g in gaps),
+        "brier": sum(r["sqerr"] for r in rows) / n_total,
+    }

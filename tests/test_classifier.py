@@ -719,8 +719,22 @@ def test_calibration_guards(spark):
         apply_isotonic_calibration(ok, table, n_bins=2)
     with pytest.raises(ValueError, match="empty"):
         apply_isotonic_calibration(ok, [], n_bins=10)
-    with pytest.raises(ValueError, match="no bin"):
-        apply_isotonic_calibration(bad.select("score"), table, n_bins=10)
+    # a negative or duplicate bin would strand the fill-down iterator
+    # and silently mis-calibrate every row — rejected up front
+    with pytest.raises(ValueError, match="unique and in"):
+        apply_isotonic_calibration(
+            ok, [(-1, 10, 5, 0.5), (5, 10, 9, 0.9)], n_bins=10
+        )
+    with pytest.raises(ValueError, match="unique and in"):
+        apply_isotonic_calibration(
+            ok, [(5, 10, 5, 0.5), (5, 10, 9, 0.9)], n_bins=10
+        )
+    # out-of-domain scores are rejected AT EXECUTION, riding the bin
+    # projection (a separate count() would scan the corpus twice)
+    with pytest.raises(Exception, match="no bin"):
+        apply_isotonic_calibration(
+            bad.select("score"), table, n_bins=10
+        ).collect()
 
 
 def test_calibration_composes_with_trained_model(spark):
@@ -754,3 +768,110 @@ def test_calibration_composes_with_trained_model(spark):
     n_pos = sum(r[1] for r in _SEED_ROWS)
     mean_cal = sum(c for _s, c in rows) / len(rows)
     assert abs(mean_cal - n_pos / len(_SEED_ROWS)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# E12 — calibration_report / expected_calibration_error: quantized
+# reliability audit vs a sequential reference.
+# ---------------------------------------------------------------------------
+
+
+def _ref_reliability(rows, n_bins):
+    """rows = [(score, label)] -> {bin: (n, n_pos, mean_s, rate)},
+    plus (ece, mce, brier)."""
+    per: dict[int, list[float]] = {}
+    for s, y in rows:
+        b = min(max(int(math.floor(s * n_bins)), 0), n_bins - 1)
+        acc = per.setdefault(b, [0.0, 0.0, 0.0])
+        acc[0] += 1
+        acc[1] += y
+        acc[2] += s
+    n_total = sum(a[0] for a in per.values())
+    table, ece, mce = {}, 0.0, 0.0
+    for b, (n, np_, ssum) in per.items():
+        gap = abs(ssum / n - np_ / n)
+        table[b] = (int(n), int(np_), ssum / n, np_ / n, gap)
+        ece += (n / n_total) * gap
+        mce = max(mce, gap)
+    brier = sum((s - y) ** 2 for s, y in rows) / n_total
+    return table, ece, mce, brier
+
+
+def test_calibration_report_matches_sequential(spark):
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        calibration_report,
+        expected_calibration_error,
+    )
+
+    rows = _cal_rows()
+    df = spark.createDataFrame(rows, "score double, label int")
+    table, ece, mce, brier = _ref_reliability(rows, 20)
+    got = calibration_report(df, n_bins=20).collect()
+    assert [r["bin"] for r in got] == sorted(table)
+    for r in got:
+        n, np_, mean_s, rate, gap = table[r["bin"]]
+        assert r["n"] == n and r["n_pos"] == np_, r["bin"]
+        assert abs(r["threshold_lo"] - r["bin"] / 20) < 1e-12
+        assert abs(r["mean_score"] - mean_s) < 1e-9
+        assert abs(r["observed_rate"] - rate) < 1e-12
+        assert abs(r["abs_gap"] - gap) < 1e-9
+    summary = expected_calibration_error(df, n_bins=20)
+    assert summary["n"] == len(rows)
+    assert abs(summary["ece"] - ece) < 1e-9
+    assert abs(summary["mce"] - mce) < 1e-9
+    assert abs(summary["brier"] - brier) < 1e-9
+
+
+def test_calibration_report_guards(spark):
+    import pytest
+
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        calibration_report,
+        expected_calibration_error,
+    )
+
+    bad = spark.createDataFrame(
+        [(1.5, 1)], "score double, label int"
+    )
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        calibration_report(bad, n_bins=10)
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        expected_calibration_error(bad, n_bins=10)
+    ok = spark.createDataFrame([(0.5, 1)], "score double, label int")
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_report(ok, n_bins=0)
+    empty = spark.createDataFrame([], "score double, label int")
+    with pytest.raises(ValueError, match="non-empty"):
+        expected_calibration_error(empty, n_bins=10)
+
+
+def test_isotonic_calibration_improves_ece(spark):
+    """E11 -> E12 seam: calibrating a trained model's scores must
+    reduce ECE and Brier on the fit set (PAV minimizes squared error
+    among monotone functions of the bin)."""
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        apply_isotonic_calibration,
+        expected_calibration_error,
+        isotonic_calibration_table,
+        train_hashed_linear,
+    )
+
+    seeds = spark.createDataFrame(
+        _SEED_ROWS, "doc_id long, label int, text string"
+    )
+    w, b = train_hashed_linear(
+        spark, seeds, n_buckets=N_BUCKETS, n_rounds=12, lr=0.4
+    )
+    scored = score_hashed_linear(
+        spark, seeds, w, n_buckets=N_BUCKETS, bias=b
+    ).join(seeds.select("doc_id", "label"), "doc_id")
+    raw = expected_calibration_error(scored, n_bins=20)
+    table = isotonic_calibration_table(scored, n_bins=20)
+    cal = (
+        apply_isotonic_calibration(scored, table, n_bins=20)
+        .drop("score")
+        .withColumnRenamed("calibrated", "score")
+    )
+    after = expected_calibration_error(cal, n_bins=20)
+    assert after["brier"] <= raw["brier"] + 1e-12
+    assert after["ece"] <= raw["ece"] + 1e-12
