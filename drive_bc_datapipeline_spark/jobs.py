@@ -220,3 +220,135 @@ def run_incremental_rollup(
     with open(state_path, "w") as f:
         json.dump({"watermark_us": int(new_wm)}, f)
     return {"merged_rows": stats["rows_written"], "watermark_us": int(new_wm)}
+
+
+def run_curation_pipeline(
+    spark: SparkSession,
+    docs,
+    seeds,
+    target,
+    out_dir: str,
+    *,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    n_buckets: int = 4096,
+    n_rounds: int = 30,
+    lr: float = 0.5,
+    min_precision: float = 0.9,
+    curve_bins: int = 1000,
+    dsir_buckets: int = 4096,
+    seed: int = 0,
+    n_shards: int = 16,
+) -> dict:
+    """The full curation recipe as ONE runnable job (the K7 runner's
+    operational sibling for the E9/E10/E7 + H47 + L13 chain the
+    composition test pins): train the quality gate on ``seeds``
+    (labeled), pick the highest-recall threshold meeting
+    ``min_precision`` from the seed PR curve, score + filter
+    ``docs``, fit DSIR against ``target``, draw ``k`` docs without
+    replacement ∝ softmax(log importance), assign the reproducible
+    L13 shard/order, and write ``out_dir/selected/`` partitioned by
+    shard with a manifest JSON.
+
+    Everything downstream of the driver-sized model state streams
+    plan→writer (nothing corpus-scale is collected); the manifest
+    carries the decisions (threshold, counts, seed) so a rerun is
+    auditable — and byte-identical apart from timings, which the
+    test pins.
+    """
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        classifier_pr_curve,
+        score_hashed_linear,
+        train_hashed_linear,
+    )
+    from drive_bc_datapipeline_spark.operators.dsir import (
+        dsir_bucket_counts,
+        dsir_importance_weights,
+        dsir_log_ratio,
+        dsir_resample,
+    )
+    from drive_bc_datapipeline_spark.operators.sampling import (
+        seeded_shuffle,
+    )
+
+    t0 = time.time()
+    w, b = train_hashed_linear(
+        spark,
+        seeds,
+        label_col=label_col,
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        n_rounds=n_rounds,
+        lr=lr,
+    )
+    seed_scored = score_hashed_linear(
+        spark, seeds, w, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, bias=b,
+    ).join(seeds.select(id_col, label_col), id_col)
+    curve = classifier_pr_curve(
+        seed_scored, label_col=label_col, n_bins=curve_bins
+    ).collect()
+    eligible = [r for r in curve if r["precision"] >= min_precision]
+    if not eligible:
+        best = max(r["precision"] for r in curve)
+        raise ValueError(
+            f"no threshold reaches precision {min_precision} on the "
+            f"seed set (best {best:.3f}): the gate is not usable — "
+            "train longer, add seeds, or lower min_precision"
+        )
+    threshold = min(r["threshold"] for r in eligible)
+
+    scored = score_hashed_linear(
+        spark, docs, w, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, bias=b,
+    )
+    kept_ids = scored.filter(F.col("score") >= threshold).select(id_col)
+    kept = docs.join(kept_ids, id_col)
+
+    table, default = dsir_log_ratio(
+        dsir_bucket_counts(target, text_col=text_col, n_buckets=dsir_buckets),
+        dsir_bucket_counts(kept, text_col=text_col, n_buckets=dsir_buckets),
+        n_buckets=dsir_buckets,
+    )
+    weights = dsir_importance_weights(
+        spark, kept, table, default,
+        text_col=text_col, id_col=id_col, n_buckets=dsir_buckets,
+    )
+    sample = dsir_resample(weights, k, id_col=id_col, seed=seed)
+
+    selected = seeded_shuffle(
+        docs.join(sample.select(id_col), id_col),
+        id_col,
+        seed=seed,
+        n_shards=n_shards,
+    )
+    out_path = os.path.join(out_dir, "selected")
+    obs = Observation("rows_selected")
+    (
+        selected.observe(obs, F.count(F.lit(1)).alias("rows"))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_path)
+    )
+    manifest = {
+        "n_docs": docs.count(),
+        "n_kept": kept_ids.count(),
+        "n_selected": obs.get["rows"],
+        "threshold": threshold,
+        "min_precision": min_precision,
+        "k": k,
+        "seed": seed,
+        "n_shards": n_shards,
+        "n_buckets": n_buckets,
+        "dsir_buckets": dsir_buckets,
+        "path": out_path,
+        "seconds": round(time.time() - t0, 3),
+    }
+    with open(os.path.join(out_dir, "curation_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest

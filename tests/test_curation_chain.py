@@ -188,3 +188,74 @@ def test_curation_chain_composes_end_to_end(spark):
     assert again["threshold"] == run["threshold"]
     assert {r["doc_id"] for r in again["sample"].collect()} == set(sel)
     assert again["shuffled"] == run["shuffled"]
+
+
+def test_run_curation_pipeline_job(spark, tmp_path):
+    """The K7-style operational wrapper: one call runs the whole
+    chain and writes selected/ + manifest. Reruns must reproduce the
+    manifest (timings aside) and the selected set bit-for-bit."""
+    import json
+
+    from drive_bc_datapipeline_spark.jobs import run_curation_pipeline
+
+    docs = spark.createDataFrame(
+        _corpus_rows(), "doc_id long, text string"
+    )
+    seeds = spark.createDataFrame(
+        _seed_rows(), "doc_id long, label int, text string"
+    )
+    target = spark.createDataFrame(
+        _target_rows(), "doc_id long, text string"
+    )
+    out1, out2 = str(tmp_path / "run1"), str(tmp_path / "run2")
+    kwargs = dict(
+        k=K_SELECT,
+        n_buckets=N_BUCKETS,
+        n_rounds=40,
+        lr=1.0,
+        min_precision=0.95,
+        dsir_buckets=DSIR_BUCKETS,
+        seed=11,
+        n_shards=4,
+    )
+    m1 = run_curation_pipeline(spark, docs, seeds, target, out1, **kwargs)
+    assert m1["n_docs"] == 180
+    assert m1["n_kept"] == 120  # the gate keeps exactly the clean docs
+    assert m1["n_selected"] == K_SELECT
+    sel1 = spark.read.parquet(m1["path"])
+    rows1 = sorted(
+        (r["doc_id"], r["shard"], r["pos_key"]) for r in sel1.collect()
+    )
+    assert len(rows1) == K_SELECT
+    ids1 = {d for d, _s, _p in rows1}
+    assert ids1 <= set(range(60, 180))  # selected ⊆ kept
+    # shard is a partition column readers can prune on
+    assert set(sel1.columns) >= {"doc_id", "text", "shard", "pos_key"}
+    # the manifest on disk matches the returned one
+    with open(f"{out1}/curation_manifest.json") as f:
+        assert json.load(f)["threshold"] == m1["threshold"]
+    # rerun: identical decisions and identical selected set
+    m2 = run_curation_pipeline(spark, docs, seeds, target, out2, **kwargs)
+    for key in ("n_docs", "n_kept", "n_selected", "threshold", "k", "seed"):
+        assert m2[key] == m1[key], key
+    rows2 = sorted(
+        (r["doc_id"], r["shard"], r["pos_key"])
+        for r in spark.read.parquet(m2["path"]).collect()
+    )
+    assert rows2 == rows1
+    # an unreachable precision target fails loudly, not silently:
+    # every text appears with BOTH labels, so identical scores land
+    # pos/neg twins in the same bin and no bin beats 0.5 precision
+    import pytest
+
+    twin_seeds = spark.createDataFrame(
+        [(i, 0, _doc(_CLEAN, i)) for i in range(8)]
+        + [(100 + i, 1, _doc(_CLEAN, i)) for i in range(8)],
+        "doc_id long, label int, text string",
+    )
+    with pytest.raises(ValueError, match="not usable"):
+        run_curation_pipeline(
+            spark, docs, twin_seeds, target, str(tmp_path / "run3"),
+            k=5, n_buckets=N_BUCKETS, n_rounds=5, lr=0.5,
+            min_precision=0.95,
+        )
