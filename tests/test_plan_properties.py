@@ -573,3 +573,61 @@ def test_plan_snapshot_identity(spark, key):
         " If the change is deliberate, GATE_PIN the key (if gated) and"
         " regenerate with REGEN_PLAN_SNAPSHOTS=1."
     )
+
+
+def test_dsir_weights_plan_broadcast_and_no_python(spark):
+    """H47's weighing must keep the E7 scorer shape: the log-ratio
+    table rides a BroadcastHashJoin, the per-doc sum partial-
+    aggregates map-side, and no Python appears anywhere (the fail-
+    fast branches are JVM raise_error expressions)."""
+    from drive_bc_datapipeline_spark.operators.dsir import (
+        dsir_importance_weights,
+        dsir_resample,
+    )
+    from drive_bc_datapipeline_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    w = dsir_importance_weights(
+        spark, docs, {0: 0.5, 1: -0.2}, -0.1, n_buckets=64
+    )
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    sel_plan = (
+        dsir_resample(w, 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in sel_plan, sel_plan
+    assert "BatchEvalPython" not in sel_plan, sel_plan
+
+
+def test_calibration_plans_single_scan_no_python(spark):
+    """E11/E12: the fit and the report each cost ONE corpus aggregate
+    (partial map-side), and apply is a broadcast equi-join — no
+    Python, no second scan for validation (it rides the projections
+    as raise_error branches)."""
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        apply_isotonic_calibration,
+        score_hashed_linear,
+    )
+    from drive_bc_datapipeline_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    scored = score_hashed_linear(spark, docs, {3: 0.5}, n_buckets=64)
+    applied = apply_isotonic_calibration(
+        scored, [(5, 4, 2, 0.5), (9, 2, 2, 1.0)], n_bins=10
+    )
+    plan = applied._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    # the complete bin table joins broadcast; the corpus side is the
+    # probe — one scan of the scored relation, no extra count job
+    assert "BroadcastHashJoin" in plan, plan
+    scored_plan = (
+        scored._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan parquet") == scored_plan.count(
+        "FileScan parquet"
+    ), "apply added a corpus re-scan over the scored plan"
