@@ -875,3 +875,47 @@ def test_isotonic_calibration_improves_ece(spark):
     after = expected_calibration_error(cal, n_bins=20)
     assert after["brier"] <= raw["brier"] + 1e-12
     assert after["ece"] <= raw["ece"] + 1e-12
+
+
+def test_calibration_random_inputs_property(spark):
+    """Derandomized property sweep (the house pattern): on random
+    score/label sets — ties, all-one-bin, all-positive, all-negative
+    — the PAV table bit-matches the independent O(n²) reference and
+    the reliability scalars match their replay."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        calibration_report,
+        expected_calibration_error,
+        isotonic_calibration_table,
+    )
+
+    score = st.integers(min_value=0, max_value=10).map(lambda i: i / 10)
+    row = st.tuples(score, st.integers(min_value=0, max_value=1))
+    rows_strategy = st.lists(row, min_size=1, max_size=20)
+
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(rows_strategy)
+    def check(rows):
+        df = spark.createDataFrame(rows, "score double, label int")
+        got = isotonic_calibration_table(df, n_bins=10)
+        want = _ref_pav(rows, 10)
+        assert {b for b, _n, _np, _c in got} == set(want)
+        for b, n, np_, c in got:
+            wn, wnp, wc = want[b]
+            assert (n, np_) == (wn, wnp), b
+            assert abs(c - wc) < 1e-12, b
+        cals = [c for _b, _n, _np, c in got]
+        assert cals == sorted(cals)  # monotone on every input
+        mass = sum(n * c for _b, n, _np, c in got)
+        assert abs(mass - sum(y for _s, y in rows)) < 1e-9
+        table, ece, mce, brier = _ref_reliability(rows, 10)
+        summary = expected_calibration_error(df, n_bins=10)
+        assert abs(summary["ece"] - ece) < 1e-9
+        assert abs(summary["mce"] - mce) < 1e-9
+        assert abs(summary["brier"] - brier) < 1e-9
+        rep = calibration_report(df, n_bins=10).collect()
+        assert [r["bin"] for r in rep] == sorted(table)
+
+    check()

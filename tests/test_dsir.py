@@ -415,3 +415,59 @@ def test_dsir_random_corpora_property(spark):
         assert len(sel) == len(set(sel)) == min(k, len(q_rows))
 
     check()
+
+
+def test_gumbel_top1_inclusion_matches_softmax(spark):
+    """The sampling LAW, not just determinism: for k=1, P(doc drawn)
+    under the Gumbel trick equals softmax(log_w) exactly. Replay the
+    selection over 600 seeds (sequentially, from engine-fetched
+    xxhash64 draws — the same arithmetic dsir_resample executes) and
+    check empirical inclusion against the analytic softmax within 4σ;
+    spot-check 3 seeds against the distributed operator."""
+    from pyspark.sql import functions as F
+
+    docs = [(1, 0.0), (2, 1.0), (3, 2.0), (4, -1.0), (5, 0.5)]
+    wdf = spark.createDataFrame(docs, "doc_id long, log_w double")
+    n_seeds = 600
+    # all (seed, doc) hashes in ONE job
+    hdf = (
+        wdf.crossJoin(
+            spark.range(n_seeds).withColumnRenamed("id", "seed")
+        )
+        .select(
+            "doc_id",
+            "seed",
+            F.xxhash64("doc_id", F.col("seed").cast("int")).alias("h"),
+        )
+        .collect()
+    )
+    # xxhash64(col, lit(seed)) hashes the INT literal; make sure the
+    # cross-joined variant used int seeds too (it did: cast above)
+    lw = dict(docs)
+    wins: dict[int, int] = {d: 0 for d, _ in docs}
+    by_seed: dict[int, list] = {}
+    for r in hdf:
+        by_seed.setdefault(r["seed"], []).append((r["doc_id"], r["h"]))
+    for seed, entries in by_seed.items():
+        best = max(
+            entries,
+            key=lambda e: (_gumbel_key_py(e[1], lw[e[0]]), -e[0]),
+        )
+        wins[best[0]] += 1
+    z = sum(math.exp(w) for _d, w in docs)
+    for d, w in docs:
+        p = math.exp(w) / z
+        sigma = math.sqrt(p * (1 - p) / n_seeds)
+        assert abs(wins[d] / n_seeds - p) < 4 * sigma + 1e-9, (
+            d, wins[d] / n_seeds, p
+        )
+    # the distributed operator agrees with the replay on 3 seeds
+    for seed in (0, 7, 123):
+        [row] = dsir_resample(wdf, 1, seed=seed).collect()
+        want = max(
+            ((d, h) for d, s, h in [
+                (r["doc_id"], r["seed"], r["h"]) for r in hdf
+            ] if s == seed),
+            key=lambda e: (_gumbel_key_py(e[1], lw[e[0]]), -e[0]),
+        )[0]
+        assert row["doc_id"] == want, seed
