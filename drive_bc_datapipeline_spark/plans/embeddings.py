@@ -1087,8 +1087,12 @@ FROM proj GROUP BY label
 @query("embedding_pca_projection", _pca_oracle())
 def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread (r10): the single-row-group scan would run the d²-fan-out
-    # pair-product explode on one core; no-op on multi-file data
-    e = spread(t(spark, sf_dir, "embeddings"))
+    # pair-product explode on one core; no-op on multi-file data.
+    # by="vec_id" (r14, banked since the r11 A/B): hash partitioning
+    # skips round-robin's pre-exchange local row sort (1.24→1.13s at
+    # sf0.1, interleaved min-of-3 — tables.spread docstring); vec_id
+    # is the table's unique key, so no skew concentration.
+    e = spread(t(spark, sf_dir, "embeddings"), by="vec_id")
     quant = e.select(
         "vec_id",
         "label",

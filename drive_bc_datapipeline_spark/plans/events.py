@@ -1919,8 +1919,12 @@ GROUP BY event_type
 @query("pii_scrub_stats", PII_SCRUB_ORACLE)
 def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread (r10): the single-row-group events scan would run the
-    # three regexp passes on one core; no-op on multi-file data
-    e = spread(t(spark, sf_dir, "events"))
+    # three regexp passes on one core; no-op on multi-file data.
+    # by="event_id" (r14, banked since the r11 A/B): hash partitioning
+    # skips round-robin's pre-exchange local row sort (0.84→0.52s at
+    # sf0.1, interleaved min-of-3 — tables.spread docstring); event_id
+    # is the table's unique key, so no skew concentration.
+    e = spread(t(spark, sf_dir, "events"), by="event_id")
     s = F.concat(
         F.col("props"),
         F.lit(" uid="),

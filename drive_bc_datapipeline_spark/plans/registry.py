@@ -133,8 +133,11 @@ GATE_PIN: dict[str, int] = {
     # tokenize+partial-agg keys were A/B-reverted (the exchange cost
     # more than single-core tokenize). All in the r10 window — free:
     "dedup_prefix_jaccard": 10,
-    "pii_scrub_stats": 10,
-    "embedding_pca_projection": 10,
+    # pii_scrub_stats and embedding_pca_projection were pinned at 10
+    # here too (satisfied by their r10 green rows); a dict literal
+    # can't carry the same key twice, so those expired pins live in
+    # this comment and the keys appear once below with their r14
+    # spread(by=) re-pins:
     # round-11 replan: spread() widens the one-row-group scan ahead of
     # the shingle explode (layout-only; rows identical; no-op on
     # multi-file corpora). A/B-kept with tools/ab_spread.py
@@ -156,6 +159,14 @@ GATE_PIN: dict[str, int] = {
     # 3.9s. NOT in the r11 staleness window (last green r10) — this
     # pin deliberately spends one window slot, the round's only such:
     "hybrid_rrf_search_topk": 11,
+    # round-14 replan: the banked spread(by=) switches land — hash
+    # partitioning on the table's unique id replaces round-robin
+    # (skips the pre-exchange local row sort; A/B tracked in
+    # tables.spread: pii 0.84→0.52s, pca 1.24→1.13s at sf0.1). Both
+    # keys are r10-green and inside the r14 staleness window, so the
+    # pins are free (zero extra slots):
+    "pii_scrub_stats": 14,
+    "embedding_pca_projection": 14,
 }
 
 
