@@ -222,6 +222,199 @@ def run_incremental_rollup(
     return {"merged_rows": stats["rows_written"], "watermark_us": int(new_wm)}
 
 
+def build_curation_frames(
+    spark: SparkSession,
+    docs,
+    seeds,
+    target,
+    *,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    n_buckets: int = 4096,
+    n_rounds: int = 30,
+    lr: float = 0.5,
+    min_precision: float = 0.9,
+    curve_bins: int = 1000,
+    dsir_buckets: int = 4096,
+    seed: int = 0,
+    n_shards: int = 16,
+    calibrate: bool = False,
+    scrub: bool = False,
+) -> dict:
+    """Build every frame of the curation recipe — the plan-level seam
+    ``run_curation_pipeline`` writes and the chain test inspects:
+
+        train (E9) → [isotonic calibration (E11/E12) if ``calibrate``]
+          → pr-curve threshold (E10) → score+filter (E7)
+          → DSIR fit/weigh/resample (H47) → seeded_shuffle (L13)
+
+    Scoring-once guarantee: the corpus is scored by exactly ONE Spark
+    job — the gate filter's ``localCheckpoint`` — and every downstream
+    consumer (DSIR bucket counts, importance weights, the selected
+    write) reads the materialized kept-id relation instead of
+    re-executing the scoring join (the r7 FileScan-audit discipline
+    applied to the orchestration layer; the chain test pins that no
+    scoring subtree survives in any downstream plan). The checkpoint
+    holds ONE id column of the kept subset — far smaller than the
+    corpus it saves four re-scores of.
+
+    The corpus-count and kept-count ride that same checkpoint job as
+    Observations (``gate_obs``) — no separate ``count()`` actions.
+
+    ``calibrate=True`` fits an isotonic table (E11) on the seed
+    scores, audits it (E12 ECE/MCE/Brier), and selects the threshold
+    on CALIBRATED probabilities — so ``threshold`` then means "keep
+    docs with calibrated P(quality) >= t", the mixture-quota/budget
+    semantics. Because the calibration step function is monotone
+    non-decreasing in the score bin, the calibrated gate still
+    collapses to a plain raw-score predicate (the chain test asserts
+    the equivalence), so the corpus pass stays one scan + filter.
+
+    Threshold-selection caveat (in-sample): the PR curve is computed
+    on the SAME seeds the classifier was trained on, so
+    ``min_precision`` is an optimistic estimate of the gate's true
+    corpus precision — hold out labeled data and validate downstream
+    when the precision number itself is load-bearing. The manifest
+    records this ("threshold_selection": "in-sample-seeds").
+
+    Seeded randomness uses disjoint xxhash64 streams (documented so
+    no stage reuses another's draw): DSIR's Gumbel selection consumes
+    ``seed``; the shard shuffle consumes ``seed + 2`` (shard) and
+    ``seed + 3`` (intra-shard position — ``seeded_shuffle`` itself
+    spans two consecutive seeds).
+    """
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        apply_isotonic_calibration,
+        classifier_pr_curve,
+        expected_calibration_error,
+        isotonic_calibration_table,
+        score_hashed_linear,
+        train_hashed_linear,
+    )
+    from drive_bc_datapipeline_spark.operators.dsir import (
+        dsir_bucket_counts,
+        dsir_importance_weights,
+        dsir_log_ratio,
+        dsir_resample,
+    )
+    from drive_bc_datapipeline_spark.operators.sampling import (
+        seeded_shuffle,
+    )
+
+    if scrub:
+        # redact PII BEFORE the gate ever sees the text (CCNet/Dolma
+        # order): seeds and corpus scrub identically so the trained
+        # feature space matches what scoring sees, and the selected
+        # write carries the redacted text. One extra JVM projection
+        # per scan — no new jobs, no Python.
+        from drive_bc_datapipeline_spark.operators.pii import scrub_pii
+
+        docs = scrub_pii(docs, text_col=text_col)
+        seeds = scrub_pii(seeds, text_col=text_col)
+
+    w, b = train_hashed_linear(
+        spark,
+        seeds,
+        label_col=label_col,
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        n_rounds=n_rounds,
+        lr=lr,
+    )
+    seed_scored = score_hashed_linear(
+        spark, seeds, w, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, bias=b,
+    ).join(seeds.select(id_col, label_col), id_col)
+
+    gate_col = "score"
+    cal_table: list | None = None
+    cal_audit: dict | None = None
+    if calibrate:
+        # E11: fit on the seed scores with the E10 bin convention so
+        # the calibrated threshold maps exactly through the step fn
+        cal_table = isotonic_calibration_table(
+            seed_scored, label_col=label_col, n_bins=curve_bins
+        )
+        seed_scored = apply_isotonic_calibration(
+            seed_scored, cal_table, n_bins=curve_bins
+        )
+        gate_col = "calibrated"
+        # E12: audit the calibrated probabilities (seed-sized scan)
+        cal_audit = expected_calibration_error(
+            seed_scored, label_col=label_col, score_col=gate_col
+        )
+
+    curve = classifier_pr_curve(
+        seed_scored, label_col=label_col, score_col=gate_col,
+        n_bins=curve_bins,
+    ).collect()
+    eligible = [r for r in curve if r["precision"] >= min_precision]
+    if not eligible:
+        best = max(r["precision"] for r in curve)
+        raise ValueError(
+            f"no threshold reaches precision {min_precision} on the "
+            f"seed set (best {best:.3f}): the gate is not usable — "
+            "train longer, add seeds, or lower min_precision"
+        )
+    threshold = min(r["threshold"] for r in eligible)
+
+    scored = score_hashed_linear(
+        spark, docs, w, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, bias=b,
+    )
+    if calibrate:
+        scored = apply_isotonic_calibration(
+            scored, cal_table, n_bins=curve_bins
+        )
+    gate = F.col(gate_col) >= threshold
+    gate_obs = Observation("gate_counts")
+    kept_ids = (
+        scored.observe(
+            gate_obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(gate.cast("long")), F.lit(0)).alias("n_kept"),
+        )
+        .filter(gate)
+        .select(id_col)
+        .localCheckpoint(eager=True)  # THE one corpus-scoring job
+    )
+    kept = docs.join(kept_ids, id_col)
+
+    table, default = dsir_log_ratio(
+        dsir_bucket_counts(target, text_col=text_col, n_buckets=dsir_buckets),
+        dsir_bucket_counts(kept, text_col=text_col, n_buckets=dsir_buckets),
+        n_buckets=dsir_buckets,
+    )
+    weights = dsir_importance_weights(
+        spark, kept, table, default,
+        text_col=text_col, id_col=id_col, n_buckets=dsir_buckets,
+    )
+    sample = dsir_resample(weights, k, id_col=id_col, seed=seed)
+
+    selected = seeded_shuffle(
+        docs.join(sample.select(id_col), id_col),
+        id_col,
+        seed=seed + 2,  # independent of the Gumbel stream at `seed`
+        n_shards=n_shards,
+    )
+    return {
+        "threshold": threshold,
+        "gate_col": gate_col,
+        "gate_obs": gate_obs,
+        "scored": scored,  # test seam: raw (+calibrated) corpus scores
+        "kept_ids": kept_ids,
+        "kept": kept,
+        "weights": weights,
+        "sample": sample,
+        "selected": selected,
+        "cal_table": cal_table,
+        "cal_audit": cal_audit,
+    }
+
+
 def run_curation_pipeline(
     spark: SparkSession,
     docs,
@@ -241,106 +434,55 @@ def run_curation_pipeline(
     dsir_buckets: int = 4096,
     seed: int = 0,
     n_shards: int = 16,
+    calibrate: bool = False,
+    scrub: bool = False,
 ) -> dict:
     """The full curation recipe as ONE runnable job (the K7 runner's
-    operational sibling for the E9/E10/E7 + H47 + L13 chain the
-    composition test pins): train the quality gate on ``seeds``
-    (labeled), pick the highest-recall threshold meeting
-    ``min_precision`` from the seed PR curve, score + filter
-    ``docs``, fit DSIR against ``target``, draw ``k`` docs without
-    replacement ∝ softmax(log importance), assign the reproducible
-    L13 shard/order, and write ``out_dir/selected/`` partitioned by
-    shard with a manifest JSON.
+    operational sibling for the E9/E10/E11/E7 + H47 + L13 chain the
+    composition test pins): ``build_curation_frames`` (which see, for
+    the scoring-once, calibration, in-sample-threshold, and seed-
+    stream contracts) + the shard-partitioned ``out_dir/selected/``
+    write + a manifest JSON.
 
     Everything downstream of the driver-sized model state streams
-    plan→writer (nothing corpus-scale is collected); the manifest
-    carries the decisions (threshold, counts, seed) so a rerun is
-    auditable — and byte-identical apart from timings, which the
-    test pins.
+    plan→writer (nothing corpus-scale is collected; the three counts
+    ride Observations on the two jobs that run anyway); the manifest
+    carries the decisions (threshold, counts, seed, and — when
+    ``calibrate`` — the isotonic table with its ECE/MCE/Brier audit)
+    so a rerun is auditable — and byte-identical apart from timings,
+    which the test pins.
     """
-    from drive_bc_datapipeline_spark.operators.classifier import (
-        classifier_pr_curve,
-        score_hashed_linear,
-        train_hashed_linear,
-    )
-    from drive_bc_datapipeline_spark.operators.dsir import (
-        dsir_bucket_counts,
-        dsir_importance_weights,
-        dsir_log_ratio,
-        dsir_resample,
-    )
-    from drive_bc_datapipeline_spark.operators.sampling import (
-        seeded_shuffle,
-    )
-
     t0 = time.time()
-    w, b = train_hashed_linear(
-        spark,
-        seeds,
-        label_col=label_col,
-        text_col=text_col,
-        id_col=id_col,
-        n_buckets=n_buckets,
-        n_rounds=n_rounds,
-        lr=lr,
-    )
-    seed_scored = score_hashed_linear(
-        spark, seeds, w, text_col=text_col, id_col=id_col,
-        n_buckets=n_buckets, bias=b,
-    ).join(seeds.select(id_col, label_col), id_col)
-    curve = classifier_pr_curve(
-        seed_scored, label_col=label_col, n_bins=curve_bins
-    ).collect()
-    eligible = [r for r in curve if r["precision"] >= min_precision]
-    if not eligible:
-        best = max(r["precision"] for r in curve)
-        raise ValueError(
-            f"no threshold reaches precision {min_precision} on the "
-            f"seed set (best {best:.3f}): the gate is not usable — "
-            "train longer, add seeds, or lower min_precision"
-        )
-    threshold = min(r["threshold"] for r in eligible)
-
-    scored = score_hashed_linear(
-        spark, docs, w, text_col=text_col, id_col=id_col,
-        n_buckets=n_buckets, bias=b,
-    )
-    kept_ids = scored.filter(F.col("score") >= threshold).select(id_col)
-    kept = docs.join(kept_ids, id_col)
-
-    table, default = dsir_log_ratio(
-        dsir_bucket_counts(target, text_col=text_col, n_buckets=dsir_buckets),
-        dsir_bucket_counts(kept, text_col=text_col, n_buckets=dsir_buckets),
-        n_buckets=dsir_buckets,
-    )
-    weights = dsir_importance_weights(
-        spark, kept, table, default,
-        text_col=text_col, id_col=id_col, n_buckets=dsir_buckets,
-    )
-    sample = dsir_resample(weights, k, id_col=id_col, seed=seed)
-
-    selected = seeded_shuffle(
-        docs.join(sample.select(id_col), id_col),
-        id_col,
-        seed=seed,
-        n_shards=n_shards,
+    frames = build_curation_frames(
+        spark, docs, seeds, target,
+        k=k, text_col=text_col, id_col=id_col, label_col=label_col,
+        n_buckets=n_buckets, n_rounds=n_rounds, lr=lr,
+        min_precision=min_precision, curve_bins=curve_bins,
+        dsir_buckets=dsir_buckets, seed=seed, n_shards=n_shards,
+        calibrate=calibrate, scrub=scrub,
     )
     out_path = os.path.join(out_dir, "selected")
     obs = Observation("rows_selected")
     (
-        selected.observe(obs, F.count(F.lit(1)).alias("rows"))
+        frames["selected"].observe(obs, F.count(F.lit(1)).alias("rows"))
         .repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "pos_key")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(out_path)
     )
+    gate_counts = frames["gate_obs"].get
     manifest = {
-        "n_docs": docs.count(),
-        "n_kept": kept_ids.count(),
+        "n_docs": int(gate_counts["n_docs"]),
+        "n_kept": int(gate_counts["n_kept"]),
         "n_selected": obs.get["rows"],
-        "threshold": threshold,
+        "threshold": frames["threshold"],
         "min_precision": min_precision,
+        # in-sample caveat: the curve was computed on the training
+        # seeds, so this precision is optimistic on the corpus
+        "threshold_selection": "in-sample-seeds",
+        "calibrated": calibrate,
+        "pii_scrubbed": scrub,
         "k": k,
         "seed": seed,
         "n_shards": n_shards,
@@ -349,6 +491,11 @@ def run_curation_pipeline(
         "path": out_path,
         "seconds": round(time.time() - t0, 3),
     }
+    if calibrate:
+        manifest["calibration_table"] = [
+            list(row) for row in frames["cal_table"]
+        ]
+        manifest["calibration_audit"] = frames["cal_audit"]
     with open(os.path.join(out_dir, "curation_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest

@@ -533,6 +533,16 @@ def apply_isotonic_calibration(
             f"n_bins={n_bins}: the calibration frame is model state, "
             f"bounded at {MAX_PR_BINS}"
         )
+    clash = {"__bin", out_col} & set(df.columns)
+    if clash:
+        # withColumn would silently REPLACE an existing __bin and the
+        # join would duplicate out_col ambiguously — fail loud (the
+        # operator family's convention) instead of mis-binning rows
+        raise ValueError(
+            f"apply_isotonic_calibration: input already has column(s) "
+            f"{sorted(clash)} — rename them or pass a different "
+            "out_col"
+        )
     bins = [b for b, _n, _np, _c in table]
     if len(set(bins)) != len(bins) or any(
         not 0 <= b < n_bins for b in bins

@@ -1882,9 +1882,13 @@ def events_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verify the no-match path).
 # --------------------------------------------------------------------------
 
-PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-PII_DIGITS = r"\d+"
+# THE one copy of the patterns lives in operators/pii.py (r14 — the
+# scrub is now also APPLIED there, and audit vs apply must not drift)
+from drive_bc_datapipeline_spark.operators.pii import (  # noqa: E402
+    PII_DIGITS,
+    PII_EMAIL,
+    PII_IPV4,
+)
 
 PII_SCRUB_ORACLE = f"""
 WITH txt AS (
@@ -1934,15 +1938,11 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("."),
         (F.col("event_id") % 256).cast("string"),
     )
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(s, F.lit(PII_EMAIL), F.lit("")),
-            F.lit(PII_IPV4),
-            F.lit(""),
-        ),
-        F.lit(PII_DIGITS),
-        F.lit(""),
-    )
+    # the identical expression tree scrub_pii applies — audit and
+    # apply share ONE builder so the counts can't drift (r14)
+    from drive_bc_datapipeline_spark.operators.pii import scrub_expr
+
+    scrubbed = scrub_expr(s)
     return (
         e.select(
             "event_type",

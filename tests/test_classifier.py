@@ -735,6 +735,24 @@ def test_calibration_guards(spark):
         apply_isotonic_calibration(
             bad.select("score"), table, n_bins=10
         ).collect()
+    # a pre-existing __bin would be silently replaced by withColumn
+    # and a pre-existing out_col would duplicate ambiguously after
+    # the join — both fail loud (r13 ADVICE)
+    has_bin = spark.createDataFrame(
+        [(0.5, 3)], "score double, __bin int"
+    )
+    with pytest.raises(ValueError, match="already has column"):
+        apply_isotonic_calibration(has_bin, table, n_bins=10)
+    has_out = spark.createDataFrame(
+        [(0.5, 0.1)], "score double, calibrated double"
+    )
+    with pytest.raises(ValueError, match="already has column"):
+        apply_isotonic_calibration(has_out, table, n_bins=10)
+    # ...and a non-clashing out_col rename passes the guard
+    ok_renamed = apply_isotonic_calibration(
+        has_out, table, n_bins=10, out_col="calibrated2"
+    )
+    assert "calibrated2" in ok_renamed.columns
 
 
 def test_calibration_composes_with_trained_model(spark):

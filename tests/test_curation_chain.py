@@ -259,3 +259,211 @@ def test_run_curation_pipeline_job(spark, tmp_path):
             k=5, n_buckets=N_BUCKETS, n_rounds=5, lr=0.5,
             min_precision=0.95,
         )
+
+
+def _frames_inputs(spark):
+    docs = spark.createDataFrame(
+        _corpus_rows(), "doc_id long, text string"
+    )
+    seeds = spark.createDataFrame(
+        _seed_rows(), "doc_id long, label int, text string"
+    )
+    target = spark.createDataFrame(
+        _target_rows(), "doc_id long, text string"
+    )
+    return docs, seeds, target
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_build_curation_frames_scores_corpus_once(spark):
+    """The r14 re-scan pin (the r7 FileScan-audit discipline applied
+    to the orchestration layer): the corpus-scoring subtree — its
+    sigmoid renders as ``EXP(-`` in the physical plan — must appear
+    in the pre-gate scored frame and in NO downstream consumer.
+    ``kept_ids`` is a materialized localCheckpoint (an ExistingRDD
+    scan), so the DSIR bucket counts, the importance weights, the
+    resample, and the selected write all reuse the ONE scoring job,
+    and the corpus/kept counts ride that job as Observations instead
+    of separate count() actions."""
+    from drive_bc_datapipeline_spark.jobs import build_curation_frames
+
+    docs, seeds, target = _frames_inputs(spark)
+    fr = build_curation_frames(
+        spark, docs, seeds, target,
+        k=K_SELECT, n_buckets=N_BUCKETS, n_rounds=40, lr=1.0,
+        min_precision=0.95, dsir_buckets=DSIR_BUCKETS, seed=11,
+        n_shards=4,
+    )
+    # positive control: the scoring subtree is recognizable by its
+    # sigmoid — if this rendering ever changes, fix the pin with it
+    assert "EXP(-" in _plan(fr["scored"])
+    kp = _plan(fr["kept_ids"])
+    assert "ExistingRDD" in kp or "LogicalRDD" in kp, kp
+    for name in ("kept", "weights", "sample", "selected"):
+        p = _plan(fr[name])
+        assert "EXP(-" not in p, f"{name} re-executes the scoring join"
+    # the gate counts rode the checkpoint job — no count() actions ran
+    got = fr["gate_obs"].get
+    assert got["n_docs"] == 180 and got["n_kept"] == 120
+
+    # seed-stream ledger: the shard/order draw starts at seed + 2 so
+    # it never reuses the Gumbel selection's xxhash64(id, seed) draw
+    expected = {
+        r["doc_id"]: (r["shard"], r["pos_key"])
+        for r in fr["sample"]
+        .select(
+            "doc_id",
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(11 + 2)), F.lit(4))
+            .cast("int")
+            .alias("shard"),
+            F.xxhash64(F.col("doc_id"), F.lit(11 + 3)).alias("pos_key"),
+        )
+        .collect()
+    }
+    got_sel = {
+        r["doc_id"]: (r["shard"], r["pos_key"])
+        for r in fr["selected"].select("doc_id", "shard", "pos_key").collect()
+    }
+    assert got_sel == expected
+
+
+def test_curation_calibrated_gate_collapses_to_raw_predicate(spark):
+    """The E11 wiring seam (r13 verdict Next #3): with
+    ``calibrate=True`` the threshold is selected on CALIBRATED
+    probabilities, and because the isotonic step function is monotone
+    non-decreasing in the raw-score bin, the calibrated gate must
+    equal a plain raw-score bin predicate — the E10 collapse carried
+    through E11, so the corpus pass stays one scan + filter."""
+    import math
+
+    from drive_bc_datapipeline_spark.jobs import build_curation_frames
+
+    docs, seeds, target = _frames_inputs(spark)
+    n_bins = 1000
+    fr = build_curation_frames(
+        spark, docs, seeds, target,
+        k=K_SELECT, n_buckets=N_BUCKETS, n_rounds=40, lr=1.0,
+        min_precision=0.95, curve_bins=n_bins,
+        dsir_buckets=DSIR_BUCKETS, seed=11, n_shards=4, calibrate=True,
+    )
+    assert fr["gate_col"] == "calibrated"
+    assert set(fr["cal_audit"]) == {"n", "ece", "mce", "brier"}
+
+    # reconstruct the step fill exactly as apply_isotonic_calibration
+    # does (fill-down from the nearest lower occupied bin)
+    filled: dict[int, float] = {}
+    it = iter(sorted(fr["cal_table"]))
+    nxt = next(it)
+    cur = nxt[3]
+    for b in range(n_bins):
+        if nxt is not None and b == nxt[0]:
+            cur = nxt[3]
+            nxt = next(it, None)
+        filled[b] = cur
+    t_cal = fr["threshold"]
+    eligible = [b for b in range(n_bins) if filled[b] >= t_cal]
+    assert eligible, "a selected threshold must be reachable"
+    b_star = min(eligible)
+
+    rows = fr["scored"].collect()  # tiny test corpus: raw + calibrated
+    raw_kept = {
+        r["doc_id"]
+        for r in rows
+        if min(math.floor(r["score"] * n_bins), n_bins - 1) >= b_star
+    }
+    cal_kept = {r["doc_id"] for r in rows if r["calibrated"] >= t_cal}
+    kept = {r["doc_id"] for r in fr["kept_ids"].collect()}
+    assert kept == cal_kept == raw_kept
+    # on this corpus the calibrated gate still keeps the clean docs
+    assert kept == set(range(60, 180))
+
+
+def test_run_curation_pipeline_calibrated_manifest(spark, tmp_path):
+    """calibrate=True records the isotonic table and its ECE/MCE/
+    Brier audit in the manifest, and the run stays reproducible."""
+    import json
+
+    from drive_bc_datapipeline_spark.jobs import run_curation_pipeline
+
+    docs, seeds, target = _frames_inputs(spark)
+    kwargs = dict(
+        k=K_SELECT, n_buckets=N_BUCKETS, n_rounds=40, lr=1.0,
+        min_precision=0.95, dsir_buckets=DSIR_BUCKETS, seed=11,
+        n_shards=4, calibrate=True,
+    )
+    out1, out2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    m1 = run_curation_pipeline(spark, docs, seeds, target, out1, **kwargs)
+    assert m1["calibrated"] is True
+    assert m1["threshold_selection"] == "in-sample-seeds"
+    audit = m1["calibration_audit"]
+    assert set(audit) == {"n", "ece", "mce", "brier"}
+    table = m1["calibration_table"]
+    # the table is model state: occupied bins, calibrated non-decreasing
+    cals = [c for _b, _n, _np, c in table]
+    assert cals == sorted(cals) and all(0.0 <= c <= 1.0 for c in cals)
+    assert m1["n_docs"] == 180 and m1["n_kept"] == 120
+    assert m1["n_selected"] == K_SELECT
+    # the manifest JSON on disk round-trips the new fields
+    with open(f"{out1}/curation_manifest.json") as f:
+        disk = json.load(f)
+    assert disk["calibration_table"] == [list(r) for r in table]
+    # rerun: identical decisions, table, and selected set
+    m2 = run_curation_pipeline(spark, docs, seeds, target, out2, **kwargs)
+    for key in (
+        "n_docs", "n_kept", "n_selected", "threshold",
+        "calibration_table", "calibration_audit",
+    ):
+        assert m2[key] == m1[key], key
+    rows1 = sorted(
+        (r["doc_id"], r["shard"], r["pos_key"])
+        for r in spark.read.parquet(m1["path"]).collect()
+    )
+    rows2 = sorted(
+        (r["doc_id"], r["shard"], r["pos_key"])
+        for r in spark.read.parquet(m2["path"]).collect()
+    )
+    assert rows1 == rows2
+
+
+def test_run_curation_pipeline_scrubs_pii(spark, tmp_path):
+    """scrub=True redacts PII before the gate ever sees the text, so
+    the selected output carries the scrubbed corpus and the manifest
+    records the decision."""
+    import re
+
+    from drive_bc_datapipeline_spark.jobs import run_curation_pipeline
+    from drive_bc_datapipeline_spark.operators.pii import PII_CLASSES
+
+    docs, seeds, target = _frames_inputs(spark)
+    # plant emails + IPs into a handful of clean-domain corpus docs:
+    # the scrub must remove them without flipping the gate's verdict
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id").isin(125, 130, 135),
+            # pure-PII tokens: the scrub removes them entirely, so the
+            # gate's verdict on the planted docs must not flip
+            F.concat(
+                F.col("text"),
+                F.lit(" bob@example.com 10.1.2.3 777"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    m = run_curation_pipeline(
+        spark, planted, seeds, target, str(tmp_path / "scrubbed"),
+        k=K_SELECT, n_buckets=N_BUCKETS, n_rounds=40, lr=1.0,
+        min_precision=0.95, dsir_buckets=DSIR_BUCKETS, seed=11,
+        n_shards=4, scrub=True,
+    )
+    assert m["pii_scrubbed"] is True
+    assert m["n_docs"] == 180 and m["n_kept"] == 120
+    out = spark.read.parquet(m["path"]).collect()
+    assert len(out) == K_SELECT
+    for r in out:
+        for pat in PII_CLASSES.values():
+            assert not re.search(pat, r["text"]), (r["doc_id"], r["text"])
