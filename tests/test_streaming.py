@@ -339,3 +339,142 @@ def test_exactly_once_crash_replay_protocol(spark, tmp_path):
     # empty batches commit their emptiness (no dir, marker only)
     write_batch(df.limit(0), 2)
     assert sp.read_committed(spark, sink).count() == 10
+
+
+# ---------------------------------------------------------------------------
+# J11 — streaming curation gate (the incremental twin of the batch
+# E9→E10→E7 gate): per-micro-batch scoring is per-doc pure, so the
+# streamed kept-set must equal the batch gate on the union, and the
+# J10 commit protocol must close the replay window without re-scoring.
+# ---------------------------------------------------------------------------
+
+
+def _gate_model(spark):
+    """A hand-crafted hashed-linear model: +8 on 'good', -8 on 'junk'
+    (bucket ids computed with the operator's own hash, so the test
+    can't drift from the feature space)."""
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        hash_bucket,
+    )
+
+    rows = (
+        spark.createDataFrame([("good",), ("junk",)], "tok string")
+        .select("tok", hash_bucket(F.col("tok"), 64).alias("b"))
+        .collect()
+    )
+    buckets = {r["tok"]: r["b"] for r in rows}
+    assert buckets["good"] != buckets["junk"], "widen n_buckets"
+    return {buckets["good"]: 8.0, buckets["junk"]: -8.0}
+
+
+DOCS = [
+    (1, "web", "good good story here"),
+    (2, "web", "junk junk junk noise"),
+    (3, "book", "good good good prose"),
+    (4, "web", "good junk mixed bag"),
+    (5, "book", "junk junk bad stuff"),
+    (6, "web", "good clean words again"),
+]
+
+
+def _write_doc_source(tmp_path, spark, n_files=3):
+    src = str(tmp_path / "docs_src")
+    df = spark.createDataFrame(DOCS, sp.DOC_STREAM_SCHEMA)
+    df.repartition(n_files).write.parquet(src)
+    return src
+
+
+def test_curation_gate_stream_matches_batch(spark, tmp_path):
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        score_hashed_linear,
+    )
+
+    w = _gate_model(spark)
+    src = _write_doc_source(tmp_path, spark)
+    sink = str(tmp_path / "gate_sink")
+    sp.start_curation_gate_stream(
+        spark, src, sink, str(tmp_path / "ck1"),
+        weights=w, bias=0.0, threshold=0.6, n_buckets=64,
+        max_files_per_trigger=1,  # force multiple micro-batches
+    ).awaitTermination(120)
+
+    batch_docs = spark.read.parquet(src)
+    batch_scored = score_hashed_linear(
+        spark, batch_docs, w, n_buckets=64, bias=0.0
+    )
+    want = sorted(
+        (r["doc_id"], round(r["score"], 9))
+        for r in batch_scored.filter(F.col("score") >= 0.6).collect()
+    )
+    got_df = sp.read_committed(spark, sink)
+    got = sorted(
+        (r["doc_id"], round(r["score"], 9)) for r in got_df.collect()
+    )
+    assert got == want
+    assert len(got) > 0 and len(got) < len(DOCS)  # the gate did work
+    # kept rows carry every input column + the audit score
+    assert set(got_df.columns) == {"doc_id", "source", "text", "score"}
+    # only good-dominated docs clear sigmoid-land: ids 1, 3, 6
+    assert [d for d, _s in got] == [1, 3, 6]
+
+    # full replay with a fresh checkpoint (every batch id re-delivers)
+    # changes nothing — exactly once end to end
+    sp.start_curation_gate_stream(
+        spark, src, sink, str(tmp_path / "ck2"),
+        weights=w, bias=0.0, threshold=0.6, n_buckets=64,
+        max_files_per_trigger=1,
+    ).awaitTermination(120)
+    again = sorted(
+        (r["doc_id"], round(r["score"], 9))
+        for r in sp.read_committed(spark, sink).collect()
+    )
+    assert again == want
+
+
+def test_curation_gate_crash_replay_protocol(spark, tmp_path):
+    """The J10 crash windows driven through the gate writer: stale
+    tmp, rename-without-marker, and full-commit replay all converge
+    to exactly one scored copy per batch."""
+    import os
+
+    w = _gate_model(spark)
+    sink = str(tmp_path / "gate_sink")
+    write_batch = sp.curation_gate_batch_writer(
+        sink, w, 0.0, 0.6, n_buckets=64
+    )
+    df = spark.createDataFrame(DOCS, sp.DOC_STREAM_SCHEMA)
+
+    # (a) stale tmp dir from a crash before rename
+    os.makedirs(os.path.join(sink, "_tmp_batch_0"))
+    write_batch(df, 0)
+    first = sorted(
+        r["doc_id"] for r in sp.read_committed(spark, sink).collect()
+    )
+    assert first == [1, 3, 6]
+
+    # (b) crash after rename, before marker: dir invisible until the
+    # replayed batch recommits it
+    os.rename(
+        os.path.join(sink, "batch=0"), os.path.join(sink, "batch=1")
+    )
+    os.remove(os.path.join(sink, "_commits", "0"))
+    assert not os.path.isdir(os.path.join(sink, "_commits")) or \
+        "1" not in os.listdir(os.path.join(sink, "_commits"))
+    write_batch(df, 1)  # completes batch 1's commit
+    write_batch(df, 0)  # rewrites + commits batch 0
+    assert sorted(
+        r["doc_id"] for r in sp.read_committed(spark, sink).collect()
+    ) == [1, 1, 3, 3, 6, 6]
+
+    # (c) replaying committed ids is a no-op (marker short-circuits
+    # before any scoring plan is built)
+    write_batch(df, 0)
+    write_batch(df, 1)
+    assert sp.read_committed(spark, sink).count() == 6
+
+    # an all-filtered batch commits emptiness: replay skips it
+    junk_only = df.filter(F.col("doc_id").isin(2, 5))
+    write_batch(junk_only, 2)
+    assert sp.read_committed(spark, sink).count() == 6
+    write_batch(junk_only, 2)
+    assert sp.read_committed(spark, sink).count() == 6
