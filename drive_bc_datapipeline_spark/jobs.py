@@ -313,6 +313,9 @@ def build_curation_frames(
 
         docs = scrub_pii(docs, text_col=text_col)
         seeds = scrub_pii(seeds, text_col=text_col)
+        # the DSIR target must live in the SAME scrubbed feature
+        # space as the kept corpus it is matched against
+        target = scrub_pii(target, text_col=text_col)
 
     w, b = train_hashed_linear(
         spark,

@@ -507,6 +507,44 @@ def isotonic_calibration_table(
     return out
 
 
+def calibrated_threshold_to_raw(
+    table: list[tuple[int, int, int, float]],
+    t_cal: float,
+    *,
+    n_bins: int = 1000,
+) -> float:
+    """Map a threshold on CALIBRATED probabilities back to the raw-
+    score predicate it collapses to: because the isotonic step
+    function is monotone non-decreasing in the raw-score bin,
+    ``calibrated >= t_cal`` ⟺ ``bin(raw) >= b*`` ⟺ ``raw >= b*/n_bins``
+    where b* is the lowest bin whose (fill-down) calibrated value
+    clears ``t_cal``. THE one copy of that mapping — the curation
+    chain test and the streaming gate (J11, which filters on raw
+    scores) both consume it. Raises if no bin clears ``t_cal`` (the
+    calibrated gate would keep nothing)."""
+    if not table:
+        raise ValueError("empty calibration table")
+    if not 1 <= n_bins <= MAX_PR_BINS:
+        raise ValueError(
+            f"n_bins={n_bins}: the calibration frame is model state, "
+            f"bounded at {MAX_PR_BINS}"
+        )
+    # fill-down exactly as apply_isotonic_calibration does
+    it = iter(sorted(table))
+    nxt = next(it)
+    cur = nxt[3]
+    for b in range(n_bins):
+        if nxt is not None and b == nxt[0]:
+            cur = nxt[3]
+            nxt = next(it, None)
+        if cur >= t_cal:
+            return b / n_bins
+    raise ValueError(
+        f"no raw-score bin reaches calibrated probability {t_cal}: "
+        "the calibrated gate keeps nothing"
+    )
+
+
 def apply_isotonic_calibration(
     df: DataFrame,
     table: list[tuple[int, int, int, float]],

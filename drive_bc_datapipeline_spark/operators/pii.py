@@ -110,9 +110,14 @@ def scrub_pii(
             )
     src = F.col(text_col)
     scrubbed = scrub_expr(src, classes, replacement)
-    cols = [c for c in df.columns if c != target] + [
-        scrubbed.alias(target)
+    # in-place scrub keeps the original column ORDER (downstream
+    # parquet schemas and tests depend on it); out_col appends
+    cols = [
+        scrubbed.alias(c) if c == target else F.col(c)
+        for c in df.columns
     ]
+    if target not in df.columns:
+        cols.append(scrubbed.alias(target))
     if with_counts:
         # counts are over the ORIGINAL text (what the scrub saw), so
         # they reconcile with the A7 audit run on the raw corpus

@@ -685,9 +685,9 @@ def start_curation_gate_stream(
 
     ``weights``/``bias``/``threshold`` come from the batch side —
     ``train_hashed_linear`` + the PR-curve selection (or the
-    calibrated variant; a calibrated threshold maps to a raw-score
-    bin predicate, so pass the mapped raw threshold here and the gate
-    stays one JVM filter). Not a ``transformWithState`` job on
+    calibrated variant: map the calibrated threshold through
+    ``classifier.calibrated_threshold_to_raw`` and pass the raw
+    threshold here — the gate stays one JVM filter). Not a ``transformWithState`` job on
     purpose: the model is static per stream, scoring is stateless
     per-doc, so foreachBatch + commit log is the whole machine.
     """

@@ -755,6 +755,42 @@ def test_calibration_guards(spark):
     assert "calibrated2" in ok_renamed.columns
 
 
+def test_calibrated_threshold_to_raw_inverts_the_step(spark):
+    """The raw-score predicate from calibrated_threshold_to_raw must
+    classify EVERY score bin exactly as the calibrated gate does —
+    checked exhaustively against apply's own fill-down on all bins,
+    plus the unreachable-threshold and empty-table guards."""
+    import pytest
+
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        apply_isotonic_calibration,
+        calibrated_threshold_to_raw,
+    )
+
+    n_bins = 16
+    # occupied bins 2, 5, 11 with a plateau and a jump
+    table = [(2, 4, 1, 0.25), (5, 4, 1, 0.25), (11, 4, 3, 0.75)]
+    scores = spark.createDataFrame(
+        [((b + 0.5) / n_bins,) for b in range(n_bins)], "score double"
+    )
+    cal = {
+        round(r["score"] * n_bins - 0.5): r["calibrated"]
+        for r in apply_isotonic_calibration(
+            scores, table, n_bins=n_bins
+        ).collect()
+    }
+    for t_cal in (0.1, 0.25, 0.5, 0.75):
+        raw_t = calibrated_threshold_to_raw(table, t_cal, n_bins=n_bins)
+        for b in range(n_bins):
+            want = cal[b] >= t_cal
+            got = (b + 0.5) / n_bins >= raw_t
+            assert got == want, (t_cal, b)
+    with pytest.raises(ValueError, match="keeps nothing"):
+        calibrated_threshold_to_raw(table, 0.9, n_bins=n_bins)
+    with pytest.raises(ValueError, match="empty"):
+        calibrated_threshold_to_raw([], 0.5)
+
+
 def test_calibration_composes_with_trained_model(spark):
     """E9 -> E11 seam: calibrate a REAL trained model's seed scores,
     apply to a corpus — calibrated values must be probabilities,

@@ -352,21 +352,17 @@ def test_curation_calibrated_gate_collapses_to_raw_predicate(spark):
     assert fr["gate_col"] == "calibrated"
     assert set(fr["cal_audit"]) == {"n", "ece", "mce", "brier"}
 
-    # reconstruct the step fill exactly as apply_isotonic_calibration
-    # does (fill-down from the nearest lower occupied bin)
-    filled: dict[int, float] = {}
-    it = iter(sorted(fr["cal_table"]))
-    nxt = next(it)
-    cur = nxt[3]
-    for b in range(n_bins):
-        if nxt is not None and b == nxt[0]:
-            cur = nxt[3]
-            nxt = next(it, None)
-        filled[b] = cur
+    # the ONE copy of the step-function inversion (also what J11's
+    # raw-score gate consumes)
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        calibrated_threshold_to_raw,
+    )
+
     t_cal = fr["threshold"]
-    eligible = [b for b in range(n_bins) if filled[b] >= t_cal]
-    assert eligible, "a selected threshold must be reachable"
-    b_star = min(eligible)
+    raw_t = calibrated_threshold_to_raw(
+        fr["cal_table"], t_cal, n_bins=n_bins
+    )
+    b_star = round(raw_t * n_bins)
 
     rows = fr["scored"].collect()  # tiny test corpus: raw + calibrated
     raw_kept = {

@@ -45,9 +45,12 @@ def docs(spark):
 
 
 def test_scrub_matches_sequential_reference(spark, docs):
+    out = scrub_pii(docs)
+    # in-place scrub preserves the schema, order included
+    assert out.columns == docs.columns
     got = {
         r["doc_id"]: r["text"]
-        for r in scrub_pii(docs).orderBy("doc_id").collect()
+        for r in out.orderBy("doc_id").collect()
     }
     want = {i: _seq_scrub(t) for i, t in ROWS}
     assert got == want
