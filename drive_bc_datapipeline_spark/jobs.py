@@ -491,6 +491,11 @@ def run_curation_pipeline(
         "n_shards": n_shards,
         "n_buckets": n_buckets,
         "dsir_buckets": dsir_buckets,
+        # the bin convention: without it the calibration_table and
+        # threshold cannot be interpreted or inverted downstream
+        # (calibrated_threshold_to_raw at the wrong n_bins silently
+        # halves or doubles the cut)
+        "curve_bins": curve_bins,
         "path": out_path,
         "seconds": round(time.time() - t0, 3),
     }

@@ -529,6 +529,20 @@ def calibrated_threshold_to_raw(
             f"n_bins={n_bins}: the calibration frame is model state, "
             f"bounded at {MAX_PR_BINS}"
         )
+    bins = [b for b, _n, _np, _c in table]
+    if len(set(bins)) != len(bins) or any(
+        not 0 <= b < n_bins for b in bins
+    ):
+        # same contract as apply_isotonic_calibration: a duplicate,
+        # negative, or n_bins-mismatched bin strands the fill-down
+        # and would return a silently wrong raw threshold — the one
+        # the streaming gate filters the corpus with
+        raise ValueError(
+            "calibration table bins must be unique and in "
+            f"[0, {n_bins}): fit and invert with the same n_bins "
+            "(got bins outside that contract: "
+            f"{sorted(set(bins))[:5]}...)"
+        )
     # fill-down exactly as apply_isotonic_calibration does
     it = iter(sorted(table))
     nxt = next(it)

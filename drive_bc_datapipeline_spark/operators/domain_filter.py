@@ -16,8 +16,12 @@ Quality Monolingual Datasets from Web Crawl Data").
 
 Scale shape: the threshold table is ONE partial-aggregable
 groupBy(source) over the scored relation — |sources| × |quantiles|
-rows of model state, never corpus-scale — and application is ONE
-broadcast equi-join on source + a JVM filter/banding expression.
+rows of model state, never corpus-scale. Application collects that
+model state EXACTLY ONCE (the fit plan would otherwise re-execute
+per consumer — the curation job's re-scan lesson) and joins a
+LITERAL local relation back: ONE broadcast equi-join on source + a
+JVM filter/banding expression, with no trace of the fit aggregate in
+the application plan (test-pinned).
 ``approx=True`` (the 100 TB path) uses ``approx_percentile`` (a
 mergeable t-digest-style sketch aggregate, one pass, bounded memory);
 ``approx=False`` uses exact ``percentile`` (per-group sort-based —
@@ -94,26 +98,36 @@ def domain_threshold_table(
     )
 
 
-def _two_threshold_map(
-    table: DataFrame,
-) -> DataFrame:
-    """(source, t_lo, t_hi) from a two-quantile threshold table."""
-    qs = [r["q"] for r in table.select("q").distinct().collect()]
+def _collect_table(table: DataFrame) -> list:
+    """Materialize the threshold table EXACTLY ONCE (its plan holds
+    the corpus-scale fit aggregate — re-executing it per consumer is
+    the re-scan class the curation job just eliminated) and bound it:
+    it is declared driver/broadcast model state."""
+    rows = table.select("source", "q", "threshold").collect()
+    if len(rows) > MAX_DOMAIN_THRESHOLDS:
+        raise ValueError(
+            f"{len(rows)} (source, q) rows exceed the broadcast "
+            f"threshold-table bound ({MAX_DOMAIN_THRESHOLDS})"
+        )
+    return rows
+
+
+def _two_threshold_map(spark, rows: list) -> DataFrame:
+    """(source, __t_lo, __t_hi) as a LITERAL local relation from the
+    collected two-quantile table rows."""
+    qs = sorted({r["q"] for r in rows})
     if len(qs) != 2:
         raise ValueError(
             f"banding needs a table fit with exactly 2 quantiles "
-            f"(got {sorted(qs)})"
+            f"(got {qs})"
         )
-    lo, hi = sorted(qs)
-    return (
-        table.groupBy("source").agg(
-            F.max(F.when(F.col("q") == lo, F.col("threshold"))).alias(
-                "__t_lo"
-            ),
-            F.max(F.when(F.col("q") == hi, F.col("threshold"))).alias(
-                "__t_hi"
-            ),
-        )
+    lo, hi = qs
+    per_src: dict[str, dict[float, float]] = {}
+    for r in rows:
+        per_src.setdefault(r["source"], {})[r["q"]] = r["threshold"]
+    return spark.createDataFrame(
+        [(s, t[lo], t[hi]) for s, t in sorted(per_src.items())],
+        "source string, __t_lo double, __t_hi double",
     )
 
 
@@ -139,13 +153,7 @@ def apply_domain_bands(
         raise ValueError(
             f"apply_domain_bands: {out_col!r} already exists — rename"
         )
-    thr = _two_threshold_map(table)
-    n = thr.count()
-    if n > MAX_DOMAIN_THRESHOLDS:
-        raise ValueError(
-            f"{n} domains exceed the broadcast threshold-table bound "
-            f"({MAX_DOMAIN_THRESHOLDS})"
-        )
+    thr = _two_threshold_map(df.sparkSession, _collect_table(table))
     s = F.col(score_col)
     band = (
         F.when(
@@ -183,19 +191,15 @@ def apply_domain_filter(
     quantile ``q`` (the one-cut CCNet variant: drop each domain's
     worst tail). Same broadcast-join + ride-along unknown-domain
     fail-fast as banding; returns ``df``'s columns unchanged."""
-    one_q = table.filter(F.col("q") == float(q)).select(
-        "source", "threshold"
-    )
-    n = one_q.count()
-    if n == 0:
+    rows = [r for r in _collect_table(table) if r["q"] == float(q)]
+    if not rows:
         raise ValueError(
             f"apply_domain_filter: the table holds no quantile {q}"
         )
-    if n > MAX_DOMAIN_THRESHOLDS:
-        raise ValueError(
-            f"{n} domains exceed the broadcast threshold-table bound "
-            f"({MAX_DOMAIN_THRESHOLDS})"
-        )
+    one_q = df.sparkSession.createDataFrame(
+        sorted((r["source"], r["threshold"]) for r in rows),
+        "source string, threshold double",
+    )
     s = F.col(score_col)
     keep = F.when(
         F.col("threshold").isNull(),

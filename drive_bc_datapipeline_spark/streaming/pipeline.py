@@ -522,6 +522,16 @@ def start_session_window_stream(
 # ---------------------------------------------------------------------------
 
 
+def commit_marker_path(sink_dir: str, batch_id: int) -> str:
+    """THE one owner of the commit-log layout: the marker file whose
+    existence means ``batch_id`` is fully committed into ``sink_dir``.
+    Consumed by the writer, the reader, and J11's pre-scoring probe —
+    a layout change here moves all three together."""
+    import os
+
+    return os.path.join(sink_dir, "_commits", str(batch_id))
+
+
 def exactly_once_batch_writer(sink_dir: str):
     """Return a foreachBatch callback writing batch-committed parquet.
 
@@ -534,7 +544,7 @@ def exactly_once_batch_writer(sink_dir: str):
     commits = os.path.join(sink_dir, "_commits")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(commits, str(batch_id))
+        marker = commit_marker_path(sink_dir, batch_id)
         if os.path.exists(marker):  # replay after sink-commit crash
             return
         if batch_df.isEmpty():
@@ -643,7 +653,7 @@ def curation_gate_batch_writer(
         # marker probe FIRST: a replayed committed batch must not
         # re-run the scoring join at all (base would skip the write,
         # but only after its isEmpty probe executed the plan once)
-        if os.path.exists(os.path.join(sink_dir, "_commits", str(batch_id))):
+        if os.path.exists(commit_marker_path(sink_dir, batch_id)):
             return
         spark = batch_df.sparkSession
         scored = score_hashed_linear(
@@ -660,8 +670,11 @@ def curation_gate_batch_writer(
                 id_col, "score"
             ),
             id_col,
-        )
-        base(kept, batch_id)
+        ).persist()  # base's isEmpty probe + the write: score ONCE
+        try:
+            base(kept, batch_id)
+        finally:
+            kept.unpersist()
 
     return write_batch
 

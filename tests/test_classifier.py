@@ -789,6 +789,19 @@ def test_calibrated_threshold_to_raw_inverts_the_step(spark):
         calibrated_threshold_to_raw(table, 0.9, n_bins=n_bins)
     with pytest.raises(ValueError, match="empty"):
         calibrated_threshold_to_raw([], 0.5)
+    # same fill-down contract as apply: duplicate, negative, or
+    # n_bins-mismatched bins would silently yield a WRONG raw
+    # threshold (the one the streaming gate filters with) — fail loud
+    with pytest.raises(ValueError, match="unique and in"):
+        calibrated_threshold_to_raw(
+            [(2, 4, 1, 0.25), (2, 4, 3, 0.75)], 0.5, n_bins=n_bins
+        )
+    with pytest.raises(ValueError, match="unique and in"):
+        calibrated_threshold_to_raw(
+            [(-1, 4, 1, 0.25)], 0.5, n_bins=n_bins
+        )
+    with pytest.raises(ValueError, match="unique and in"):
+        calibrated_threshold_to_raw(table, 0.5, n_bins=8)  # 11 >= 8
 
 
 def test_calibration_composes_with_trained_model(spark):

@@ -394,6 +394,9 @@ def test_run_curation_pipeline_calibrated_manifest(spark, tmp_path):
     m1 = run_curation_pipeline(spark, docs, seeds, target, out1, **kwargs)
     assert m1["calibrated"] is True
     assert m1["threshold_selection"] == "in-sample-seeds"
+    # the bin convention rides along — without it the table and
+    # threshold cannot be inverted downstream (J11 handoff)
+    assert m1["curve_bins"] == 1000
     audit = m1["calibration_audit"]
     assert set(audit) == {"n", "ece", "mce", "brier"}
     table = m1["calibration_table"]

@@ -183,12 +183,17 @@ def test_plan_shapes(spark, scored):
     assert "BroadcastHashJoin" in plan, plan
     for bad in ("CartesianProduct", "BatchEvalPython", "ArrowEval"):
         assert bad not in plan, plan
+    # the fit aggregate was collected ONCE into a literal relation —
+    # the application plan must carry no trace of it (re-executing
+    # the corpus-scale fit per consumer is the re-scan class)
+    assert "percentile" not in plan, plan
     filt = apply_domain_filter(
         scored, domain_threshold_table(scored, (0.5,), approx=True), 0.5
     )
     fplan = filt._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in fplan, fplan
     assert "CartesianProduct" not in fplan
+    assert "percentile" not in fplan, fplan
 
 
 def test_composes_with_h25_scores(spark):
