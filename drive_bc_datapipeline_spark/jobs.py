@@ -407,6 +407,11 @@ def build_curation_frames(
         "threshold": threshold,
         "gate_col": gate_col,
         "gate_obs": gate_obs,
+        # the trained model is driver-sized state a caller needs to
+        # run the SAME gate incrementally (J11's streaming twin);
+        # "weights" (unqualified) is the DSIR importance relation below
+        "model_weights": w,
+        "model_bias": b,
         "scored": scored,  # test seam: raw (+calibrated) corpus scores
         "kept_ids": kept_ids,
         "kept": kept,

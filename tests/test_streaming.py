@@ -478,3 +478,68 @@ def test_curation_gate_crash_replay_protocol(spark, tmp_path):
     assert sp.read_committed(spark, sink).count() == 6
     write_batch(junk_only, 2)
     assert sp.read_committed(spark, sink).count() == 6
+
+
+def test_curation_gate_stream_calibrated_handoff(spark, tmp_path):
+    """The documented batch→stream handoff, end to end: train on
+    seeds, calibrate (E11), select the threshold on CALIBRATED
+    probabilities, invert it through calibrated_threshold_to_raw,
+    and run J11 with the raw threshold — the streamed kept-set must
+    equal the batch calibrated gate on the same corpus."""
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        apply_isotonic_calibration,
+        calibrated_threshold_to_raw,
+        classifier_pr_curve,
+        isotonic_calibration_table,
+        score_hashed_linear,
+        train_hashed_linear,
+    )
+
+    n_bins = 200
+    seeds = spark.createDataFrame(
+        [(1000 + i, 1, "good story number %d" % i) for i in range(12)]
+        + [(2000 + i, 0, "junk noise number %d" % i) for i in range(12)],
+        "doc_id long, label int, text string",
+    )
+    w, b = train_hashed_linear(
+        spark, seeds, n_buckets=64, n_rounds=40, lr=1.0
+    )
+    seed_scored = score_hashed_linear(
+        spark, seeds, w, n_buckets=64, bias=b
+    ).join(seeds.select("doc_id", "label"), "doc_id")
+    table = isotonic_calibration_table(seed_scored, n_bins=n_bins)
+    seed_cal = apply_isotonic_calibration(
+        seed_scored, table, n_bins=n_bins
+    )
+    curve = classifier_pr_curve(
+        seed_cal, score_col="calibrated", n_bins=n_bins
+    ).collect()
+    eligible = [r for r in curve if r["precision"] >= 0.95]
+    assert eligible
+    t_cal = min(r["threshold"] for r in eligible)
+    raw_t = calibrated_threshold_to_raw(table, t_cal, n_bins=n_bins)
+
+    src = _write_doc_source(tmp_path, spark)
+    sink = str(tmp_path / "cal_sink")
+    sp.start_curation_gate_stream(
+        spark, src, sink, str(tmp_path / "ck_cal"),
+        weights=w, bias=b, threshold=raw_t, n_buckets=64,
+        max_files_per_trigger=1,
+    ).awaitTermination(120)
+    got = sorted(
+        r["doc_id"] for r in sp.read_committed(spark, sink).collect()
+    )
+
+    batch = score_hashed_linear(
+        spark, spark.read.parquet(src), w, n_buckets=64, bias=b
+    )
+    batch_cal = apply_isotonic_calibration(batch, table, n_bins=n_bins)
+    want = sorted(
+        r["doc_id"]
+        for r in batch_cal.filter(
+            F.col("calibrated") >= t_cal
+        ).collect()
+    )
+    assert got == want
+    # the gate actually separated the corpus (not all-kept/all-drop)
+    assert 0 < len(got) < len(DOCS)
