@@ -512,3 +512,108 @@ def run_curation_pipeline(
     with open(os.path.join(out_dir, "curation_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest
+
+
+def run_ccnet_prefilter(
+    spark: SparkSession,
+    docs,
+    reference,
+    out_dir: str,
+    *,
+    q: float = 2.0 / 3.0,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    scrub: bool = False,
+) -> dict:
+    """The CCNet prefilter (H49 → H48) as ONE runnable job: fit the
+    smoothed unigram LM on ``reference`` (the high-quality target),
+    score every document of ``docs`` under it, fit per-domain score
+    quantiles at ``q``, drop each domain's worst tail, and write
+    ``out_dir/kept/`` partitioned by source with a manifest JSON.
+
+    Scoring-once (the r14 curation-job discipline, applied from the
+    start): the per-doc score relation — three narrow columns — is
+    localCheckpointed, so the threshold fit and the filter both read
+    the materialized scores instead of re-running the explode + LM
+    join; the corpus/scored counts ride that job as Observations
+    (token-less documents score nothing and are dropped — the H49
+    contract — and the manifest reports them as n_docs − n_scored).
+    The per-source thresholds are model state and land in the
+    manifest whole, so the cut is auditable and re-applicable.
+
+    ``scrub=True`` applies A8's PII scrub to docs AND reference first
+    (both sides of the LM must live in the same feature space).
+    """
+    from drive_bc_datapipeline_spark.operators.domain_filter import (
+        apply_domain_filter,
+        domain_threshold_table,
+    )
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        score_docs_under_lm,
+        unigram_lm_table,
+    )
+
+    t0 = time.time()
+    if scrub:
+        from drive_bc_datapipeline_spark.operators.pii import scrub_pii
+
+        docs = scrub_pii(docs, text_col=text_col)
+        reference = scrub_pii(reference, text_col=text_col)
+
+    lm = unigram_lm_table(reference, text_col=text_col, alpha=alpha)
+    scores = score_docs_under_lm(
+        docs, lm, text_col=text_col, id_col=id_col
+    )
+    # full-coverage frame: token-less docs surface as NULL avg_nll so
+    # ONE pass counts both populations before the explicit drop
+    cover = docs.select(id_col, source_col).join(scores, id_col, "left")
+    score_obs = Observation("ccnet_scores")
+    scored = (
+        cover.observe(
+            score_obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("avg_nll").alias("n_scored"),
+        )
+        .filter(F.col("avg_nll").isNotNull())
+        .localCheckpoint(eager=True)  # THE one corpus-scoring job
+    )
+    table = domain_threshold_table(
+        scored, (q,), source_col=source_col, score_col="avg_nll",
+        approx=True,
+    )
+    thresholds = {
+        r["source"]: r["threshold"] for r in table.collect()
+    }
+    kept_scored = apply_domain_filter(
+        scored, table, q, source_col=source_col, score_col="avg_nll"
+    )
+    kept = docs.join(
+        kept_scored.select(id_col, "n_toks", "avg_nll"), id_col
+    )
+    out_path = os.path.join(out_dir, "kept")
+    keep_obs = Observation("ccnet_kept")
+    (
+        kept.observe(keep_obs, F.count(F.lit(1)).alias("rows"))
+        .repartition(source_col)
+        .write.mode("overwrite")
+        .partitionBy(source_col)
+        .parquet(out_path)
+    )
+    counts = score_obs.get
+    manifest = {
+        "n_docs": int(counts["n_docs"]),
+        "n_scored": int(counts["n_scored"]),
+        "n_tokenless_dropped": int(counts["n_docs"] - counts["n_scored"]),
+        "n_kept": int(keep_obs.get["rows"]),
+        "q": q,
+        "alpha": alpha,
+        "pii_scrubbed": scrub,
+        "thresholds": {s: thresholds[s] for s in sorted(thresholds)},
+        "path": out_path,
+        "seconds": round(time.time() - t0, 3),
+    }
+    with open(os.path.join(out_dir, "ccnet_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest

@@ -165,3 +165,57 @@ def test_ccnet_triple_composes(spark):
         if src in per_src_tail_min:
             # inside a domain, every head doc beats every tail doc
             assert per_src_head_max[src] <= per_src_tail_min[src]
+
+
+def test_run_ccnet_prefilter_job(spark, tmp_path):
+    """The K7-style operational wrapper for the CCNet triple: one
+    call fits the reference LM, scores the corpus once, cuts each
+    domain's tail at q, and writes kept/ + a manifest with the
+    per-source thresholds. Counts reconcile; token-less docs are
+    reported dropped; reruns reproduce the decisions."""
+    import json
+
+    from drive_bc_datapipeline_spark.jobs import run_ccnet_prefilter
+
+    ref = spark.createDataFrame(REF, "doc_id long, text string")
+    # 3 domains x 12 docs: half reference-like, half OOV soup, plus
+    # one token-less doc that must be dropped-and-counted
+    rows = []
+    i = 0
+    for src in ("web", "books", "code"):
+        for j in range(6):
+            rows.append((i, src, "the quick fox dog %d" % j)); i += 1
+        for j in range(6):
+            rows.append((i, src, "zx%d qq%d blorp gnar" % (j, j))); i += 1
+    rows.append((i, "web", ""))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out1 = str(tmp_path / "ccnet1")
+    m1 = run_ccnet_prefilter(spark, docs, ref, out1, q=0.5)
+    assert m1["n_docs"] == 37
+    assert m1["n_scored"] == 36
+    assert m1["n_tokenless_dropped"] == 1
+    assert set(m1["thresholds"]) == {"web", "books", "code"}
+    kept = spark.read.parquet(m1["path"])
+    assert kept.count() == m1["n_kept"]
+    # each domain cut its own tail: every domain keeps ~half, and the
+    # kept halves are the reference-like docs (lower nll)
+    per_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert all(6 <= per_src[s] <= 7 for s in ("web", "books", "code"))
+    for r in kept.collect():
+        assert "fox" in r["text"] or "quick" in r["text"], r["text"]
+    # the audit columns ride the kept output
+    assert {"n_toks", "avg_nll"} <= set(kept.columns)
+    with open(f"{out1}/ccnet_manifest.json") as f:
+        assert json.load(f)["thresholds"] == m1["thresholds"]
+    # rerun reproduces every decision
+    m2 = run_ccnet_prefilter(
+        spark, docs, ref, str(tmp_path / "ccnet2"), q=0.5
+    )
+    for key in ("n_docs", "n_scored", "n_kept", "thresholds"):
+        assert m2[key] == m1[key], key
