@@ -1088,11 +1088,15 @@ FROM proj GROUP BY label
 def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread (r10): the single-row-group scan would run the d²-fan-out
     # pair-product explode on one core; no-op on multi-file data.
-    # by="vec_id" (r14, banked since the r11 A/B): hash partitioning
-    # skips round-robin's pre-exchange local row sort (1.24→1.13s at
-    # sf0.1, interleaved min-of-3 — tables.spread docstring); vec_id
-    # is the table's unique key, so no skew concentration.
-    e = spread(t(spark, sf_dir, "embeddings"), by="vec_id")
+    # by="vec_id" tried r14 (banked r11 prior 1.24→1.13s) and REVERTED
+    # r15: the tracked interleaved idle A/B at the r15 HEAD
+    # (tools/ab_spread_by.py, min-of-3, load 0.75) read hash 1.094s vs
+    # round-robin 1.069s — a wash, and the r14 driver/idle artifacts
+    # (1.25/1.38s vs the 0.98s r13 round-robin floor) showed the
+    # switch regressing. Embedding rows are narrow fixed-width arrays,
+    # so round-robin's pre-exchange local sort is cheap here — unlike
+    # the wide-text keys where by= wins (tables.spread docstring).
+    e = spread(t(spark, sf_dir, "embeddings"))
     quant = e.select(
         "vec_id",
         "label",

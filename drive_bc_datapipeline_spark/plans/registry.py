@@ -166,7 +166,21 @@ GATE_PIN: dict[str, int] = {
     # keys are r10-green and inside the r14 staleness window, so the
     # pins are free (zero extra slots):
     "pii_scrub_stats": 14,
-    "embedding_pca_projection": 14,
+    # embedding_pca_projection was pinned at 14 here (satisfied by its
+    # r14 green row); a dict literal can't carry the same key twice, so
+    # that expired pin lives in this comment and the key appears once
+    # below with its r15 revert pin:
+    # round-15 replan: the pca spread(by="vec_id") switch REVERTED to
+    # round-robin — the r14-verdict-ordered interleaved idle A/B at the
+    # r15 HEAD (tools/ab_spread_by.py, min-of-3, load 0.75) read hash
+    # 1.094s vs rr 1.069s (a wash; the r14 banked prior was measured
+    # pre-switch), and the r14 tracked artifacts showed the switch
+    # regressing (1.25 driver / 1.38 idle vs the 0.98 r13 rr floor).
+    # pii_scrub_stats re-measured in the same A/B session: by= KEEPS
+    # (0.492 vs 0.558) — no change, its r14 pin stands. pca is
+    # r14-green, outside the r15 r11-era window, so this pin spends
+    # one r15 slot:
+    "embedding_pca_projection": 15,
 }
 
 

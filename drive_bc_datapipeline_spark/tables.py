@@ -115,11 +115,16 @@ def spread(
     ``by`` (r11): hash-partition on the named column instead of
     round-robin. Bare ``repartition(n)`` locally SORTS every row
     before the round-robin exchange (``sortBeforeRepartition``, kept
-    on for retry determinism) — on wide text rows that sort costs more
+    on for retry determinism) — on WIDE TEXT rows that sort costs more
     than the exchange itself; hash partitioning is deterministic
     per-row and skips it (A/B at sf0.1, interleaved min-of-3:
     dedup_minhash_lsh 2.09→1.61s, minhash_estimate_quality
-    2.14→1.45s, pii_scrub 0.84→0.52s, pca 1.24→1.13s). Pass a
+    2.14→1.45s, pii_scrub 0.84→0.52s; re-confirmed r15 for pii at
+    0.492 vs 0.558). On NARROW fixed-width rows the local sort is
+    cheap and ``by=`` buys nothing — the r14 pca switch (banked prior
+    1.24→1.13) regressed in the tracked artifacts and the r15
+    interleaved idle A/B read it a wash (hash 1.094 vs rr 1.069), so
+    it was reverted; A/B each call site, don't extrapolate. Pass a
     HIGH-CARDINALITY column (the table's id) — a skewed key would
     concentrate partitions. Round-robin stays the default so pinned
     r10-era plans keep their frozen shape; switch call sites as their
