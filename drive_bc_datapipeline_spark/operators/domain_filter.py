@@ -98,11 +98,19 @@ def domain_threshold_table(
     )
 
 
-def _collect_table(table: DataFrame) -> list:
+def collect_domain_thresholds(table: DataFrame) -> list:
     """Materialize the threshold table EXACTLY ONCE (its plan holds
     the corpus-scale fit aggregate — re-executing it per consumer is
     the re-scan class the curation job just eliminated) and bound it:
-    it is declared driver/broadcast model state."""
+    it is declared driver/broadcast model state.
+
+    Public (r15): a caller that needs the thresholds for BOTH a
+    manifest and an apply must collect here once and pass the rows to
+    ``apply_domain_filter``/``apply_domain_bands`` — collecting the
+    table twice runs the corpus-scale percentile aggregate twice, and
+    ``approx=True`` sketches are not guaranteed to reproduce the same
+    thresholds across executions (the manifest could then disagree
+    with the cut actually applied — the r14 ADVICE finding)."""
     rows = table.select("source", "q", "threshold").collect()
     if len(rows) > MAX_DOMAIN_THRESHOLDS:
         raise ValueError(
@@ -110,6 +118,14 @@ def _collect_table(table: DataFrame) -> list:
             f"threshold-table bound ({MAX_DOMAIN_THRESHOLDS})"
         )
     return rows
+
+
+def _rows_of(table) -> list:
+    """Accept either the threshold-table DataFrame (collected here,
+    once) or rows already materialized by collect_domain_thresholds."""
+    if isinstance(table, DataFrame):
+        return collect_domain_thresholds(table)
+    return list(table)
 
 
 def _two_threshold_map(spark, rows: list) -> DataFrame:
@@ -148,12 +164,16 @@ def apply_domain_bands(
     execution (the fit never saw that domain; banding it against
     another domain's thresholds would be silently wrong) — the
     ride-along pattern, no second corpus scan.
+
+    ``table`` may be the fit DataFrame (collected here, once) or rows
+    pre-collected with ``collect_domain_thresholds`` (so one collect
+    can feed a manifest AND the apply).
     """
     if out_col in df.columns:
         raise ValueError(
             f"apply_domain_bands: {out_col!r} already exists — rename"
         )
-    thr = _two_threshold_map(df.sparkSession, _collect_table(table))
+    thr = _two_threshold_map(df.sparkSession, _rows_of(table))
     s = F.col(score_col)
     band = (
         F.when(
@@ -190,8 +210,17 @@ def apply_domain_filter(
     """Keep documents with ``score <= `` their domain's threshold at
     quantile ``q`` (the one-cut CCNet variant: drop each domain's
     worst tail). Same broadcast-join + ride-along unknown-domain
-    fail-fast as banding; returns ``df``'s columns unchanged."""
-    rows = [r for r in _collect_table(table) if r["q"] == float(q)]
+    fail-fast as banding; returns ``df``'s columns unchanged.
+
+    ``table`` may be the fit DataFrame (collected here, once) or rows
+    pre-collected with ``collect_domain_thresholds``. The quantile is
+    matched with a 1e-12 tolerance, not exact float equality — a q
+    that round-tripped through a JSON manifest (or any path that
+    perturbs the last bit) must still select its row rather than
+    silently matching nothing (the r14 ADVICE finding)."""
+    rows = [
+        r for r in _rows_of(table) if abs(r["q"] - float(q)) < 1e-12
+    ]
     if not rows:
         raise ValueError(
             f"apply_domain_filter: the table holds no quantile {q}"

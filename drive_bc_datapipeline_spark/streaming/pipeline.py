@@ -688,6 +688,8 @@ def start_curation_gate_stream(
     weights: dict[int, float],
     bias: float,
     threshold: float,
+    cal_table: list | None = None,
+    curve_bins: int = 1000,
     n_buckets: int = 4096,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -697,13 +699,36 @@ def start_curation_gate_stream(
     """J11: stream documents → E7 quality gate → exactly-once sink.
 
     ``weights``/``bias``/``threshold`` come from the batch side —
-    ``train_hashed_linear`` + the PR-curve selection (or the
-    calibrated variant: map the calibrated threshold through
-    ``classifier.calibrated_threshold_to_raw`` and pass the raw
-    threshold here — the gate stays one JVM filter). Not a ``transformWithState`` job on
-    purpose: the model is static per stream, scoring is stateless
-    per-doc, so foreachBatch + commit log is the whole machine.
+    ``train_hashed_linear`` + the PR-curve selection. The gate filters
+    RAW scores, so the meaning of ``threshold`` depends on how the
+    batch side selected it:
+
+    - uncalibrated manifest (``calibrate=False``): ``threshold`` is a
+      raw score — leave ``cal_table`` as None.
+    - calibrated manifest (``calibrate=True``): ``threshold`` is a
+      probability on the CALIBRATED scale; pass the manifest's
+      ``calibration_table`` as ``cal_table`` (+ its ``curve_bins``)
+      and the conversion through
+      ``classifier.calibrated_threshold_to_raw`` happens HERE. Feeding
+      a calibrated threshold without the table would silently apply
+      the wrong cut (the r14 ADVICE finding — previously only a
+      docstring warned), so the handoff is now an argument pair the
+      caller can't half-supply.
+
+    Not a ``transformWithState`` job on purpose: the model is static
+    per stream, scoring is stateless per-doc, so foreachBatch +
+    commit log is the whole machine.
     """
+    if cal_table is not None:
+        from drive_bc_datapipeline_spark.operators.classifier import (
+            calibrated_threshold_to_raw,
+        )
+
+        threshold = calibrated_threshold_to_raw(
+            [tuple(row) for row in cal_table],
+            threshold,
+            n_bins=curve_bins,
+        )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

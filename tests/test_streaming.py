@@ -543,3 +543,35 @@ def test_curation_gate_stream_calibrated_handoff(spark, tmp_path):
     assert got == want
     # the gate actually separated the corpus (not all-kept/all-drop)
     assert 0 < len(got) < len(DOCS)
+
+    # r15 (r14 ADVICE): the calibrated handoff as an ARGUMENT PAIR —
+    # pass the calibrated threshold + the manifest's calibration
+    # table and the stream performs the inversion itself; kept set
+    # identical to the hand-inverted run above
+    sink2 = str(tmp_path / "cal_sink2")
+    sp.start_curation_gate_stream(
+        spark, src, sink2, str(tmp_path / "ck_cal2"),
+        weights=w, bias=b, threshold=t_cal,
+        cal_table=table, curve_bins=n_bins, n_buckets=64,
+        max_files_per_trigger=1,
+    ).awaitTermination(120)
+    got2 = sorted(
+        r["doc_id"] for r in sp.read_committed(spark, sink2).collect()
+    )
+    assert got2 == want
+
+    # half-supplying the handoff fails loudly where detectable: a
+    # curve_bins SMALLER than the fit leaves table bins out of range
+    # (the inversion's n_bins contract guard); too-large curve_bins is
+    # inherently undetectable from the table alone — the pair being
+    # one call site (instead of a docstring asking the caller to
+    # invert by hand) is the mitigation for that direction
+    import pytest as _pytest
+
+    assert any(row[0] >= n_bins // 2 for row in table)  # guard fires
+    with _pytest.raises(ValueError, match="same n_bins"):
+        sp.start_curation_gate_stream(
+            spark, src, str(tmp_path / "bad"), str(tmp_path / "ck_bad"),
+            weights=w, bias=b, threshold=t_cal,
+            cal_table=table, curve_bins=n_bins // 2, n_buckets=64,
+        )
