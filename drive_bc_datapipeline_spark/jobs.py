@@ -222,6 +222,19 @@ def run_incremental_rollup(
     return {"merged_rows": stats["rows_written"], "watermark_us": int(new_wm)}
 
 
+def _precision_at_cut(curve_rows: list, t: float) -> float | None:
+    """Precision of the gate ``score >= t`` read off a collected PR
+    curve: the curve is cumulative-from-the-top over OCCUPIED bins,
+    so the cut's precision is the row at the lowest occupied
+    threshold still >= t (unoccupied bins in between keep nothing).
+    None when no row clears t — that cut keeps zero docs on the
+    curve's population, so its precision is undefined."""
+    keep = [r for r in curve_rows if r["threshold"] >= t - 1e-12]
+    if not keep:
+        return None
+    return float(min(keep, key=lambda r: r["threshold"])["precision"])
+
+
 def build_curation_frames(
     spark: SparkSession,
     docs,
@@ -242,6 +255,8 @@ def build_curation_frames(
     n_shards: int = 16,
     calibrate: bool = False,
     scrub: bool = False,
+    val_frac: float | None = None,
+    seeds_val=None,
 ) -> dict:
     """Build every frame of the curation recipe — the plan-level seam
     ``run_curation_pipeline`` writes and the chain test inspects:
@@ -272,18 +287,27 @@ def build_curation_frames(
     collapses to a plain raw-score predicate (the chain test asserts
     the equivalence), so the corpus pass stays one scan + filter.
 
-    Threshold-selection caveat (in-sample): the PR curve is computed
-    on the SAME seeds the classifier was trained on, so
-    ``min_precision`` is an optimistic estimate of the gate's true
-    corpus precision — hold out labeled data and validate downstream
-    when the precision number itself is load-bearing. The manifest
-    records this ("threshold_selection": "in-sample-seeds").
+    Threshold selection (r15): by default the PR curve is computed on
+    the SAME seeds the classifier was trained on, so ``min_precision``
+    is an optimistic (in-sample) estimate of the gate's true corpus
+    precision. Pass ``val_frac`` (a deterministic seed-split fraction)
+    or ``seeds_val`` (a separate labeled frame) to select the
+    threshold OUT-OF-SAMPLE instead: the classifier (and, with
+    ``calibrate``, the isotonic table — it is model state too) fits
+    on the train split only, the threshold is chosen on the held-out
+    curve, and the frames carry BOTH precisions at the chosen cut
+    (``precision_train`` / ``precision_val``) so the manifest can
+    show how far in-sample optimism runs. ``val_frac`` splits on
+    ``xxhash64(id, seed + 4)`` — a documented stream disjoint from
+    DSIR's Gumbel draw and the shard shuffle (below) — so the split
+    is reproducible and independent of every other seeded stage.
 
     Seeded randomness uses disjoint xxhash64 streams (documented so
     no stage reuses another's draw): DSIR's Gumbel selection consumes
     ``seed``; the shard shuffle consumes ``seed + 2`` (shard) and
     ``seed + 3`` (intra-shard position — ``seeded_shuffle`` itself
-    spans two consecutive seeds).
+    spans two consecutive seeds); the validation split consumes
+    ``seed + 4``.
     """
     from drive_bc_datapipeline_spark.operators.classifier import (
         apply_isotonic_calibration,
@@ -313,13 +337,35 @@ def build_curation_frames(
 
         docs = scrub_pii(docs, text_col=text_col)
         seeds = scrub_pii(seeds, text_col=text_col)
+        if seeds_val is not None:
+            # the held-out seeds must live in the same scrubbed
+            # feature space the gate scores
+            seeds_val = scrub_pii(seeds_val, text_col=text_col)
         # the DSIR target must live in the SAME scrubbed feature
         # space as the kept corpus it is matched against
         target = scrub_pii(target, text_col=text_col)
 
+    if val_frac is not None and seeds_val is not None:
+        raise ValueError(
+            "pass val_frac OR seeds_val, not both: one held-out "
+            "definition per run, or the manifest's precision numbers "
+            "are ambiguous"
+        )
+    seeds_train = seeds
+    if val_frac is not None:
+        if not 0.0 < val_frac < 1.0:
+            raise ValueError(f"val_frac must be in (0, 1), got {val_frac}")
+        # deterministic doc-level split on the seed+4 stream; pmod so
+        # xxhash64's negative half doesn't silently empty the val side
+        is_val = F.pmod(
+            F.xxhash64(F.col(id_col), F.lit(seed + 4)), F.lit(1_000_000)
+        ) < int(val_frac * 1_000_000)
+        seeds_val = seeds.filter(is_val)
+        seeds_train = seeds.filter(~is_val)
+
     w, b = train_hashed_linear(
         spark,
-        seeds,
+        seeds_train,
         label_col=label_col,
         text_col=text_col,
         id_col=id_col,
@@ -328,9 +374,9 @@ def build_curation_frames(
         lr=lr,
     )
     seed_scored = score_hashed_linear(
-        spark, seeds, w, text_col=text_col, id_col=id_col,
+        spark, seeds_train, w, text_col=text_col, id_col=id_col,
         n_buckets=n_buckets, bias=b,
-    ).join(seeds.select(id_col, label_col), id_col)
+    ).join(seeds_train.select(id_col, label_col), id_col)
 
     gate_col = "score"
     cal_table: list | None = None
@@ -350,19 +396,44 @@ def build_curation_frames(
             seed_scored, label_col=label_col, score_col=gate_col
         )
 
-    curve = classifier_pr_curve(
+    curve_train = classifier_pr_curve(
         seed_scored, label_col=label_col, score_col=gate_col,
         n_bins=curve_bins,
     ).collect()
-    eligible = [r for r in curve if r["precision"] >= min_precision]
+    held_out = seeds_val is not None
+    if held_out:
+        val_scored = score_hashed_linear(
+            spark, seeds_val, w, text_col=text_col, id_col=id_col,
+            n_buckets=n_buckets, bias=b,
+        ).join(seeds_val.select(id_col, label_col), id_col)
+        if calibrate:
+            val_scored = apply_isotonic_calibration(
+                val_scored, cal_table, n_bins=curve_bins
+            )
+        curve_sel = classifier_pr_curve(
+            val_scored, label_col=label_col, score_col=gate_col,
+            n_bins=curve_bins,
+        ).collect()
+        if not curve_sel:
+            raise ValueError(
+                "held-out validation split is empty (val_frac "
+                f"{val_frac!r} on this seed set / empty seeds_val): "
+                "the threshold cannot be selected out-of-sample"
+            )
+    else:
+        curve_sel = curve_train
+    where = "held-out validation" if held_out else "seed"
+    eligible = [r for r in curve_sel if r["precision"] >= min_precision]
     if not eligible:
-        best = max(r["precision"] for r in curve)
+        best = max(r["precision"] for r in curve_sel)
         raise ValueError(
             f"no threshold reaches precision {min_precision} on the "
-            f"seed set (best {best:.3f}): the gate is not usable — "
+            f"{where} set (best {best:.3f}): the gate is not usable — "
             "train longer, add seeds, or lower min_precision"
         )
     threshold = min(r["threshold"] for r in eligible)
+    precision_sel = _precision_at_cut(curve_sel, threshold)
+    precision_train = _precision_at_cut(curve_train, threshold)
 
     scored = score_hashed_linear(
         spark, docs, w, text_col=text_col, id_col=id_col,
@@ -405,6 +476,14 @@ def build_curation_frames(
     )
     return {
         "threshold": threshold,
+        "threshold_selection": (
+            "held-out" if held_out else "in-sample-seeds"
+        ),
+        # precision of the chosen cut on each curve: equal when the
+        # selection is in-sample; the spread between them is the
+        # in-sample optimism the r13 ADVICE warned about
+        "precision_train": precision_train,
+        "precision_val": precision_sel if held_out else None,
         "gate_col": gate_col,
         "gate_obs": gate_obs,
         # the trained model is driver-sized state a caller needs to
@@ -444,6 +523,8 @@ def run_curation_pipeline(
     n_shards: int = 16,
     calibrate: bool = False,
     scrub: bool = False,
+    val_frac: float | None = None,
+    seeds_val=None,
 ) -> dict:
     """The full curation recipe as ONE runnable job (the K7 runner's
     operational sibling for the E9/E10/E11/E7 + H47 + L13 chain the
@@ -468,6 +549,7 @@ def run_curation_pipeline(
         min_precision=min_precision, curve_bins=curve_bins,
         dsir_buckets=dsir_buckets, seed=seed, n_shards=n_shards,
         calibrate=calibrate, scrub=scrub,
+        val_frac=val_frac, seeds_val=seeds_val,
     )
     out_path = os.path.join(out_dir, "selected")
     obs = Observation("rows_selected")
@@ -486,9 +568,15 @@ def run_curation_pipeline(
         "n_selected": obs.get["rows"],
         "threshold": frames["threshold"],
         "min_precision": min_precision,
-        # in-sample caveat: the curve was computed on the training
-        # seeds, so this precision is optimistic on the corpus
-        "threshold_selection": "in-sample-seeds",
+        # how the threshold was chosen: "in-sample-seeds" (curve on
+        # the training seeds — optimistic) or "held-out" (curve on a
+        # validation split the model never trained on). Both
+        # precisions at the chosen cut are recorded so the optimism
+        # gap is visible in the artifact, not just a caveat.
+        "threshold_selection": frames["threshold_selection"],
+        "precision_train": frames["precision_train"],
+        "precision_val": frames["precision_val"],
+        "val_frac": val_frac,
         "calibrated": calibrate,
         "pii_scrubbed": scrub,
         "k": k,
@@ -548,6 +636,7 @@ def run_ccnet_prefilter(
     """
     from drive_bc_datapipeline_spark.operators.domain_filter import (
         apply_domain_filter,
+        collect_domain_thresholds,
         domain_threshold_table,
     )
     from drive_bc_datapipeline_spark.operators.lm_score import (
@@ -583,11 +672,17 @@ def run_ccnet_prefilter(
         scored, (q,), source_col=source_col, score_col="avg_nll",
         approx=True,
     )
+    # ONE execution of the fit aggregate: the collected rows feed both
+    # the manifest and the filter (approx sketches need not reproduce
+    # identical thresholds across executions — collecting twice could
+    # make the manifest disagree with the cut actually applied).
+    threshold_rows = collect_domain_thresholds(table)
     thresholds = {
-        r["source"]: r["threshold"] for r in table.collect()
+        r["source"]: r["threshold"] for r in threshold_rows
     }
     kept_scored = apply_domain_filter(
-        scored, table, q, source_col=source_col, score_col="avg_nll"
+        scored, threshold_rows, q,
+        source_col=source_col, score_col="avg_nll",
     )
     kept = docs.join(
         kept_scored.select(id_col, "n_toks", "avg_nll"), id_col

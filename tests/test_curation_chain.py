@@ -466,3 +466,116 @@ def test_run_curation_pipeline_scrubs_pii(spark, tmp_path):
     for r in out:
         for pat in PII_CLASSES.values():
             assert not re.search(pat, r["text"]), (r["doc_id"], r["text"])
+
+
+def test_held_out_threshold_selection_diverges(spark, tmp_path):
+    """r15 (r13 ADVICE / r14 verdict Next #3): threshold selection on
+    a held-out seed set. A skewed validation frame — hard negatives
+    whose text looks exactly like the positives — makes the in-sample
+    precision at the chosen cut optimistic; the manifest must carry
+    BOTH numbers and say the selection was held-out."""
+    import json
+
+    from drive_bc_datapipeline_spark.jobs import run_curation_pipeline
+
+    docs = spark.createDataFrame(
+        _corpus_rows(), "doc_id long, text string"
+    )
+    seeds = spark.createDataFrame(
+        _seed_rows(), "doc_id long, label int, text string"
+    )
+    target = spark.createDataFrame(
+        _target_rows(), "doc_id long, text string"
+    )
+    # the skew: half the val docs with CLEAN text carry label 0 (the
+    # corpus contains clean-looking docs the curators reject), so at
+    # any cut that keeps clean text, val precision ~ 0.5 while the
+    # train curve (perfectly separable) reads 1.0
+    seeds_val = spark.createDataFrame(
+        [(3000 + i, 1, _doc(_CLEAN, i + 1)) for i in range(6)]
+        + [(3100 + i, 0, _doc(_CLEAN, i + 11)) for i in range(6)]
+        + [(3200 + i, 0, _doc(_JUNK, i + 1)) for i in range(6)],
+        "doc_id long, label int, text string",
+    )
+    m = run_curation_pipeline(
+        spark, docs, seeds, target, str(tmp_path / "ho"),
+        k=K_SELECT, n_buckets=N_BUCKETS, n_rounds=40, lr=1.0,
+        min_precision=0.4, dsir_buckets=DSIR_BUCKETS, seed=11,
+        n_shards=4, seeds_val=seeds_val,
+    )
+    assert m["threshold_selection"] == "held-out"
+    assert m["precision_val"] is not None
+    # the divergence seam: in-sample says the gate is near-perfect,
+    # the held-out curve says half the kept docs are bad
+    assert m["precision_train"] >= 0.95
+    assert m["precision_val"] <= 0.7
+    assert m["precision_train"] - m["precision_val"] >= 0.25
+    with open(f"{tmp_path}/ho/curation_manifest.json") as f:
+        disk = json.load(f)
+    for key in ("threshold_selection", "precision_train", "precision_val"):
+        assert disk[key] == m[key], key
+
+
+def test_val_frac_split_is_deterministic_and_guarded(spark, tmp_path):
+    """val_frac splits the seeds on the documented seed+4 hash
+    stream: reruns reproduce the same threshold and precisions, the
+    manifest records the fraction, and the argument guards fail
+    loudly."""
+    import pytest
+
+    from drive_bc_datapipeline_spark.jobs import (
+        build_curation_frames,
+        run_curation_pipeline,
+    )
+
+    docs = spark.createDataFrame(
+        _corpus_rows(), "doc_id long, text string"
+    )
+    # double the seed set so a 0.3 split leaves both sides with both
+    # labels under the hash split
+    seeds = spark.createDataFrame(
+        _seed_rows()
+        + [(5000 + i, lab, txt) for i, (_, lab, txt) in enumerate(_seed_rows())],
+        "doc_id long, label int, text string",
+    )
+    target = spark.createDataFrame(
+        _target_rows(), "doc_id long, text string"
+    )
+    kwargs = dict(
+        k=K_SELECT, n_buckets=N_BUCKETS, n_rounds=40, lr=1.0,
+        min_precision=0.9, dsir_buckets=DSIR_BUCKETS, seed=11,
+        n_shards=4, val_frac=0.3,
+    )
+    m1 = run_curation_pipeline(
+        spark, docs, seeds, target, str(tmp_path / "vf1"), **kwargs
+    )
+    m2 = run_curation_pipeline(
+        spark, docs, seeds, target, str(tmp_path / "vf2"), **kwargs
+    )
+    assert m1["threshold_selection"] == "held-out"
+    assert m1["val_frac"] == 0.3
+    assert m1["precision_val"] is not None
+    for key in ("threshold", "precision_train", "precision_val", "n_kept"):
+        assert m1[key] == m2[key], key
+
+    # guards: both held-out definitions at once, and a nonsensical
+    # fraction, fail before any job runs
+    with pytest.raises(ValueError, match="not both"):
+        build_curation_frames(
+            spark, docs, seeds, target, k=5,
+            val_frac=0.3, seeds_val=seeds,
+        )
+    with pytest.raises(ValueError, match="val_frac"):
+        build_curation_frames(
+            spark, docs, seeds, target, k=5, val_frac=1.5,
+        )
+    # default path unchanged: in-sample, no val precision
+    m3 = run_curation_pipeline(
+        spark, docs, seeds, target, str(tmp_path / "ins"),
+        k=K_SELECT, n_buckets=N_BUCKETS, n_rounds=40, lr=1.0,
+        min_precision=0.9, dsir_buckets=DSIR_BUCKETS, seed=11,
+        n_shards=4,
+    )
+    assert m3["threshold_selection"] == "in-sample-seeds"
+    assert m3["precision_val"] is None
+    assert m3["precision_train"] is not None
