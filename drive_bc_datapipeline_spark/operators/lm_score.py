@@ -121,3 +121,157 @@ def score_docs_under_lm(
             ).alias("avg_nll"),
         )
     )
+
+
+def bigram_lm_table(
+    ref: DataFrame,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fit the bigram half of the target-conditioned LM on the
+    reference corpus: pair counts plus context totals in ONE relation —
+
+        (w1, w2,  n)   adjacent-pair count c(w1 w2)
+        (w1, NULL, n)  context total c1(w1) = Σ_w2 c(w1 w2)
+
+    The fit is pure counting (H37's in-row adjacent-pair build: one
+    explode over a transform of the token array, no windows, no
+    self-joins) — smoothing (alpha) and backoff weight (lam) are
+    SCORE-time knobs, so there is no fit/score parameter pair that
+    can silently mismatch (the curve_bins lesson). Context totals
+    aggregate from the vocabulary-bounded pair counts, not from a
+    second corpus pass, and make the smoothed conditional a proper
+    distribution over V known types + one OOV bucket.
+
+    CCNet proper uses a 5-gram KenLM (Wenzek et al. 2020); this is
+    the order-2 member of that family the environment allows, sharing
+    the unigram scorer's orientation so H48 consumes either.
+    """
+    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
+    pairs = (
+        ref.select(toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), i -> "
+                    "named_struct('w1', t[i], 'w2', t[i + 1]))"
+                )
+            ).alias("u")
+        )
+        .select("u.w1", "u.w2")
+    )
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    # vocabulary-bounded; feeds the pair rows AND the context totals
+    pc = pc.localCheckpoint(eager=True)
+    ctx = pc.groupBy("w1").agg(
+        F.lit(None).cast("string").alias("w2"),
+        F.sum("n").alias("n"),
+    )
+    return pc.unionByName(ctx)
+
+
+def score_docs_under_bigram_lm(
+    docs: DataFrame,
+    bigram: DataFrame,
+    unigram: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """(id, n_toks, avg_nll) under the interpolated bigram LM:
+
+        p(w_i | w_{i-1}) = lam * (c(w_{i-1} w_i) + alpha)
+                                 / (c1(w_{i-1}) + alpha * (V + 1))
+                         + (1 - lam) * p_ug(w_i)
+
+    with the document's FIRST token scored under the unigram backoff
+    alone (no context exists). ``unigram`` is the
+    ``unigram_lm_table`` fit on the SAME reference — its OOV row
+    covers unseen w_i; an unseen context w_{i-1} degrades the bigram
+    term to the uniform 1/(V+1) and the backoff carries the score.
+    Lower avg_nll = closer to the reference's word ORDER, not just
+    its vocabulary — the signal the unigram scorer cannot see; same
+    output shape, so ``domain_filter`` consumes either unchanged.
+
+    Plan: one explode carrying each token WITH its in-row context
+    (no windows), three vocabulary-bounded left joins (pair, context,
+    unigram — AQE broadcasts them), one partial-aggregable
+    groupBy(doc). The V / OOV-mass scalars ride one bounded collect
+    of the unigram relation (model state, same as the unigram
+    scorer's OOV row).
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam={lam}: interpolation weight is in [0, 1]")
+    if alpha <= 0:
+        raise ValueError(f"alpha={alpha}: add-alpha smoothing needs > 0")
+    stats = unigram.groupBy().agg(
+        F.count(F.col("tok")).alias("v"),
+        F.max(F.when(F.col("tok").isNull(), F.col("logp"))).alias("oov"),
+        F.count(F.when(F.col("tok").isNull(), 1)).alias("n_oov_rows"),
+    ).collect()[0]
+    if stats["n_oov_rows"] != 1:
+        raise ValueError(
+            "score_docs_under_bigram_lm: the unigram table must carry "
+            f"exactly one NULL-token OOV row (got {stats['n_oov_rows']})"
+            " — fit it with unigram_lm_table"
+        )
+    v = float(stats["v"])
+    oov_logp = float(stats["oov"])
+
+    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
+    pos = (
+        docs.select(F.col(id_col), toks.alias("t"))
+        .filter(F.size("t") >= 1)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 1), i -> "
+                    "named_struct("
+                    "'w', t[i], "
+                    "'ctx', IF(i = 0, CAST(NULL AS STRING), t[i - 1])))"
+                )
+            ).alias("u"),
+        )
+        .select(id_col, F.col("u.w").alias("w"), F.col("u.ctx").alias("ctx"))
+    )
+    pair = bigram.filter(F.col("w2").isNotNull()).select(
+        F.col("w1").alias("__p1"), F.col("w2").alias("__p2"),
+        F.col("n").alias("__n12"),
+    )
+    ctx = bigram.filter(F.col("w2").isNull()).select(
+        F.col("w1").alias("__c1"), F.col("n").alias("__n1"),
+    )
+    ug = unigram.filter(F.col("tok").isNotNull()).select(
+        F.col("tok").alias("__ut"), F.col("logp").alias("__ulogp"),
+    )
+    j = (
+        pos.join(
+            pair,
+            (F.col("ctx") == F.col("__p1")) & (F.col("w") == F.col("__p2")),
+            "left",
+        )
+        .join(ctx, F.col("ctx") == F.col("__c1"), "left")
+        .join(ug, F.col("w") == F.col("__ut"), "left")
+    )
+    p_ug = F.pow(F.lit(2.0), F.coalesce(F.col("__ulogp"), F.lit(oov_logp)))
+    p_bg = (
+        (F.coalesce(F.col("__n12"), F.lit(0)).cast("double") + alpha)
+        / (
+            F.coalesce(F.col("__n1"), F.lit(0)).cast("double")
+            + alpha * (v + 1.0)
+        )
+    )
+    p = F.when(F.col("ctx").isNull(), p_ug).otherwise(
+        lam * p_bg + (1.0 - lam) * p_ug
+    )
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            (-F.sum(F.log2(p)) / F.count(F.lit(1))).alias("avg_nll"),
+        )
+    )

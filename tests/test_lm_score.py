@@ -219,3 +219,286 @@ def test_run_ccnet_prefilter_job(spark, tmp_path):
     )
     for key in ("n_docs", "n_scored", "n_kept", "thresholds"):
         assert m2[key] == m1[key], key
+
+
+def test_ccnet_job_collects_threshold_fit_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """r15 (r14 verdict What's-wrong #2): the job must execute the
+    per-domain percentile fit ONCE — the collected rows feed BOTH the
+    manifest and the filter. Collecting twice runs the corpus-scale
+    aggregate twice, and an approx sketch need not reproduce the same
+    thresholds, so the manifest could disagree with the applied cut.
+    Pinned the way the curation chain pins scoring: count every path
+    that can materialize the fit."""
+    import drive_bc_datapipeline_spark.operators.domain_filter as dfm
+    from drive_bc_datapipeline_spark.jobs import run_ccnet_prefilter
+
+    calls = {"n": 0}
+    real = dfm.collect_domain_thresholds
+
+    def counting(table):
+        calls["n"] += 1
+        return real(table)
+
+    monkeypatch.setattr(dfm, "collect_domain_thresholds", counting)
+
+    ref = spark.createDataFrame(REF, "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(i, ("web", "books")[i % 2], "the quick fox %d" % i)
+         for i in range(8)]
+        + [(8, "web", "zzq blorp"), (9, "books", "qqx gnar")],
+        "doc_id long, source string, text string",
+    )
+    m = run_ccnet_prefilter(spark, docs, ref, str(tmp_path / "once"))
+    assert calls["n"] == 1, calls
+    # and the manifest thresholds ARE the applied thresholds: every
+    # kept row respects its own domain's manifest value
+    kept = spark.read.parquet(m["path"])
+    for r in kept.select("source", "avg_nll").collect():
+        assert r["avg_nll"] <= m["thresholds"][r["source"]] + 1e-12
+
+
+def test_apply_accepts_precollected_rows(spark):
+    """apply_domain_filter/_bands take pre-collected rows and produce
+    the same result as the DataFrame path; the quantile matches with
+    tolerance, so a q round-tripped through JSON still selects its
+    row (r14 ADVICE)."""
+    import json
+
+    from drive_bc_datapipeline_spark.operators.domain_filter import (
+        apply_domain_bands,
+        apply_domain_filter,
+        collect_domain_thresholds,
+        domain_threshold_table,
+    )
+
+    scored = spark.createDataFrame(
+        [(i, ("a", "b")[i % 2], float(i)) for i in range(20)],
+        "doc_id long, source string, avg_nll double",
+    )
+    q = 2.0 / 3.0
+    table = domain_threshold_table(scored, (q,), approx=False)
+    rows = collect_domain_thresholds(table)
+
+    via_df = sorted(
+        r["doc_id"]
+        for r in apply_domain_filter(scored, table, q).collect()
+    )
+    via_rows = sorted(
+        r["doc_id"]
+        for r in apply_domain_filter(scored, rows, q).collect()
+    )
+    assert via_df == via_rows and via_df
+
+    # JSON round-trip perturbs nothing here, but a manifest-loaded q
+    # must match by tolerance even if the last bit differs
+    q_json = json.loads(json.dumps({"q": q}))["q"]
+    import math
+
+    q_ulp = math.nextafter(q, 1.0)
+    assert sorted(
+        r["doc_id"]
+        for r in apply_domain_filter(scored, rows, q_json).collect()
+    ) == via_rows
+    assert sorted(
+        r["doc_id"]
+        for r in apply_domain_filter(scored, rows, q_ulp).collect()
+    ) == via_rows
+
+    # bands: rows path == df path
+    table2 = domain_threshold_table(
+        scored, (1.0 / 3.0, 2.0 / 3.0), approx=False
+    )
+    rows2 = collect_domain_thresholds(table2)
+    b_df = {
+        r["doc_id"]: r["band"]
+        for r in apply_domain_bands(scored, table2).collect()
+    }
+    b_rows = {
+        r["doc_id"]: r["band"]
+        for r in apply_domain_bands(scored, rows2).collect()
+    }
+    assert b_df == b_rows and set(b_df.values()) == {
+        "head", "middle", "tail"
+    }
+
+
+# ---------------------------------------------------------------------------
+# H50 (r15) — bigram target-conditioned LM with unigram backoff
+# ---------------------------------------------------------------------------
+
+def _seq_bigram_lm():
+    """Pure-Python reference of the fit: pair counts + context totals."""
+    pc: dict[tuple[str, str], int] = {}
+    for _i, t in REF:
+        toks = [x for x in t.split(" ") if x]
+        for a, b in zip(toks, toks[1:]):
+            pc[(a, b)] = pc.get((a, b), 0) + 1
+    ctx: dict[str, int] = {}
+    for (a, _b), n in pc.items():
+        ctx[a] = ctx.get(a, 0) + n
+    return pc, ctx
+
+
+def _seq_bigram_score(text: str, lam: float = 0.7) -> tuple[int, float]:
+    logp, oov = _seq_lm()
+    pc, ctx = _seq_bigram_lm()
+    V = float(len(logp))
+    toks = [t for t in text.split(" ") if t]
+    s = 0.0
+    prev = None
+    for t in toks:  # position-by-position, the repo float rule
+        p_ug = 2.0 ** logp.get(t, oov)
+        if prev is None:
+            p = p_ug
+        else:
+            p_bg = (pc.get((prev, t), 0) + ALPHA) / (
+                ctx.get(prev, 0) + ALPHA * (V + 1.0)
+            )
+            p = lam * p_bg + (1.0 - lam) * p_ug
+        s += -math.log2(p)
+        prev = t
+    return len(toks), s / len(toks)
+
+
+@pytest.fixture()
+def bg_lm(spark):
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        bigram_lm_table,
+    )
+
+    ref = spark.createDataFrame(REF, "doc_id long, text string")
+    return bigram_lm_table(ref)
+
+
+def test_bigram_table_matches_sequential(spark, bg_lm):
+    pc, ctx = _seq_bigram_lm()
+    rows = bg_lm.collect()
+    got_pairs = {
+        (r["w1"], r["w2"]): r["n"] for r in rows if r["w2"] is not None
+    }
+    got_ctx = {r["w1"]: r["n"] for r in rows if r["w2"] is None}
+    assert got_pairs == pc
+    assert got_ctx == ctx
+
+
+def test_bigram_scores_match_sequential(spark, lm, bg_lm):
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        score_docs_under_bigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        DOCS, "doc_id long, source string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_toks"], r["avg_nll"])
+        for r in score_docs_under_bigram_lm(docs, bg_lm, lm).collect()
+    }
+    for i, _src, text in DOCS:
+        n, nll = _seq_bigram_score(text)
+        assert got[i][0] == n, i
+        assert got[i][1] == pytest.approx(nll, abs=1e-9), (i, text)
+
+
+def test_bigram_guards(spark, lm, bg_lm):
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        score_docs_under_bigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        DOCS, "doc_id long, source string, text string"
+    )
+    with pytest.raises(ValueError, match="lam"):
+        score_docs_under_bigram_lm(docs, bg_lm, lm, lam=1.5)
+    with pytest.raises(ValueError, match="alpha"):
+        score_docs_under_bigram_lm(docs, bg_lm, lm, alpha=0.0)
+    # a unigram relation without its OOV row cannot back off
+    with pytest.raises(ValueError, match="OOV"):
+        score_docs_under_bigram_lm(
+            docs, bg_lm, lm.filter(F.col("tok").isNotNull())
+        )
+
+
+def test_bigram_cut_differs_on_word_order(spark):
+    """The verdict's A/B: a planted corpus where half the docs are
+    the reference word order and half are the SAME words shuffled.
+    Unigram avg_nll is order-blind (identical scores, the cut cannot
+    separate them); the bigram scorer separates, and the per-domain
+    H48 cut keeps exactly the ordered half."""
+    from drive_bc_datapipeline_spark.operators.domain_filter import (
+        apply_domain_filter,
+        domain_threshold_table,
+    )
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        bigram_lm_table,
+        score_docs_under_bigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the quick fox jumps over the lazy dog") for i in range(8)],
+        "doc_id long, text string",
+    )
+    ordered = "the quick fox jumps over the lazy dog"
+    shuffled = "dog the over fox lazy jumps quick the"  # same multiset
+    assert sorted(ordered.split()) == sorted(shuffled.split())
+    docs = spark.createDataFrame(
+        [(i, "web", ordered) for i in range(6)]
+        + [(100 + i, "web", shuffled) for i in range(6)],
+        "doc_id long, source string, text string",
+    )
+    ug = unigram_lm_table(ref, alpha=ALPHA)
+    ug_scores = {
+        r["doc_id"]: r["avg_nll"]
+        for r in score_docs_under_lm(docs, ug).collect()
+    }
+    # unigram: order-blind — every doc scores identically
+    assert ug_scores[0] == pytest.approx(ug_scores[100], abs=1e-12)
+
+    bg = bigram_lm_table(ref)
+    bg_scored = score_docs_under_bigram_lm(docs, bg, ug)
+    bg_scores = {
+        r["doc_id"]: r["avg_nll"] for r in bg_scored.collect()
+    }
+    assert bg_scores[0] < bg_scores[100] - 0.5  # order separates
+
+    # the H48 median cut under the bigram scorer keeps exactly the
+    # ordered half; under the unigram scorer the same cut keeps
+    # everything (all docs tie at the domain threshold)
+    scored_df = docs.join(
+        bg_scored.select("doc_id", "avg_nll"), "doc_id"
+    )
+    table = domain_threshold_table(scored_df, (0.5,), approx=False)
+    kept = sorted(
+        r["doc_id"]
+        for r in apply_domain_filter(scored_df, table, 0.5).collect()
+    )
+    assert kept == list(range(6))
+
+    ug_scored_df = docs.join(
+        score_docs_under_lm(docs, ug).select("doc_id", "avg_nll"),
+        "doc_id",
+    )
+    ug_table = domain_threshold_table(ug_scored_df, (0.5,), approx=False)
+    ug_kept = sorted(
+        r["doc_id"]
+        for r in apply_domain_filter(ug_scored_df, ug_table, 0.5).collect()
+    )
+    assert ug_kept == sorted([*range(6), *range(100, 106)])
+
+
+def test_bigram_plan_shapes(spark, lm, bg_lm):
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        score_docs_under_bigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        DOCS, "doc_id long, source string, text string"
+    )
+    scored = score_docs_under_bigram_lm(docs, bg_lm, lm)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    for bad in ("CartesianProduct", "BatchEvalPython", "ArrowEval"):
+        assert bad not in plan, plan
+    # the pair-count pin: both bigram consumers (pair rows + context
+    # totals) read the checkpoint, never a re-tokenization
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
