@@ -610,16 +610,25 @@ def run_ccnet_prefilter(
     *,
     q: float = 2.0 / 3.0,
     alpha: float = 0.5,
+    lm_order: int = 1,
+    lam: float = 0.7,
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
     scrub: bool = False,
 ) -> dict:
-    """The CCNet prefilter (H49 → H48) as ONE runnable job: fit the
-    smoothed unigram LM on ``reference`` (the high-quality target),
+    """The CCNet prefilter (H49/H50 → H48) as ONE runnable job: fit
+    the reference LM on ``reference`` (the high-quality target),
     score every document of ``docs`` under it, fit per-domain score
     quantiles at ``q``, drop each domain's worst tail, and write
     ``out_dir/kept/`` partitioned by source with a manifest JSON.
+
+    ``lm_order`` picks the scorer: 1 = the smoothed unigram LM (H49);
+    2 = the interpolated bigram LM with unigram backoff (H50,
+    ``lam`` = bigram weight) — order-sensitive, so reference-like
+    vocabulary in scrambled order no longer survives the cut. Both
+    produce the same (id, n_toks, avg_nll) relation, so everything
+    downstream (threshold fit, filter, manifest) is scorer-agnostic.
 
     Scoring-once (the r14 curation-job discipline, applied from the
     start): the per-doc score relation — three narrow columns — is
@@ -640,10 +649,17 @@ def run_ccnet_prefilter(
         domain_threshold_table,
     )
     from drive_bc_datapipeline_spark.operators.lm_score import (
+        bigram_lm_table,
+        score_docs_under_bigram_lm,
         score_docs_under_lm,
         unigram_lm_table,
     )
 
+    if lm_order not in (1, 2):
+        raise ValueError(
+            f"lm_order={lm_order}: 1 (unigram, H49) or 2 (bigram with "
+            "unigram backoff, H50)"
+        )
     t0 = time.time()
     if scrub:
         from drive_bc_datapipeline_spark.operators.pii import scrub_pii
@@ -652,9 +668,16 @@ def run_ccnet_prefilter(
         reference = scrub_pii(reference, text_col=text_col)
 
     lm = unigram_lm_table(reference, text_col=text_col, alpha=alpha)
-    scores = score_docs_under_lm(
-        docs, lm, text_col=text_col, id_col=id_col
-    )
+    if lm_order == 2:
+        bg = bigram_lm_table(reference, text_col=text_col)
+        scores = score_docs_under_bigram_lm(
+            docs, bg, lm, text_col=text_col, id_col=id_col,
+            alpha=alpha, lam=lam,
+        )
+    else:
+        scores = score_docs_under_lm(
+            docs, lm, text_col=text_col, id_col=id_col
+        )
     # full-coverage frame: token-less docs surface as NULL avg_nll so
     # ONE pass counts both populations before the explicit drop
     cover = docs.select(id_col, source_col).join(scores, id_col, "left")
@@ -704,11 +727,129 @@ def run_ccnet_prefilter(
         "n_kept": int(keep_obs.get["rows"]),
         "q": q,
         "alpha": alpha,
+        "lm_order": lm_order,
+        # the interpolation weight only participates at order 2;
+        # recording it unconditionally would imply it shaped the cut
+        "lam": lam if lm_order == 2 else None,
         "pii_scrubbed": scrub,
         "thresholds": {s: thresholds[s] for s in sorted(thresholds)},
         "path": out_path,
         "seconds": round(time.time() - t0, 3),
     }
     with open(os.path.join(out_dir, "ccnet_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+def run_staged_curation(
+    spark: SparkSession,
+    docs,
+    reference,
+    seeds,
+    target,
+    out_dir: str,
+    *,
+    k: int,
+    # stage 1 — CCNet prefilter (H49/H50 → H48)
+    q: float = 2.0 / 3.0,
+    alpha: float = 0.5,
+    lm_order: int = 1,
+    lam: float = 0.7,
+    # stage 2 — classifier gate + DSIR (E9/E10/E11/E7 + H47 + L13)
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    label_col: str = "label",
+    n_buckets: int = 4096,
+    n_rounds: int = 30,
+    lr: float = 0.5,
+    min_precision: float = 0.9,
+    curve_bins: int = 1000,
+    dsir_buckets: int = 4096,
+    seed: int = 0,
+    n_shards: int = 16,
+    calibrate: bool = False,
+    scrub: bool = False,
+    val_frac: float | None = None,
+    seeds_val=None,
+) -> dict:
+    """The production curation shape as ONE staged job: the cheap LM
+    prefilter cuts each domain's perplexity tail FIRST, then the
+    classifier gate + DSIR + sharding run on the survivors — the
+    CCNet-then-classifier pipeline every large curation run
+    hand-wires today (the r14 verdict's missing composition), with
+    the parquet handoff internal and one run directory:
+
+        out_dir/prefilter/kept/      stage-1 survivors (by source)
+        out_dir/prefilter/ccnet_manifest.json
+        out_dir/curation/selected/   final selection (by shard)
+        out_dir/curation/curation_manifest.json
+        out_dir/staged_manifest.json both manifests + reconciliation
+
+    Ordering matters for cost: the prefilter is two corpus passes of
+    cheap token joins and removes the worst tail before the
+    classifier scores anything, so the expensive stage reads only
+    survivors — at 100 TB that is the difference between scoring the
+    crawl and scoring the keep-worthy fraction of it.
+
+    PII scrubbing composes at THIS level: ``scrub=True`` redacts
+    docs, reference, seeds, and the DSIR target exactly once here
+    and runs both stages with their own scrub off — the A8 scrub is
+    documented non-idempotent (a redaction placeholder would match
+    the digit-run class on a second pass), so letting each stage
+    scrub independently would double-scrub the handoff text.
+
+    Stage counts must reconcile: the curation stage's observed corpus
+    count is asserted equal to the prefilter's kept count — a
+    mismatch means the handoff read diverged from what stage 1 wrote
+    (partial write, schema drift) and the job fails rather than
+    silently curating a different corpus.
+    """
+    t0 = time.time()
+    if scrub:
+        from drive_bc_datapipeline_spark.operators.pii import scrub_pii
+
+        docs = scrub_pii(docs, text_col=text_col)
+        reference = scrub_pii(reference, text_col=text_col)
+        seeds = scrub_pii(seeds, text_col=text_col)
+        target = scrub_pii(target, text_col=text_col)
+        if seeds_val is not None:
+            seeds_val = scrub_pii(seeds_val, text_col=text_col)
+
+    m_pre = run_ccnet_prefilter(
+        spark, docs, reference, os.path.join(out_dir, "prefilter"),
+        q=q, alpha=alpha, lm_order=lm_order, lam=lam,
+        text_col=text_col, id_col=id_col, source_col=source_col,
+        scrub=False,  # scrubbed once above
+    )
+    kept_docs = spark.read.parquet(m_pre["path"])
+    m_cur = run_curation_pipeline(
+        spark, kept_docs, seeds, target,
+        os.path.join(out_dir, "curation"),
+        k=k, text_col=text_col, id_col=id_col, label_col=label_col,
+        n_buckets=n_buckets, n_rounds=n_rounds, lr=lr,
+        min_precision=min_precision, curve_bins=curve_bins,
+        dsir_buckets=dsir_buckets, seed=seed, n_shards=n_shards,
+        calibrate=calibrate, scrub=False,  # scrubbed once above
+        val_frac=val_frac, seeds_val=seeds_val,
+    )
+    if m_cur["n_docs"] != m_pre["n_kept"]:
+        raise ValueError(
+            f"stage handoff diverged: prefilter kept {m_pre['n_kept']} "
+            f"docs but the curation gate observed {m_cur['n_docs']} — "
+            "the kept/ parquet read does not match what stage 1 wrote"
+        )
+    manifest = {
+        "n_docs": m_pre["n_docs"],
+        "n_kept_prefilter": m_pre["n_kept"],
+        "n_kept_gate": m_cur["n_kept"],
+        "n_selected": m_cur["n_selected"],
+        "pii_scrubbed": scrub,
+        "prefilter": m_pre,
+        "curation": m_cur,
+        "path": m_cur["path"],
+        "seconds": round(time.time() - t0, 3),
+    }
+    with open(os.path.join(out_dir, "staged_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest

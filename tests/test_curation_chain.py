@@ -579,3 +579,120 @@ def test_val_frac_split_is_deterministic_and_guarded(spark, tmp_path):
     assert m3["threshold_selection"] == "in-sample-seeds"
     assert m3["precision_val"] is None
     assert m3["precision_train"] is not None
+
+
+def test_run_staged_curation_composes(spark, tmp_path):
+    """r15 (r14 verdict Next #5): prefilter → gate → DSIR as ONE
+    staged job on the real documents table — the kept/ parquet
+    handoff is internal, both stage manifests land under one run
+    directory, and the stage counts reconcile
+    (n_kept_prefilter == the gate's observed corpus count)."""
+    import json
+
+    from drive_bc_datapipeline_spark.jobs import run_staged_curation
+    from drive_bc_datapipeline_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source", "text"
+    )
+    # reference / target / seeds built FROM the table so the test
+    # runs on real corpus text: reference = the longest docs (the
+    # "high-quality" side), seeds labeled by a simple quality proxy
+    # the classifier can learn, target = a disjoint sample
+    with_len = docs.withColumn("__n", F.size(F.split("text", " ")))
+    reference = (
+        with_len.orderBy(F.desc("__n"), "doc_id").limit(100)
+        .select("doc_id", "text")
+    )
+    seeds = (
+        with_len.withColumn(
+            "label", (F.col("__n") >= 40).cast("int")
+        )
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "label", "text")
+    )
+    target = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+
+    out = str(tmp_path / "staged")
+    m = run_staged_curation(
+        spark, docs, reference, seeds, target, out,
+        k=30, q=0.8, lm_order=2, lam=0.6,
+        n_buckets=256, n_rounds=25, lr=1.0,
+        min_precision=0.5, dsir_buckets=512, seed=3, n_shards=4,
+    )
+    # reconciliation: the gate curated exactly what the prefilter kept
+    assert m["n_kept_prefilter"] == m["curation"]["n_docs"]
+    assert m["n_docs"] == 500
+    assert 0 < m["n_kept_prefilter"] < 500  # the tail cut really cut
+    assert m["n_selected"] == 30
+    assert m["prefilter"]["lm_order"] == 2
+    assert m["prefilter"]["lam"] == 0.6
+    # one run directory, all three manifests on disk and consistent
+    with open(f"{out}/staged_manifest.json") as f:
+        disk = json.load(f)
+    assert disk["n_kept_prefilter"] == m["n_kept_prefilter"]
+    with open(f"{out}/prefilter/ccnet_manifest.json") as f:
+        assert json.load(f)["n_kept"] == m["n_kept_prefilter"]
+    with open(f"{out}/curation/curation_manifest.json") as f:
+        assert json.load(f)["n_selected"] == 30
+    # the final selection is a subset of the prefilter survivors
+    kept_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/prefilter/kept").collect()
+    }
+    sel_ids = {
+        r["doc_id"] for r in spark.read.parquet(m["path"]).collect()
+    }
+    assert sel_ids <= kept_ids and len(sel_ids) == 30
+
+
+def test_run_staged_curation_scrubs_once(spark, tmp_path):
+    """scrub=True composes at the STAGED level: the A8 scrub is
+    non-idempotent (a redaction placeholder matches the digit-run
+    class on a second pass), so the staged job scrubs all four
+    inputs once and runs both stages with their own scrub off —
+    manifests record where the scrub happened."""
+    import re
+
+    from drive_bc_datapipeline_spark.jobs import run_staged_curation
+    from drive_bc_datapipeline_spark.operators.pii import PII_CLASSES
+
+    docs = spark.createDataFrame(
+        [
+            (i, ("web", "books")[i % 2],
+             _doc(_CLEAN, i + 1, 10) + " bob@example.com 10.1.2.3")
+            for i in range(40)
+        ]
+        + [
+            (100 + i, ("web", "books")[i % 2], _doc(_JUNK, i + 1, 10))
+            for i in range(40)
+        ],
+        "doc_id long, source string, text string",
+    )
+    reference = spark.createDataFrame(
+        [(i, _doc(_CLEAN, i, 12)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    seeds = spark.createDataFrame(
+        [(1000 + i, 1, _doc(_CLEAN, i + 1, 8)) for i in range(10)]
+        + [(2000 + i, 0, _doc(_JUNK, i + 1, 8)) for i in range(10)],
+        "doc_id long, label int, text string",
+    )
+    target = spark.createDataFrame(
+        [(3000 + i, _doc(_CLEAN, i, 8)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    m = run_staged_curation(
+        spark, docs, reference, seeds, target, str(tmp_path / "scr"),
+        k=10, q=0.9, n_buckets=N_BUCKETS, n_rounds=30, lr=1.0,
+        min_precision=0.9, dsir_buckets=DSIR_BUCKETS, seed=7,
+        n_shards=2, scrub=True,
+    )
+    assert m["pii_scrubbed"] is True
+    # the stages did NOT scrub again — the staged job owns it
+    assert m["prefilter"]["pii_scrubbed"] is False
+    assert m["curation"]["pii_scrubbed"] is False
+    # and the selected output is clean
+    for r in spark.read.parquet(m["path"]).collect():
+        for pat in PII_CLASSES.values():
+            assert not re.search(pat, r["text"]), r["text"]

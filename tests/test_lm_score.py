@@ -502,3 +502,23 @@ def test_bigram_plan_shapes(spark, lm, bg_lm):
     # the pair-count pin: both bigram consumers (pair rows + context
     # totals) read the checkpoint, never a re-tokenization
     assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+
+
+def test_ccnet_job_lm_order_guard_and_bigram_manifest(spark, tmp_path):
+    """lm_order outside {1, 2} fails before any job runs; order-1
+    manifests record lam as None (it did not shape the cut)."""
+    from drive_bc_datapipeline_spark.jobs import run_ccnet_prefilter
+
+    ref = spark.createDataFrame(REF, "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(i, "web", "the quick fox %d" % i) for i in range(6)],
+        "doc_id long, source string, text string",
+    )
+    with pytest.raises(ValueError, match="lm_order"):
+        run_ccnet_prefilter(
+            spark, docs, ref, str(tmp_path / "x"), lm_order=3
+        )
+    m = run_ccnet_prefilter(
+        spark, docs, ref, str(tmp_path / "u"), q=0.5, lm_order=1
+    )
+    assert m["lm_order"] == 1 and m["lam"] is None
