@@ -221,6 +221,36 @@ def score_docs_under_bigram_lm(
     v = float(stats["v"])
     oov_logp = float(stats["oov"])
 
+    # same-reference guard (review catch): V and the OOV mass come
+    # from the unigram table, pair/context counts from the bigram
+    # table — fit on different references they silently skew every
+    # conditional. Fit on the SAME reference, every bigram context
+    # word is in the unigram vocabulary, so a context outside it
+    # proves a mismatch (the detectable direction; a unigram table
+    # fit on a SUPERSET corpus passes — document, don't pretend to
+    # catch it). Both relations are vocabulary-bounded model state,
+    # so the anti-join probe is driver-cheap.
+    stray = (
+        bigram.filter(F.col("w2").isNull())
+        .select(F.col("w1"))
+        .join(
+            unigram.filter(F.col("tok").isNotNull()).select(
+                F.col("tok").alias("w1")
+            ),
+            "w1",
+            "left_anti",
+        )
+        .limit(1)
+        .collect()
+    )
+    if stray:
+        raise ValueError(
+            "score_docs_under_bigram_lm: bigram context "
+            f"{stray[0]['w1']!r} is not in the unigram vocabulary — "
+            "the two tables were fit on different references; fit "
+            "bigram_lm_table and unigram_lm_table on the same corpus"
+        )
+
     toks = F.filter(F.split(text_col, " "), lambda x: x != "")
     pos = (
         docs.select(F.col(id_col), toks.alias("t"))

@@ -689,7 +689,7 @@ def start_curation_gate_stream(
     bias: float,
     threshold: float,
     cal_table: list | None = None,
-    curve_bins: int = 1000,
+    curve_bins: int | None = None,
     n_buckets: int = 4096,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -724,10 +724,28 @@ def start_curation_gate_stream(
             calibrated_threshold_to_raw,
         )
 
+        if curve_bins is None:
+            # no default: the inversion's range guard only catches a
+            # curve_bins SMALLER than the fit; a defaulted 1000
+            # against a 500-bin manifest would silently return half
+            # the intended raw cut (review catch) — the pair must be
+            # supplied together, both from the same manifest
+            raise ValueError(
+                "cal_table without curve_bins: pass the manifest's "
+                "curve_bins with its calibration_table — the raw "
+                "threshold is bin/curve_bins, so a guessed bin count "
+                "silently rescales the cut"
+            )
         threshold = calibrated_threshold_to_raw(
             [tuple(row) for row in cal_table],
             threshold,
             n_bins=curve_bins,
+        )
+    elif curve_bins is not None:
+        raise ValueError(
+            "curve_bins without cal_table: a raw threshold has no bin "
+            "convention — pass both halves of the calibrated handoff "
+            "or neither"
         )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -418,6 +418,19 @@ def test_bigram_guards(spark, lm, bg_lm):
         score_docs_under_bigram_lm(
             docs, bg_lm, lm.filter(F.col("tok").isNotNull())
         )
+    # tables fit on DIFFERENT references fail the same-reference
+    # guard: a bigram context outside the unigram vocabulary proves
+    # the mismatch (review catch — V/OOV from one corpus with pair
+    # counts from another silently skews every conditional)
+    other_ug = unigram_lm_table(
+        spark.createDataFrame(
+            [(1, "completely different vocabulary here")],
+            "doc_id long, text string",
+        ),
+        alpha=ALPHA,
+    )
+    with pytest.raises(ValueError, match="different references"):
+        score_docs_under_bigram_lm(docs, bg_lm, other_ug)
 
 
 def test_bigram_cut_differs_on_word_order(spark):

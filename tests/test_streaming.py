@@ -575,3 +575,18 @@ def test_curation_gate_stream_calibrated_handoff(spark, tmp_path):
             weights=w, bias=b, threshold=t_cal,
             cal_table=table, curve_bins=n_bins // 2, n_buckets=64,
         )
+    # ...and the undetectable direction (a defaulted/omitted
+    # curve_bins larger than the fit would silently rescale the cut)
+    # is closed by refusing a half-supplied pair outright
+    with _pytest.raises(ValueError, match="without curve_bins"):
+        sp.start_curation_gate_stream(
+            spark, src, str(tmp_path / "bad2"), str(tmp_path / "ck_b2"),
+            weights=w, bias=b, threshold=t_cal,
+            cal_table=table, n_buckets=64,
+        )
+    with _pytest.raises(ValueError, match="without cal_table"):
+        sp.start_curation_gate_stream(
+            spark, src, str(tmp_path / "bad3"), str(tmp_path / "ck_b3"),
+            weights=w, bias=b, threshold=raw_t,
+            curve_bins=n_bins, n_buckets=64,
+        )

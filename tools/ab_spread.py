@@ -33,12 +33,7 @@ def main() -> None:
     ap.add_argument("--passes", type=int, default=3)
     args = ap.parse_args()
 
-    from drive_bc_datapipeline_spark.plans import (
-        documents,
-        embeddings,
-        events,
-        registry,
-    )
+    from drive_bc_datapipeline_spark.plans import registry
     from drive_bc_datapipeline_spark.session import get_spark
     from drive_bc_datapipeline_spark.tables import spread as real_spread
 
@@ -50,7 +45,20 @@ def main() -> None:
     spark = get_spark("ab-spread")
     registry.t(spark, args.sf_dir, "lineitem").count()  # warm JVM
 
-    modules = [m for m in (documents, embeddings, events) if hasattr(m, "spread")]
+    # every loaded plans module holding a spread reference — derived,
+    # not hardcoded, so a key planned in a module outside an
+    # enumerated list can't silently run on-vs-on and print a
+    # credible "revert" (same gap ab_spread_by.py had; review catch)
+    import sys
+
+    modules = [
+        m
+        for name, m in list(sys.modules.items())
+        if name.startswith("drive_bc_datapipeline_spark.plans.")
+        and m is not None
+        and getattr(m, "spread", None) is real_spread
+    ]
+    assert modules, "no plans module imports spread — nothing to A/B"
 
     def time_once(key: str) -> float:
         t0 = time.time()
