@@ -222,6 +222,21 @@ def run_incremental_rollup(
     return {"merged_rows": stats["rows_written"], "watermark_us": int(new_wm)}
 
 
+def _check_heldout_args(val_frac: float | None, seeds_val) -> None:
+    """Held-out-selection argument guards — ONE copy, called both by
+    build_curation_frames and (r15 review catch) up-front by
+    run_staged_curation, so an argument error surfaces before the
+    corpus-scale prefilter stage runs rather than after it."""
+    if val_frac is not None and seeds_val is not None:
+        raise ValueError(
+            "pass val_frac OR seeds_val, not both: one held-out "
+            "definition per run, or the manifest's precision numbers "
+            "are ambiguous"
+        )
+    if val_frac is not None and not 0.0 < val_frac < 1.0:
+        raise ValueError(f"val_frac must be in (0, 1), got {val_frac}")
+
+
 def _precision_at_cut(curve_rows: list, t: float) -> float | None:
     """Precision of the gate ``score >= t`` read off a collected PR
     curve: the curve is cumulative-from-the-top over OCCUPIED bins,
@@ -345,16 +360,9 @@ def build_curation_frames(
         # space as the kept corpus it is matched against
         target = scrub_pii(target, text_col=text_col)
 
-    if val_frac is not None and seeds_val is not None:
-        raise ValueError(
-            "pass val_frac OR seeds_val, not both: one held-out "
-            "definition per run, or the manifest's precision numbers "
-            "are ambiguous"
-        )
+    _check_heldout_args(val_frac, seeds_val)
     seeds_train = seeds
     if val_frac is not None:
-        if not 0.0 < val_frac < 1.0:
-            raise ValueError(f"val_frac must be in (0, 1), got {val_frac}")
         # deterministic doc-level split on the seed+4 stream; pmod so
         # xxhash64's negative half doesn't silently empty the val side
         is_val = F.pmod(
@@ -660,6 +668,13 @@ def run_ccnet_prefilter(
             f"lm_order={lm_order}: 1 (unigram, H49) or 2 (bigram with "
             "unigram backoff, H50)"
         )
+    # scorer knob guards up front (review catch): the scorer itself
+    # re-checks these, but only AFTER both reference-scale LM fits
+    # have eagerly checkpointed — fail before any job runs
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam={lam}: interpolation weight is in [0, 1]")
+    if alpha <= 0:
+        raise ValueError(f"alpha={alpha}: add-alpha smoothing needs > 0")
     t0 = time.time()
     if scrub:
         from drive_bc_datapipeline_spark.operators.pii import scrub_pii
@@ -805,6 +820,18 @@ def run_staged_curation(
     (partial write, schema drift) and the job fails rather than
     silently curating a different corpus.
     """
+    # stage-2 argument guards BEFORE stage 1 runs (review catch): a
+    # val_frac typo must not cost a full corpus-scale prefilter pass
+    _check_heldout_args(val_frac, seeds_val)
+    if lm_order not in (1, 2):
+        raise ValueError(
+            f"lm_order={lm_order}: 1 (unigram, H49) or 2 (bigram with "
+            "unigram backoff, H50)"
+        )
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam={lam}: interpolation weight is in [0, 1]")
+    if alpha <= 0:
+        raise ValueError(f"alpha={alpha}: add-alpha smoothing needs > 0")
     t0 = time.time()
     if scrub:
         from drive_bc_datapipeline_spark.operators.pii import scrub_pii

@@ -136,9 +136,10 @@ def bigram_lm_table(
 
     The fit is pure counting (H37's in-row adjacent-pair build: one
     explode over a transform of the token array, no windows, no
-    self-joins) — smoothing (alpha) and backoff weight (lam) are
-    SCORE-time knobs, so there is no fit/score parameter pair that
-    can silently mismatch (the curve_bins lesson). Context totals
+    self-joins) — THIS relation has no fit-time smoothing parameter
+    for a score-time knob to mismatch (the curve_bins lesson); note
+    the unigram BACKOFF table is a separate fit that does bake its
+    own alpha (see score_docs_under_bigram_lm). Context totals
     aggregate from the vocabulary-bounded pair counts, not from a
     second corpus pass, and make the smoothed conditional a proper
     distribution over V known types + one OOV bucket.
@@ -164,6 +165,16 @@ def bigram_lm_table(
     pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
     # vocabulary-bounded; feeds the pair rows AND the context totals
     pc = pc.localCheckpoint(eager=True)
+    if pc.isEmpty():  # cheap: reads the materialized checkpoint
+        # fail like unigram_lm_table does on an empty reference: a
+        # pair-less table would score every non-first token with the
+        # constant uniform term — order-blind scoring silently
+        # masquerading as lm_order=2 (review catch)
+        raise ValueError(
+            "bigram_lm_table: no document in the reference has >= 2 "
+            "tokens — a bigram LM fit on it carries no order signal; "
+            "use the unigram scorer or fix the reference corpus"
+        )
     ctx = pc.groupBy("w1").agg(
         F.lit(None).cast("string").alias("w2"),
         F.sum("n").alias("n"),
@@ -189,9 +200,21 @@ def score_docs_under_bigram_lm(
 
     with the document's FIRST token scored under the unigram backoff
     alone (no context exists). ``unigram`` is the
-    ``unigram_lm_table`` fit on the SAME reference — its OOV row
+    ``unigram_lm_table`` fit on the SAME reference (guarded: a bigram
+    context outside the unigram vocabulary raises) — its OOV row
     covers unseen w_i; an unseen context w_{i-1} degrades the bigram
     term to the uniform 1/(V+1) and the backoff carries the score.
+
+    ``alpha`` here smooths only the BIGRAM conditional; the backoff
+    term p_ug uses the logp baked into the unigram table at ITS fit
+    (``unigram_lm_table(alpha=...)``). The two are independent
+    smoothing knobs of two separately-normalized distributions — the
+    interpolation is well-defined for any pair — but passing a
+    different alpha than the unigram fit used means the two halves
+    are smoothed differently; conventionally use one value for both
+    (``run_ccnet_prefilter`` does). The baked alpha is not
+    recoverable from the table, so this is a documented contract,
+    not a guard.
     Lower avg_nll = closer to the reference's word ORDER, not just
     its vocabulary — the signal the unigram scorer cannot see; same
     output shape, so ``domain_filter`` consumes either unchanged.

@@ -696,3 +696,35 @@ def test_run_staged_curation_scrubs_once(spark, tmp_path):
     for r in spark.read.parquet(m["path"]).collect():
         for pat in PII_CLASSES.values():
             assert not re.search(pat, r["text"]), r["text"]
+
+
+def test_staged_curation_validates_args_before_stage_one(spark, tmp_path):
+    """Stage-2 argument errors must fail BEFORE the corpus-scale
+    prefilter runs (review catch): no prefilter output may exist
+    after the raise."""
+    import os
+
+    import pytest
+
+    from drive_bc_datapipeline_spark.jobs import run_staged_curation
+
+    docs = spark.createDataFrame(
+        [(1, "web", "a b c")], "doc_id long, source string, text string"
+    )
+    tiny = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    seeds = spark.createDataFrame(
+        [(1, 1, "a b")], "doc_id long, label int, text string"
+    )
+    out = str(tmp_path / "early")
+    for kwargs, match in [
+        (dict(val_frac=1.5), "val_frac"),
+        (dict(val_frac=0.3, seeds_val=seeds), "not both"),
+        (dict(lam=1.5), "lam"),
+        (dict(lm_order=3), "lm_order"),
+        (dict(alpha=0.0), "alpha"),
+    ]:
+        with pytest.raises(ValueError, match=match):
+            run_staged_curation(
+                spark, docs, tiny, seeds, tiny, out, k=1, **kwargs
+            )
+        assert not os.path.exists(os.path.join(out, "prefilter")), kwargs

@@ -535,3 +535,20 @@ def test_ccnet_job_lm_order_guard_and_bigram_manifest(spark, tmp_path):
         spark, docs, ref, str(tmp_path / "u"), q=0.5, lm_order=1
     )
     assert m["lm_order"] == 1 and m["lam"] is None
+
+
+def test_bigram_table_empty_reference_fails(spark):
+    """A reference with no 2-token doc cannot carry order signal —
+    fail like unigram_lm_table does on an empty reference, instead of
+    silently degrading lm_order=2 to order-blind scoring (review
+    catch)."""
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        bigram_lm_table,
+    )
+
+    single = spark.createDataFrame(
+        [(1, "alone"), (2, "one"), (3, "")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="no document.*>= 2 tokens"):
+        bigram_lm_table(single)
