@@ -217,7 +217,19 @@ def apply_domain_filter(
     matched with a 1e-12 tolerance, not exact float equality — a q
     that round-tripped through a JSON manifest (or any path that
     perturbs the last bit) must still select its row rather than
-    silently matching nothing (the r14 ADVICE finding)."""
+    silently matching nothing (the r14 ADVICE finding).
+
+    The score comparison itself carries a 1e-9 absolute tolerance
+    (``score <= threshold + 1e-9``): a percentile threshold IS some
+    document's score bit-for-bit, and a consumer that RE-computes
+    scores in a different execution (the J12 streaming gate; any
+    re-scoring against a persisted manifest) reproduces them only to
+    summation-order noise (~1e-14 here), so the boundary document
+    would otherwise flip in or out of the cut per execution. 1e-9 is
+    the repo-wide score-comparison tolerance — far above float drift,
+    far below any meaningful score gap; when the scores feeding the
+    filter are the SAME materialized relation the fit read (the batch
+    job), the tolerance admits nothing new."""
     rows = [
         r for r in _rows_of(table) if abs(r["q"] - float(q)) < 1e-12
     ]
@@ -238,7 +250,7 @@ def apply_domain_filter(
                 "threshold table was never fit on"
             )
         ),
-    ).otherwise(s <= F.col("threshold"))
+    ).otherwise(s <= F.col("threshold") + F.lit(1e-9))
     joined = df.join(
         F.broadcast(one_q),
         df[source_col] == one_q["source"],

@@ -767,3 +767,155 @@ def start_curation_gate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# J12 (r15 frontier) — the INCREMENTAL twin of the CCNet prefilter
+# (H49/H50 → H48), mirroring J11's relationship to the batch
+# classifier gate: documents stream in, each micro-batch is scored
+# under the FROZEN reference LM and cut at the FROZEN per-domain
+# thresholds from a ccnet_manifest, and survivors flow through the
+# J10 exactly-once commit log. This is how a continuous ingest keeps
+# a CCNet-prefiltered corpus current without nightly full re-scores:
+# the model (LM relation + threshold table) is fit ONCE on the batch
+# side and never refit per batch — a drifting corpus needs a new
+# batch fit and a new stream, which is the honest semantics (CCNet
+# thresholds are corpus-distribution quantiles; updating them
+# per-batch would make the cut depend on arrival order).
+# ---------------------------------------------------------------------------
+
+
+def ccnet_gate_batch_writer(
+    sink_dir: str,
+    lm,
+    thresholds: dict[str, float],
+    q: float,
+    *,
+    bigram=None,
+    alpha: float = 0.5,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """foreachBatch callback: LM-score → per-domain cut → exactly-once
+    commit. Split out (the J10/J11 pattern) so crash/replay tests can
+    drive the protocol with synthetic batch ids.
+
+    ``lm`` is the unigram_lm_table relation (pass ``bigram`` =
+    bigram_lm_table relation to score order-2 — same knobs as
+    run_ccnet_prefilter); ``thresholds`` is the manifest's
+    {source: threshold} dict applied through apply_domain_filter's
+    pre-collected-rows path, so a document from a domain the fit
+    never saw fails fast exactly like the batch job. Token-less docs
+    drop (the H49 contract — they scored nothing in the batch fit
+    either). Kept rows carry n_toks/avg_nll as the audit trail.
+
+    Per-batch driver cost: the scorer's bounded model-state probes
+    (the 1-row OOV collect; for bigram also the vocab stats + the
+    same-reference anti-join) — vocabulary-bounded, never
+    batch-scale; scoring itself is the H49/H50 join shape per batch.
+    """
+    from drive_bc_datapipeline_spark.operators.domain_filter import (
+        apply_domain_filter,
+    )
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        score_docs_under_bigram_lm,
+        score_docs_under_lm,
+    )
+
+    threshold_rows = [
+        {"source": s, "q": float(q), "threshold": float(t)}
+        for s, t in sorted(thresholds.items())
+    ]
+    base = exactly_once_batch_writer(sink_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        # marker probe FIRST: a replayed committed batch must not
+        # re-run any scoring join (the J11 lesson)
+        if os.path.exists(commit_marker_path(sink_dir, batch_id)):
+            return
+        if bigram is not None:
+            scores = score_docs_under_bigram_lm(
+                batch_df, bigram, lm,
+                text_col=text_col, id_col=id_col, alpha=alpha, lam=lam,
+            )
+        else:
+            scores = score_docs_under_lm(
+                batch_df, lm, text_col=text_col, id_col=id_col
+            )
+        scored = batch_df.join(scores, id_col)
+        kept = apply_domain_filter(
+            scored, threshold_rows, q,
+            source_col=source_col, score_col="avg_nll",
+        ).persist()  # base's isEmpty probe + the write: score ONCE
+        try:
+            base(kept, batch_id)
+        finally:
+            kept.unpersist()
+
+    return write_batch
+
+
+def start_ccnet_gate_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    lm,
+    thresholds: dict[str, float],
+    q: float,
+    bigram=None,
+    alpha: float = 0.5,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    schema: str = DOC_STREAM_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """J12: stream documents → frozen CCNet cut → exactly-once sink.
+
+    ``lm`` (+ optional ``bigram``) and ``thresholds``/``q`` come from
+    the batch side — ``unigram_lm_table``/``bigram_lm_table`` on the
+    reference corpus and ``run_ccnet_prefilter``'s manifest
+    (``m["thresholds"]``, ``m["q"]``) — so streamed and batch cuts
+    are THE SAME decision function, which the test pins
+    (streamed kept-set == the batch job's kept-set on the union).
+    Pass the SAME alpha/lam the manifest records when scoring
+    order-2. Not a transformWithState job on purpose: the model is
+    static per stream, scoring is stateless per-doc, so foreachBatch
+    + commit log is the whole machine (the J11 argument).
+    """
+    if not thresholds:
+        raise ValueError(
+            "empty thresholds: fit the batch prefilter first — a "
+            "gate with no per-domain cuts would keep nothing it can "
+            "explain"
+        )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(
+            ccnet_gate_batch_writer(
+                sink_dir,
+                lm,
+                thresholds,
+                q,
+                bigram=bigram,
+                alpha=alpha,
+                lam=lam,
+                text_col=text_col,
+                id_col=id_col,
+                source_col=source_col,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -590,3 +590,155 @@ def test_curation_gate_stream_calibrated_handoff(spark, tmp_path):
             weights=w, bias=b, threshold=raw_t,
             curve_bins=n_bins, n_buckets=64,
         )
+
+
+# ---------------------------------------------------------------------------
+# J12 — streaming CCNet gate (frozen LM + per-domain thresholds)
+# ---------------------------------------------------------------------------
+
+CCNET_DOCS = [
+    # per domain: 3 reference-like docs, 3 OOV-soup docs — the batch
+    # q=0.5 cut keeps each domain's reference-like half
+    (i, src, text)
+    for src_i, src in enumerate(("web", "book"))
+    for i, text in (
+        [(100 * src_i + j, "the quick fox jumps over %d" % j)
+         for j in range(3)]
+        + [(100 * src_i + 10 + j, "zx%d qq blorp gnar wib" % j)
+           for j in range(3)]
+    )
+]
+
+
+def test_ccnet_gate_stream_matches_batch(spark, tmp_path):
+    """The streamed CCNet cut IS the batch cut: run the batch
+    prefilter for the manifest, stream the same corpus through the
+    J12 gate with the SAME frozen LM + thresholds, and the kept sets
+    match exactly."""
+    from drive_bc_datapipeline_spark.jobs import run_ccnet_prefilter
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        unigram_lm_table,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the quick fox jumps over the lazy dog") for i in range(6)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(CCNET_DOCS, sp.DOC_STREAM_SCHEMA)
+    m = run_ccnet_prefilter(
+        spark, docs, ref, str(tmp_path / "batch"), q=0.5
+    )
+    batch_kept = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(m["path"]).collect()
+    )
+    assert 0 < len(batch_kept) < len(CCNET_DOCS)
+
+    src = str(tmp_path / "ccnet_src")
+    docs.repartition(3).write.parquet(src)
+    lm = unigram_lm_table(ref, alpha=m["alpha"])
+    sink = str(tmp_path / "ccnet_sink")
+    sp.start_ccnet_gate_stream(
+        spark, src, sink, str(tmp_path / "ck_ccnet"),
+        lm=lm, thresholds=m["thresholds"], q=m["q"],
+        max_files_per_trigger=1,  # force multiple micro-batches
+    ).awaitTermination(120)
+    got = sorted(
+        r["doc_id"] for r in sp.read_committed(spark, sink).collect()
+    )
+    assert got == batch_kept
+    # the audit columns ride the kept stream output
+    kept_df = sp.read_committed(spark, sink)
+    assert {"n_toks", "avg_nll"} <= set(kept_df.columns)
+
+
+def test_ccnet_gate_writer_replay_and_guards(spark, tmp_path):
+    """The J10 protocol through the J12 writer: replayed committed
+    ids short-circuit on the marker, a crash window replays cleanly,
+    an unknown stream domain fails fast, and an empty threshold dict
+    is refused up front."""
+    import os
+
+    import pytest
+
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        unigram_lm_table,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the quick fox jumps over the lazy dog") for i in range(6)],
+        "doc_id long, text string",
+    )
+    lm = unigram_lm_table(ref)
+    docs = spark.createDataFrame(CCNET_DOCS, sp.DOC_STREAM_SCHEMA)
+    # thresholds high enough to keep the reference-like docs
+    thresholds = {"web": 10.0, "book": 10.0}
+    sink = str(tmp_path / "w_sink")
+    write_batch = sp.ccnet_gate_batch_writer(sink, lm, thresholds, 0.5)
+
+    write_batch(docs, 0)
+    n0 = sp.read_committed(spark, sink).count()
+    assert n0 > 0
+    # replay of a committed id: marker short-circuits, nothing changes
+    write_batch(docs, 0)
+    assert sp.read_committed(spark, sink).count() == n0
+    # crash window: data written but marker lost -> full rewrite
+    os.remove(sp.commit_marker_path(sink, 0))
+    write_batch(docs, 0)
+    assert sp.read_committed(spark, sink).count() == n0
+
+    # unknown domain fails at execution (the apply fail-fast rides in)
+    stray = spark.createDataFrame(
+        [(999, "mars", "the quick fox")], sp.DOC_STREAM_SCHEMA
+    )
+    with pytest.raises(Exception, match="never fit"):
+        write_batch(stray, 1)
+
+    # empty thresholds refused before any stream starts
+    with pytest.raises(ValueError, match="empty thresholds"):
+        sp.start_ccnet_gate_stream(
+            spark, str(tmp_path / "x"), str(tmp_path / "y"),
+            str(tmp_path / "z"), lm=lm, thresholds={}, q=0.5,
+        )
+
+
+def test_ccnet_gate_writer_bigram_arm(spark, tmp_path):
+    """The order-2 arm: the writer scores under the bigram LM when
+    given one, and the kept set matches the batch lm_order=2 job."""
+    from drive_bc_datapipeline_spark.jobs import run_ccnet_prefilter
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        bigram_lm_table,
+        unigram_lm_table,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the quick fox jumps over the lazy dog") for i in range(6)],
+        "doc_id long, text string",
+    )
+    ordered = "the quick fox jumps over"
+    shuffled = "over fox the jumps quick"
+    docs = spark.createDataFrame(
+        [(j, "web", ordered) for j in range(3)]
+        + [(10 + j, "web", shuffled) for j in range(3)],
+        sp.DOC_STREAM_SCHEMA,
+    )
+    m = run_ccnet_prefilter(
+        spark, docs, ref, str(tmp_path / "bg_batch"),
+        q=0.5, lm_order=2, lam=0.6,
+    )
+    batch_kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(m["path"]).collect()
+    )
+    assert batch_kept == [0, 1, 2]  # the order-sensitive cut
+
+    lm = unigram_lm_table(ref, alpha=m["alpha"])
+    bg = bigram_lm_table(ref)
+    sink = str(tmp_path / "bg_sink")
+    write_batch = sp.ccnet_gate_batch_writer(
+        sink, lm, m["thresholds"], m["q"],
+        bigram=bg, alpha=m["alpha"], lam=m["lam"],
+    )
+    write_batch(docs, 0)
+    assert sorted(
+        r["doc_id"] for r in sp.read_committed(spark, sink).collect()
+    ) == batch_kept
