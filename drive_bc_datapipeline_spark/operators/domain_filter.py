@@ -185,8 +185,12 @@ def apply_domain_bands(
                 )
             ),
         )
-        .when(s <= F.col("__t_lo"), F.lit("head"))
-        .when(s <= F.col("__t_hi"), F.lit("middle"))
+        # same 1e-9 boundary tolerance as apply_domain_filter: a
+        # quantile threshold IS some doc's score, and re-computed
+        # scores reproduce only to summation-order noise — without
+        # the tolerance the boundary doc flips bands per execution
+        .when(s <= F.col("__t_lo") + F.lit(1e-9), F.lit("head"))
+        .when(s <= F.col("__t_hi") + F.lit(1e-9), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
     joined = df.join(
@@ -227,9 +231,12 @@ def apply_domain_filter(
     summation-order noise (~1e-14 here), so the boundary document
     would otherwise flip in or out of the cut per execution. 1e-9 is
     the repo-wide score-comparison tolerance — far above float drift,
-    far below any meaningful score gap; when the scores feeding the
-    filter are the SAME materialized relation the fit read (the batch
-    job), the tolerance admits nothing new."""
+    far below any meaningful score gap. Even with the fit and filter
+    reading the same materialized relation (the batch job), a SECOND
+    document within 1e-9 of the threshold is now kept too — such a
+    doc is a genuinely ambiguous tie (its score is
+    indistinguishable from the threshold at the tolerance the whole
+    repo compares scores at), not a behavior guarantee violation."""
     rows = [
         r for r in _rows_of(table) if abs(r["q"] - float(q)) < 1e-12
     ]

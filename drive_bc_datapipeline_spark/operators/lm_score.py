@@ -81,12 +81,28 @@ def unigram_lm_table(
     return known.unionByName(oov)
 
 
+def unigram_oov_logp(lm: DataFrame) -> float:
+    """The validated OOV-mass read: the LM table's single NULL-token
+    row. ONE bounded collect — a long-lived consumer scoring many
+    batches under one frozen table (the J12 streaming gate) calls
+    this once and passes the scalar to the scorer, instead of paying
+    the probe per micro-batch (r15 review catch)."""
+    oov_rows = lm.filter(F.col("tok").isNull()).select("logp").collect()
+    if len(oov_rows) != 1:
+        raise ValueError(
+            "the LM table must carry exactly one NULL-token OOV row "
+            f"(got {len(oov_rows)}) — fit it with unigram_lm_table"
+        )
+    return float(oov_rows[0]["logp"])
+
+
 def score_docs_under_lm(
     docs: DataFrame,
     lm: DataFrame,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    oov_logp: float | None = None,
 ) -> DataFrame:
     """(id, n_toks, avg_nll) for every document with >= 1 token,
     under the reference LM: avg_nll = −mean(logp(tok)), OOV tokens
@@ -97,15 +113,11 @@ def score_docs_under_lm(
 
     One explode + one equi-join on the token + one partial-aggregable
     groupBy(doc); the single OOV row rides in as a broadcast scalar.
+    ``oov_logp``: pass ``unigram_oov_logp(lm)`` read once to skip the
+    per-call probe when scoring many batches under one frozen table.
     """
-    oov_rows = lm.filter(F.col("tok").isNull()).select("logp").collect()
-    if len(oov_rows) != 1:
-        raise ValueError(
-            "score_docs_under_lm: the LM table must carry exactly one "
-            f"NULL-token OOV row (got {len(oov_rows)}) — fit it with "
-            "unigram_lm_table"
-        )
-    oov_logp = float(oov_rows[0]["logp"])
+    if oov_logp is None:
+        oov_logp = unigram_oov_logp(lm)
     tk = docs.select(
         F.col(id_col),
         F.explode(F.split(text_col, " ")).alias("tok"),
@@ -182,6 +194,54 @@ def bigram_lm_table(
     return pc.unionByName(ctx)
 
 
+def bigram_backoff_stats(
+    bigram: DataFrame, unigram: DataFrame
+) -> tuple[float, float]:
+    """(V, oov_logp) for the interpolated scorer, with BOTH model
+    validations: the unigram table's single-OOV-row contract and the
+    same-reference guard (a bigram context word outside the unigram
+    vocabulary proves the two tables were fit on different corpora —
+    V and the OOV mass from one with pair counts from another would
+    silently skew every conditional; the detectable direction — a
+    unigram table fit on a SUPERSET corpus passes). Two bounded
+    probes over vocabulary-sized model state — a long-lived consumer
+    (the J12 streaming gate) calls this ONCE and passes the result
+    to the scorer instead of paying both probes per micro-batch
+    (r15 review catch)."""
+    stats = unigram.groupBy().agg(
+        F.count(F.col("tok")).alias("v"),
+        F.max(F.when(F.col("tok").isNull(), F.col("logp"))).alias("oov"),
+        F.count(F.when(F.col("tok").isNull(), 1)).alias("n_oov_rows"),
+    ).collect()[0]
+    if stats["n_oov_rows"] != 1:
+        raise ValueError(
+            "the unigram table must carry exactly one NULL-token OOV "
+            f"row (got {stats['n_oov_rows']}) — fit it with "
+            "unigram_lm_table"
+        )
+    stray = (
+        bigram.filter(F.col("w2").isNull())
+        .select(F.col("w1"))
+        .join(
+            unigram.filter(F.col("tok").isNotNull()).select(
+                F.col("tok").alias("w1")
+            ),
+            "w1",
+            "left_anti",
+        )
+        .limit(1)
+        .collect()
+    )
+    if stray:
+        raise ValueError(
+            "bigram context "
+            f"{stray[0]['w1']!r} is not in the unigram vocabulary — "
+            "the two tables were fit on different references; fit "
+            "bigram_lm_table and unigram_lm_table on the same corpus"
+        )
+    return float(stats["v"]), float(stats["oov"])
+
+
 def score_docs_under_bigram_lm(
     docs: DataFrame,
     bigram: DataFrame,
@@ -191,6 +251,7 @@ def score_docs_under_bigram_lm(
     id_col: str = "doc_id",
     alpha: float = 0.5,
     lam: float = 0.7,
+    stats: tuple[float, float] | None = None,
 ) -> DataFrame:
     """(id, n_toks, avg_nll) under the interpolated bigram LM:
 
@@ -222,57 +283,18 @@ def score_docs_under_bigram_lm(
     Plan: one explode carrying each token WITH its in-row context
     (no windows), three vocabulary-bounded left joins (pair, context,
     unigram — AQE broadcasts them), one partial-aggregable
-    groupBy(doc). The V / OOV-mass scalars ride one bounded collect
-    of the unigram relation (model state, same as the unigram
-    scorer's OOV row).
+    groupBy(doc). The V / OOV-mass scalars and the same-reference
+    guard ride ``bigram_backoff_stats`` (two bounded model-state
+    probes) — pass its result as ``stats`` to skip them when scoring
+    many batches under one frozen model.
     """
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam={lam}: interpolation weight is in [0, 1]")
     if alpha <= 0:
         raise ValueError(f"alpha={alpha}: add-alpha smoothing needs > 0")
-    stats = unigram.groupBy().agg(
-        F.count(F.col("tok")).alias("v"),
-        F.max(F.when(F.col("tok").isNull(), F.col("logp"))).alias("oov"),
-        F.count(F.when(F.col("tok").isNull(), 1)).alias("n_oov_rows"),
-    ).collect()[0]
-    if stats["n_oov_rows"] != 1:
-        raise ValueError(
-            "score_docs_under_bigram_lm: the unigram table must carry "
-            f"exactly one NULL-token OOV row (got {stats['n_oov_rows']})"
-            " — fit it with unigram_lm_table"
-        )
-    v = float(stats["v"])
-    oov_logp = float(stats["oov"])
-
-    # same-reference guard (review catch): V and the OOV mass come
-    # from the unigram table, pair/context counts from the bigram
-    # table — fit on different references they silently skew every
-    # conditional. Fit on the SAME reference, every bigram context
-    # word is in the unigram vocabulary, so a context outside it
-    # proves a mismatch (the detectable direction; a unigram table
-    # fit on a SUPERSET corpus passes — document, don't pretend to
-    # catch it). Both relations are vocabulary-bounded model state,
-    # so the anti-join probe is driver-cheap.
-    stray = (
-        bigram.filter(F.col("w2").isNull())
-        .select(F.col("w1"))
-        .join(
-            unigram.filter(F.col("tok").isNotNull()).select(
-                F.col("tok").alias("w1")
-            ),
-            "w1",
-            "left_anti",
-        )
-        .limit(1)
-        .collect()
-    )
-    if stray:
-        raise ValueError(
-            "score_docs_under_bigram_lm: bigram context "
-            f"{stray[0]['w1']!r} is not in the unigram vocabulary — "
-            "the two tables were fit on different references; fit "
-            "bigram_lm_table and unigram_lm_table on the same corpus"
-        )
+    if stats is None:
+        stats = bigram_backoff_stats(bigram, unigram)
+    v, oov_logp = float(stats[0]), float(stats[1])
 
     toks = F.filter(F.split(text_col, " "), lambda x: x != "")
     pos = (

@@ -624,6 +624,31 @@ def read_committed(spark: SparkSession, sink_dir: str) -> DataFrame:
 DOC_STREAM_SCHEMA = "doc_id bigint, source string, text string"
 
 
+def _scored_gate_writer(sink_dir: str, kept_of_batch):
+    """The ONE copy of the gate-writer replay protocol shared by the
+    J11 classifier gate and the J12 CCNet gate (r15 review catch —
+    the scaffolding had been duplicated): marker probe FIRST (a
+    replayed committed batch must not build any scoring plan — base
+    would skip the write, but only after its isEmpty probe executed
+    the plan once), then persist the kept frame around base's
+    isEmpty probe + write so each fresh batch scores ONCE.
+    ``kept_of_batch(batch_df) -> DataFrame`` supplies the gate."""
+    base = exactly_once_batch_writer(sink_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if os.path.exists(commit_marker_path(sink_dir, batch_id)):
+            return
+        kept = kept_of_batch(batch_df).persist()
+        try:
+            base(kept, batch_id)
+        finally:
+            kept.unpersist()
+
+    return write_batch
+
+
 def curation_gate_batch_writer(
     sink_dir: str,
     weights: dict[int, float],
@@ -645,19 +670,9 @@ def curation_gate_batch_writer(
         score_hashed_linear,
     )
 
-    base = exactly_once_batch_writer(sink_dir)
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
-        # marker probe FIRST: a replayed committed batch must not
-        # re-run the scoring join at all (base would skip the write,
-        # but only after its isEmpty probe executed the plan once)
-        if os.path.exists(commit_marker_path(sink_dir, batch_id)):
-            return
-        spark = batch_df.sparkSession
+    def kept_of_batch(batch_df: DataFrame) -> DataFrame:
         scored = score_hashed_linear(
-            spark,
+            batch_df.sparkSession,
             batch_df,
             weights,
             text_col=text_col,
@@ -665,18 +680,14 @@ def curation_gate_batch_writer(
             n_buckets=n_buckets,
             bias=bias,
         )
-        kept = batch_df.join(
+        return batch_df.join(
             scored.filter(F.col("score") >= threshold).select(
                 id_col, "score"
             ),
             id_col,
-        ).persist()  # base's isEmpty probe + the write: score ONCE
-        try:
-            base(kept, batch_id)
-        finally:
-            kept.unpersist()
+        )
 
-    return write_batch
+    return _scored_gate_writer(sink_dir, kept_of_batch)
 
 
 def start_curation_gate_stream(
@@ -811,52 +822,50 @@ def ccnet_gate_batch_writer(
     drop (the H49 contract — they scored nothing in the batch fit
     either). Kept rows carry n_toks/avg_nll as the audit trail.
 
-    Per-batch driver cost: the scorer's bounded model-state probes
-    (the 1-row OOV collect; for bigram also the vocab stats + the
-    same-reference anti-join) — vocabulary-bounded, never
-    batch-scale; scoring itself is the H49/H50 join shape per batch.
+    The frozen model's validation probes (the OOV-row read; for
+    bigram also the vocab stats + same-reference anti-join) run ONCE
+    here at writer build, not per micro-batch (r15 review catch) —
+    the lm/bigram relations never change for the writer's lifetime,
+    so per-batch work is exactly the H49/H50 scoring join shape.
     """
     from drive_bc_datapipeline_spark.operators.domain_filter import (
         apply_domain_filter,
     )
     from drive_bc_datapipeline_spark.operators.lm_score import (
+        bigram_backoff_stats,
         score_docs_under_bigram_lm,
         score_docs_under_lm,
+        unigram_oov_logp,
     )
 
     threshold_rows = [
         {"source": s, "q": float(q), "threshold": float(t)}
         for s, t in sorted(thresholds.items())
     ]
-    base = exactly_once_batch_writer(sink_dir)
+    if bigram is not None:
+        frozen_stats = bigram_backoff_stats(bigram, lm)
+    else:
+        frozen_oov = unigram_oov_logp(lm)
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
-        # marker probe FIRST: a replayed committed batch must not
-        # re-run any scoring join (the J11 lesson)
-        if os.path.exists(commit_marker_path(sink_dir, batch_id)):
-            return
+    def kept_of_batch(batch_df: DataFrame) -> DataFrame:
         if bigram is not None:
             scores = score_docs_under_bigram_lm(
                 batch_df, bigram, lm,
                 text_col=text_col, id_col=id_col, alpha=alpha, lam=lam,
+                stats=frozen_stats,
             )
         else:
             scores = score_docs_under_lm(
-                batch_df, lm, text_col=text_col, id_col=id_col
+                batch_df, lm, text_col=text_col, id_col=id_col,
+                oov_logp=frozen_oov,
             )
         scored = batch_df.join(scores, id_col)
-        kept = apply_domain_filter(
+        return apply_domain_filter(
             scored, threshold_rows, q,
             source_col=source_col, score_col="avg_nll",
-        ).persist()  # base's isEmpty probe + the write: score ONCE
-        try:
-            base(kept, batch_id)
-        finally:
-            kept.unpersist()
+        )
 
-    return write_batch
+    return _scored_gate_writer(sink_dir, kept_of_batch)
 
 
 def start_ccnet_gate_stream(

@@ -742,3 +742,38 @@ def test_ccnet_gate_writer_bigram_arm(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in sp.read_committed(spark, sink).collect()
     ) == batch_kept
+
+
+def test_ccnet_gate_writer_probes_model_once(spark, tmp_path, monkeypatch):
+    """The frozen model's validation probes run ONCE at writer build,
+    not per micro-batch (r15 review catch)."""
+    import drive_bc_datapipeline_spark.operators.lm_score as lmm
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        unigram_lm_table,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the quick fox jumps over the lazy dog") for i in range(3)],
+        "doc_id long, text string",
+    )
+    lm = unigram_lm_table(ref)
+    calls = {"oov": 0, "stats": 0}
+    real_oov, real_stats = lmm.unigram_oov_logp, lmm.bigram_backoff_stats
+    monkeypatch.setattr(
+        lmm, "unigram_oov_logp",
+        lambda t: (calls.__setitem__("oov", calls["oov"] + 1), real_oov(t))[1],
+    )
+    monkeypatch.setattr(
+        lmm, "bigram_backoff_stats",
+        lambda b, u: (
+            calls.__setitem__("stats", calls["stats"] + 1), real_stats(b, u)
+        )[1],
+    )
+    docs = spark.createDataFrame(CCNET_DOCS, sp.DOC_STREAM_SCHEMA)
+    write_batch = sp.ccnet_gate_batch_writer(
+        str(tmp_path / "p_sink"), lm, {"web": 10.0, "book": 10.0}, 0.5
+    )
+    assert calls == {"oov": 1, "stats": 0}  # probed at build
+    write_batch(docs, 0)
+    write_batch(docs.limit(3), 1)
+    assert calls == {"oov": 1, "stats": 0}  # ...and never again
