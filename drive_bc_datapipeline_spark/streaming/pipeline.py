@@ -624,6 +624,21 @@ def read_committed(spark: SparkSession, sink_dir: str) -> DataFrame:
 DOC_STREAM_SCHEMA = "doc_id bigint, source string, text string"
 
 
+def _doc_stream_reader(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    max_files_per_trigger: int | None,
+) -> DataFrame:
+    """The document file-stream source shared by the J11/J12/J13 gate
+    streams: explicit schema, optional per-trigger file cap (the
+    file-source equivalent of a per-shard read cap)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
 def _scored_gate_writer(sink_dir: str, kept_of_batch):
     """The ONE copy of the gate-writer replay protocol shared by the
     J11 classifier gate and the J12 CCNet gate (r15 review catch —
@@ -758,12 +773,9 @@ def start_curation_gate_stream(
             "convention — pass both halves of the calibrated handoff "
             "or neither"
         )
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_dir)
     return (
-        stream.writeStream.foreachBatch(
+        _doc_stream_reader(spark, source_dir, schema, max_files_per_trigger)
+        .writeStream.foreachBatch(
             curation_gate_batch_writer(
                 sink_dir,
                 weights,
@@ -905,12 +917,9 @@ def start_ccnet_gate_stream(
             "gate with no per-domain cuts would keep nothing it can "
             "explain"
         )
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_dir)
     return (
-        stream.writeStream.foreachBatch(
+        _doc_stream_reader(spark, source_dir, schema, max_files_per_trigger)
+        .writeStream.foreachBatch(
             ccnet_gate_batch_writer(
                 sink_dir,
                 lm,
@@ -921,6 +930,187 @@ def start_ccnet_gate_stream(
                 lam=lam,
                 text_col=text_col,
                 id_col=id_col,
+                source_col=source_col,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# J13 (r15) — the staged gate stream: run_staged_curation's filterable
+# prefix (CCNet LM cut → classifier quality gate) applied per
+# micro-batch through ONE commit log. DSIR/selection stay batch-side
+# on purpose: importance resampling against a target distribution is
+# corpus-level state — per-batch resampling would make the selection
+# depend on arrival order, the same argument that keeps J12's
+# thresholds frozen. A production ingest runs THIS stream to keep the
+# gated pool current and the batch DSIR/shard job on a schedule over
+# the pool.
+# ---------------------------------------------------------------------------
+
+
+def staged_gate_batch_writer(
+    sink_dir: str,
+    lm,
+    thresholds: dict[str, float],
+    q: float,
+    weights: dict[int, float],
+    bias: float,
+    threshold: float,
+    *,
+    bigram=None,
+    alpha: float = 0.5,
+    lam: float = 0.7,
+    cal_table: list | None = None,
+    curve_bins: int | None = None,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """foreachBatch callback: CCNet cut → classifier gate →
+    exactly-once commit, composed from the J12 and J11 gate bodies
+    over the ONE shared replay protocol. Batch equivalence: the kept
+    set equals running the batch prefilter's cut then the batch
+    classifier gate on the survivors (test-pinned). Kept rows carry
+    BOTH audit trails: n_toks/avg_nll from the LM cut and score from
+    the classifier.
+
+    The calibrated handoff composes exactly as in
+    ``start_curation_gate_stream``: pass the curation manifest's
+    calibration_table + curve_bins with the calibrated threshold and
+    the inversion happens here (same half-supply guards).
+    """
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        score_hashed_linear,
+    )
+    from drive_bc_datapipeline_spark.operators.domain_filter import (
+        apply_domain_filter,
+    )
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        bigram_backoff_stats,
+        score_docs_under_bigram_lm,
+        score_docs_under_lm,
+        unigram_oov_logp,
+    )
+
+    if cal_table is not None:
+        from drive_bc_datapipeline_spark.operators.classifier import (
+            calibrated_threshold_to_raw,
+        )
+
+        if curve_bins is None:
+            raise ValueError(
+                "cal_table without curve_bins: pass the manifest's "
+                "curve_bins with its calibration_table — the raw "
+                "threshold is bin/curve_bins, so a guessed bin count "
+                "silently rescales the cut"
+            )
+        threshold = calibrated_threshold_to_raw(
+            [tuple(row) for row in cal_table], threshold,
+            n_bins=curve_bins,
+        )
+    elif curve_bins is not None:
+        raise ValueError(
+            "curve_bins without cal_table: a raw threshold has no bin "
+            "convention — pass both halves of the calibrated handoff "
+            "or neither"
+        )
+    if not thresholds:
+        raise ValueError(
+            "empty thresholds: fit the batch prefilter first — a "
+            "gate with no per-domain cuts would keep nothing it can "
+            "explain"
+        )
+    threshold_rows = [
+        {"source": s, "q": float(q), "threshold": float(t)}
+        for s, t in sorted(thresholds.items())
+    ]
+    # frozen-model probes ONCE at writer build (the J12 discipline)
+    if bigram is not None:
+        frozen_stats = bigram_backoff_stats(bigram, lm)
+    else:
+        frozen_oov = unigram_oov_logp(lm)
+
+    def kept_of_batch(batch_df: DataFrame) -> DataFrame:
+        if bigram is not None:
+            lm_scores = score_docs_under_bigram_lm(
+                batch_df, bigram, lm,
+                text_col=text_col, id_col=id_col, alpha=alpha, lam=lam,
+                stats=frozen_stats,
+            )
+        else:
+            lm_scores = score_docs_under_lm(
+                batch_df, lm, text_col=text_col, id_col=id_col,
+                oov_logp=frozen_oov,
+            )
+        prefiltered = apply_domain_filter(
+            batch_df.join(lm_scores, id_col), threshold_rows, q,
+            source_col=source_col, score_col="avg_nll",
+        )
+        gate_scores = score_hashed_linear(
+            batch_df.sparkSession,
+            prefiltered,
+            weights,
+            text_col=text_col,
+            id_col=id_col,
+            n_buckets=n_buckets,
+            bias=bias,
+        )
+        return prefiltered.join(
+            gate_scores.filter(F.col("score") >= threshold).select(
+                id_col, "score"
+            ),
+            id_col,
+        )
+
+    return _scored_gate_writer(sink_dir, kept_of_batch)
+
+
+def start_staged_gate_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    lm,
+    thresholds: dict[str, float],
+    q: float,
+    weights: dict[int, float],
+    bias: float,
+    threshold: float,
+    bigram=None,
+    alpha: float = 0.5,
+    lam: float = 0.7,
+    cal_table: list | None = None,
+    curve_bins: int | None = None,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    schema: str = DOC_STREAM_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """J13: stream documents → frozen CCNet cut → frozen classifier
+    gate → exactly-once sink — ``run_staged_curation``'s filterable
+    prefix, incremental. Model state comes from the staged manifest:
+    the prefilter half (``m["prefilter"]["thresholds"]``/``["q"]`` +
+    the LM re-fit on the same reference) and the gate half (the
+    trained weights/bias and the curation manifest's threshold,
+    calibrated or raw). Everything is frozen per stream — see J12's
+    docstring for why refitting per batch would be wrong.
+    """
+    return (
+        _doc_stream_reader(spark, source_dir, schema, max_files_per_trigger)
+        .writeStream.foreachBatch(
+            staged_gate_batch_writer(
+                sink_dir, lm, thresholds, q, weights, bias, threshold,
+                bigram=bigram, alpha=alpha, lam=lam,
+                cal_table=cal_table, curve_bins=curve_bins,
+                n_buckets=n_buckets, text_col=text_col, id_col=id_col,
                 source_col=source_col,
             )
         )

@@ -777,3 +777,103 @@ def test_ccnet_gate_writer_probes_model_once(spark, tmp_path, monkeypatch):
     write_batch(docs, 0)
     write_batch(docs.limit(3), 1)
     assert calls == {"oov": 1, "stats": 0}  # ...and never again
+
+
+def test_staged_gate_stream_matches_batch_prefix(spark, tmp_path):
+    """J13: the staged gate stream (CCNet cut → classifier gate) ==
+    running the batch prefilter then the batch classifier gate on the
+    survivors — run_staged_curation's filterable prefix, incremental.
+    Model state comes from the two batch manifests."""
+    from drive_bc_datapipeline_spark.jobs import run_staged_curation
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        score_hashed_linear,
+    )
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        unigram_lm_table,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the quick fox jumps over the lazy dog") for i in range(6)],
+        "doc_id long, text string",
+    )
+    # corpus: per domain, seed-shaped docs (half "good", half "junk"
+    # — EXACTLY the seed text shapes, so the classifier's seed-curve
+    # threshold transfers to the survivors) + OOV soup the prefilter
+    # cuts before the classifier ever scores it
+    rows = []
+    for si, src in enumerate(("web", "book")):
+        for j in range(3):
+            rows.append((100 * si + j, src, "the quick good %d" % j))
+        for j in range(3):
+            rows.append((100 * si + 10 + j, src,
+                         "the quick junk %d" % j))
+        for j in range(3):
+            rows.append((100 * si + 20 + j, src,
+                         "zx%d qq blorp gnar wib" % j))
+    docs = spark.createDataFrame(rows, sp.DOC_STREAM_SCHEMA)
+    seeds = spark.createDataFrame(
+        [(1000 + i, 1, "the quick good %d" % i) for i in range(8)]
+        + [(2000 + i, 0, "the quick junk %d" % i) for i in range(8)],
+        "doc_id long, label int, text string",
+    )
+    target = spark.createDataFrame(
+        [(3000 + i, "the quick fox good") for i in range(5)],
+        "doc_id long, text string",
+    )
+    m = run_staged_curation(
+        spark, docs, ref, seeds, target, str(tmp_path / "batch"),
+        k=4, q=0.7, n_buckets=64, n_rounds=40, lr=1.0,
+        min_precision=0.9, dsir_buckets=256, seed=3, n_shards=2,
+    )
+    # batch truth: the prefilter's kept set, then the classifier gate
+    pre_kept = spark.read.parquet(f"{tmp_path}/batch/prefilter/kept")
+    mw = m["curation"]
+    # the gate model isn't in the manifest (driver state) — retrain
+    # identically: run_curation_pipeline is deterministic for a fixed
+    # seed frame, so refitting reproduces weights; instead reuse the
+    # frames seam for the model
+    from drive_bc_datapipeline_spark.jobs import build_curation_frames
+
+    frames = build_curation_frames(
+        spark, pre_kept, seeds, target,
+        k=4, n_buckets=64, n_rounds=40, lr=1.0,
+        min_precision=0.9, dsir_buckets=256, seed=3, n_shards=2,
+    )
+    w, b = frames["model_weights"], frames["model_bias"]
+    assert frames["threshold"] == mw["threshold"]  # same training
+    batch_gate_kept = sorted(
+        r["doc_id"]
+        for r in score_hashed_linear(
+            spark, pre_kept, w, n_buckets=64, bias=b
+        ).filter(F.col("score") >= mw["threshold"]).collect()
+    )
+    assert batch_gate_kept  # the gate kept something
+
+    lm = unigram_lm_table(ref, alpha=m["prefilter"]["alpha"])
+    src_dir = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src_dir)
+    sink = str(tmp_path / "sink")
+    sp.start_staged_gate_stream(
+        spark, src_dir, sink, str(tmp_path / "ck"),
+        lm=lm, thresholds=m["prefilter"]["thresholds"],
+        q=m["prefilter"]["q"],
+        weights=w, bias=b, threshold=mw["threshold"],
+        n_buckets=64, max_files_per_trigger=1,
+    ).awaitTermination(120)
+    got = sorted(
+        r["doc_id"] for r in sp.read_committed(spark, sink).collect()
+    )
+    assert got == batch_gate_kept
+    # both audit trails ride the kept rows
+    kept_df = sp.read_committed(spark, sink)
+    assert {"n_toks", "avg_nll", "score"} <= set(kept_df.columns)
+    # and the calibrated-handoff guards compose here too
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="without cal_table"):
+        sp.start_staged_gate_stream(
+            spark, src_dir, str(tmp_path / "s2"), str(tmp_path / "c2"),
+            lm=lm, thresholds=m["prefilter"]["thresholds"],
+            q=m["prefilter"]["q"], weights=w, bias=b,
+            threshold=mw["threshold"], curve_bins=100, n_buckets=64,
+        )
