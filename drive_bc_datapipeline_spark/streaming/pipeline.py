@@ -664,6 +664,81 @@ def _scored_gate_writer(sink_dir: str, kept_of_batch):
     return write_batch
 
 
+def _resolve_gate_threshold(
+    threshold: float, cal_table: list | None, curve_bins: int | None
+) -> float:
+    """THE one copy of the calibrated-handoff resolution shared by
+    the J11 and J13 stream starters (r15 review catch — it had been
+    duplicated, with the two writers resolving at different levels):
+    a calibrated threshold arrives WITH its calibration table and
+    bin convention or not at all; writers always receive raw."""
+    if cal_table is not None:
+        from drive_bc_datapipeline_spark.operators.classifier import (
+            calibrated_threshold_to_raw,
+        )
+
+        if curve_bins is None:
+            # no default: the inversion's range guard only catches a
+            # curve_bins SMALLER than the fit; a defaulted bin count
+            # against a smaller-binned manifest would silently
+            # rescale the cut
+            raise ValueError(
+                "cal_table without curve_bins: pass the manifest's "
+                "curve_bins with its calibration_table — the raw "
+                "threshold is bin/curve_bins, so a guessed bin count "
+                "silently rescales the cut"
+            )
+        return calibrated_threshold_to_raw(
+            [tuple(row) for row in cal_table],
+            threshold,
+            n_bins=curve_bins,
+        )
+    if curve_bins is not None:
+        raise ValueError(
+            "curve_bins without cal_table: a raw threshold has no bin "
+            "convention — pass both halves of the calibrated handoff "
+            "or neither"
+        )
+    return threshold
+
+
+def _classifier_kept(
+    weights: dict[int, float],
+    bias: float,
+    threshold: float,
+    *,
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
+):
+    """kept-of-batch builder for the E7 classifier gate — THE one
+    copy of the scoring body, composed by J11 alone and by J13 after
+    the CCNet stage (r15 review catch: the body had been duplicated,
+    so a fix to one writer would not reach the other)."""
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        score_hashed_linear,
+    )
+
+    def kept(df: DataFrame) -> DataFrame:
+        scored = score_hashed_linear(
+            df.sparkSession,
+            df,
+            weights,
+            text_col=text_col,
+            id_col=id_col,
+            n_buckets=n_buckets,
+            bias=bias,
+        )
+        return df.join(
+            scored.filter(F.col("score") >= threshold).select(
+                id_col, "score"
+            ),
+            id_col,
+        )
+
+    return kept
+
+
 def curation_gate_batch_writer(
     sink_dir: str,
     weights: dict[int, float],
@@ -681,28 +756,13 @@ def curation_gate_batch_writer(
     ids. The kept rows keep every input column plus ``score`` — the
     audit trail a curation sink needs (why did this doc pass?).
     """
-    from drive_bc_datapipeline_spark.operators.classifier import (
-        score_hashed_linear,
+    return _scored_gate_writer(
+        sink_dir,
+        _classifier_kept(
+            weights, bias, threshold,
+            n_buckets=n_buckets, text_col=text_col, id_col=id_col,
+        ),
     )
-
-    def kept_of_batch(batch_df: DataFrame) -> DataFrame:
-        scored = score_hashed_linear(
-            batch_df.sparkSession,
-            batch_df,
-            weights,
-            text_col=text_col,
-            id_col=id_col,
-            n_buckets=n_buckets,
-            bias=bias,
-        )
-        return batch_df.join(
-            scored.filter(F.col("score") >= threshold).select(
-                id_col, "score"
-            ),
-            id_col,
-        )
-
-    return _scored_gate_writer(sink_dir, kept_of_batch)
 
 
 def start_curation_gate_stream(
@@ -745,34 +805,7 @@ def start_curation_gate_stream(
     per stream, scoring is stateless per-doc, so foreachBatch +
     commit log is the whole machine.
     """
-    if cal_table is not None:
-        from drive_bc_datapipeline_spark.operators.classifier import (
-            calibrated_threshold_to_raw,
-        )
-
-        if curve_bins is None:
-            # no default: the inversion's range guard only catches a
-            # curve_bins SMALLER than the fit; a defaulted 1000
-            # against a 500-bin manifest would silently return half
-            # the intended raw cut (review catch) — the pair must be
-            # supplied together, both from the same manifest
-            raise ValueError(
-                "cal_table without curve_bins: pass the manifest's "
-                "curve_bins with its calibration_table — the raw "
-                "threshold is bin/curve_bins, so a guessed bin count "
-                "silently rescales the cut"
-            )
-        threshold = calibrated_threshold_to_raw(
-            [tuple(row) for row in cal_table],
-            threshold,
-            n_bins=curve_bins,
-        )
-    elif curve_bins is not None:
-        raise ValueError(
-            "curve_bins without cal_table: a raw threshold has no bin "
-            "convention — pass both halves of the calibrated handoff "
-            "or neither"
-        )
+    threshold = _resolve_gate_threshold(threshold, cal_table, curve_bins)
     return (
         _doc_stream_reader(spark, source_dir, schema, max_files_per_trigger)
         .writeStream.foreachBatch(
@@ -808,6 +841,69 @@ def start_curation_gate_stream(
 # ---------------------------------------------------------------------------
 
 
+def _ccnet_kept(
+    lm,
+    thresholds: dict[str, float],
+    q: float,
+    *,
+    bigram,
+    alpha: float,
+    lam: float,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+):
+    """kept-of-batch builder for the frozen CCNet cut — THE one copy
+    of the H49/H50 scoring body, composed by J12 alone and by J13
+    ahead of the classifier gate (r15 review catch: the body had
+    been duplicated, so a fix to one writer would not reach the
+    other). Validates and empty-checks the frozen model HERE, once
+    per builder, never per micro-batch."""
+    from drive_bc_datapipeline_spark.operators.domain_filter import (
+        apply_domain_filter,
+    )
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        bigram_backoff_stats,
+        score_docs_under_bigram_lm,
+        score_docs_under_lm,
+        unigram_oov_logp,
+    )
+
+    if not thresholds:
+        raise ValueError(
+            "empty thresholds: fit the batch prefilter first — a "
+            "gate with no per-domain cuts would keep nothing it can "
+            "explain"
+        )
+    threshold_rows = [
+        {"source": s, "q": float(q), "threshold": float(t)}
+        for s, t in sorted(thresholds.items())
+    ]
+    if bigram is not None:
+        frozen_stats = bigram_backoff_stats(bigram, lm)
+    else:
+        frozen_oov = unigram_oov_logp(lm)
+
+    def kept(df: DataFrame) -> DataFrame:
+        if bigram is not None:
+            scores = score_docs_under_bigram_lm(
+                df, bigram, lm,
+                text_col=text_col, id_col=id_col, alpha=alpha, lam=lam,
+                stats=frozen_stats,
+            )
+        else:
+            scores = score_docs_under_lm(
+                df, lm, text_col=text_col, id_col=id_col,
+                oov_logp=frozen_oov,
+            )
+        return apply_domain_filter(
+            df.join(scores, id_col), threshold_rows, q,
+            source_col=source_col, score_col="avg_nll",
+        )
+
+    return kept
+
+
 def ccnet_gate_batch_writer(
     sink_dir: str,
     lm,
@@ -840,44 +936,13 @@ def ccnet_gate_batch_writer(
     the lm/bigram relations never change for the writer's lifetime,
     so per-batch work is exactly the H49/H50 scoring join shape.
     """
-    from drive_bc_datapipeline_spark.operators.domain_filter import (
-        apply_domain_filter,
+    return _scored_gate_writer(
+        sink_dir,
+        _ccnet_kept(
+            lm, thresholds, q, bigram=bigram, alpha=alpha, lam=lam,
+            text_col=text_col, id_col=id_col, source_col=source_col,
+        ),
     )
-    from drive_bc_datapipeline_spark.operators.lm_score import (
-        bigram_backoff_stats,
-        score_docs_under_bigram_lm,
-        score_docs_under_lm,
-        unigram_oov_logp,
-    )
-
-    threshold_rows = [
-        {"source": s, "q": float(q), "threshold": float(t)}
-        for s, t in sorted(thresholds.items())
-    ]
-    if bigram is not None:
-        frozen_stats = bigram_backoff_stats(bigram, lm)
-    else:
-        frozen_oov = unigram_oov_logp(lm)
-
-    def kept_of_batch(batch_df: DataFrame) -> DataFrame:
-        if bigram is not None:
-            scores = score_docs_under_bigram_lm(
-                batch_df, bigram, lm,
-                text_col=text_col, id_col=id_col, alpha=alpha, lam=lam,
-                stats=frozen_stats,
-            )
-        else:
-            scores = score_docs_under_lm(
-                batch_df, lm, text_col=text_col, id_col=id_col,
-                oov_logp=frozen_oov,
-            )
-        scored = batch_df.join(scores, id_col)
-        return apply_domain_filter(
-            scored, threshold_rows, q,
-            source_col=source_col, score_col="avg_nll",
-        )
-
-    return _scored_gate_writer(sink_dir, kept_of_batch)
 
 
 def start_ccnet_gate_stream(
@@ -964,108 +1029,43 @@ def staged_gate_batch_writer(
     bigram=None,
     alpha: float = 0.5,
     lam: float = 0.7,
-    cal_table: list | None = None,
-    curve_bins: int | None = None,
     n_buckets: int = 4096,
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
 ):
     """foreachBatch callback: CCNet cut → classifier gate →
-    exactly-once commit, composed from the J12 and J11 gate bodies
-    over the ONE shared replay protocol. Batch equivalence: the kept
-    set equals running the batch prefilter's cut then the batch
-    classifier gate on the survivors (test-pinned). Kept rows carry
-    BOTH audit trails: n_toks/avg_nll from the LM cut and score from
-    the classifier.
+    exactly-once commit — the literal COMPOSITION of the J12 and J11
+    kept-of-batch builders over the ONE shared replay protocol
+    (r15 review catch: the first version copy-pasted both bodies, so
+    a fix to either gate would not have reached this one). Batch
+    equivalence: the kept set equals running the batch prefilter's
+    cut then the batch classifier gate on the survivors
+    (test-pinned). Kept rows carry BOTH audit trails: n_toks/avg_nll
+    from the LM cut and score from the classifier.
 
-    The calibrated handoff composes exactly as in
-    ``start_curation_gate_stream``: pass the curation manifest's
-    calibration_table + curve_bins with the calibrated threshold and
-    the inversion happens here (same half-supply guards).
+    ``threshold`` is RAW here (the J11 writer contract) — the
+    calibrated handoff resolves in ``start_staged_gate_stream`` via
+    the shared ``_resolve_gate_threshold``, exactly like J11.
+
+    The prefiltered relation is localCheckpointed per batch: the
+    classifier stage consumes it twice (score + join-back), and
+    without the pin the LM scoring joins would re-execute ~3x per
+    micro-batch (r15 review catch — the same re-scan class the batch
+    jobs eliminate with their checkpoint).
     """
-    from drive_bc_datapipeline_spark.operators.classifier import (
-        score_hashed_linear,
+    ccnet_kept = _ccnet_kept(
+        lm, thresholds, q, bigram=bigram, alpha=alpha, lam=lam,
+        text_col=text_col, id_col=id_col, source_col=source_col,
     )
-    from drive_bc_datapipeline_spark.operators.domain_filter import (
-        apply_domain_filter,
+    classifier_kept = _classifier_kept(
+        weights, bias, threshold,
+        n_buckets=n_buckets, text_col=text_col, id_col=id_col,
     )
-    from drive_bc_datapipeline_spark.operators.lm_score import (
-        bigram_backoff_stats,
-        score_docs_under_bigram_lm,
-        score_docs_under_lm,
-        unigram_oov_logp,
-    )
-
-    if cal_table is not None:
-        from drive_bc_datapipeline_spark.operators.classifier import (
-            calibrated_threshold_to_raw,
-        )
-
-        if curve_bins is None:
-            raise ValueError(
-                "cal_table without curve_bins: pass the manifest's "
-                "curve_bins with its calibration_table — the raw "
-                "threshold is bin/curve_bins, so a guessed bin count "
-                "silently rescales the cut"
-            )
-        threshold = calibrated_threshold_to_raw(
-            [tuple(row) for row in cal_table], threshold,
-            n_bins=curve_bins,
-        )
-    elif curve_bins is not None:
-        raise ValueError(
-            "curve_bins without cal_table: a raw threshold has no bin "
-            "convention — pass both halves of the calibrated handoff "
-            "or neither"
-        )
-    if not thresholds:
-        raise ValueError(
-            "empty thresholds: fit the batch prefilter first — a "
-            "gate with no per-domain cuts would keep nothing it can "
-            "explain"
-        )
-    threshold_rows = [
-        {"source": s, "q": float(q), "threshold": float(t)}
-        for s, t in sorted(thresholds.items())
-    ]
-    # frozen-model probes ONCE at writer build (the J12 discipline)
-    if bigram is not None:
-        frozen_stats = bigram_backoff_stats(bigram, lm)
-    else:
-        frozen_oov = unigram_oov_logp(lm)
 
     def kept_of_batch(batch_df: DataFrame) -> DataFrame:
-        if bigram is not None:
-            lm_scores = score_docs_under_bigram_lm(
-                batch_df, bigram, lm,
-                text_col=text_col, id_col=id_col, alpha=alpha, lam=lam,
-                stats=frozen_stats,
-            )
-        else:
-            lm_scores = score_docs_under_lm(
-                batch_df, lm, text_col=text_col, id_col=id_col,
-                oov_logp=frozen_oov,
-            )
-        prefiltered = apply_domain_filter(
-            batch_df.join(lm_scores, id_col), threshold_rows, q,
-            source_col=source_col, score_col="avg_nll",
-        )
-        gate_scores = score_hashed_linear(
-            batch_df.sparkSession,
-            prefiltered,
-            weights,
-            text_col=text_col,
-            id_col=id_col,
-            n_buckets=n_buckets,
-            bias=bias,
-        )
-        return prefiltered.join(
-            gate_scores.filter(F.col("score") >= threshold).select(
-                id_col, "score"
-            ),
-            id_col,
-        )
+        prefiltered = ccnet_kept(batch_df).localCheckpoint(eager=True)
+        return classifier_kept(prefiltered)
 
     return _scored_gate_writer(sink_dir, kept_of_batch)
 
@@ -1101,15 +1101,17 @@ def start_staged_gate_stream(
     the LM re-fit on the same reference) and the gate half (the
     trained weights/bias and the curation manifest's threshold,
     calibrated or raw). Everything is frozen per stream — see J12's
-    docstring for why refitting per batch would be wrong.
+    docstring for why refitting per batch would be wrong. The
+    calibrated handoff resolves here through the same
+    ``_resolve_gate_threshold`` J11 uses (same half-supply guards).
     """
+    threshold = _resolve_gate_threshold(threshold, cal_table, curve_bins)
     return (
         _doc_stream_reader(spark, source_dir, schema, max_files_per_trigger)
         .writeStream.foreachBatch(
             staged_gate_batch_writer(
                 sink_dir, lm, thresholds, q, weights, bias, threshold,
                 bigram=bigram, alpha=alpha, lam=lam,
-                cal_table=cal_table, curve_bins=curve_bins,
                 n_buckets=n_buckets, text_col=text_col, id_col=id_col,
                 source_col=source_col,
             )

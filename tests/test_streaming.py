@@ -867,7 +867,55 @@ def test_staged_gate_stream_matches_batch_prefix(spark, tmp_path):
     # both audit trails ride the kept rows
     kept_df = sp.read_committed(spark, sink)
     assert {"n_toks", "avg_nll", "score"} <= set(kept_df.columns)
-    # and the calibrated-handoff guards compose here too
+
+    # the calibrated handoff END TO END (review catch — the guards
+    # alone don't exercise the inversion path): fit isotonic on the
+    # seed scores, pick a calibrated threshold whose raw inversion
+    # equals the gate threshold used above, and the calibrated staged
+    # stream keeps the identical set
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        apply_isotonic_calibration,
+        calibrated_threshold_to_raw,
+        isotonic_calibration_table,
+    )
+
+    n_bins = 200
+    seed_scored = score_hashed_linear(
+        spark, seeds, w, n_buckets=64, bias=b
+    ).join(seeds.select("doc_id", "label"), "doc_id")
+    cal_table = isotonic_calibration_table(seed_scored, n_bins=n_bins)
+    seed_cal = apply_isotonic_calibration(
+        seed_scored, cal_table, n_bins=n_bins
+    )
+    # lowest calibrated value whose raw bin clears the gate threshold
+    t_cal = min(
+        r["calibrated"]
+        for r in seed_cal.collect()
+        if r["score"] >= mw["threshold"]
+    )
+    raw_t = calibrated_threshold_to_raw(cal_table, t_cal, n_bins=n_bins)
+    cal_sink = str(tmp_path / "cal_sink")
+    sp.start_staged_gate_stream(
+        spark, src_dir, cal_sink, str(tmp_path / "cal_ck"),
+        lm=lm, thresholds=m["prefilter"]["thresholds"],
+        q=m["prefilter"]["q"], weights=w, bias=b,
+        threshold=t_cal, cal_table=cal_table, curve_bins=n_bins,
+        n_buckets=64, max_files_per_trigger=1,
+    ).awaitTermination(120)
+    got_cal = sorted(
+        r["doc_id"]
+        for r in sp.read_committed(spark, cal_sink).collect()
+    )
+    # same set as applying the hand-inverted raw threshold batch-side
+    want_cal = sorted(
+        r["doc_id"]
+        for r in score_hashed_linear(
+            spark, pre_kept, w, n_buckets=64, bias=b
+        ).filter(F.col("score") >= raw_t).collect()
+    )
+    assert got_cal == want_cal and got_cal
+
+    # both half-supply guard directions compose here too
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="without cal_table"):
@@ -877,3 +925,54 @@ def test_staged_gate_stream_matches_batch_prefix(spark, tmp_path):
             q=m["prefilter"]["q"], weights=w, bias=b,
             threshold=mw["threshold"], curve_bins=100, n_buckets=64,
         )
+    with _pytest.raises(ValueError, match="without curve_bins"):
+        sp.start_staged_gate_stream(
+            spark, src_dir, str(tmp_path / "s3"), str(tmp_path / "c3"),
+            lm=lm, thresholds=m["prefilter"]["thresholds"],
+            q=m["prefilter"]["q"], weights=w, bias=b,
+            threshold=t_cal, cal_table=cal_table, n_buckets=64,
+        )
+
+
+def test_staged_gate_writer_replay_protocol(spark, tmp_path):
+    """The J10 replay protocol through the STAGED writer (review
+    catch — it had only been driven through the single-gate
+    writers): replayed committed ids short-circuit, a crash window
+    rewrites cleanly."""
+    import os
+
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        train_hashed_linear,
+    )
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        unigram_lm_table,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the quick good fox") for i in range(4)],
+        "doc_id long, text string",
+    )
+    lm = unigram_lm_table(ref)
+    seeds = spark.createDataFrame(
+        [(100 + i, 1, "the quick good %d" % i) for i in range(6)]
+        + [(200 + i, 0, "zz junk bad %d" % i) for i in range(6)],
+        "doc_id long, label int, text string",
+    )
+    w, b = train_hashed_linear(spark, seeds, n_buckets=64, n_rounds=30)
+    docs = spark.createDataFrame(
+        [(i, "web", "the quick good %d" % i) for i in range(4)]
+        + [(10 + i, "web", "zz junk bad %d" % i) for i in range(4)],
+        sp.DOC_STREAM_SCHEMA,
+    )
+    sink = str(tmp_path / "rp_sink")
+    write_batch = sp.staged_gate_batch_writer(
+        sink, lm, {"web": 50.0}, 0.9, w, b, 0.6, n_buckets=64
+    )
+    write_batch(docs, 0)
+    n0 = sp.read_committed(spark, sink).count()
+    assert n0 > 0
+    write_batch(docs, 0)  # replay: marker short-circuits
+    assert sp.read_committed(spark, sink).count() == n0
+    os.remove(sp.commit_marker_path(sink, 0))
+    write_batch(docs, 0)  # crash window: clean rewrite
+    assert sp.read_committed(spark, sink).count() == n0
