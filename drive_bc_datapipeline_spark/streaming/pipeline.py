@@ -647,7 +647,13 @@ def _scored_gate_writer(sink_dir: str, kept_of_batch):
     would skip the write, but only after its isEmpty probe executed
     the plan once), then persist the kept frame around base's
     isEmpty probe + write so each fresh batch scores ONCE.
-    ``kept_of_batch(batch_df) -> DataFrame`` supplies the gate."""
+
+    ``kept_of_batch(batch_df)`` supplies the gate: either a bare
+    DataFrame, or ``(DataFrame, aux)`` where ``aux`` is a tuple of
+    intermediate frames the builder persisted for intra-batch reuse —
+    they are unpersisted here alongside the kept frame (r15 ADVICE:
+    the staged writer's per-batch localCheckpoint blocks were never
+    released, accumulating executor storage over a long stream)."""
     base = exactly_once_batch_writer(sink_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -655,11 +661,15 @@ def _scored_gate_writer(sink_dir: str, kept_of_batch):
 
         if os.path.exists(commit_marker_path(sink_dir, batch_id)):
             return
-        kept = kept_of_batch(batch_df).persist()
+        out = kept_of_batch(batch_df)
+        kept, aux = out if isinstance(out, tuple) else (out, ())
+        kept = kept.persist()
         try:
             base(kept, batch_id)
         finally:
             kept.unpersist()
+            for frame in aux:
+                frame.unpersist()
 
     return write_batch
 
@@ -841,6 +851,37 @@ def start_curation_gate_stream(
 # ---------------------------------------------------------------------------
 
 
+def _validate_lm_order(lm_order: int | None, bigram) -> None:
+    """THE one copy of the manifest-vs-model order check shared by the
+    J12 and J13 stream starters (r15 ADVICE): thresholds fit at
+    lm_order=2 applied with ``bigram=None`` silently score order-1
+    and the streamed kept-set diverges from the batch cut — only
+    alpha/lam were documented. Pass the batch manifest's
+    ``lm_order``; ``None`` skips the check (a caller without a
+    manifest already chose the scorer by supplying ``bigram``)."""
+    if lm_order is None:
+        return
+    if lm_order == 2 and bigram is None:
+        raise ValueError(
+            "lm_order=2 per the manifest but bigram=None: the stream "
+            "would score order-1 under order-2 thresholds and its "
+            "kept-set would silently diverge from the batch cut — "
+            "pass the bigram_lm_table fit on the same reference"
+        )
+    if lm_order == 1 and bigram is not None:
+        raise ValueError(
+            "lm_order=1 per the manifest but a bigram table was "
+            "supplied: the stream would score order-2 under order-1 "
+            "thresholds — drop the bigram or re-fit the prefilter "
+            "at lm_order=2"
+        )
+    if lm_order not in (1, 2):
+        raise ValueError(
+            f"lm_order={lm_order}: the streaming gates score order 1 "
+            "(unigram) or 2 (bigram with unigram backoff)"
+        )
+
+
 def _ccnet_kept(
     lm,
     thresholds: dict[str, float],
@@ -957,6 +998,7 @@ def start_ccnet_gate_stream(
     bigram=None,
     alpha: float = 0.5,
     lam: float = 0.7,
+    lm_order: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
@@ -972,10 +1014,14 @@ def start_ccnet_gate_stream(
     are THE SAME decision function, which the test pins
     (streamed kept-set == the batch job's kept-set on the union).
     Pass the SAME alpha/lam the manifest records when scoring
-    order-2. Not a transformWithState job on purpose: the model is
-    static per stream, scoring is stateless per-doc, so foreachBatch
-    + commit log is the whole machine (the J11 argument).
+    order-2, and the manifest's ``lm_order`` so a thresholds/model
+    order mismatch raises instead of silently scoring the wrong
+    order (the cal_table/curve_bins half-supply discipline). Not a
+    transformWithState job on purpose: the model is static per
+    stream, scoring is stateless per-doc, so foreachBatch + commit
+    log is the whole machine (the J11 argument).
     """
+    _validate_lm_order(lm_order, bigram)
     if not thresholds:
         raise ValueError(
             "empty thresholds: fit the batch prefilter first — a "
@@ -1048,11 +1094,15 @@ def staged_gate_batch_writer(
     calibrated handoff resolves in ``start_staged_gate_stream`` via
     the shared ``_resolve_gate_threshold``, exactly like J11.
 
-    The prefiltered relation is localCheckpointed per batch: the
-    classifier stage consumes it twice (score + join-back), and
-    without the pin the LM scoring joins would re-execute ~3x per
-    micro-batch (r15 review catch — the same re-scan class the batch
-    jobs eliminate with their checkpoint).
+    The prefiltered relation is persisted per batch and eagerly
+    materialized: the classifier stage consumes it twice (score +
+    join-back), and without the pin the LM scoring joins would
+    re-execute ~3x per micro-batch (r15 review catch — the same
+    re-scan class the batch jobs eliminate with their checkpoint).
+    persist + the writer's aux-unpersist protocol rather than
+    localCheckpoint (r15 ADVICE): checkpoint blocks have no release
+    hook and would linger on executors until the driver GC'd the
+    reference, accumulating storage over a long-running stream.
     """
     ccnet_kept = _ccnet_kept(
         lm, thresholds, q, bigram=bigram, alpha=alpha, lam=lam,
@@ -1063,9 +1113,14 @@ def staged_gate_batch_writer(
         n_buckets=n_buckets, text_col=text_col, id_col=id_col,
     )
 
-    def kept_of_batch(batch_df: DataFrame) -> DataFrame:
-        prefiltered = ccnet_kept(batch_df).localCheckpoint(eager=True)
-        return classifier_kept(prefiltered)
+    def kept_of_batch(batch_df: DataFrame):
+        prefiltered = ccnet_kept(batch_df).persist()
+        # eager: one count materializes the cache so the classifier
+        # stage's two consumers read it instead of racing to compute
+        # the LM joins (the localCheckpoint(eager=True) semantics,
+        # kept under the releasable storage level)
+        prefiltered.count()
+        return classifier_kept(prefiltered), (prefiltered,)
 
     return _scored_gate_writer(sink_dir, kept_of_batch)
 
@@ -1085,6 +1140,7 @@ def start_staged_gate_stream(
     bigram=None,
     alpha: float = 0.5,
     lam: float = 0.7,
+    lm_order: int | None = None,
     cal_table: list | None = None,
     curve_bins: int | None = None,
     n_buckets: int = 4096,
@@ -1098,13 +1154,15 @@ def start_staged_gate_stream(
     gate → exactly-once sink — ``run_staged_curation``'s filterable
     prefix, incremental. Model state comes from the staged manifest:
     the prefilter half (``m["prefilter"]["thresholds"]``/``["q"]`` +
-    the LM re-fit on the same reference) and the gate half (the
-    trained weights/bias and the curation manifest's threshold,
-    calibrated or raw). Everything is frozen per stream — see J12's
-    docstring for why refitting per batch would be wrong. The
-    calibrated handoff resolves here through the same
+    the LM re-fit on the same reference, with its ``lm_order`` passed
+    through so a model/thresholds order mismatch raises) and the gate
+    half (the trained weights/bias and the curation manifest's
+    threshold, calibrated or raw). Everything is frozen per stream —
+    see J12's docstring for why refitting per batch would be wrong.
+    The calibrated handoff resolves here through the same
     ``_resolve_gate_threshold`` J11 uses (same half-supply guards).
     """
+    _validate_lm_order(lm_order, bigram)
     threshold = _resolve_gate_threshold(threshold, cal_table, curve_bins)
     return (
         _doc_stream_reader(spark, source_dir, schema, max_files_per_trigger)

@@ -976,3 +976,101 @@ def test_staged_gate_writer_replay_protocol(spark, tmp_path):
     os.remove(sp.commit_marker_path(sink, 0))
     write_batch(docs, 0)  # crash window: clean rewrite
     assert sp.read_committed(spark, sink).count() == n0
+
+
+def test_gate_stream_lm_order_guard(spark, tmp_path):
+    """r15 ADVICE: the J12/J13 starters accept the batch manifest's
+    lm_order and refuse a model/thresholds order mismatch in BOTH
+    directions — thresholds fit at order 2 with no bigram table would
+    silently score order-1 and diverge from the batch cut."""
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        train_hashed_linear,
+    )
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        bigram_lm_table,
+        unigram_lm_table,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the quick good fox") for i in range(4)],
+        "doc_id long, text string",
+    )
+    lm = unigram_lm_table(ref)
+    bg = bigram_lm_table(ref)
+    seeds = spark.createDataFrame(
+        [(100 + i, 1, "the quick good %d" % i) for i in range(6)]
+        + [(200 + i, 0, "zz junk bad %d" % i) for i in range(6)],
+        "doc_id long, label int, text string",
+    )
+    w, b = train_hashed_linear(spark, seeds, n_buckets=64, n_rounds=5)
+
+    def j12(**kw):
+        return sp.start_ccnet_gate_stream(
+            spark, str(tmp_path / "s"), str(tmp_path / "o"),
+            str(tmp_path / "c"), lm=lm, thresholds={"web": 50.0},
+            q=0.9, **kw,
+        )
+
+    def j13(**kw):
+        return sp.start_staged_gate_stream(
+            spark, str(tmp_path / "s"), str(tmp_path / "o2"),
+            str(tmp_path / "c2"), lm=lm, thresholds={"web": 50.0},
+            q=0.9, weights=w, bias=b, threshold=0.6, n_buckets=64,
+            **kw,
+        )
+
+    for start in (j12, j13):
+        with pytest.raises(ValueError, match="bigram=None"):
+            start(lm_order=2)
+        with pytest.raises(ValueError, match="lm_order=1"):
+            start(lm_order=1, bigram=bg)
+        with pytest.raises(ValueError, match="order 1"):
+            start(lm_order=7)
+
+
+def test_staged_gate_writer_releases_prefiltered_storage(spark, tmp_path):
+    """r15 ADVICE: the staged writer's per-batch prefiltered pin is
+    RELEASED after the commit — a long-running stream must not
+    accumulate one pinned block set per micro-batch (the old
+    localCheckpoint had no release hook). Kept rows unchanged."""
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        train_hashed_linear,
+    )
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        unigram_lm_table,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the quick good fox") for i in range(4)],
+        "doc_id long, text string",
+    )
+    lm = unigram_lm_table(ref)
+    seeds = spark.createDataFrame(
+        [(100 + i, 1, "the quick good %d" % i) for i in range(6)]
+        + [(200 + i, 0, "zz junk bad %d" % i) for i in range(6)],
+        "doc_id long, label int, text string",
+    )
+    w, b = train_hashed_linear(spark, seeds, n_buckets=64, n_rounds=30)
+    docs = spark.createDataFrame(
+        [(i, "web", "the quick good %d" % i) for i in range(4)]
+        + [(10 + i, "web", "zz junk bad %d" % i) for i in range(4)],
+        sp.DOC_STREAM_SCHEMA,
+    )
+    sink = str(tmp_path / "rel_sink")
+    write_batch = sp.staged_gate_batch_writer(
+        sink, lm, {"web": 50.0}, 0.9, w, b, 0.6, n_buckets=64
+    )
+    def pinned_ids():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    # set-based, not a count: the ContextCleaner may unpersist OLDER
+    # tests' checkpoint RDDs mid-loop, so only "no NEW survivors" is
+    # a stable property
+    base = pinned_ids()
+    for batch_id in range(3):
+        write_batch(docs, batch_id)
+        # nothing pinned survives the batch: neither the kept frame
+        # nor the prefiltered intermediate
+        assert pinned_ids() <= base
+    assert sp.read_committed(spark, sink).count() > 0

@@ -85,6 +85,9 @@ def run_spread_ab(
     finally:
         # restore the real helper even if a run raises, so an aborted
         # A/B can't leave the plans modules patched to the wrong arm
+        # (and stop the session here too — r15 ADVICE: a raise during
+        # a timing pass used to leave the JVM running, polluting the
+        # box load the very protocol depends on)
         for m in modules:
             m.spread = real_spread
-    spark.stop()
+        spark.stop()
