@@ -1,0 +1,476 @@
+"""Real multimodal decode cores (SURVEY §2 I1b/I2/I4, r16): pure-numpy
+codecs for two uncompressed PUBLIC formats — 24-bit BI_RGB BMP
+(Windows BITMAPINFOHEADER layout) and PCM RIFF/WAVE — plus the
+Arrow-batched ``mapInPandas`` featurizers that consume them.
+
+Until r15 the multimodal plans carried deterministic byte-arithmetic
+stand-ins ("the contracts are real; the math isn't" — r15 verdict,
+What's missing #1). The environment has no image/audio libraries, but
+it has numpy, and BMP/WAV are header-plus-raw-samples formats — so the
+decode can be REAL at zero new dependencies: parse the actual header
+fields, recover the actual pixel/sample arrays, feature from those.
+PNG/JPEG/MP3 remain out of scope (entropy coding needs a codec
+library); a production deployment swaps ``decode_bmp``/``decode_wav``
+for PIL/soundfile calls behind the SAME featurizer signatures.
+
+Reference analog: etl-events.py's binary Kinesis payload → parsed
+records path (decode-inside-the-executor, never on the driver).
+
+100 TB shape: every featurizer is a narrow ``mapInPandas`` — Arrow
+batches in, no shuffle, no driver collection, embarrassingly
+parallel. Encoders exist so tests and the synthetic driver keys can
+round-trip REAL bytes; a real corpus arrives as binary columns via
+the K14 ``binaryFile`` source (tested together in
+tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+# ---------------------------------------------------------------------------
+# BMP codec — 24-bit uncompressed (BI_RGB), BITMAPINFOHEADER.
+#
+# Layout facts the decoder must honor (all public, from the format):
+# - 14-byte file header: b"BM", file size, reserved, pixel-data offset;
+# - 40-byte info header: width (signed), height (signed: positive =
+#   bottom-up row order, negative = top-down), planes, bpp,
+#   compression (0 = BI_RGB);
+# - each row is padded to a 4-byte multiple;
+# - pixels are stored B, G, R.
+# A decoder that skips the row flip or the channel swap returns wrong
+# pixels — the round-trip tests and the driver key's top-left-pixel
+# column both catch that class.
+# ---------------------------------------------------------------------------
+
+_BMP_FILE_HEADER = struct.Struct("<2sIHHI")
+_BMP_INFO_HEADER = struct.Struct("<IiiHHIIiiII")
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB, top-down row order → 24-bit BI_RGB bytes."""
+    px = np.asarray(pixels)
+    if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
+        raise ValueError(
+            f"encode_bmp expects (h, w, 3) uint8 RGB, got "
+            f"shape={px.shape} dtype={px.dtype}"
+        )
+    h, w, _ = px.shape
+    if h < 1 or w < 1:
+        raise ValueError(f"encode_bmp needs h, w >= 1, got {h}x{w}")
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    stride = row_bytes + pad
+    # RGB top-down → BGR bottom-up + row padding
+    bgr = px[::-1, :, ::-1]
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+    data = rows.tobytes()
+    offset = _BMP_FILE_HEADER.size + _BMP_INFO_HEADER.size
+    file_header = _BMP_FILE_HEADER.pack(
+        b"BM", offset + len(data), 0, 0, offset
+    )
+    info_header = _BMP_INFO_HEADER.pack(
+        _BMP_INFO_HEADER.size, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + data
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """24-bit BI_RGB bytes → (h, w, 3) uint8 RGB, top-down row order.
+
+    Honors the signed-height convention (negative = already top-down)
+    and strips row padding. Fails loudly on anything that isn't the
+    uncompressed 24-bit layout — a silent best-effort parse of a
+    compressed BMP would feature garbage pixels.
+    """
+    buf = bytes(buf)
+    if len(buf) < _BMP_FILE_HEADER.size + _BMP_INFO_HEADER.size:
+        raise ValueError(f"decode_bmp: {len(buf)} bytes is too short")
+    magic, _fsize, _r1, _r2, offset = _BMP_FILE_HEADER.unpack_from(buf, 0)
+    if magic != b"BM":
+        raise ValueError(f"decode_bmp: bad magic {magic!r}, want b'BM'")
+    (
+        hdr_size, w, h_signed, planes, bpp, compression,
+        _img_size, _xppm, _yppm, _clr_used, _clr_imp,
+    ) = _BMP_INFO_HEADER.unpack_from(buf, _BMP_FILE_HEADER.size)
+    if hdr_size < _BMP_INFO_HEADER.size:
+        raise ValueError(
+            f"decode_bmp: info header {hdr_size} bytes — BITMAPCOREHEADER "
+            "variants are out of scope (need BITMAPINFOHEADER or larger)"
+        )
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"decode_bmp: bpp={bpp} compression={compression} — only "
+            "24-bit uncompressed BI_RGB is supported (a codec library "
+            "handles the rest)"
+        )
+    if planes != 1:
+        raise ValueError(f"decode_bmp: planes={planes}, the format says 1")
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    if w < 1 or h < 1:
+        raise ValueError(f"decode_bmp: degenerate dims {w}x{h_signed}")
+    stride = (w * 3 + 3) // 4 * 4
+    need = offset + stride * h
+    if len(buf) < need:
+        raise ValueError(
+            f"decode_bmp: pixel array truncated ({len(buf)} < {need})"
+        )
+    rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=offset)
+    bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return np.ascontiguousarray(bgr[:, :, ::-1])
+
+
+# ---------------------------------------------------------------------------
+# WAV codec — PCM RIFF/WAVE, 8-bit unsigned or 16-bit signed,
+# any channel count; decode walks the chunk list (a real file may
+# carry LIST/INFO, fact, or cue chunks between fmt and data — a
+# fixed-offset parse breaks on them).
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """1-D (mono) or (n, channels) PCM samples → RIFF/WAVE bytes.
+
+    dtype picks the encoding: uint8 → 8-bit unsigned PCM, int16 →
+    16-bit signed little-endian PCM (the two classic PCM subtypes).
+    """
+    a = np.asarray(samples)
+    if a.ndim == 1:
+        a = a[:, None]
+    if a.ndim != 2 or a.shape[0] < 1:
+        raise ValueError(
+            f"encode_wav expects 1-D or (n, channels) samples, got "
+            f"shape={np.asarray(samples).shape}"
+        )
+    if a.dtype == np.uint8:
+        bits = 8
+    elif a.dtype == np.int16:
+        bits = 16
+    else:
+        raise ValueError(
+            f"encode_wav: dtype {a.dtype} — use uint8 (8-bit PCM) or "
+            "int16 (16-bit PCM)"
+        )
+    if sample_rate < 1:
+        raise ValueError(f"encode_wav: sample_rate={sample_rate}")
+    n_ch = a.shape[1]
+    block_align = n_ch * bits // 8
+    data = np.ascontiguousarray(a.astype("<" + a.dtype.str[1:])).tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, sample_rate, sample_rate * block_align,
+        block_align, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")  # RIFF chunks pad to even
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE bytes → ((n, channels) samples, sample_rate).
+
+    Walks the chunk list to find ``fmt `` and ``data`` wherever they
+    sit (RIFF allows other chunks between them, each padded to an
+    even size). Only integer PCM (format tag 1) at 8 or 16 bits is
+    decoded; anything else raises by name.
+    """
+    buf = bytes(buf)
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("decode_wav: not a RIFF/WAVE stream")
+    pos, end = 12, min(len(buf), 8 + struct.unpack_from("<I", buf, 4)[0])
+    fmt = data = None
+    while pos + 8 <= end:
+        cid = buf[pos:pos + 4]
+        size = struct.unpack_from("<I", buf, pos + 4)[0]
+        body = buf[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"decode_wav: chunk {cid!r} truncated")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("decode_wav: missing fmt or data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"decode_wav: fmt chunk is {len(fmt)} bytes")
+    tag, n_ch, rate, _brate, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if tag != 1:
+        raise ValueError(
+            f"decode_wav: format tag {tag} — only integer PCM (1) is "
+            "supported (float/ADPCM need a codec library)"
+        )
+    if bits == 8:
+        dt = np.dtype("u1")
+    elif bits == 16:
+        dt = np.dtype("<i2")
+    else:
+        raise ValueError(f"decode_wav: {bits}-bit PCM is out of scope")
+    if n_ch < 1 or block_align != n_ch * bits // 8:
+        raise ValueError(
+            f"decode_wav: channels={n_ch} block_align={block_align} "
+            "disagree with the bit depth"
+        )
+    n_frames = len(data) // block_align
+    a = np.frombuffer(data, dtype=dt, count=n_frames * n_ch)
+    return a.reshape(n_frames, n_ch), int(rate)
+
+
+# ---------------------------------------------------------------------------
+# Featurizers — the mapInPandas stages the plans compose. Each is a
+# narrow 1→1 (or 1→1-with-nested) transformation over a binary column.
+# ---------------------------------------------------------------------------
+
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id long, width int, height int, n_channels int, "
+    "px_sum bigint, top_left_r int"
+)
+
+
+def decode_image_features(
+    df: DataFrame, *, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, BMP payload) → per-image features from the DECODED pixel
+    array: real dims from the header, the exact pixel-value sum, and
+    the top-left pixel's R channel — the column a decoder that skips
+    the bottom-up row flip or the BGR swap gets wrong."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, chs, sums, tls = [], [], [], [], [], []
+            for doc_id, buf in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_bmp(bytes(buf))
+                ids.append(doc_id)
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                chs.append(px.shape[2])
+                sums.append(int(px.sum(dtype=np.int64)))
+                tls.append(int(px[0, 0, 0]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_channels": pd.Series(chs, dtype="int32"),
+                    "px_sum": pd.Series(sums, dtype="int64"),
+                    "top_left_r": pd.Series(tls, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(featurize, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def resize_image_bytes(
+    df: DataFrame,
+    *,
+    max_w: int = 224,
+    max_h: int = 224,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, BMP payload) → aspect-preserving nearest-neighbor downscale
+    into the (max_w, max_h) box, re-encoded as BMP — the I2 resize
+    verb with a REAL pixel path (PIL.thumbnail's integer cousin).
+    Images already inside the box pass through re-encoded (scale
+    clamps to 1.0). 1→1, binary out: the shape of a thumbnailing
+    stage in an image-corpus pipeline."""
+    if max_w < 1 or max_h < 1:
+        raise ValueError(f"resize box {max_w}x{max_h}: needs >= 1")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sw, sh, dw, dh, out = [], [], [], [], [], []
+            for doc_id, buf in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_bmp(bytes(buf))
+                h, w = px.shape[:2]
+                scale = min(max_w / w, max_h / h, 1.0)
+                w2 = max(1, int(w * scale))
+                h2 = max(1, int(h * scale))
+                # nearest-neighbor: index by the scaled grid
+                yi = (np.arange(h2) * h // h2).astype(np.int64)
+                xi = (np.arange(w2) * w // w2).astype(np.int64)
+                small = px[yi][:, xi]
+                ids.append(doc_id)
+                sw.append(w)
+                sh.append(h)
+                dw.append(w2)
+                dh.append(h2)
+                out.append(encode_bmp(small))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "src_w": pd.Series(sw, dtype="int32"),
+                    "src_h": pd.Series(sh, dtype="int32"),
+                    "dst_w": pd.Series(dw, dtype="int32"),
+                    "dst_h": pd.Series(dh, dtype="int32"),
+                    "payload": out,
+                }
+            )
+
+    return df.mapInPandas(
+        resize,
+        schema=(
+            "doc_id long, src_w int, src_h int, dst_w int, dst_h int, "
+            "payload binary"
+        ),
+    )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples int, n_windows int, "
+    "window_energy string"
+)
+
+
+def decode_audio_features(
+    df: DataFrame,
+    *,
+    window: int = 256,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, WAV payload) → windowed energy profile from the DECODED
+    sample array: sample rate and count from the actual fmt/data
+    chunks, per-window sum of sample values (channels mixed by
+    summing — integer, so bit-exact across engines; the I4 JSON-array
+    convention for the nested output). The tail window zero-pads."""
+    if window < 1:
+        raise ValueError(f"window={window}: needs >= 1")
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, counts, n_windows, feats = [], [], [], [], []
+            for doc_id, buf in zip(pdf[id_col], pdf[payload_col]):
+                samples, rate = decode_wav(bytes(buf))
+                mixed = samples.astype(np.int64).sum(axis=1)
+                pad = (-len(mixed)) % window
+                if pad:
+                    mixed = np.pad(mixed, (0, pad))
+                sums = (
+                    mixed.reshape(-1, window).sum(axis=1)
+                    if len(mixed)
+                    else np.zeros(0, dtype=np.int64)
+                )
+                ids.append(doc_id)
+                rates.append(rate)
+                counts.append(int(samples.shape[0]))
+                n_windows.append(len(sums))
+                feats.append(
+                    "[" + ",".join(str(int(s)) for s in sums) + "]"
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(counts, dtype="int32"),
+                    "n_windows": pd.Series(n_windows, dtype="int32"),
+                    "window_energy": feats,
+                }
+            )
+
+    return df.mapInPandas(featurize, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic payload builders — how the DRIVER KEYS (and tests) put
+# real BMP/WAV bytes on the documents table, whose only payload-like
+# column is text. Deterministic functions of the text bytes, so the
+# DuckDB oracle can state the decoded features in SQL (the text is
+# ASCII in the testdata; ord(substr) = byte value).
+# ---------------------------------------------------------------------------
+
+#: Text→BMP convention: width 16 px (row stride 48 bytes — a 4-byte
+#: multiple, so NO row padding ambiguity), height = ceil(n/48) min 1,
+#: pixel buffer = the utf-8 text bytes laid row-major top-down RGB,
+#: zero-padded to fill the last row.
+TEXT_BMP_WIDTH = 16
+
+
+def text_bytes_to_bmp(raw: bytes) -> bytes:
+    """Deterministic text→BMP builder (the driver-key convention)."""
+    row = TEXT_BMP_WIDTH * 3
+    h = max(1, -(-len(raw) // row))
+    buf = np.zeros(h * row, dtype=np.uint8)
+    buf[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+    return encode_bmp(buf.reshape(h, TEXT_BMP_WIDTH, 3))
+
+
+#: Text→WAV convention: 8-bit unsigned mono PCM at 8 kHz, one sample
+#: per text byte.
+TEXT_WAV_RATE = 8000
+
+
+def text_bytes_to_wav(raw: bytes) -> bytes:
+    """Deterministic text→WAV builder (the driver-key convention).
+    Zero-length text still encodes a valid (empty-data) WAV."""
+    samples = np.frombuffer(raw, dtype=np.uint8)
+    if len(samples) == 0:
+        # encode_wav refuses 0 frames (a real encoder call with no
+        # samples is a bug); build the empty-data container directly
+        fmt = struct.pack("<HHIIHH", 1, 1, TEXT_WAV_RATE, TEXT_WAV_RATE, 1, 8)
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0)
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+    return encode_wav(samples, TEXT_WAV_RATE)
+
+
+def attach_bmp_payload(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """documents → (id, payload=BMP of the text bytes). The synthetic
+    stand-in for an image corpus arriving through K14 binaryFile —
+    REAL bytes in the column, so the downstream decode is real."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [
+                        text_bytes_to_bmp(("" if t is None else t).encode())
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+def attach_wav_payload(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """documents → (id, payload=WAV of the text bytes)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [
+                        text_bytes_to_wav(("" if t is None else t).encode())
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )

@@ -1,12 +1,19 @@
-"""Multimodal column plan (SURVEY §2 I1): opaque binary payloads with
-typed metadata, processed through Arrow-batched ``mapInPandas``.
+"""Multimodal column plans (SURVEY §2 I1-I4): opaque binary payloads
+with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
-The container has no image/audio libraries, so the *decode* core is a
-deterministic stand-in (byte-level features); the Spark-side plumbing
-— binary column construction, output schema, Arrow batch iteration,
-partition-preserving mapInPandas — is real and is exactly what an
-image/audio featurizer would use. Reference analog: etl-events.py's
-binary Kinesis payload → parsed records path.
+The container has no image/audio libraries. As of r16 the image (I1b)
+and audio (I4) keys decode REAL formats anyway — pure-numpy 24-bit
+BMP and PCM WAV codecs in ``operators/multimodal`` (header parse,
+row-flip/BGR/chunk-walk and all), fed by real bytes built from each
+document's text. The remaining keys (I1 byte-meta, I2 resize
+arithmetic, I3 frame sampling) keep deterministic byte-level
+stand-ins for the entropy-coded formats a codec library would
+handle; their Spark-side plumbing — binary column construction,
+output schema, Arrow batch iteration, 1→1 / 1→N shapes — is real and
+identical to what a PIL/ffmpeg featurizer would use (a REAL
+nearest-neighbor resize over decoded BMP pixels lives in
+``operators/multimodal.resize_image_bytes``, tests-only). Reference
+analog: etl-events.py's binary Kinesis payload → parsed records path.
 
 100 TB note: mapInPandas streams Arrow batches; no per-row Python
 overhead, no driver collection, and the pipeline is embarrassingly
@@ -71,43 +78,53 @@ def multimodal_bytes_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IMAGE_STUB_ORACLE = """
-SELECT doc_id,
-       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
-       CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height,
-       CAST(3 AS INTEGER) AS n_channels
-FROM documents
+WITH sums AS (
+  SELECT doc_id, SUM(ord(substr(text, p, 1))) AS s
+  FROM (SELECT doc_id, text,
+               unnest(range(1, octet_length(encode(text)) + 1)) AS p
+        FROM documents)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(greatest(
+         1, CAST(ceil(octet_length(encode(d.text)) / 48.0) AS BIGINT)
+       ) AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST(COALESCE(s.s, 0) AS BIGINT) AS px_sum,
+       CAST(CASE WHEN octet_length(encode(d.text)) >= 1
+                 THEN ord(substr(d.text, 1, 1)) ELSE 0
+            END AS INTEGER) AS top_left_r
+FROM documents d LEFT JOIN sums s USING (doc_id)
 """
 
 
 @query("multimodal_image_stub", IMAGE_STUB_ORACLE)
 def multimodal_image_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed multimodal record with a stubbed image decode.
+    """Typed multimodal record through a REAL image decode (r16; the
+    key name keeps its historical ``_stub`` suffix for driver-artifact
+    continuity — the decode core is no longer a stub).
 
-    Produces (doc_id, width, height, n_channels) from a deterministic
-    fake header; a real deployment swaps ``_decode_image_stub`` for a
-    PIL/ffmpeg call with the identical mapInPandas contract. The decode
-    core is length arithmetic, so the oracle replays it in SQL — the
-    Spark plumbing (Arrow batches, schema, 1→1 shape) is what's tested.
+    Two Arrow-batched stages: build a real 24-bit BMP per document
+    from its text bytes (the ``operators/multimodal`` text→BMP
+    convention: width 16, height ceil(n/48), pixels = the bytes,
+    zero-padded), then ``decode_image_features`` parses the actual
+    header and pixel array — dims from the header, the exact pixel
+    sum, and the top-left pixel's R channel, which a decoder that
+    skips the BMP bottom-up row flip or the BGR swap gets wrong. The
+    oracle states the same features from the text directly (pixels
+    ARE the text bytes; pad contributes 0). At 100 TB the encode
+    stage doesn't exist — payloads arrive as real bytes through the
+    K14 binaryFile source (that composition is tested in
+    tests/test_multimodal.py); the decode stage is unchanged.
     """
-    d = t(spark, sf_dir, "documents")
-    payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-
-    def _decode_image_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = pdf["payload"].map(len)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": (n % 640).astype("int32"),
-                    "height": (n % 480).astype("int32"),
-                    "n_channels": pd.Series([3] * len(pdf), dtype="int32"),
-                }
-            )
-
-    return payload.mapInPandas(
-        _decode_image_stub,
-        schema="doc_id long, width int, height int, n_channels int",
+    from drive_bc_datapipeline_spark.operators.multimodal import (
+        attach_bmp_payload,
+        decode_image_features,
     )
+
+    d = t(spark, sf_dir, "documents")
+    return decode_image_features(attach_bmp_payload(d))
 
 
 # --------------------------------------------------------------------------
@@ -242,6 +259,8 @@ agg AS (
   FROM w GROUP BY doc_id
 )
 SELECT d.doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(octet_length(encode(d.text)) AS INTEGER) AS n_samples,
        CAST(COALESCE(a.n_windows, 0) AS INTEGER) AS n_windows,
        COALESCE(a.window_energy, '[]') AS window_energy
 FROM documents d LEFT JOIN agg a USING (doc_id)
@@ -250,45 +269,28 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 
 @query("multimodal_audio_features_stub", AUDIO_ORACLE)
 def multimodal_audio_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1→nested featurizer: windowed 'audio' energy profile.
+    """1→nested featurizer through a REAL audio decode (r16; the key
+    name keeps its historical ``_stub`` suffix for driver-artifact
+    continuity — the decode core is no longer a stub).
 
-    Real version: librosa frame energies / MFCCs. The stub windows the
-    byte stream (256-byte windows, zero-padded tail) and emits the
-    per-window byte SUM — integer, so it is bit-exact across engines —
-    serialized as a compact JSON array string. (A raw ``array<double>``
-    output crashes pandas-based canonicalizers — lists are unhashable —
-    and float window means hit round-half ties between numpy's
-    half-to-even and SQL's half-away rounding; integer sums dodge both
-    while keeping the nested-output contract: variable-length features
-    inside Arrow batches.) Zero-padding leaves sums unchanged, so the
-    oracle needs no pad modeling.
+    Two Arrow-batched stages: build a real PCM RIFF/WAVE per document
+    (8-bit unsigned mono at 8 kHz, one sample per text byte — the
+    ``operators/multimodal`` text→WAV convention), then
+    ``decode_audio_features`` walks the actual RIFF chunk list to the
+    fmt/data chunks and windows the DECODED sample array (256-sample
+    windows, zero-padded tail, integer sums — bit-exact across
+    engines; JSON-array string for the nested output, the I4
+    convention: a raw array<double> crashes pandas canonicalizers and
+    float means hit round-half ties). The oracle re-states the same
+    window sums from the text bytes directly (samples ARE the bytes),
+    plus the decoded sample rate and count the header carries. At
+    100 TB real .wav payloads arrive via K14 binaryFile (tested in
+    tests/test_multimodal.py); the decode stage is unchanged.
     """
-    WINDOW = 256
-    d = t(spark, sf_dir, "documents")
-    payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-
-    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in batches:
-            n_windows, feats = [], []
-            for buf in pdf["payload"]:
-                a = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.int64)
-                pad = (-len(a)) % WINDOW
-                if pad:
-                    a = np.pad(a, (0, pad))
-                sums = a.reshape(-1, WINDOW).sum(axis=1)
-                n_windows.append(len(sums))
-                feats.append("[" + ",".join(str(int(s)) for s in sums) + "]")
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_windows": n_windows,
-                    "window_energy": feats,
-                }
-            )
-
-    return payload.mapInPandas(
-        _energy,
-        schema="doc_id long, n_windows int, window_energy string",
+    from drive_bc_datapipeline_spark.operators.multimodal import (
+        attach_wav_payload,
+        decode_audio_features,
     )
+
+    d = t(spark, sf_dir, "documents")
+    return decode_audio_features(attach_wav_payload(d), window=256)

@@ -181,6 +181,16 @@ GATE_PIN: dict[str, int] = {
     # r14-green, outside the r15 r11-era window, so this pin spends
     # one r15 slot:
     "embedding_pca_projection": 15,
+    # round-16 replan (the r15 verdict's Next #2): the multimodal
+    # decode cores are REAL now — I1b builds actual 24-bit BMPs from
+    # the text bytes and features the DECODED pixel array (new
+    # px_sum/top_left_r columns), I4 builds actual PCM WAVs and
+    # windows the DECODED samples (new sample_rate/n_samples
+    # columns); oracles updated to the same arithmetic. Both keys are
+    # r14-green, outside the r16 r12-era window, so each pin spends
+    # one r16 slot:
+    "multimodal_image_stub": 16,
+    "multimodal_audio_features_stub": 16,
 }
 
 
