@@ -1,0 +1,194 @@
+"""Rule-based document-quality flags (SURVEY §2 H51, r16): the
+Gopher/C4/Dolma stage-0 heuristic screen every production curation
+run applies BEFORE any model-based gate.
+
+The rule set is the published industry standard (Rae et al. 2021
+"Gopher" §A.1.1; Raffel et al. 2020 "C4"; Soldaini et al. 2024
+"Dolma"), re-expressed as ONE codegen'd projection — no Python in the
+hot path, no shuffle, no UDFs:
+
+1. word-count bounds            (Gopher: 50..100k words)
+2. mean-word-length bounds      (Gopher: 3..10 chars)
+3. symbol-to-word ratio         (Gopher: '#' and ellipsis <= 0.1/word)
+4. bullet-line fraction         (Gopher: <= 90% of lines)
+5. ellipsis-line fraction       (Gopher: <= 30% of lines)
+6. alphabetic-word fraction     (Gopher: >= 80% of words)
+7. required-word screen         (Gopher: >= 2 distinct of an 8-word
+                                 English stop-word set)
+
+``quality_rule_flags`` appends one boolean column per rule plus the
+conjunction ``rules_ok``; ``quality_rule_funnel`` rolls the flags to
+the H13 one-row funnel so a run manifest can show WHICH rule drops
+what (a pass count per rule, not just the survivor count).
+``run_staged_curation(rules=True)`` wires this as stage 0.
+
+Edge semantics (mirrored exactly by the sequential reference in
+tests/test_quality_rules.py): tokens are the repo-wide non-empty
+single-space split; a token-less document has mean word length 0 and
+alphabetic fraction 0 (fails both bounds) and symbol ratio
+symbols/1; lines come from a plain "\\n" split, so every document has
+>= 1 line and the line-fraction denominators never guard.
+
+100 TB shape: pure column algebra over one text scan — Catalyst
+fuses the flags into whatever scan the consumer runs (the staged job
+pushes the ``rules_ok`` predicate into stage 1's own corpus pass
+instead of materializing a flagged copy), and the funnel is one
+partial-aggregable single-row aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Gopher's required-word screen: a real English document almost
+#: surely contains >= 2 of these; keeps machine-generated keyword
+#: soup out regardless of its length statistics.
+GOPHER_REQUIRED_WORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+#: Flag columns in rule order (funnel + manifest iterate this).
+RULE_FLAGS: tuple[str, ...] = (
+    "words_ok", "word_len_ok", "symbol_ok", "bullet_ok",
+    "ellipsis_ok", "alpha_ok", "required_ok",
+)
+
+_BULLET_PREFIXES = ("- ", "* ", "• ")  # "- ", "* ", "• "
+_ELLIPSIS_SUFFIXES = ("...", "…")  # "...", "…"
+
+
+def _count_occurrences(col: Column, sub: str) -> Column:
+    """Non-overlapping occurrence count of a literal substring —
+    length-difference arithmetic, stays in codegen (regexp_count
+    would need the literal escaped)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(sub), F.lit(""))))
+        / len(sub)
+    ).cast("long")
+
+
+def quality_rule_flags(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_words: int = 2,
+    required_words: tuple[str, ...] = GOPHER_REQUIRED_WORDS,
+) -> DataFrame:
+    """Append the seven rule flags + ``rules_ok`` to ``df``.
+
+    Defaults are the published Gopher thresholds; every knob is a
+    parameter because real runs tune them per corpus (C4 uses
+    different line rules than Gopher — the RULE SET is the standard,
+    the numbers are policy). The required-word match is
+    case-insensitive and counts DISTINCT required words present
+    (Gopher's "at least 2 of").
+    """
+    if not 0 <= min_words <= max_words:
+        raise ValueError(
+            f"word bounds [{min_words}, {max_words}]: need "
+            "0 <= min <= max"
+        )
+    if not 0.0 <= min_mean_word_len <= max_mean_word_len:
+        raise ValueError(
+            f"mean-word-length bounds [{min_mean_word_len}, "
+            f"{max_mean_word_len}]: need 0 <= min <= max"
+        )
+    for name, v in (
+        ("max_symbol_word_ratio", max_symbol_word_ratio),
+        ("max_bullet_line_frac", max_bullet_line_frac),
+        ("max_ellipsis_line_frac", max_ellipsis_line_frac),
+        ("min_alpha_word_frac", min_alpha_word_frac),
+    ):
+        if v < 0:
+            raise ValueError(f"{name}={v}: thresholds are >= 0")
+    if min_required_words > 0 and not required_words:
+        raise ValueError(
+            f"min_required_words={min_required_words} with an empty "
+            "required_words set can never pass — supply the word set "
+            "or set min_required_words=0"
+        )
+    text = F.col(text_col)
+    toks = F.filter(F.split(text, " "), lambda x: x != "")
+    n_words = F.size(toks)
+    w1 = F.greatest(n_words, F.lit(1))  # the documented /max(n,1) guard
+    mean_wl = F.length(F.array_join(toks, "")).cast("double") / w1
+    n_symbols = (
+        _count_occurrences(text, "#")
+        + _count_occurrences(text, "…")
+        + _count_occurrences(text, "...")
+    )
+    lines = F.split(text, "\n")  # >= 1 element always
+    n_lines = F.size(lines)
+    is_bullet = lambda x: (  # noqa: E731 — column lambda, not a def
+        x.startswith(_BULLET_PREFIXES[0])
+        | x.startswith(_BULLET_PREFIXES[1])
+        | x.startswith(_BULLET_PREFIXES[2])
+    )
+    is_ellipsis = lambda x: (  # noqa: E731
+        x.endswith(_ELLIPSIS_SUFFIXES[0]) | x.endswith(_ELLIPSIS_SUFFIXES[1])
+    )
+    bullet_frac = (
+        F.size(F.filter(lines, is_bullet)).cast("double") / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, is_ellipsis)).cast("double") / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+        .cast("double") / w1
+    )
+    # token-less doc: alpha_frac = 0/1 = 0 — fails the bound, by the
+    # documented edge semantics (size(filter) of the empty array is 0)
+    n_required = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower),
+            F.array(*[F.lit(w) for w in required_words])
+            if required_words
+            else F.array().cast("array<string>"),
+        )
+    )
+    flags = {
+        "words_ok": (n_words >= min_words) & (n_words <= max_words),
+        "word_len_ok": (
+            (n_words >= 1)
+            & (mean_wl >= min_mean_word_len)
+            & (mean_wl <= max_mean_word_len)
+        ),
+        "symbol_ok": (
+            n_symbols.cast("double") / w1 <= max_symbol_word_ratio
+        ),
+        "bullet_ok": bullet_frac <= max_bullet_line_frac,
+        "ellipsis_ok": ellipsis_frac <= max_ellipsis_line_frac,
+        "alpha_ok": alpha_frac >= min_alpha_word_frac,
+        "required_ok": n_required >= min_required_words,
+    }
+    out = df
+    all_ok = F.lit(True)
+    for name in RULE_FLAGS:
+        out = out.withColumn(name, flags[name])
+        all_ok = all_ok & flags[name]
+    return out.withColumn("rules_ok", all_ok)
+
+
+def quality_rule_funnel(flags: DataFrame) -> DataFrame:
+    """One-row per-rule funnel over a ``quality_rule_flags`` output
+    (the H13 shape): n_total, a pass count per rule, n_pass_all —
+    what a manifest records so "the rules dropped 12%" decomposes
+    into WHICH rule did the dropping. Partial-aggregable single-row
+    output; safe at any corpus size."""
+    aggs = [F.count(F.lit(1)).alias("n_total")]
+    aggs += [
+        F.sum(F.col(name).cast("long")).alias(f"n_{name}")
+        for name in RULE_FLAGS
+    ]
+    aggs.append(F.sum(F.col("rules_ok").cast("long")).alias("n_pass_all"))
+    return flags.agg(*aggs)

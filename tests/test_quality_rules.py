@@ -1,0 +1,290 @@
+"""Tests for the Gopher/C4/Dolma rule-based quality screen (SURVEY
+§2 H51, r16): sequential-reference bit-match, per-rule targeting,
+edge semantics, the funnel rollup, and the staged-job stage-0
+composition."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from drive_bc_datapipeline_spark.operators.quality_rules import (
+    GOPHER_REQUIRED_WORDS,
+    RULE_FLAGS,
+    quality_rule_flags,
+    quality_rule_funnel,
+)
+
+# ---------------------------------------------------------------------------
+# Sequential reference — an independent reimplementation of the
+# documented rule semantics (repo test convention: the Spark plan and
+# this must agree bit-for-bit on every flag).
+# ---------------------------------------------------------------------------
+
+
+def ref_flags(
+    text: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_words: int = 2,
+    required_words: tuple[str, ...] = GOPHER_REQUIRED_WORDS,
+) -> dict[str, bool]:
+    toks = [t for t in text.split(" ") if t != ""]
+    n = len(toks)
+    w1 = max(n, 1)
+    mean_wl = sum(len(t) for t in toks) / w1
+    n_symbols = (
+        text.count("#") + text.count("…") + text.count("...")
+    )
+    lines = text.split("\n")
+    bullet = sum(
+        1 for ln in lines if ln.startswith(("- ", "* ", "• "))
+    ) / len(lines)
+    ellipsis = sum(
+        1 for ln in lines if ln.endswith(("...", "…"))
+    ) / len(lines)
+    alpha = sum(1 for t in toks if re.search("[A-Za-z]", t)) / w1
+    n_req = len({t.lower() for t in toks} & set(required_words))
+    out = {
+        "words_ok": min_words <= n <= max_words,
+        "word_len_ok": n >= 1
+        and min_mean_word_len <= mean_wl <= max_mean_word_len,
+        "symbol_ok": n_symbols / w1 <= max_symbol_word_ratio,
+        "bullet_ok": bullet <= max_bullet_line_frac,
+        "ellipsis_ok": ellipsis <= max_ellipsis_line_frac,
+        "alpha_ok": alpha >= min_alpha_word_frac,
+        "required_ok": n_req >= min_required_words,
+    }
+    out["rules_ok"] = all(out.values())
+    return out
+
+
+def _compare(spark, texts: list[str], **cfg) -> None:
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in quality_rule_flags(df, **cfg).collect()
+    }
+    for i, text in enumerate(texts):
+        want = ref_flags(text, **cfg)
+        for name in (*RULE_FLAGS, "rules_ok"):
+            assert got[i][name] == want[name], (
+                f"doc {i} flag {name}: spark={got[i][name]} "
+                f"ref={want[name]} text={text[:60]!r}"
+            )
+
+
+GOOD = (
+    "the data and tables load with that batch of rows we have "
+    "filed over time and the merge keeps every key stable so that "
+    "all writers have room to append with no locks and the reader "
+    "sees one consistent view of the data as rows arrive in order "
+    "and the compactor folds small files into larger ones with care"
+)
+
+
+def test_good_document_passes_all_rules(spark):
+    assert ref_flags(GOOD)["rules_ok"]  # the fixture really is good
+    _compare(spark, [GOOD])
+
+
+def test_each_rule_targets_its_own_failure(spark):
+    """Seven fixtures, each failing EXACTLY one rule (verified
+    against the reference first, then bit-matched on Spark)."""
+    base = dict(min_words=10)  # shorter fixtures, same semantics
+    cases = {
+        # 9 words < min 10
+        "words_ok": "the data and rows of that batch have keys",
+        # mean word length < 3 (many 1-2 char words)
+        "word_len_ok": "the of to be at it is on we go at my ox "
+        "and that have with id",
+        # '#' soup embedded in words (keeps length/alpha clean):
+        # 8 symbols over ~64 words > the 0.1 cap
+        "symbol_ok": GOOD + " stamp#tag#ref#one bond#mix#row#fit "
+        "link#net#hub",
+        # every line a bullet
+        "bullet_ok": "\n".join(["- " + GOOD] * 4),
+        # half the lines end in an ellipsis
+        "ellipsis_ok": "\n".join([GOOD, GOOD + " …", GOOD + " ..."]),
+        # digit soup: < 80% alphabetic words
+        "alpha_ok": GOOD + " " + " ".join(str(i) for i in range(40)),
+        # vocabulary with < 2 of the required set
+        "required_ok": "data tables load batch rows filed over "
+        "time merge keeps every key stable readers append",
+    }
+    for flag, text in cases.items():
+        want = ref_flags(text, **base)
+        assert not want[flag], f"{flag} fixture does not fail its rule"
+        others = [f for f in RULE_FLAGS if f != flag]
+        assert all(want[f] for f in others), (
+            f"{flag} fixture also fails {[f for f in others if not want[f]]}"
+        )
+    _compare(spark, list(cases.values()), **base)
+
+
+def test_edge_semantics_empty_and_unicode(spark):
+    """The documented edges: empty text, whitespace-only, token-less
+    symbol soup, unicode bullet/ellipsis, single unsplit blob."""
+    texts = [
+        "",
+        "    ",
+        "###",  # 0 words, 3 symbols: ratio 3/1 fails symbol_ok
+        "• first\n• second\nplain tail",
+        "one line that just ends…",
+        "x" * 500,  # one giant 500-char word: mean length fails
+        GOOD + "\n" + "* bullet row\n" * 2,
+    ]
+    _compare(spark, texts, min_words=1)
+    _compare(spark, texts)  # gopher bounds too
+
+
+def test_thresholds_are_inclusive_boundaries(spark):
+    """Exactly-at-threshold documents PASS (<= / >= semantics),
+    mirrored by the reference."""
+    # exactly min_words words of exactly mean length 3
+    text = " ".join(["abc"] * 10)
+    cfg = dict(
+        min_words=10, max_words=10,
+        min_mean_word_len=3.0, max_mean_word_len=3.0,
+        min_required_words=0, min_alpha_word_frac=1.0,
+    )
+    assert ref_flags(text, **cfg)["rules_ok"]
+    _compare(spark, [text], **cfg)
+    # one symbol in ten words at ratio cap 0.1 passes; two fail
+    t1 = " ".join(["abc"] * 9) + " #"
+    t2 = " ".join(["abc"] * 8) + " # #"
+    cfg2 = dict(min_words=1, min_required_words=0,
+                min_alpha_word_frac=0.0)
+    _compare(spark, [t1, t2], **cfg2)
+
+
+def test_random_corpus_property(spark):
+    """Derandomized random documents over an alphabet that exercises
+    every rule's machinery at once."""
+    import random
+
+    rng = random.Random(42)
+    vocab = (
+        list(GOPHER_REQUIRED_WORDS)
+        + ["data", "x", "##", "…", "12345", "word", "lengthy-token",
+           "a", "zz", "...", "- item", ""]
+    )
+    texts = []
+    for _ in range(60):
+        n = rng.randrange(0, 80)
+        words = [rng.choice(vocab) for _ in range(n)]
+        text = " ".join(words)
+        if rng.random() < 0.5:
+            text = text.replace(" data ", "\n- data ", 1)
+        if rng.random() < 0.3:
+            text += "\nplain closing line..."
+        texts.append(text)
+    _compare(spark, texts, min_words=5)
+
+
+def test_funnel_counts_match_flags(spark):
+    texts = [GOOD, "", "###", "\n".join(["- x"] * 3), GOOD + " …"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    flags = quality_rule_flags(df, min_words=5)
+    row = quality_rule_funnel(flags).collect()[0]
+    assert row["n_total"] == len(texts)
+    for name in RULE_FLAGS:
+        want = sum(
+            1 for t in texts if ref_flags(t, min_words=5)[name]
+        )
+        assert row[f"n_{name}"] == want, name
+    assert row["n_pass_all"] == sum(
+        1 for t in texts if ref_flags(t, min_words=5)["rules_ok"]
+    )
+
+
+def test_config_guards():
+    import pandas as pd  # noqa: F401 — spark-free guard checks
+
+    class _Fake:  # guards fire before any plan is built
+        pass
+
+    with pytest.raises(ValueError, match="word bounds"):
+        quality_rule_flags(_Fake(), min_words=10, max_words=5)
+    with pytest.raises(ValueError, match="mean-word-length"):
+        quality_rule_flags(_Fake(), min_mean_word_len=-1.0)
+    with pytest.raises(ValueError, match="thresholds are >= 0"):
+        quality_rule_flags(_Fake(), max_symbol_word_ratio=-0.1)
+    with pytest.raises(ValueError, match="never pass"):
+        quality_rule_flags(_Fake(), required_words=())
+
+
+def test_rules_plan_is_pure_codegen(spark):
+    """100 TB honesty: the flag projection contains no Python UDFs,
+    no shuffles, no joins — one scan, one projection."""
+    df = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
+    plan = quality_rule_flags(df)._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython", "Join"):
+        assert bad not in plan, f"{bad} in the rules plan:\n{plan}"
+
+
+def test_staged_curation_with_rule_screen(spark, tmp_path):
+    """rules=True composes as stage 0 of the staged job: the funnel
+    lands in the manifest, the reconciliation holds, and the final
+    selection only ever contains rule survivors."""
+    from drive_bc_datapipeline_spark.jobs import run_staged_curation
+    from drive_bc_datapipeline_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source", "text"
+    )
+    with_len = docs.withColumn("__n", F.size(F.split("text", " ")))
+    reference = (
+        with_len.orderBy(F.desc("__n"), "doc_id").limit(100)
+        .select("doc_id", "text")
+    )
+    seeds = (
+        with_len.withColumn("label", (F.col("__n") >= 40).cast("int"))
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "label", "text")
+    )
+    target = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+
+    cfg = dict(min_words=30, min_required_words=1)
+    out = str(tmp_path / "staged_rules")
+    m = run_staged_curation(
+        spark, docs, reference, seeds, target, out,
+        k=20, q=0.8, n_buckets=256, n_rounds=25, lr=1.0,
+        min_precision=0.5, dsir_buckets=512, seed=3, n_shards=4,
+        rules=True, rules_config=cfg,
+    )
+    # the funnel is the sequential rule application over the corpus
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    survivors = {
+        i for i, t in texts.items() if ref_flags(t, **cfg)["rules_ok"]
+    }
+    assert m["n_docs"] == len(texts)
+    assert m["n_kept_rules"] == len(survivors)
+    assert m["rules_funnel"]["n_pass_all"] == len(survivors)
+    assert m["rules_funnel"]["n_total"] == len(texts)
+    assert m["rules_config"] == cfg
+    # the screen actually screens, and downstream stages nest inside
+    assert 0 < len(survivors) < len(texts)
+    assert m["n_kept_prefilter"] <= len(survivors)
+    sel_ids = {r["doc_id"] for r in spark.read.parquet(m["path"]).collect()}
+    assert sel_ids <= survivors and len(sel_ids) == 20
+
+    # config without the switch fails before any stage runs
+    with pytest.raises(ValueError, match="rules_config without"):
+        run_staged_curation(
+            spark, docs, reference, seeds, target, str(tmp_path / "x"),
+            k=5, rules_config=cfg,
+        )
