@@ -350,3 +350,240 @@ def score_docs_under_bigram_lm(
             (-F.sum(F.log2(p)) / F.count(F.lit(1))).alias("avg_nll"),
         )
     )
+
+
+def trigram_lm_table(
+    ref: DataFrame,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fit the trigram half of the target-conditioned LM on the
+    reference corpus (r16, the order-3 step toward CCNet's 5-gram
+    KenLM): triple counts plus their context totals in ONE relation —
+
+        (w1, w2, w3,   n)  adjacent-triple count c(w1 w2 w3)
+        (w1, w2, NULL, n)  context total c2(w1 w2) = Σ_w3 c(w1 w2 w3)
+
+    The same pure-counting shape as ``bigram_lm_table`` one order up
+    (H37's in-row adjacent-tuple build: one explode over a transform
+    of the token array, no windows, no self-joins; context totals
+    aggregate from the vocabulary-bounded triple counts, not a second
+    corpus pass) — no fit-time smoothing parameter, so no score-time
+    knob can mismatch. Fails loudly on a reference with no 3-token
+    document: a triple-less table would degrade every order-3 term to
+    the uniform constant while the caller believes it scores order 3
+    (the bigram_lm_table review-catch class).
+    """
+    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
+    triples = (
+        ref.select(toks.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3), i -> "
+                    "named_struct('w1', t[i], 'w2', t[i + 1], "
+                    "'w3', t[i + 2]))"
+                )
+            ).alias("u")
+        )
+        .select("u.w1", "u.w2", "u.w3")
+    )
+    tc = triples.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # vocabulary-bounded; feeds the triple rows AND the context totals
+    tc = tc.localCheckpoint(eager=True)
+    if tc.isEmpty():  # cheap: reads the materialized checkpoint
+        raise ValueError(
+            "trigram_lm_table: no document in the reference has >= 3 "
+            "tokens — a trigram LM fit on it carries no order-3 "
+            "signal; use the bigram or unigram scorer, or fix the "
+            "reference corpus"
+        )
+    ctx = tc.groupBy("w1", "w2").agg(
+        F.lit(None).cast("string").alias("w3"),
+        F.sum("n").alias("n"),
+    )
+    return tc.unionByName(ctx)
+
+
+def trigram_backoff_stats(
+    trigram: DataFrame, bigram: DataFrame, unigram: DataFrame
+) -> tuple[float, float]:
+    """(V, oov_logp) for the order-3 interpolated scorer, with the
+    full same-reference validation chain: ``bigram_backoff_stats``'s
+    two probes (single-OOV-row contract, bigram contexts ⊆ unigram
+    vocabulary) plus the order-3 link — every trigram context
+    (w1, w2) is an adjacent PAIR in the reference, so it must appear
+    in the bigram pair table; a stray context proves the trigram and
+    bigram tables were fit on different corpora (the detectable
+    direction — a superset-corpus bigram table passes). Three bounded
+    probes over vocabulary-sized model state; long-lived consumers
+    call ONCE and pass the result to the scorer."""
+    stats = bigram_backoff_stats(bigram, unigram)
+    stray = (
+        trigram.filter(F.col("w3").isNull())
+        .select("w1", "w2")
+        .join(
+            bigram.filter(F.col("w2").isNotNull()).select("w1", "w2"),
+            ["w1", "w2"],
+            "left_anti",
+        )
+        .limit(1)
+        .collect()
+    )
+    if stray:
+        raise ValueError(
+            "trigram context "
+            f"({stray[0]['w1']!r}, {stray[0]['w2']!r}) is not a pair "
+            "in the bigram table — the two tables were fit on "
+            "different references; fit trigram_lm_table and "
+            "bigram_lm_table on the same corpus"
+        )
+    return stats
+
+
+def score_docs_under_trigram_lm(
+    docs: DataFrame,
+    trigram: DataFrame,
+    bigram: DataFrame,
+    unigram: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    lam: float = 0.7,
+    stats: tuple[float, float] | None = None,
+) -> DataFrame:
+    """(id, n_toks, avg_nll) under the interpolated backoff CHAIN
+    trigram → bigram → unigram, one ``lam`` applied per level (the
+    Jelinek-Mercer recursion, so ONE knob generalizes to any order):
+
+        p1(w)            = p_ug(w)                      (backoff base)
+        p2(w | c1)       = lam * p2s + (1 - lam) * p1
+        p3(w | c2 c1)    = lam * p3s + (1 - lam) * p2
+
+    where pks = (c(ctx w) + alpha) / (c(ctx) + alpha * (V + 1)) is the
+    add-alpha-smoothed order-k conditional. Token i scores under the
+    deepest chain its position allows: first token p1, second token
+    p2, the rest p3 — so ``lam=0`` degrades exactly to the unigram
+    scorer and a pair/triple-less context degrades smoothly through
+    the uniform term while the backoff carries the score. Same
+    (id, n_toks, avg_nll) shape: ``domain_filter`` and the jobs
+    consume any order unchanged.
+
+    ``alpha`` smooths the bigram AND trigram conditionals (one value,
+    the run_ccnet_prefilter convention); the unigram backoff keeps
+    the logp baked at ITS fit — the same documented contract as
+    ``score_docs_under_bigram_lm``. Lower avg_nll = closer to the
+    reference's word order at RANGE 3: a corpus that preserves bigram
+    statistics but scrambles triples separates here and nowhere
+    below (test-pinned).
+
+    Plan: one explode carrying each token WITH its two in-row
+    contexts (no windows), five vocabulary-bounded left joins
+    (triple, trigram-context, pair, bigram-context, unigram — AQE
+    broadcasts them), one partial-aggregable groupBy(doc). The
+    V/OOV scalars and the same-reference guards ride
+    ``trigram_backoff_stats`` — pass its result as ``stats`` when
+    scoring many batches under one frozen model.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam={lam}: interpolation weight is in [0, 1]")
+    if alpha <= 0:
+        raise ValueError(f"alpha={alpha}: add-alpha smoothing needs > 0")
+    if stats is None:
+        stats = trigram_backoff_stats(trigram, bigram, unigram)
+    v, oov_logp = float(stats[0]), float(stats[1])
+
+    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
+    pos = (
+        docs.select(F.col(id_col), toks.alias("t"))
+        .filter(F.size("t") >= 1)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 1), i -> "
+                    "named_struct("
+                    "'w', t[i], "
+                    "'c1', IF(i >= 1, t[i - 1], CAST(NULL AS STRING)), "
+                    "'c2', IF(i >= 2, t[i - 2], CAST(NULL AS STRING))))"
+                )
+            ).alias("u"),
+        )
+        .select(
+            id_col,
+            F.col("u.w").alias("w"),
+            F.col("u.c1").alias("c1"),
+            F.col("u.c2").alias("c2"),
+        )
+    )
+    tri = trigram.filter(F.col("w3").isNotNull()).select(
+        F.col("w1").alias("__t1"), F.col("w2").alias("__t2"),
+        F.col("w3").alias("__t3"), F.col("n").alias("__n123"),
+    )
+    tctx = trigram.filter(F.col("w3").isNull()).select(
+        F.col("w1").alias("__tc1"), F.col("w2").alias("__tc2"),
+        F.col("n").alias("__n12c"),
+    )
+    pair = bigram.filter(F.col("w2").isNotNull()).select(
+        F.col("w1").alias("__p1"), F.col("w2").alias("__p2"),
+        F.col("n").alias("__n12"),
+    )
+    bctx = bigram.filter(F.col("w2").isNull()).select(
+        F.col("w1").alias("__c1"), F.col("n").alias("__n1"),
+    )
+    ug = unigram.filter(F.col("tok").isNotNull()).select(
+        F.col("tok").alias("__ut"), F.col("logp").alias("__ulogp"),
+    )
+    j = (
+        pos.join(
+            tri,
+            (F.col("c2") == F.col("__t1"))
+            & (F.col("c1") == F.col("__t2"))
+            & (F.col("w") == F.col("__t3")),
+            "left",
+        )
+        .join(
+            tctx,
+            (F.col("c2") == F.col("__tc1")) & (F.col("c1") == F.col("__tc2")),
+            "left",
+        )
+        .join(
+            pair,
+            (F.col("c1") == F.col("__p1")) & (F.col("w") == F.col("__p2")),
+            "left",
+        )
+        .join(bctx, F.col("c1") == F.col("__c1"), "left")
+        .join(ug, F.col("w") == F.col("__ut"), "left")
+    )
+    p1 = F.pow(F.lit(2.0), F.coalesce(F.col("__ulogp"), F.lit(oov_logp)))
+    p2s = (
+        (F.coalesce(F.col("__n12"), F.lit(0)).cast("double") + alpha)
+        / (
+            F.coalesce(F.col("__n1"), F.lit(0)).cast("double")
+            + alpha * (v + 1.0)
+        )
+    )
+    p3s = (
+        (F.coalesce(F.col("__n123"), F.lit(0)).cast("double") + alpha)
+        / (
+            F.coalesce(F.col("__n12c"), F.lit(0)).cast("double")
+            + alpha * (v + 1.0)
+        )
+    )
+    p2 = lam * p2s + (1.0 - lam) * p1
+    p = (
+        F.when(F.col("c1").isNull(), p1)
+        .when(F.col("c2").isNull(), p2)
+        .otherwise(lam * p3s + (1.0 - lam) * p2)
+    )
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            (-F.sum(F.log2(p)) / F.count(F.lit(1))).alias("avg_nll"),
+        )
+    )

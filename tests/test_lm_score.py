@@ -518,7 +518,7 @@ def test_bigram_plan_shapes(spark, lm, bg_lm):
 
 
 def test_ccnet_job_lm_order_guard_and_bigram_manifest(spark, tmp_path):
-    """lm_order outside {1, 2} fails before any job runs; order-1
+    """lm_order outside {1, 2, 3} fails before any job runs; order-1
     manifests record lam as None (it did not shape the cut)."""
     from drive_bc_datapipeline_spark.jobs import run_ccnet_prefilter
 
@@ -529,7 +529,7 @@ def test_ccnet_job_lm_order_guard_and_bigram_manifest(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="lm_order"):
         run_ccnet_prefilter(
-            spark, docs, ref, str(tmp_path / "x"), lm_order=3
+            spark, docs, ref, str(tmp_path / "x"), lm_order=4
         )
     m = run_ccnet_prefilter(
         spark, docs, ref, str(tmp_path / "u"), q=0.5, lm_order=1
@@ -552,3 +552,259 @@ def test_bigram_table_empty_reference_fails(spark):
     )
     with pytest.raises(ValueError, match="no document.*>= 2 tokens"):
         bigram_lm_table(single)
+
+
+# ---------------------------------------------------------------------------
+# H52 (r16) — trigram backoff chain: fit, score, guards, the planted
+# bigram-preserving-reorder A/B that only order 3 separates, and the
+# lm_order=3 job arm.
+# ---------------------------------------------------------------------------
+
+
+def _seq_trigram_lm() -> tuple[dict, dict]:
+    tc: dict[tuple[str, str, str], int] = {}
+    ctx2: dict[tuple[str, str], int] = {}
+    for _i, t in REF:
+        toks = [x for x in t.split(" ") if x]
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            tc[(a, b, c)] = tc.get((a, b, c), 0) + 1
+            ctx2[(a, b)] = ctx2.get((a, b), 0) + 1
+    return tc, ctx2
+
+
+def _seq_trigram_score(text: str, lam: float = 0.7) -> tuple[int, float]:
+    logp, oov = _seq_lm()
+    pc, ctx = _seq_bigram_lm()
+    tc, ctx2 = _seq_trigram_lm()
+    V = float(len(logp))
+    toks = [t for t in text.split(" ") if t]
+    s = 0.0
+    for i, t in enumerate(toks):  # position-by-position
+        p1 = 2.0 ** logp.get(t, oov)
+        if i == 0:
+            p = p1
+        else:
+            c1 = toks[i - 1]
+            p2s = (pc.get((c1, t), 0) + ALPHA) / (
+                ctx.get(c1, 0) + ALPHA * (V + 1.0)
+            )
+            p2 = lam * p2s + (1.0 - lam) * p1
+            if i == 1:
+                p = p2
+            else:
+                c2 = toks[i - 2]
+                p3s = (tc.get((c2, c1, t), 0) + ALPHA) / (
+                    ctx2.get((c2, c1), 0) + ALPHA * (V + 1.0)
+                )
+                p = lam * p3s + (1.0 - lam) * p2
+        s += -math.log2(p)
+    return len(toks), s / len(toks)
+
+
+@pytest.fixture()
+def tg_lm(spark):
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        trigram_lm_table,
+    )
+
+    ref = spark.createDataFrame(REF, "doc_id long, text string")
+    return trigram_lm_table(ref)
+
+
+def test_trigram_table_matches_sequential(spark, tg_lm):
+    tc, ctx2 = _seq_trigram_lm()
+    rows = tg_lm.collect()
+    got_triples = {
+        (r["w1"], r["w2"], r["w3"]): r["n"]
+        for r in rows
+        if r["w3"] is not None
+    }
+    got_ctx = {
+        (r["w1"], r["w2"]): r["n"] for r in rows if r["w3"] is None
+    }
+    assert got_triples == tc
+    assert got_ctx == ctx2
+
+
+def test_trigram_scores_match_sequential(spark, lm, bg_lm, tg_lm):
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        score_docs_under_trigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        DOCS, "doc_id long, source string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_toks"], r["avg_nll"])
+        for r in score_docs_under_trigram_lm(docs, tg_lm, bg_lm, lm).collect()
+    }
+    for i, _src, text in DOCS:
+        n, nll = _seq_trigram_score(text)
+        assert got[i][0] == n, i
+        assert got[i][1] == pytest.approx(nll, abs=1e-9), (i, text)
+    # lam=0 degrades exactly to the unigram scorer (the chain's base)
+    got0 = {
+        r["doc_id"]: r["avg_nll"]
+        for r in score_docs_under_trigram_lm(
+            docs, tg_lm, bg_lm, lm, lam=0.0
+        ).collect()
+    }
+    for i, _src, text in DOCS:
+        _, ug_nll = _seq_score(text)
+        assert got0[i] == pytest.approx(ug_nll, abs=1e-9), i
+
+
+def test_trigram_guards(spark, lm, bg_lm, tg_lm):
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        score_docs_under_trigram_lm,
+        trigram_lm_table,
+    )
+
+    docs = spark.createDataFrame(
+        DOCS, "doc_id long, source string, text string"
+    )
+    with pytest.raises(ValueError, match="lam"):
+        score_docs_under_trigram_lm(docs, tg_lm, bg_lm, lm, lam=-0.1)
+    with pytest.raises(ValueError, match="alpha"):
+        score_docs_under_trigram_lm(docs, tg_lm, bg_lm, lm, alpha=0.0)
+    with pytest.raises(ValueError, match="OOV"):
+        score_docs_under_trigram_lm(
+            docs, tg_lm, bg_lm, lm.filter(F.col("tok").isNotNull())
+        )
+    # trigram and bigram tables fit on different references: a
+    # trigram context that is not a bigram pair proves the mismatch
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        bigram_lm_table,
+    )
+
+    other_bg = bigram_lm_table(
+        spark.createDataFrame(
+            [(1, "completely different vocabulary right here")],
+            "doc_id long, text string",
+        )
+    )
+    other_ug = unigram_lm_table(
+        spark.createDataFrame(
+            [(1, "completely different vocabulary right here")],
+            "doc_id long, text string",
+        ),
+        alpha=ALPHA,
+    )
+    with pytest.raises(ValueError, match="different references"):
+        score_docs_under_trigram_lm(docs, tg_lm, other_bg, other_ug)
+    # a reference with no 3-token document cannot claim order 3
+    with pytest.raises(ValueError, match=">= 3"):
+        trigram_lm_table(
+            spark.createDataFrame(
+                [(1, "two words"), (2, "also short")],
+                "doc_id long, text string",
+            )
+        )
+
+
+def test_trigram_separates_bigram_preserving_reorder(spark):
+    """The r15 verdict's planted A/B for order 3: two documents with
+    the SAME first token and the SAME bigram MULTISET — order-2
+    scoring cannot tell them apart — where only one matches the
+    reference's triples. The trigram chain separates them and the
+    H48 cut keeps exactly the reference-ordered half."""
+    from drive_bc_datapipeline_spark.operators.domain_filter import (
+        apply_domain_filter,
+        domain_threshold_table,
+    )
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        bigram_lm_table,
+        score_docs_under_bigram_lm,
+        score_docs_under_trigram_lm,
+        trigram_lm_table,
+    )
+
+    good = "a a b a b b"   # bigrams: aa ab ba ab bb, triples incl bab
+    bad = "a b a a b b"    # SAME bigram multiset, triple baa instead
+    assert sorted(zip(good.split(), good.split()[1:])) == sorted(
+        zip(bad.split(), bad.split()[1:])
+    )
+    ref = spark.createDataFrame(
+        [(i, good) for i in range(8)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, "web", good) for i in range(6)]
+        + [(100 + i, "web", bad) for i in range(6)],
+        "doc_id long, source string, text string",
+    )
+    ug = unigram_lm_table(ref, alpha=ALPHA)
+    bg = bigram_lm_table(ref)
+    tg = trigram_lm_table(ref)
+
+    # order 2 is blind to the reorder: identical scores
+    bg_scores = {
+        r["doc_id"]: r["avg_nll"]
+        for r in score_docs_under_bigram_lm(docs, bg, ug).collect()
+    }
+    assert bg_scores[0] == pytest.approx(bg_scores[100], abs=1e-12)
+
+    # order 3 separates
+    tg_scored = score_docs_under_trigram_lm(docs, tg, bg, ug)
+    tg_scores = {r["doc_id"]: r["avg_nll"] for r in tg_scored.collect()}
+    assert tg_scores[0] < tg_scores[100] - 0.05
+
+    scored_df = docs.join(tg_scored.select("doc_id", "avg_nll"), "doc_id")
+    table = domain_threshold_table(scored_df, (0.5,), approx=False)
+    kept = sorted(
+        r["doc_id"]
+        for r in apply_domain_filter(scored_df, table, 0.5).collect()
+    )
+    assert kept == list(range(6))
+
+
+def test_trigram_plan_shapes(spark, lm, bg_lm, tg_lm):
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        score_docs_under_trigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        DOCS, "doc_id long, source string, text string"
+    )
+    scored = score_docs_under_trigram_lm(docs, tg_lm, bg_lm, lm)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    for bad in ("CartesianProduct", "BatchEvalPython", "ArrowEval"):
+        assert bad not in plan, plan
+    # the triple-count pin: both trigram consumers read the checkpoint
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+
+
+def test_ccnet_job_order_3_arm(spark, tmp_path):
+    """run_ccnet_prefilter(lm_order=3) scores under the trigram chain:
+    on the planted bigram-preserving corpus the order-3 job keeps the
+    reference-ordered half while the order-2 job keeps everything,
+    and the manifest records the order + lam."""
+    from drive_bc_datapipeline_spark.jobs import run_ccnet_prefilter
+
+    good = "a a b a b b"
+    bad = "a b a a b b"
+    ref = spark.createDataFrame(
+        [(i, good) for i in range(8)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, "web", good) for i in range(6)]
+        + [(100 + i, "web", bad) for i in range(6)],
+        "doc_id long, source string, text string",
+    )
+    m3 = run_ccnet_prefilter(
+        spark, docs, ref, str(tmp_path / "o3"), q=0.5, lm_order=3,
+        lam=0.6,
+    )
+    assert m3["lm_order"] == 3 and m3["lam"] == 0.6
+    kept3 = sorted(
+        r["doc_id"] for r in spark.read.parquet(m3["path"]).collect()
+    )
+    assert kept3 == list(range(6))
+
+    m2 = run_ccnet_prefilter(
+        spark, docs, ref, str(tmp_path / "o2"), q=0.5, lm_order=2,
+        lam=0.6,
+    )
+    kept2 = sorted(
+        r["doc_id"] for r in spark.read.parquet(m2["path"]).collect()
+    )
+    assert kept2 == sorted([*range(6), *range(100, 106)])
