@@ -48,6 +48,41 @@ def doc_tokens(text_col: str):
     return F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
 
 
+def word_grams(text_col: str, *, use_bigrams: bool = True):
+    """array<string> of the word unigrams (+ space-joined bigrams) of
+    ``text`` — THE one copy of the word-n-gram feature definition,
+    shared by DSIR's importance fit and the classifier's fastText-
+    style featurization (r16, the r15 verdict's Next #5: the gram
+    builder lived only in dsir.py while the classifier stayed
+    unigram-only — the CHAR_SPLIT_RE one-copy rule applies to grams
+    too). Bigrams join with a single space, which cannot occur inside
+    a ``doc_tokens`` token, so unigram/bigram strings never collide
+    before hashing."""
+    toks = doc_tokens(text_col)
+    if not use_bigrams:
+        return toks
+    n = F.size(toks)
+    bigrams = F.when(
+        n < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    return F.concat(toks, bigrams)
+
+
+def _check_n_gram(n_gram: int) -> None:
+    """THE one copy of the classifier-family feature-order check."""
+    if n_gram not in (1, 2):
+        raise ValueError(
+            f"n_gram={n_gram}: the hashed feature space is word "
+            "unigrams (1) or unigrams + bigrams (2, fastText-style)"
+        )
+
+
 def score_hashed_linear(
     spark: SparkSession,
     df: DataFrame,
@@ -57,6 +92,7 @@ def score_hashed_linear(
     id_col: str = "doc_id",
     n_buckets: int = 4096,
     bias: float = 0.0,
+    n_gram: int = 1,
 ) -> DataFrame:
     """Score every document with a hashed linear model.
 
@@ -64,18 +100,27 @@ def score_hashed_linear(
     Returns (id_col, n_tokens, score) with score in (0, 1); documents
     whose text yields zero tokens keep sigmoid(bias).
 
+    ``n_gram=2`` features word unigrams + bigrams (the shared
+    ``word_grams`` builder — fastText's word-n-gram trick, r16), so
+    token ORDER participates in the score; ``n_tokens`` then counts
+    grams (2n−1 for an n-word doc). MUST match the ``n_gram`` the
+    model was trained with — the trained feature space silently
+    drifts otherwise (recorded in the curation manifest for exactly
+    this reason).
+
     Determinism: the sum of per-token weights is grouped by doc — the
     float add order inside a group is engine-defined, so tests compare
     to 1e-9 (the repo-wide float tolerance) rather than bit-exactly;
     every other step (hashing, join, mean, sigmoid) is exact algebra.
     """
+    _check_n_gram(n_gram)
     if not weights:
         raise ValueError("score_hashed_linear needs a non-empty model")
     wdf = spark.createDataFrame(
         [(int(b), float(w)) for b, w in sorted(weights.items())],
         "bucket int, weight double",
     )
-    toks = doc_tokens(text_col)
+    toks = word_grams(text_col, use_bigrams=n_gram == 2)
     exploded = df.select(id_col, F.explode(toks).alias("tok")).select(
         id_col, hash_bucket(F.col("tok"), n_buckets).alias("bucket")
     )
@@ -156,6 +201,7 @@ def train_hashed_linear(
     n_rounds: int = 30,
     lr: float = 0.5,
     l2: float = 0.0,
+    n_gram: int = 1,
 ) -> tuple[dict[int, float], float]:
     """Train the logistic model ``score_hashed_linear`` scores:
     full-batch gradient descent on
@@ -165,7 +211,11 @@ def train_hashed_linear(
 
     Returns ``(weights, bias)`` consumable by ``score_hashed_linear``
     verbatim: weights maps bucket id -> weight, buckets never touched
-    by training are absent (they'd be exactly 0.0).
+    by training are absent (they'd be exactly 0.0). Pass the SAME
+    ``n_gram`` to the scorer: 2 = word unigrams + bigrams through the
+    shared ``word_grams`` builder (fastText's trick — token-order
+    classes a bag of unigrams cannot separate become learnable;
+    test-pinned), with the per-doc normalization counting grams.
 
     Spark-first shape (100 TB honest):
     - the corpus featurizes ONCE: tokens hash JVM-side (the H15 md5
@@ -213,7 +263,8 @@ def train_hashed_linear(
             f"l2 must be >= 0, got {l2}: a negative decay AMPLIFIES "
             "weights geometrically instead of regularizing them"
         )
-    toks = doc_tokens(text_col)
+    _check_n_gram(n_gram)
+    toks = word_grams(text_col, use_bigrams=n_gram == 2)
     # per-doc label + token count (token-less docs kept: bias-only)
     docs = df.select(
         F.col(id_col).alias("__id"),

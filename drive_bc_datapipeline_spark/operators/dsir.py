@@ -49,8 +49,8 @@ from pyspark.sql import functions as F
 
 from drive_bc_datapipeline_spark.operators.classifier import (
     MAX_LR_BUCKETS,
-    doc_tokens,
     hash_bucket,
+    word_grams,
 )
 from drive_bc_datapipeline_spark.operators.sampling import _hash_unit
 
@@ -69,26 +69,12 @@ def _check_n_buckets(n_buckets: int) -> None:
 
 
 def _grams(text_col: str, *, use_bigrams: bool = True) -> Column:
-    """array<string> of the word unigrams (+ space-joined bigrams) of
-    ``text`` — THE one copy of the DSIR gram definition; fitting and
-    weighing must share it or p/q silently stop describing the same
-    feature space. Bigrams join with a single space, which cannot
-    occur inside a ``doc_tokens`` token, so unigram/bigram strings
-    never collide before hashing."""
-    toks = doc_tokens(text_col)
-    if not use_bigrams:
-        return toks
-    n = F.size(toks)
-    bigrams = F.when(
-        n < 2, F.array().cast("array<string>")
-    ).otherwise(
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    )
-    return F.concat(toks, bigrams)
+    """The DSIR gram definition — an alias for the classifier
+    family's shared ``word_grams`` builder (r16: it moved to
+    classifier.py as THE one copy once the classifier gained the
+    same fastText-style features; fitting and weighing must share it
+    or p/q silently stop describing the same feature space)."""
+    return word_grams(text_col, use_bigrams=use_bigrams)
 
 
 def dsir_bucket_counts(

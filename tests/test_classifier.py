@@ -521,12 +521,14 @@ def test_train_rejects_null_ids_and_negative_l2(spark):
 
 def test_trainer_and_scorer_share_one_token_definition():
     """The CHAR_SPLIT_RE drift class: train and score must build
-    features from the SAME token definition — pin that both call the
-    shared doc_tokens helper rather than re-typing the expression."""
+    features from the SAME gram definition — pin that both call the
+    shared word_grams helper (which itself composes doc_tokens)
+    rather than re-typing the expression, and that DSIR's _grams is
+    the same one copy."""
     import ast
     import inspect
 
-    from drive_bc_datapipeline_spark.operators import classifier
+    from drive_bc_datapipeline_spark.operators import classifier, dsir
 
     for fn in (classifier.train_hashed_linear, classifier.score_hashed_linear):
         tree = ast.parse(inspect.getsource(fn))
@@ -535,7 +537,7 @@ def test_trainer_and_scorer_share_one_token_definition():
             for n in ast.walk(tree)
             if isinstance(n, ast.Call) and isinstance(n.func, ast.Name)
         ]
-        assert "doc_tokens" in calls, fn.__name__
+        assert "word_grams" in calls, fn.__name__
         # and neither re-types the split+filter inline
         attrs = [
             n.func.attr
@@ -543,6 +545,14 @@ def test_trainer_and_scorer_share_one_token_definition():
             if isinstance(n, ast.Call) and isinstance(n.func, ast.Attribute)
         ]
         assert "split" not in attrs, fn.__name__
+    # DSIR's gram definition IS the classifier's (one copy, r16)
+    tree = ast.parse(inspect.getsource(dsir._grams))
+    calls = [
+        n.func.id
+        for n in ast.walk(tree)
+        if isinstance(n, ast.Call) and isinstance(n.func, ast.Name)
+    ]
+    assert calls == ["word_grams"]
 
 
 def test_pr_curve_random_inputs_property(spark):
@@ -986,3 +996,216 @@ def test_calibration_random_inputs_property(spark):
         assert [r["bin"] for r in rep] == sorted(table)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# r16 — word-n-gram features (the r15 verdict's Next #5): the shared
+# word_grams builder, bit-match at both orders, the planted
+# token-order A/B only order 2 can separate, and the manifest knob.
+# ---------------------------------------------------------------------------
+
+
+def _py_grams(text: str, n_gram: int) -> list[str]:
+    toks = [x for x in (text or "").split(" ") if x != ""]
+    if n_gram == 1:
+        return toks
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def test_word_grams_matches_python(spark):
+    from drive_bc_datapipeline_spark.operators.classifier import word_grams
+
+    texts = [
+        "the quick brown fox",
+        "single",
+        "",
+        "   ",
+        "a b",
+        "x  y   z",  # multi-space runs collapse through the filter
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for use_bg, order in ((False, 1), (True, 2)):
+        got = {
+            r["doc_id"]: r["g"]
+            for r in df.select(
+                "doc_id", word_grams("text", use_bigrams=use_bg).alias("g")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == _py_grams(t, order), (order, t)
+
+
+def _ref_seq_scores_grams(rows, weights, bias, n_buckets, n_gram):
+    out = {}
+    for doc_id, text in rows:
+        grams = _py_grams(text, n_gram)
+        wsum = sum(
+            weights.get(
+                int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets,
+                0.0,
+            )
+            for g in grams
+        )
+        logit = bias + (wsum / len(grams) if grams else 0.0)
+        out[doc_id] = (len(grams), 1.0 / (1.0 + math.exp(-logit)))
+    return out
+
+
+def test_score_bigram_features_match_sequential(spark):
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "fox brown quick the"),
+        (3, ""),
+        (4, "single"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score"])
+        for r in score_hashed_linear(
+            spark, df, WEIGHTS, n_buckets=N_BUCKETS, bias=BIAS, n_gram=2
+        ).collect()
+    }
+    want = _ref_seq_scores_grams(rows, WEIGHTS, BIAS, N_BUCKETS, 2)
+    for doc_id, (n, s) in want.items():
+        assert got[doc_id][0] == n, doc_id
+        assert abs(got[doc_id][1] - s) < 1e-9, doc_id
+    # n_tokens counts GRAMS at order 2: 2n-1 for an n-word doc
+    assert got[1][0] == 7 and got[4][0] == 1 and got[3][0] == 0
+
+
+def _ref_train_grams(rows, *, n_buckets, n_rounds, lr, n_gram, l2=0.0):
+    feats = []
+    for _id, y, text in rows:
+        grams = _py_grams(text, n_gram)
+        hist: dict[int, float] = {}
+        for g in grams:
+            b = int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+            hist[b] = hist.get(b, 0.0) + 1.0
+        x = {b: c / len(grams) for b, c in hist.items()} if grams else {}
+        x[-1] = 1.0
+        feats.append((float(y), x))
+    n = len(feats)
+    model = {-1: 0.0}
+    for _ in range(n_rounds):
+        grad: dict[int, float] = {}
+        for y, x in feats:
+            logit = sum(v * model.get(b, 0.0) for b, v in x.items())
+            r = 1.0 / (1.0 + math.exp(-logit)) - y
+            for b, v in x.items():
+                grad[b] = grad.get(b, 0.0) + v * r
+        for b, g in grad.items():
+            w = model.get(b, 0.0)
+            reg = 0.0 if b == -1 else l2 * w
+            model[b] = w - lr * (g / n + reg)
+    bias = model.pop(-1)
+    return model, bias
+
+
+def test_train_bigram_features_bit_match(spark):
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        train_hashed_linear,
+    )
+
+    df = spark.createDataFrame(
+        _SEED_ROWS, "doc_id long, label int, text string"
+    )
+    got_w, got_b = train_hashed_linear(
+        spark, df, n_buckets=N_BUCKETS, n_rounds=12, lr=0.5, l2=0.01,
+        n_gram=2,
+    )
+    want_w, want_b = _ref_train_grams(
+        _SEED_ROWS, n_buckets=N_BUCKETS, n_rounds=12, lr=0.5, l2=0.01,
+        n_gram=2,
+    )
+    assert abs(got_b - want_b) < 1e-9
+    assert set(got_w) == set(want_w)
+    for b, w in want_w.items():
+        assert abs(got_w[b] - w) < 1e-9, b
+
+
+def test_bigram_features_separate_token_order(spark):
+    """The r15 verdict's planted A/B: positive and negative classes
+    with IDENTICAL unigram multisets that differ only in token order.
+    A bag-of-unigrams model provably cannot separate them (identical
+    feature vectors -> identical scores); the bigram feature space
+    separates them perfectly."""
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        train_hashed_linear,
+    )
+
+    pos = "alpha beta gamma delta"
+    neg = "delta gamma beta alpha"
+    assert sorted(pos.split()) == sorted(neg.split())
+    seeds = [(i, 1, pos) for i in range(6)] + [
+        (10 + i, 0, neg) for i in range(6)
+    ]
+    df = spark.createDataFrame(seeds, "doc_id long, label int, text string")
+
+    w1, b1 = train_hashed_linear(
+        spark, df, n_buckets=256, n_rounds=40, lr=1.0, n_gram=1
+    )
+    s1 = {
+        r["doc_id"]: r["score"]
+        for r in score_hashed_linear(
+            spark, df, w1, n_buckets=256, bias=b1, n_gram=1
+        ).collect()
+    }
+    # order-1: the two classes are the same point in feature space
+    assert abs(s1[0] - s1[10]) < 1e-9
+
+    w2, b2 = train_hashed_linear(
+        spark, df, n_buckets=256, n_rounds=150, lr=2.0, n_gram=2
+    )
+    s2 = {
+        r["doc_id"]: r["score"]
+        for r in score_hashed_linear(
+            spark, df, w2, n_buckets=256, bias=b2, n_gram=2
+        ).collect()
+    }
+    assert s2[0] > 0.85 and s2[10] < 0.15  # clean separation
+
+
+def test_n_gram_guard(spark):
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        train_hashed_linear,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, "a b")], "doc_id long, label int, text string"
+    )
+    with pytest.raises(ValueError, match="n_gram"):
+        train_hashed_linear(spark, df, n_gram=3)
+    with pytest.raises(ValueError, match="n_gram"):
+        score_hashed_linear(spark, df, {0: 1.0}, n_gram=0)
+
+
+def test_curation_manifest_records_n_gram(spark, tmp_path):
+    """The n_gram knob rides the curation manifest (the curve_bins
+    convention: a scorer at the wrong order reads a drifted feature
+    space, so the decision must be auditable) and the gate actually
+    separates the order classes at n_gram=2."""
+    from drive_bc_datapipeline_spark.jobs import run_curation_pipeline
+
+    pos = "alpha beta gamma delta"
+    neg = "delta gamma beta alpha"
+    seeds = spark.createDataFrame(
+        [(i, 1, pos) for i in range(6)]
+        + [(10 + i, 0, neg) for i in range(6)],
+        "doc_id long, label int, text string",
+    )
+    docs = spark.createDataFrame(
+        [(100 + i, pos) for i in range(5)]
+        + [(200 + i, neg) for i in range(5)],
+        "doc_id long, text string",
+    )
+    target = docs.limit(3)
+    m = run_curation_pipeline(
+        spark, docs, seeds, target, str(tmp_path / "ng"),
+        k=3, n_buckets=256, n_rounds=40, lr=1.0, n_gram=2,
+        min_precision=0.9, dsir_buckets=64, n_shards=2,
+    )
+    assert m["n_gram"] == 2
+    # the gate kept exactly the reference-ordered half
+    assert m["n_kept"] == 5
