@@ -263,6 +263,7 @@ def build_curation_frames(
     n_buckets: int = 4096,
     n_rounds: int = 30,
     lr: float = 0.5,
+    n_gram: int = 1,
     min_precision: float = 0.9,
     curve_bins: int = 1000,
     dsir_buckets: int = 4096,
@@ -380,10 +381,11 @@ def build_curation_frames(
         n_buckets=n_buckets,
         n_rounds=n_rounds,
         lr=lr,
+        n_gram=n_gram,
     )
     seed_scored = score_hashed_linear(
         spark, seeds_train, w, text_col=text_col, id_col=id_col,
-        n_buckets=n_buckets, bias=b,
+        n_buckets=n_buckets, bias=b, n_gram=n_gram,
     ).join(seeds_train.select(id_col, label_col), id_col)
 
     gate_col = "score"
@@ -412,7 +414,7 @@ def build_curation_frames(
     if held_out:
         val_scored = score_hashed_linear(
             spark, seeds_val, w, text_col=text_col, id_col=id_col,
-            n_buckets=n_buckets, bias=b,
+            n_buckets=n_buckets, bias=b, n_gram=n_gram,
         ).join(seeds_val.select(id_col, label_col), id_col)
         if calibrate:
             val_scored = apply_isotonic_calibration(
@@ -445,7 +447,7 @@ def build_curation_frames(
 
     scored = score_hashed_linear(
         spark, docs, w, text_col=text_col, id_col=id_col,
-        n_buckets=n_buckets, bias=b,
+        n_buckets=n_buckets, bias=b, n_gram=n_gram,
     )
     if calibrate:
         scored = apply_isotonic_calibration(
@@ -524,6 +526,7 @@ def run_curation_pipeline(
     n_buckets: int = 4096,
     n_rounds: int = 30,
     lr: float = 0.5,
+    n_gram: int = 1,
     min_precision: float = 0.9,
     curve_bins: int = 1000,
     dsir_buckets: int = 4096,
@@ -553,7 +556,7 @@ def run_curation_pipeline(
     frames = build_curation_frames(
         spark, docs, seeds, target,
         k=k, text_col=text_col, id_col=id_col, label_col=label_col,
-        n_buckets=n_buckets, n_rounds=n_rounds, lr=lr,
+        n_buckets=n_buckets, n_rounds=n_rounds, lr=lr, n_gram=n_gram,
         min_precision=min_precision, curve_bins=curve_bins,
         dsir_buckets=dsir_buckets, seed=seed, n_shards=n_shards,
         calibrate=calibrate, scrub=scrub,
@@ -591,6 +594,10 @@ def run_curation_pipeline(
         "seed": seed,
         "n_shards": n_shards,
         "n_buckets": n_buckets,
+        # the gate's feature order: a scorer at the WRONG n_gram
+        # silently reads a drifted feature space, so the manifest
+        # carries it like curve_bins carries the bin convention
+        "n_gram": n_gram,
         "dsir_buckets": dsir_buckets,
         # the bin convention: without it the calibration_table and
         # threshold cannot be interpreted or inverted downstream
@@ -632,9 +639,12 @@ def run_ccnet_prefilter(
     ``out_dir/kept/`` partitioned by source with a manifest JSON.
 
     ``lm_order`` picks the scorer: 1 = the smoothed unigram LM (H49);
-    2 = the interpolated bigram LM with unigram backoff (H50,
-    ``lam`` = bigram weight) — order-sensitive, so reference-like
-    vocabulary in scrambled order no longer survives the cut. Both
+    2 = the interpolated bigram LM with unigram backoff (H50);
+    3 = the trigram backoff chain (H52, r16) — ``lam`` is the
+    per-level interpolation weight at orders >= 2. Order 2 catches
+    reference-like vocabulary in scrambled order; order 3
+    additionally catches corpora that preserve bigram statistics but
+    scramble triples (both separations test-pinned). All three
     produce the same (id, n_toks, avg_nll) relation, so everything
     downstream (threshold fit, filter, manifest) is scorer-agnostic.
 
@@ -660,13 +670,15 @@ def run_ccnet_prefilter(
         bigram_lm_table,
         score_docs_under_bigram_lm,
         score_docs_under_lm,
+        score_docs_under_trigram_lm,
+        trigram_lm_table,
         unigram_lm_table,
     )
 
-    if lm_order not in (1, 2):
+    if lm_order not in (1, 2, 3):
         raise ValueError(
-            f"lm_order={lm_order}: 1 (unigram, H49) or 2 (bigram with "
-            "unigram backoff, H50)"
+            f"lm_order={lm_order}: 1 (unigram, H49), 2 (bigram with "
+            "unigram backoff, H50), or 3 (trigram backoff chain, H52)"
         )
     # scorer knob guards up front (review catch): the scorer itself
     # re-checks these, but only AFTER both reference-scale LM fits
@@ -683,7 +695,14 @@ def run_ccnet_prefilter(
         reference = scrub_pii(reference, text_col=text_col)
 
     lm = unigram_lm_table(reference, text_col=text_col, alpha=alpha)
-    if lm_order == 2:
+    if lm_order == 3:
+        bg = bigram_lm_table(reference, text_col=text_col)
+        tg = trigram_lm_table(reference, text_col=text_col)
+        scores = score_docs_under_trigram_lm(
+            docs, tg, bg, lm, text_col=text_col, id_col=id_col,
+            alpha=alpha, lam=lam,
+        )
+    elif lm_order == 2:
         bg = bigram_lm_table(reference, text_col=text_col)
         scores = score_docs_under_bigram_lm(
             docs, bg, lm, text_col=text_col, id_col=id_col,
@@ -743,9 +762,9 @@ def run_ccnet_prefilter(
         "q": q,
         "alpha": alpha,
         "lm_order": lm_order,
-        # the interpolation weight only participates at order 2;
+        # the interpolation weight only participates at orders >= 2;
         # recording it unconditionally would imply it shaped the cut
-        "lam": lam if lm_order == 2 else None,
+        "lam": lam if lm_order >= 2 else None,
         "pii_scrubbed": scrub,
         "thresholds": {s: thresholds[s] for s in sorted(thresholds)},
         "path": out_path,
@@ -787,25 +806,38 @@ def run_staged_curation(
     scrub: bool = False,
     val_frac: float | None = None,
     seeds_val=None,
+    # stage 0 — Gopher/C4/Dolma rule screen (H51), optional
+    rules: bool = False,
+    rules_config: dict | None = None,
 ) -> dict:
-    """The production curation shape as ONE staged job: the cheap LM
-    prefilter cuts each domain's perplexity tail FIRST, then the
+    """The production curation shape as ONE staged job: an optional
+    rule-based heuristic screen FIRST (``rules=True`` — the
+    Gopher/C4/Dolma stage-0 every real run applies), then the cheap
+    LM prefilter cuts each domain's perplexity tail, then the
     classifier gate + DSIR + sharding run on the survivors — the
-    CCNet-then-classifier pipeline every large curation run
-    hand-wires today (the r14 verdict's missing composition), with
-    the parquet handoff internal and one run directory:
+    rules → CCNet → classifier → DSIR pipeline every large curation
+    run hand-wires today, with the parquet handoff internal and one
+    run directory:
 
         out_dir/prefilter/kept/      stage-1 survivors (by source)
         out_dir/prefilter/ccnet_manifest.json
         out_dir/curation/selected/   final selection (by shard)
         out_dir/curation/curation_manifest.json
         out_dir/staged_manifest.json both manifests + reconciliation
+                                     (+ the per-rule funnel when
+                                     rules=True)
 
-    Ordering matters for cost: the prefilter is two corpus passes of
-    cheap token joins and removes the worst tail before the
-    classifier scores anything, so the expensive stage reads only
-    survivors — at 100 TB that is the difference between scoring the
-    crawl and scoring the keep-worthy fraction of it.
+    Ordering matters for cost: the rule screen is a zero-shuffle
+    codegen'd projection (its ``rules_ok`` predicate pushes into
+    stage 1's own corpus scans — nothing is materialized), the
+    prefilter is two corpus passes of cheap token joins, and both
+    remove tails before the classifier scores anything, so the
+    expensive stage reads only survivors — at 100 TB that is the
+    difference between scoring the crawl and scoring the keep-worthy
+    fraction of it. ``rules_config`` overrides the published Gopher
+    thresholds (see ``operators/quality_rules.quality_rule_flags``);
+    the staged manifest records the per-rule funnel so the drop
+    decomposes by rule, plus the config that produced it.
 
     PII scrubbing composes at THIS level: ``scrub=True`` redacts
     docs, reference, seeds, and the DSIR target exactly once here
@@ -823,15 +855,20 @@ def run_staged_curation(
     # stage-2 argument guards BEFORE stage 1 runs (review catch): a
     # val_frac typo must not cost a full corpus-scale prefilter pass
     _check_heldout_args(val_frac, seeds_val)
-    if lm_order not in (1, 2):
+    if lm_order not in (1, 2, 3):
         raise ValueError(
-            f"lm_order={lm_order}: 1 (unigram, H49) or 2 (bigram with "
-            "unigram backoff, H50)"
+            f"lm_order={lm_order}: 1 (unigram, H49), 2 (bigram with "
+            "unigram backoff, H50), or 3 (trigram backoff chain, H52)"
         )
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam={lam}: interpolation weight is in [0, 1]")
     if alpha <= 0:
         raise ValueError(f"alpha={alpha}: add-alpha smoothing needs > 0")
+    if rules_config is not None and not rules:
+        raise ValueError(
+            "rules_config without rules=True: the config would be "
+            "silently ignored — enable the rule screen or drop it"
+        )
     t0 = time.time()
     if scrub:
         from drive_bc_datapipeline_spark.operators.pii import scrub_pii
@@ -843,12 +880,38 @@ def run_staged_curation(
         if seeds_val is not None:
             seeds_val = scrub_pii(seeds_val, text_col=text_col)
 
+    rules_funnel = None
+    if rules:
+        from drive_bc_datapipeline_spark.operators.quality_rules import (
+            RULE_FLAGS,
+            quality_rule_flags,
+            quality_rule_funnel,
+        )
+
+        # stage-0 argument guard rides quality_rule_flags itself (it
+        # validates before building any plan). The funnel is ONE
+        # bounded single-row action; the filtered frame stays LAZY —
+        # the rules are a codegen'd projection, so recomputing them
+        # inside stage 1's own scans is cheaper at any scale than
+        # materializing a flagged copy of the corpus.
+        flagged = quality_rule_flags(
+            docs, text_col=text_col, **(rules_config or {})
+        )
+        rules_funnel = quality_rule_funnel(flagged).collect()[0].asDict()
+        docs = flagged.filter(F.col("rules_ok")).drop("rules_ok", *RULE_FLAGS)
     m_pre = run_ccnet_prefilter(
         spark, docs, reference, os.path.join(out_dir, "prefilter"),
         q=q, alpha=alpha, lm_order=lm_order, lam=lam,
         text_col=text_col, id_col=id_col, source_col=source_col,
         scrub=False,  # scrubbed once above
     )
+    if rules and m_pre["n_docs"] != rules_funnel["n_pass_all"]:
+        raise ValueError(
+            f"stage handoff diverged: the rule screen passed "
+            f"{rules_funnel['n_pass_all']} docs but the prefilter "
+            f"observed {m_pre['n_docs']} — the lazy rules_ok predicate "
+            "did not reproduce the funnel's cut"
+        )
     kept_docs = spark.read.parquet(m_pre["path"])
     m_cur = run_curation_pipeline(
         spark, kept_docs, seeds, target,
@@ -867,11 +930,17 @@ def run_staged_curation(
             "the kept/ parquet read does not match what stage 1 wrote"
         )
     manifest = {
-        "n_docs": m_pre["n_docs"],
+        # with the rule screen on, the corpus count is the funnel's
+        # n_total (the prefilter only ever saw the survivors)
+        "n_docs": rules_funnel["n_total"] if rules else m_pre["n_docs"],
+        "n_kept_rules": rules_funnel["n_pass_all"] if rules else None,
         "n_kept_prefilter": m_pre["n_kept"],
         "n_kept_gate": m_cur["n_kept"],
         "n_selected": m_cur["n_selected"],
         "pii_scrubbed": scrub,
+        "rules": rules,
+        "rules_funnel": rules_funnel,
+        "rules_config": rules_config if rules else None,
         "prefilter": m_pre,
         "curation": m_cur,
         "path": m_cur["path"],

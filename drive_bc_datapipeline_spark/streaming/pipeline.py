@@ -720,6 +720,7 @@ def _classifier_kept(
     n_buckets: int,
     text_col: str,
     id_col: str,
+    n_gram: int = 1,
 ):
     """kept-of-batch builder for the E7 classifier gate — THE one
     copy of the scoring body, composed by J11 alone and by J13 after
@@ -738,6 +739,7 @@ def _classifier_kept(
             id_col=id_col,
             n_buckets=n_buckets,
             bias=bias,
+            n_gram=n_gram,
         )
         return df.join(
             scored.filter(F.col("score") >= threshold).select(
@@ -758,6 +760,7 @@ def curation_gate_batch_writer(
     n_buckets: int = 4096,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_gram: int = 1,
 ):
     """foreachBatch callback: score → filter → exactly-once commit.
 
@@ -771,6 +774,7 @@ def curation_gate_batch_writer(
         _classifier_kept(
             weights, bias, threshold,
             n_buckets=n_buckets, text_col=text_col, id_col=id_col,
+            n_gram=n_gram,
         ),
     )
 
@@ -789,6 +793,7 @@ def start_curation_gate_stream(
     n_buckets: int = 4096,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_gram: int = 1,
     schema: str = DOC_STREAM_SCHEMA,
     max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
@@ -827,6 +832,7 @@ def start_curation_gate_stream(
                 n_buckets=n_buckets,
                 text_col=text_col,
                 id_col=id_col,
+                n_gram=n_gram,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -1076,6 +1082,7 @@ def staged_gate_batch_writer(
     alpha: float = 0.5,
     lam: float = 0.7,
     n_buckets: int = 4096,
+    n_gram: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
@@ -1111,6 +1118,7 @@ def staged_gate_batch_writer(
     classifier_kept = _classifier_kept(
         weights, bias, threshold,
         n_buckets=n_buckets, text_col=text_col, id_col=id_col,
+        n_gram=n_gram,
     )
 
     def kept_of_batch(batch_df: DataFrame):
@@ -1144,6 +1152,7 @@ def start_staged_gate_stream(
     cal_table: list | None = None,
     curve_bins: int | None = None,
     n_buckets: int = 4096,
+    n_gram: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
@@ -1170,8 +1179,233 @@ def start_staged_gate_stream(
             staged_gate_batch_writer(
                 sink_dir, lm, thresholds, q, weights, bias, threshold,
                 bigram=bigram, alpha=alpha, lam=lam,
-                n_buckets=n_buckets, text_col=text_col, id_col=id_col,
+                n_buckets=n_buckets, n_gram=n_gram,
+                text_col=text_col, id_col=id_col,
                 source_col=source_col,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# J14 (r16) — model-rotation protocol for the frozen streaming gates
+# (the r15 verdict's What's-missing #5): the J11/J12/J13 gates freeze
+# their model per stream on purpose (per-batch refits would make the
+# cut arrival-order-dependent), so a drifted corpus needs a NEW batch
+# fit — and until now that meant a stop-the-world stream restart.
+# The protocol here hands an in-flight sink to the new model at
+# exactly a micro-batch boundary:
+#
+#   model_dir/gate_model_v{N}.json   immutable versioned manifests
+#   model_dir/CURRENT                the pointer, swapped by atomic
+#                                    rename (os.replace) — the same
+#                                    atomicity point the commit log
+#                                    already relies on
+#
+# The versioned writer resolves CURRENT once per micro-batch, AFTER
+# the replay-marker probe (a replayed committed batch never reads the
+# version) and BEFORE any scoring plan is built; the kept rows carry
+# a ``model_version`` audit column so every committed row names the
+# model that passed it. A version change rebuilds the kept builder
+# exactly once (the frozen model-state probes re-run per VERSION, not
+# per batch — the J12 probe-once discipline survives rotation).
+#
+# Semantics note (documented, test-pinned): a crash-window REWRITE
+# (marker removed, batch re-driven) scores under the version CURRENT
+# points to at rewrite time, not the version that first wrote it —
+# last-write-wins per batch is the commit log's contract, and the
+# audit column records which model produced the surviving rows.
+# ---------------------------------------------------------------------------
+
+GATE_MODEL_PREFIX = "gate_model_v"
+
+
+def publish_gate_model(model_dir: str, manifest: dict) -> int:
+    """Publish a new gate-model version: write the immutable
+    ``gate_model_v{N}.json`` (N = one past the highest existing
+    version), then swap ``CURRENT`` to it by atomic rename. Returns
+    the version number. The batch re-fit job calls this after
+    training; every in-flight versioned stream picks the new model
+    up at its next micro-batch boundary."""
+    import json
+    import os
+
+    os.makedirs(model_dir, exist_ok=True)
+    versions = [
+        int(f[len(GATE_MODEL_PREFIX):-len(".json")])
+        for f in os.listdir(model_dir)
+        if f.startswith(GATE_MODEL_PREFIX) and f.endswith(".json")
+    ]
+    version = max(versions, default=0) + 1
+    path = os.path.join(model_dir, f"{GATE_MODEL_PREFIX}{version}.json")
+    with open(path, "w") as f:
+        json.dump(manifest, f, indent=2)
+        f.flush()
+        os.fsync(f.fileno())
+    tmp = os.path.join(model_dir, ".CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(model_dir, "CURRENT"))  # the swap
+    return version
+
+
+def read_current_gate_model(model_dir: str) -> tuple[int, dict]:
+    """(version, manifest) for the model ``CURRENT`` points to.
+    Fails loudly when nothing has been published — a gate stream
+    with no model would otherwise have to invent a cut."""
+    import json
+    import os
+
+    current = os.path.join(model_dir, "CURRENT")
+    if not os.path.exists(current):
+        raise ValueError(
+            f"no CURRENT gate model under {model_dir!r}: publish one "
+            "with publish_gate_model before starting the stream"
+        )
+    with open(current) as f:
+        version = int(f.read().strip())
+    path = os.path.join(model_dir, f"{GATE_MODEL_PREFIX}{version}.json")
+    with open(path) as f:
+        return version, json.load(f)
+
+
+def versioned_gate_batch_writer(
+    sink_dir: str, model_dir: str, kept_builder
+):
+    """foreachBatch callback wrapping ANY gate family with the
+    rotation protocol: per batch, resolve CURRENT → (rebuild the kept
+    builder iff the version changed) → gate → stamp ``model_version``
+    on the kept rows → exactly-once commit, all through the shared
+    ``_scored_gate_writer`` replay protocol.
+
+    ``kept_builder(manifest) -> kept_of_batch`` builds the frozen
+    gate from a published manifest (its model-state validation probes
+    run once per VERSION); the returned kept_of_batch follows the
+    ``_scored_gate_writer`` contract (bare frame or (frame, aux))."""
+    cache: dict = {"version": None, "kept": None}
+
+    def kept_of_batch(batch_df: DataFrame):
+        version, manifest = read_current_gate_model(model_dir)
+        if version != cache["version"]:
+            cache["kept"] = kept_builder(manifest)
+            cache["version"] = version
+        out = cache["kept"](batch_df)
+        kept, aux = out if isinstance(out, tuple) else (out, ())
+        return kept.withColumn("model_version", F.lit(version)), aux
+
+    return _scored_gate_writer(sink_dir, kept_of_batch)
+
+
+#: Required keys of a J11 classifier-gate manifest (the versioned
+#: JSON twin of start_curation_gate_stream's argument list).
+CLASSIFIER_GATE_MANIFEST_KEYS = (
+    "weights", "bias", "threshold", "n_buckets", "n_gram",
+)
+
+
+def classifier_gate_manifest(
+    weights: dict[int, float],
+    bias: float,
+    threshold: float,
+    *,
+    n_buckets: int = 4096,
+    n_gram: int = 1,
+    cal_table: list | None = None,
+    curve_bins: int | None = None,
+) -> dict:
+    """Build the JSON-safe versioned manifest for the J11 classifier
+    gate (JSON keys are strings, so bucket ids round-trip through
+    str — the reader converts back). The calibrated handoff travels
+    as the (cal_table, curve_bins) PAIR or not at all, the
+    _resolve_gate_threshold discipline."""
+    if (cal_table is None) != (curve_bins is None):
+        raise ValueError(
+            "cal_table and curve_bins travel together or not at all "
+            "(the calibrated-handoff pair rule)"
+        )
+    return {
+        "gate": "classifier",
+        "weights": {str(b): float(w) for b, w in weights.items()},
+        "bias": float(bias),
+        "threshold": float(threshold),
+        "n_buckets": int(n_buckets),
+        "n_gram": int(n_gram),
+        "cal_table": (
+            [list(row) for row in cal_table] if cal_table is not None
+            else None
+        ),
+        "curve_bins": curve_bins,
+    }
+
+
+def _classifier_kept_of_manifest(
+    *, text_col: str = "text", id_col: str = "doc_id"
+):
+    """kept_builder for ``versioned_gate_batch_writer``: validate a
+    published classifier-gate manifest and build the frozen J11 gate
+    from it (threshold resolved through the shared calibrated-handoff
+    path)."""
+
+    def build(manifest: dict):
+        missing = [
+            k for k in CLASSIFIER_GATE_MANIFEST_KEYS if k not in manifest
+        ]
+        if missing:
+            raise ValueError(
+                f"gate manifest is missing {missing}: publish it with "
+                "classifier_gate_manifest"
+            )
+        cal_table = manifest.get("cal_table")
+        threshold = _resolve_gate_threshold(
+            manifest["threshold"], cal_table, manifest.get("curve_bins")
+        )
+        return _classifier_kept(
+            {int(b): float(w) for b, w in manifest["weights"].items()},
+            manifest["bias"],
+            threshold,
+            n_buckets=manifest["n_buckets"],
+            text_col=text_col,
+            id_col=id_col,
+            n_gram=manifest["n_gram"],
+        )
+
+    return build
+
+
+def start_versioned_curation_gate_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    model_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    schema: str = DOC_STREAM_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """J14: the J11 classifier gate under the rotation protocol — the
+    model comes from ``model_dir``'s CURRENT manifest instead of
+    arguments, re-resolved at every micro-batch boundary, and every
+    kept row carries ``model_version``. A re-fit batch job publishes
+    v2 with ``publish_gate_model`` and the in-flight stream swaps
+    over without a restart. Fails at start when nothing is published
+    (a gate with no model has no cut to apply)."""
+    read_current_gate_model(model_dir)  # fail-fast before the stream
+    return (
+        _doc_stream_reader(spark, source_dir, schema, max_files_per_trigger)
+        .writeStream.foreachBatch(
+            versioned_gate_batch_writer(
+                sink_dir,
+                model_dir,
+                _classifier_kept_of_manifest(
+                    text_col=text_col, id_col=id_col
+                ),
             )
         )
         .option("checkpointLocation", checkpoint_dir)

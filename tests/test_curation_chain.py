@@ -720,8 +720,9 @@ def test_staged_curation_validates_args_before_stage_one(spark, tmp_path):
         (dict(val_frac=1.5), "val_frac"),
         (dict(val_frac=0.3, seeds_val=seeds), "not both"),
         (dict(lam=1.5), "lam"),
-        (dict(lm_order=3), "lm_order"),
+        (dict(lm_order=4), "lm_order"),  # 3 is valid as of r16 (H52)
         (dict(alpha=0.0), "alpha"),
+        (dict(rules_config={"min_words": 5}), "rules_config without"),
     ]:
         with pytest.raises(ValueError, match=match):
             run_staged_curation(

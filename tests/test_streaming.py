@@ -1074,3 +1074,211 @@ def test_staged_gate_writer_releases_prefiltered_storage(spark, tmp_path):
         # nor the prefiltered intermediate
         assert pinned_ids() <= base
     assert sp.read_committed(spark, sink).count() > 0
+
+
+def test_curation_gate_writer_n_gram_arm(spark, tmp_path):
+    """r16 (Next #5): the gate writer threads n_gram to the scorer —
+    on the planted token-order classes the n_gram=2 gate separates
+    and keeps exactly the positive-ordered docs, matching the batch
+    cut; the n_gram=1 gate cannot (identical feature vectors)."""
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        score_hashed_linear,
+        train_hashed_linear,
+    )
+
+    pos = "alpha beta gamma delta"
+    neg = "delta gamma beta alpha"
+    seeds = spark.createDataFrame(
+        [(i, 1, pos) for i in range(6)] + [(10 + i, 0, neg) for i in range(6)],
+        "doc_id long, label int, text string",
+    )
+    w, b = train_hashed_linear(
+        spark, seeds, n_buckets=256, n_rounds=150, lr=2.0, n_gram=2
+    )
+    docs = spark.createDataFrame(
+        [(100 + i, "web", pos) for i in range(4)]
+        + [(200 + i, "web", neg) for i in range(4)],
+        sp.DOC_STREAM_SCHEMA,
+    )
+    batch_kept = sorted(
+        r["doc_id"]
+        for r in score_hashed_linear(
+            spark, docs, w, n_buckets=256, bias=b, n_gram=2
+        )
+        .filter(F.col("score") >= 0.5)
+        .collect()
+    )
+    assert batch_kept == [100, 101, 102, 103]
+    sink = str(tmp_path / "ng_sink")
+    write_batch = sp.curation_gate_batch_writer(
+        sink, w, b, 0.5, n_buckets=256, n_gram=2
+    )
+    write_batch(docs, 0)
+    got = sorted(
+        r["doc_id"] for r in sp.read_committed(spark, sink).collect()
+    )
+    assert got == batch_kept
+
+
+# ---------------------------------------------------------------------------
+# J14 (r16) — model-rotation protocol: versioned manifests, the
+# batch-boundary swap, per-row model_version audit.
+# ---------------------------------------------------------------------------
+
+
+def _rotation_fixtures(spark):
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        train_hashed_linear,
+    )
+
+    seeds = spark.createDataFrame(
+        [(100 + i, 1, "the quick good %d" % i) for i in range(6)]
+        + [(200 + i, 0, "zz junk bad %d" % i) for i in range(6)],
+        "doc_id long, label int, text string",
+    )
+    w, b = train_hashed_linear(spark, seeds, n_buckets=64, n_rounds=30)
+    docs = spark.createDataFrame(
+        [(i, "web", "the quick good %d" % i) for i in range(4)]
+        + [(10 + i, "web", "zz junk bad %d" % i) for i in range(4)],
+        sp.DOC_STREAM_SCHEMA,
+    )
+    return w, b, docs
+
+
+def test_gate_model_swap_at_batch_boundary(spark, tmp_path):
+    """The r15 verdict's Done criterion: an in-flight sink picks up
+    v2 at exactly one batch boundary — batches written before the
+    publish carry model_version 1, batches after carry 2, committed
+    rows are untouched by the swap, and each batch's kept set is its
+    version's cut."""
+    w, b, docs = _rotation_fixtures(spark)
+    model_dir = str(tmp_path / "models")
+    v1 = sp.publish_gate_model(
+        model_dir, sp.classifier_gate_manifest(w, b, 0.6, n_buckets=64)
+    )
+    assert v1 == 1
+    sink = str(tmp_path / "vsink")
+    write_batch = sp.versioned_gate_batch_writer(
+        sink, model_dir, sp._classifier_kept_of_manifest()
+    )
+    write_batch(docs, 0)
+    rows0 = sp.read_committed(spark, sink).collect()
+    assert rows0 and all(r["model_version"] == 1 for r in rows0)
+    kept_v1 = sorted(r["doc_id"] for r in rows0)
+    assert kept_v1 == [0, 1, 2, 3]  # the good half passes at 0.6
+
+    # v2: a threshold no document reaches — the strictest possible cut
+    v2 = sp.publish_gate_model(
+        model_dir,
+        sp.classifier_gate_manifest(w, b, 0.999999, n_buckets=64),
+    )
+    assert v2 == 2
+    write_batch(docs, 1)  # next batch boundary: the swap lands HERE
+    rows = sp.read_committed(spark, sink).collect()
+    # batch 0 rows untouched (still v1); batch 1 kept nothing at v2
+    assert sorted(
+        r["doc_id"] for r in rows if r["model_version"] == 1
+    ) == kept_v1
+    assert not [r for r in rows if r["model_version"] == 2]
+
+    # v3 relaxes the cut: new batches keep under v3 and say so
+    sp.publish_gate_model(
+        model_dir, sp.classifier_gate_manifest(w, b, 0.6, n_buckets=64)
+    )
+    write_batch(docs, 2)
+    rows = sp.read_committed(spark, sink).collect()
+    assert sorted(
+        r["doc_id"] for r in rows if r["model_version"] == 3
+    ) == kept_v1
+
+
+def test_gate_model_version_resolved_once_per_batch(spark, tmp_path, monkeypatch):
+    """The pointer read happens once per micro-batch (after the
+    replay-marker probe — a replayed batch never reads it), and the
+    kept BUILDER rebuilds once per VERSION, not per batch (the J12
+    probe-once discipline survives rotation)."""
+    w, b, docs = _rotation_fixtures(spark)
+    model_dir = str(tmp_path / "models")
+    sp.publish_gate_model(
+        model_dir, sp.classifier_gate_manifest(w, b, 0.6, n_buckets=64)
+    )
+    reads = {"n": 0}
+    real_read = sp.read_current_gate_model
+
+    def counting_read(d):
+        reads["n"] += 1
+        return real_read(d)
+
+    monkeypatch.setattr(sp, "read_current_gate_model", counting_read)
+    builds = {"n": 0}
+    real_builder = sp._classifier_kept_of_manifest()
+
+    def counting_builder(manifest):
+        builds["n"] += 1
+        return real_builder(manifest)
+
+    sink = str(tmp_path / "vsink2")
+    write_batch = sp.versioned_gate_batch_writer(
+        sink, model_dir, counting_builder
+    )
+    write_batch(docs, 0)
+    write_batch(docs, 1)
+    assert reads["n"] == 2 and builds["n"] == 1  # 2 batches, 1 version
+    write_batch(docs, 0)  # replay: marker short-circuits BEFORE the read
+    assert reads["n"] == 2
+    sp.publish_gate_model(
+        model_dir, sp.classifier_gate_manifest(w, b, 0.7, n_buckets=64)
+    )
+    write_batch(docs, 2)
+    assert reads["n"] == 3 and builds["n"] == 2  # rebuild per version
+
+
+def test_gate_model_publish_and_guards(spark, tmp_path):
+    import pytest
+
+    w, b, _docs = _rotation_fixtures(spark)
+    model_dir = str(tmp_path / "models")
+    # reading before any publish fails by name
+    with pytest.raises(ValueError, match="publish"):
+        sp.read_current_gate_model(model_dir)
+    with pytest.raises(ValueError, match="publish"):
+        sp.start_versioned_curation_gate_stream(
+            spark, str(tmp_path / "s"), str(tmp_path / "o"),
+            str(tmp_path / "c"), model_dir,
+        )
+    # the calibrated pair travels whole or not at all
+    with pytest.raises(ValueError, match="pair"):
+        sp.classifier_gate_manifest(w, b, 0.6, cal_table=[[0, 0.1]])
+    # a hand-rolled manifest missing keys fails by name at build
+    v = sp.publish_gate_model(model_dir, {"gate": "classifier"})
+    assert v == 1
+    build = sp._classifier_kept_of_manifest()
+    _version, manifest = sp.read_current_gate_model(model_dir)
+    with pytest.raises(ValueError, match="missing"):
+        build(manifest)
+    # weights round-trip through JSON string keys intact
+    sp.publish_gate_model(
+        model_dir, sp.classifier_gate_manifest(w, b, 0.6, n_buckets=64)
+    )
+    _version, m2 = sp.read_current_gate_model(model_dir)
+    assert {int(k): v for k, v in m2["weights"].items()} == w
+
+
+def test_versioned_gate_stream_end_to_end(spark, tmp_path):
+    """The real-stream plumbing: a versioned J14 stream drains a
+    backlog under CURRENT and stamps every kept row."""
+    w, b, docs = _rotation_fixtures(spark)
+    model_dir = str(tmp_path / "models")
+    sp.publish_gate_model(
+        model_dir, sp.classifier_gate_manifest(w, b, 0.6, n_buckets=64)
+    )
+    src = str(tmp_path / "vsrc")
+    docs.write.parquet(src)
+    sink = str(tmp_path / "vsink3")
+    sp.start_versioned_curation_gate_stream(
+        spark, src, sink, str(tmp_path / "vck"), model_dir,
+    ).awaitTermination(120)
+    rows = sp.read_committed(spark, sink).collect()
+    assert sorted(r["doc_id"] for r in rows) == [0, 1, 2, 3]
+    assert all(r["model_version"] == 1 for r in rows)
+    assert all(r["score"] >= 0.6 for r in rows)  # both audit columns
