@@ -797,6 +797,7 @@ def run_staged_curation(
     n_buckets: int = 4096,
     n_rounds: int = 30,
     lr: float = 0.5,
+    n_gram: int = 1,
     min_precision: float = 0.9,
     curve_bins: int = 1000,
     dsir_buckets: int = 4096,
@@ -917,7 +918,7 @@ def run_staged_curation(
         spark, kept_docs, seeds, target,
         os.path.join(out_dir, "curation"),
         k=k, text_col=text_col, id_col=id_col, label_col=label_col,
-        n_buckets=n_buckets, n_rounds=n_rounds, lr=lr,
+        n_buckets=n_buckets, n_rounds=n_rounds, lr=lr, n_gram=n_gram,
         min_precision=min_precision, curve_bins=curve_bins,
         dsir_buckets=dsir_buckets, seed=seed, n_shards=n_shards,
         calibrate=calibrate, scrub=False,  # scrubbed once above

@@ -29,7 +29,7 @@ Why this shape scales:
   k-row merge, no global sort, no driver loop).
 
 Feature space: word unigrams + bigrams hashed by the H15 md5
-convention — ``doc_tokens`` / ``hash_bucket`` are IMPORTED from the
+convention — ``word_grams`` / ``hash_bucket`` are IMPORTED from the
 classifier family, not re-typed (the CHAR_SPLIT_RE lesson: one copy,
 so the selector's feature space can't drift from the classifier's).
 

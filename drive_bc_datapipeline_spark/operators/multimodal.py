@@ -236,7 +236,7 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
 # ---------------------------------------------------------------------------
 
 IMAGE_FEATURES_SCHEMA = (
-    "doc_id long, width int, height int, n_channels int, "
+    "{id_col} long, width int, height int, n_channels int, "
     "px_sum bigint, top_left_r int"
 )
 
@@ -247,7 +247,9 @@ def decode_image_features(
     """(id, BMP payload) → per-image features from the DECODED pixel
     array: real dims from the header, the exact pixel-value sum, and
     the top-left pixel's R channel — the column a decoder that skips
-    the bottom-up row flip or the BGR swap gets wrong."""
+    the bottom-up row flip or the BGR swap gets wrong. The output id
+    column keeps the caller's ``id_col`` name (review catch: it used
+    to rename to doc_id while claiming to honor the parameter)."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -262,7 +264,7 @@ def decode_image_features(
                 tls.append(int(px[0, 0, 0]))
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    id_col: pd.Series(ids, dtype="int64"),
                     "width": pd.Series(ws, dtype="int32"),
                     "height": pd.Series(hs, dtype="int32"),
                     "n_channels": pd.Series(chs, dtype="int32"),
@@ -271,7 +273,9 @@ def decode_image_features(
                 }
             )
 
-    return df.mapInPandas(featurize, schema=IMAGE_FEATURES_SCHEMA)
+    return df.mapInPandas(
+        featurize, schema=IMAGE_FEATURES_SCHEMA.format(id_col=id_col)
+    )
 
 
 def resize_image_bytes(
@@ -312,7 +316,7 @@ def resize_image_bytes(
                 out.append(encode_bmp(small))
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    id_col: pd.Series(ids, dtype="int64"),
                     "src_w": pd.Series(sw, dtype="int32"),
                     "src_h": pd.Series(sh, dtype="int32"),
                     "dst_w": pd.Series(dw, dtype="int32"),
@@ -324,14 +328,14 @@ def resize_image_bytes(
     return df.mapInPandas(
         resize,
         schema=(
-            "doc_id long, src_w int, src_h int, dst_w int, dst_h int, "
-            "payload binary"
+            f"{id_col} long, src_w int, src_h int, dst_w int, "
+            "dst_h int, payload binary"
         ),
     )
 
 
 AUDIO_FEATURES_SCHEMA = (
-    "doc_id long, sample_rate int, n_samples int, n_windows int, "
+    "{id_col} long, sample_rate int, n_samples int, n_windows int, "
     "window_energy string"
 )
 
@@ -374,7 +378,7 @@ def decode_audio_features(
                 )
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    id_col: pd.Series(ids, dtype="int64"),
                     "sample_rate": pd.Series(rates, dtype="int32"),
                     "n_samples": pd.Series(counts, dtype="int32"),
                     "n_windows": pd.Series(n_windows, dtype="int32"),
@@ -382,7 +386,9 @@ def decode_audio_features(
                 }
             )
 
-    return df.mapInPandas(featurize, schema=AUDIO_FEATURES_SCHEMA)
+    return df.mapInPandas(
+        featurize, schema=AUDIO_FEATURES_SCHEMA.format(id_col=id_col)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -441,7 +447,7 @@ def attach_bmp_payload(
         for pdf in batches:
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col].astype("int64"),
                     "payload": [
                         text_bytes_to_bmp(("" if t is None else t).encode())
                         for t in pdf[text_col]
@@ -450,7 +456,7 @@ def attach_bmp_payload(
             )
 
     return df.select(id_col, text_col).mapInPandas(
-        build, schema="doc_id long, payload binary"
+        build, schema=f"{id_col} long, payload binary"
     )
 
 
@@ -463,7 +469,7 @@ def attach_wav_payload(
         for pdf in batches:
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col].astype("int64"),
                     "payload": [
                         text_bytes_to_wav(("" if t is None else t).encode())
                         for t in pdf[text_col]
@@ -472,5 +478,5 @@ def attach_wav_payload(
             )
 
     return df.select(id_col, text_col).mapInPandas(
-        build, schema="doc_id long, payload binary"
+        build, schema=f"{id_col} long, payload binary"
     )

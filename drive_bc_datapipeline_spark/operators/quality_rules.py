@@ -116,6 +116,16 @@ def quality_rule_flags(
             "required_words set can never pass — supply the word set "
             "or set min_required_words=0"
         )
+    # withColumn REPLACES an existing column silently — a corpus that
+    # already carries a flag-named column would lose it and downstream
+    # consumers would read OUR flag thinking it theirs (review catch)
+    taken = set(df.columns) & {*RULE_FLAGS, "rules_ok"}
+    if taken:
+        raise ValueError(
+            f"input already carries flag column(s) {sorted(taken)}: "
+            "rename them — quality_rule_flags would silently replace "
+            "them"
+        )
     text = F.col(text_col)
     toks = F.filter(F.split(text, " "), lambda x: x != "")
     n_words = F.size(toks)
@@ -185,10 +195,20 @@ def quality_rule_funnel(flags: DataFrame) -> DataFrame:
     what a manifest records so "the rules dropped 12%" decomposes
     into WHICH rule did the dropping. Partial-aggregable single-row
     output; safe at any corpus size."""
+    # coalesce(sum, 0): sum over an empty frame is NULL, and the
+    # staged job compares the funnel against observed counts — a NULL
+    # there would fail the reconciliation arithmetic instead of
+    # reading as the honest zero (review catch)
     aggs = [F.count(F.lit(1)).alias("n_total")]
     aggs += [
-        F.sum(F.col(name).cast("long")).alias(f"n_{name}")
+        F.coalesce(F.sum(F.col(name).cast("long")), F.lit(0)).alias(
+            f"n_{name}"
+        )
         for name in RULE_FLAGS
     ]
-    aggs.append(F.sum(F.col("rules_ok").cast("long")).alias("n_pass_all"))
+    aggs.append(
+        F.coalesce(F.sum(F.col("rules_ok").cast("long")), F.lit(0)).alias(
+            "n_pass_all"
+        )
+    )
     return flags.agg(*aggs)

@@ -1352,6 +1352,10 @@ def _classifier_kept_of_manifest(
     path)."""
 
     def build(manifest: dict):
+        from drive_bc_datapipeline_spark.operators.classifier import (
+            _check_n_gram,
+        )
+
         missing = [
             k for k in CLASSIFIER_GATE_MANIFEST_KEYS if k not in manifest
         ]
@@ -1360,6 +1364,9 @@ def _classifier_kept_of_manifest(
                 f"gate manifest is missing {missing}: publish it with "
                 "classifier_gate_manifest"
             )
+        # validate the feature order at BUILD time (once per version),
+        # not at the first micro-batch (review catch)
+        _check_n_gram(manifest["n_gram"])
         cal_table = manifest.get("cal_table")
         threshold = _resolve_gate_threshold(
             manifest["threshold"], cal_table, manifest.get("curve_bins")

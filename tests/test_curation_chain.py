@@ -729,3 +729,37 @@ def test_staged_curation_validates_args_before_stage_one(spark, tmp_path):
                 spark, docs, tiny, seeds, tiny, out, k=1, **kwargs
             )
         assert not os.path.exists(os.path.join(out, "prefilter")), kwargs
+
+
+def test_staged_curation_threads_n_gram(spark, tmp_path):
+    """Review catch (r16): run_staged_curation exposed the classifier
+    knobs but not n_gram, so a staged run could never use the bigram
+    gate (and a J13 stream could not match a staged n_gram=2
+    manifest). The knob now reaches the curation manifest."""
+    from drive_bc_datapipeline_spark.jobs import run_staged_curation
+
+    pos = "alpha beta gamma delta"
+    neg = "delta gamma beta alpha"
+    docs = spark.createDataFrame(
+        [(i, "web", pos) for i in range(6)]
+        + [(10 + i, "web", neg) for i in range(6)],
+        "doc_id long, source string, text string",
+    )
+    ref = spark.createDataFrame(
+        [(i, pos) for i in range(4)], "doc_id long, text string"
+    )
+    seeds = spark.createDataFrame(
+        [(100 + i, 1, pos) for i in range(6)]
+        + [(200 + i, 0, neg) for i in range(6)],
+        "doc_id long, label int, text string",
+    )
+    target = docs.limit(3).select("doc_id", "text")
+    m = run_staged_curation(
+        spark, docs, ref, seeds, target, str(tmp_path / "ng_staged"),
+        k=3, q=0.9, n_buckets=256, n_rounds=150, lr=2.0, n_gram=2,
+        min_precision=0.9, dsir_buckets=64, n_shards=2,
+    )
+    assert m["curation"]["n_gram"] == 2
+    # the order-sensitive gate kept only reference-ordered survivors
+    sel = {r["doc_id"] for r in spark.read.parquet(m["path"]).collect()}
+    assert sel <= set(range(6))

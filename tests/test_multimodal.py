@@ -344,3 +344,32 @@ def test_image_key_matches_text_bytes(spark):
         assert r.height == max(1, -(-len(b) // 48))
         assert r.px_sum == sum(b)
         assert r.top_left_r == (b[0] if b else 0)
+
+
+def test_featurizers_honor_id_col(spark):
+    """Review catch: the featurizers accepted id_col but hardcoded
+    doc_id in their output schemas — the caller's id column name must
+    survive the round trip."""
+    import numpy as np
+
+    from drive_bc_datapipeline_spark.operators import multimodal as mm
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    img = spark.createDataFrame(
+        [(7, bytearray(mm.encode_bmp(px)))], "img_id long, payload binary"
+    )
+    out = mm.decode_image_features(img, id_col="img_id")
+    assert out.columns[0] == "img_id"
+    assert out.collect()[0]["img_id"] == 7
+    rz = mm.resize_image_bytes(img, id_col="img_id")
+    assert rz.columns[0] == "img_id"
+    wav = spark.createDataFrame(
+        [(9, bytearray(mm.encode_wav(np.zeros(4, dtype=np.uint8), 8000)))],
+        "clip_id long, payload binary",
+    )
+    aout = mm.decode_audio_features(wav, id_col="clip_id")
+    assert aout.columns[0] == "clip_id"
+    assert aout.collect()[0]["clip_id"] == 9
+    docs = spark.createDataFrame([(3, "ab")], "x long, text string")
+    assert mm.attach_bmp_payload(docs, id_col="x").columns[0] == "x"
+    assert mm.attach_wav_payload(docs, id_col="x").columns[0] == "x"

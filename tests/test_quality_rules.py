@@ -288,3 +288,25 @@ def test_staged_curation_with_rule_screen(spark, tmp_path):
             spark, docs, reference, seeds, target, str(tmp_path / "x"),
             k=5, rules_config=cfg,
         )
+
+
+def test_flag_column_collision_refused(spark):
+    """Review catch: withColumn silently REPLACES an existing column,
+    so an input corpus already carrying a flag-named column must be
+    refused by name instead of clobbered."""
+    df = spark.createDataFrame(
+        [(1, GOOD, True)], "doc_id long, text string, words_ok boolean"
+    )
+    with pytest.raises(ValueError, match="words_ok"):
+        quality_rule_flags(df)
+
+
+def test_funnel_empty_corpus_reads_zero(spark):
+    """Review catch: sum over an empty frame is NULL; the funnel must
+    read the honest zero so the staged reconciliation arithmetic
+    works on an empty (fully pre-filtered) corpus."""
+    df = spark.createDataFrame([], "doc_id long, text string")
+    row = quality_rule_funnel(quality_rule_flags(df)).collect()[0]
+    assert row["n_total"] == 0 and row["n_pass_all"] == 0
+    for name in RULE_FLAGS:
+        assert row[f"n_{name}"] == 0, name

@@ -1282,3 +1282,20 @@ def test_versioned_gate_stream_end_to_end(spark, tmp_path):
     assert sorted(r["doc_id"] for r in rows) == [0, 1, 2, 3]
     assert all(r["model_version"] == 1 for r in rows)
     assert all(r["score"] >= 0.6 for r in rows)  # both audit columns
+
+
+def test_gate_manifest_validates_n_gram_at_build(spark, tmp_path):
+    """Review catch: a bad feature order in a published manifest must
+    fail when the version is first RESOLVED (once), not at the first
+    micro-batch's scoring plan."""
+    import pytest
+
+    w, b, _docs = _rotation_fixtures(spark)
+    model_dir = str(tmp_path / "models")
+    bad = sp.classifier_gate_manifest(w, b, 0.6, n_buckets=64)
+    bad["n_gram"] = 3
+    sp.publish_gate_model(model_dir, bad)
+    build = sp._classifier_kept_of_manifest()
+    _v, manifest = sp.read_current_gate_model(model_dir)
+    with pytest.raises(ValueError, match="n_gram"):
+        build(manifest)
