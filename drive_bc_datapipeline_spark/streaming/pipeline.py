@@ -857,34 +857,49 @@ def start_curation_gate_stream(
 # ---------------------------------------------------------------------------
 
 
-def _validate_lm_order(lm_order: int | None, bigram) -> None:
+def _validate_lm_order(lm_order: int | None, bigram, trigram=None) -> None:
     """THE one copy of the manifest-vs-model order check shared by the
     J12 and J13 stream starters (r15 ADVICE): thresholds fit at
     lm_order=2 applied with ``bigram=None`` silently score order-1
     and the streamed kept-set diverges from the batch cut — only
     alpha/lam were documented. Pass the batch manifest's
     ``lm_order``; ``None`` skips the check (a caller without a
-    manifest already chose the scorer by supplying ``bigram``)."""
+    manifest already chose the scorer by supplying the tables).
+    r16 extends the check to order 3: the supplied tables must be
+    EXACTLY the manifest's order in both directions."""
     if lm_order is None:
         return
-    if lm_order == 2 and bigram is None:
-        raise ValueError(
-            "lm_order=2 per the manifest but bigram=None: the stream "
-            "would score order-1 under order-2 thresholds and its "
-            "kept-set would silently diverge from the batch cut — "
-            "pass the bigram_lm_table fit on the same reference"
-        )
-    if lm_order == 1 and bigram is not None:
-        raise ValueError(
-            "lm_order=1 per the manifest but a bigram table was "
-            "supplied: the stream would score order-2 under order-1 "
-            "thresholds — drop the bigram or re-fit the prefilter "
-            "at lm_order=2"
-        )
-    if lm_order not in (1, 2):
+    if lm_order not in (1, 2, 3):
         raise ValueError(
             f"lm_order={lm_order}: the streaming gates score order 1 "
-            "(unigram) or 2 (bigram with unigram backoff)"
+            "(unigram), 2 (bigram with unigram backoff), or 3 "
+            "(trigram backoff chain)"
+        )
+    supplied = 1 + (bigram is not None) + (trigram is not None)
+    if trigram is not None and bigram is None:
+        raise ValueError(
+            "a trigram table without its bigram backoff: the order-3 "
+            "chain interpolates trigram -> bigram -> unigram — pass "
+            "both tables fit on the same reference"
+        )
+    if supplied < lm_order:
+        raise ValueError(
+            f"lm_order={lm_order} per the manifest but only order-"
+            f"{supplied} tables were supplied: the stream would score "
+            f"order-{supplied} under order-{lm_order} thresholds and "
+            "its kept-set would silently diverge from the batch cut"
+            + (" — pass the bigram_lm_table fit on the same reference"
+               if lm_order == 2 else
+               " — pass the trigram_lm_table AND bigram_lm_table fit "
+               "on the same reference")
+        )
+    if supplied > lm_order:
+        raise ValueError(
+            f"lm_order={lm_order} per the manifest but order-"
+            f"{supplied} tables were supplied: the stream would score "
+            f"order-{supplied} under order-{lm_order} thresholds — "
+            "drop the extra table(s) or re-fit the prefilter at "
+            f"lm_order={supplied}"
         )
 
 
@@ -899,13 +914,15 @@ def _ccnet_kept(
     text_col: str,
     id_col: str,
     source_col: str,
+    trigram=None,
 ):
     """kept-of-batch builder for the frozen CCNet cut — THE one copy
-    of the H49/H50 scoring body, composed by J12 alone and by J13
+    of the H49/H50/H52 scoring body, composed by J12 alone and by J13
     ahead of the classifier gate (r15 review catch: the body had
     been duplicated, so a fix to one writer would not reach the
     other). Validates and empty-checks the frozen model HERE, once
-    per builder, never per micro-batch."""
+    per builder, never per micro-batch. ``trigram`` (r16) selects
+    the order-3 backoff chain; it requires ``bigram``."""
     from drive_bc_datapipeline_spark.operators.domain_filter import (
         apply_domain_filter,
     )
@@ -913,6 +930,8 @@ def _ccnet_kept(
         bigram_backoff_stats,
         score_docs_under_bigram_lm,
         score_docs_under_lm,
+        score_docs_under_trigram_lm,
+        trigram_backoff_stats,
         unigram_oov_logp,
     )
 
@@ -922,17 +941,31 @@ def _ccnet_kept(
             "gate with no per-domain cuts would keep nothing it can "
             "explain"
         )
+    if trigram is not None and bigram is None:
+        raise ValueError(
+            "a trigram table without its bigram backoff: the order-3 "
+            "chain interpolates trigram -> bigram -> unigram — pass "
+            "both tables fit on the same reference"
+        )
     threshold_rows = [
         {"source": s, "q": float(q), "threshold": float(t)}
         for s, t in sorted(thresholds.items())
     ]
-    if bigram is not None:
+    if trigram is not None:
+        frozen_stats = trigram_backoff_stats(trigram, bigram, lm)
+    elif bigram is not None:
         frozen_stats = bigram_backoff_stats(bigram, lm)
     else:
         frozen_oov = unigram_oov_logp(lm)
 
     def kept(df: DataFrame) -> DataFrame:
-        if bigram is not None:
+        if trigram is not None:
+            scores = score_docs_under_trigram_lm(
+                df, trigram, bigram, lm,
+                text_col=text_col, id_col=id_col, alpha=alpha, lam=lam,
+                stats=frozen_stats,
+            )
+        elif bigram is not None:
             scores = score_docs_under_bigram_lm(
                 df, bigram, lm,
                 text_col=text_col, id_col=id_col, alpha=alpha, lam=lam,
@@ -958,6 +991,7 @@ def ccnet_gate_batch_writer(
     q: float,
     *,
     bigram=None,
+    trigram=None,
     alpha: float = 0.5,
     lam: float = 0.7,
     text_col: str = "text",
@@ -986,7 +1020,8 @@ def ccnet_gate_batch_writer(
     return _scored_gate_writer(
         sink_dir,
         _ccnet_kept(
-            lm, thresholds, q, bigram=bigram, alpha=alpha, lam=lam,
+            lm, thresholds, q, bigram=bigram, trigram=trigram,
+            alpha=alpha, lam=lam,
             text_col=text_col, id_col=id_col, source_col=source_col,
         ),
     )
@@ -1002,6 +1037,7 @@ def start_ccnet_gate_stream(
     thresholds: dict[str, float],
     q: float,
     bigram=None,
+    trigram=None,
     alpha: float = 0.5,
     lam: float = 0.7,
     lm_order: int | None = None,
@@ -1027,7 +1063,7 @@ def start_ccnet_gate_stream(
     stream, scoring is stateless per-doc, so foreachBatch + commit
     log is the whole machine (the J11 argument).
     """
-    _validate_lm_order(lm_order, bigram)
+    _validate_lm_order(lm_order, bigram, trigram)
     if not thresholds:
         raise ValueError(
             "empty thresholds: fit the batch prefilter first — a "
@@ -1043,6 +1079,7 @@ def start_ccnet_gate_stream(
                 thresholds,
                 q,
                 bigram=bigram,
+                trigram=trigram,
                 alpha=alpha,
                 lam=lam,
                 text_col=text_col,
@@ -1079,6 +1116,7 @@ def staged_gate_batch_writer(
     threshold: float,
     *,
     bigram=None,
+    trigram=None,
     alpha: float = 0.5,
     lam: float = 0.7,
     n_buckets: int = 4096,
@@ -1112,7 +1150,8 @@ def staged_gate_batch_writer(
     reference, accumulating storage over a long-running stream.
     """
     ccnet_kept = _ccnet_kept(
-        lm, thresholds, q, bigram=bigram, alpha=alpha, lam=lam,
+        lm, thresholds, q, bigram=bigram, trigram=trigram,
+        alpha=alpha, lam=lam,
         text_col=text_col, id_col=id_col, source_col=source_col,
     )
     classifier_kept = _classifier_kept(
@@ -1146,6 +1185,7 @@ def start_staged_gate_stream(
     bias: float,
     threshold: float,
     bigram=None,
+    trigram=None,
     alpha: float = 0.5,
     lam: float = 0.7,
     lm_order: int | None = None,
@@ -1171,14 +1211,14 @@ def start_staged_gate_stream(
     The calibrated handoff resolves here through the same
     ``_resolve_gate_threshold`` J11 uses (same half-supply guards).
     """
-    _validate_lm_order(lm_order, bigram)
+    _validate_lm_order(lm_order, bigram, trigram)
     threshold = _resolve_gate_threshold(threshold, cal_table, curve_bins)
     return (
         _doc_stream_reader(spark, source_dir, schema, max_files_per_trigger)
         .writeStream.foreachBatch(
             staged_gate_batch_writer(
                 sink_dir, lm, thresholds, q, weights, bias, threshold,
-                bigram=bigram, alpha=alpha, lam=lam,
+                bigram=bigram, trigram=trigram, alpha=alpha, lam=lam,
                 n_buckets=n_buckets, n_gram=n_gram,
                 text_col=text_col, id_col=id_col,
                 source_col=source_col,
@@ -1223,14 +1263,10 @@ def start_staged_gate_stream(
 GATE_MODEL_PREFIX = "gate_model_v"
 
 
-def publish_gate_model(model_dir: str, manifest: dict) -> int:
-    """Publish a new gate-model version: write the immutable
-    ``gate_model_v{N}.json`` (N = one past the highest existing
-    version), then swap ``CURRENT`` to it by atomic rename. Returns
-    the version number. The batch re-fit job calls this after
-    training; every in-flight versioned stream picks the new model
-    up at its next micro-batch boundary."""
-    import json
+def _next_gate_version(model_dir: str) -> int:
+    """One past the highest published version (single-publisher
+    protocol: the batch re-fit job is the only writer — concurrent
+    publishers would need a lock this deliberately does not take)."""
     import os
 
     os.makedirs(model_dir, exist_ok=True)
@@ -1239,7 +1275,18 @@ def publish_gate_model(model_dir: str, manifest: dict) -> int:
         for f in os.listdir(model_dir)
         if f.startswith(GATE_MODEL_PREFIX) and f.endswith(".json")
     ]
-    version = max(versions, default=0) + 1
+    return max(versions, default=0) + 1
+
+
+def _publish_gate_version(
+    model_dir: str, version: int, manifest: dict
+) -> int:
+    """Write the immutable manifest for ``version`` and swap CURRENT
+    to it by atomic rename — THE one copy of the swap (shared by the
+    plain and the CCNet publishers)."""
+    import json
+    import os
+
     path = os.path.join(model_dir, f"{GATE_MODEL_PREFIX}{version}.json")
     with open(path, "w") as f:
         json.dump(manifest, f, indent=2)
@@ -1252,6 +1299,18 @@ def publish_gate_model(model_dir: str, manifest: dict) -> int:
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(model_dir, "CURRENT"))  # the swap
     return version
+
+
+def publish_gate_model(model_dir: str, manifest: dict) -> int:
+    """Publish a new gate-model version: write the immutable
+    ``gate_model_v{N}.json`` (N = one past the highest existing
+    version), then swap ``CURRENT`` to it by atomic rename. Returns
+    the version number. The batch re-fit job calls this after
+    training; every in-flight versioned stream picks the new model
+    up at its next micro-batch boundary."""
+    return _publish_gate_version(
+        model_dir, _next_gate_version(model_dir), manifest
+    )
 
 
 def read_current_gate_model(model_dir: str) -> tuple[int, dict]:
@@ -1412,6 +1471,166 @@ def start_versioned_curation_gate_stream(
                 model_dir,
                 _classifier_kept_of_manifest(
                     text_col=text_col, id_col=id_col
+                ),
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+#: Required keys of a J12 CCNet-gate manifest (the versioned twin of
+#: start_ccnet_gate_stream's argument list; LM relations travel as
+#: parquet PATHS — vocabulary-bounded tables, written by the
+#: publisher, re-read once per version by the builder).
+CCNET_GATE_MANIFEST_KEYS = (
+    "thresholds", "q", "alpha", "lam", "lm_order", "lm_path",
+)
+
+
+def publish_ccnet_gate_model(
+    model_dir: str,
+    *,
+    lm,
+    thresholds: dict[str, float],
+    q: float,
+    alpha: float = 0.5,
+    lam: float = 0.7,
+    bigram=None,
+    trigram=None,
+) -> int:
+    """Publish a CCNet gate model under the rotation protocol: the
+    vocabulary-bounded LM relations land as parquet under
+    ``model_dir/ccnet_v{N}/`` FIRST, then the manifest referencing
+    them swaps in atomically — an in-flight stream can never resolve
+    a version whose tables are still being written. ``thresholds``/
+    ``q``/``alpha``/``lam`` come from the batch prefilter's manifest;
+    ``lm_order`` is derived from the supplied tables (the
+    _validate_lm_order contract, so manifest and tables cannot
+    disagree at birth)."""
+    import os
+
+    if trigram is not None and bigram is None:
+        raise ValueError(
+            "a trigram table without its bigram backoff: the order-3 "
+            "chain interpolates trigram -> bigram -> unigram — pass "
+            "both tables fit on the same reference"
+        )
+    if not thresholds:
+        raise ValueError(
+            "empty thresholds: fit the batch prefilter first — a "
+            "gate with no per-domain cuts would keep nothing it can "
+            "explain"
+        )
+    version = _next_gate_version(model_dir)
+    base = os.path.join(model_dir, f"ccnet_v{version}")
+    lm_path = os.path.join(base, "lm")
+    lm.write.mode("overwrite").parquet(lm_path)
+    manifest = {
+        "gate": "ccnet",
+        "thresholds": {s: float(t) for s, t in sorted(thresholds.items())},
+        "q": float(q),
+        "alpha": float(alpha),
+        "lam": float(lam),
+        "lm_order": 1 + (bigram is not None) + (trigram is not None),
+        "lm_path": lm_path,
+        "bigram_path": None,
+        "trigram_path": None,
+    }
+    if bigram is not None:
+        manifest["bigram_path"] = os.path.join(base, "bigram")
+        bigram.write.mode("overwrite").parquet(manifest["bigram_path"])
+    if trigram is not None:
+        manifest["trigram_path"] = os.path.join(base, "trigram")
+        trigram.write.mode("overwrite").parquet(manifest["trigram_path"])
+    return _publish_gate_version(model_dir, version, manifest)
+
+
+def _ccnet_kept_of_manifest(
+    spark: SparkSession,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """kept_builder for ``versioned_gate_batch_writer``: validate a
+    published CCNet-gate manifest, re-read its vocabulary-bounded LM
+    tables (once per VERSION — the builder runs on version change
+    only), and build the frozen J12 cut through the shared
+    ``_ccnet_kept`` body (its model probes also run here, once)."""
+
+    def build(manifest: dict):
+        missing = [
+            k for k in CCNET_GATE_MANIFEST_KEYS if k not in manifest
+        ]
+        if missing:
+            raise ValueError(
+                f"gate manifest is missing {missing}: publish it with "
+                "publish_ccnet_gate_model"
+            )
+        lm = spark.read.parquet(manifest["lm_path"])
+        bigram = (
+            spark.read.parquet(manifest["bigram_path"])
+            if manifest.get("bigram_path")
+            else None
+        )
+        trigram = (
+            spark.read.parquet(manifest["trigram_path"])
+            if manifest.get("trigram_path")
+            else None
+        )
+        # manifest order vs stored tables cannot mismatch (publish
+        # derives one from the other), but a hand-rolled manifest can
+        _validate_lm_order(manifest["lm_order"], bigram, trigram)
+        return _ccnet_kept(
+            lm,
+            {s: float(t) for s, t in manifest["thresholds"].items()},
+            manifest["q"],
+            bigram=bigram,
+            trigram=trigram,
+            alpha=manifest["alpha"],
+            lam=manifest["lam"],
+            text_col=text_col,
+            id_col=id_col,
+            source_col=source_col,
+        )
+
+    return build
+
+
+def start_versioned_ccnet_gate_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    model_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    schema: str = DOC_STREAM_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """J12 under the rotation protocol: the frozen CCNet cut comes
+    from ``model_dir``'s CURRENT manifest (LM tables re-read and
+    re-probed once per version), re-resolved at every micro-batch
+    boundary; every kept row carries ``model_version`` alongside the
+    n_toks/avg_nll audit trail. A re-fit batch prefilter publishes
+    the new tables + thresholds with ``publish_ccnet_gate_model`` and
+    the in-flight stream swaps over without a restart."""
+    read_current_gate_model(model_dir)  # fail-fast before the stream
+    return (
+        _doc_stream_reader(spark, source_dir, schema, max_files_per_trigger)
+        .writeStream.foreachBatch(
+            versioned_gate_batch_writer(
+                sink_dir,
+                model_dir,
+                _ccnet_kept_of_manifest(
+                    spark,
+                    text_col=text_col,
+                    id_col=id_col,
+                    source_col=source_col,
                 ),
             )
         )

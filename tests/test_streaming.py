@@ -1020,9 +1020,9 @@ def test_gate_stream_lm_order_guard(spark, tmp_path):
         )
 
     for start in (j12, j13):
-        with pytest.raises(ValueError, match="bigram=None"):
+        with pytest.raises(ValueError, match="only order-1 tables"):
             start(lm_order=2)
-        with pytest.raises(ValueError, match="lm_order=1"):
+        with pytest.raises(ValueError, match="order-2 tables were supplied"):
             start(lm_order=1, bigram=bg)
         with pytest.raises(ValueError, match="order 1"):
             start(lm_order=7)
@@ -1299,3 +1299,270 @@ def test_gate_manifest_validates_n_gram_at_build(spark, tmp_path):
     _v, manifest = sp.read_current_gate_model(model_dir)
     with pytest.raises(ValueError, match="n_gram"):
         build(manifest)
+
+
+def test_ccnet_gate_writer_trigram_arm(spark, tmp_path):
+    """The order-3 arm (r16): the J12 writer scores under the trigram
+    backoff chain when given both tables, and the kept set matches
+    the batch lm_order=3 job on the planted bigram-preserving corpus
+    only order 3 can cut."""
+    from drive_bc_datapipeline_spark.jobs import run_ccnet_prefilter
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        bigram_lm_table,
+        trigram_lm_table,
+        unigram_lm_table,
+    )
+
+    good = "a a b a b b"
+    bad = "a b a a b b"  # same bigram multiset, different triples
+    ref = spark.createDataFrame(
+        [(i, good) for i in range(8)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, "web", good) for i in range(3)]
+        + [(10 + i, "web", bad) for i in range(3)],
+        sp.DOC_STREAM_SCHEMA,
+    )
+    m = run_ccnet_prefilter(
+        spark, docs, ref, str(tmp_path / "tg_batch"),
+        q=0.5, lm_order=3, lam=0.6,
+    )
+    batch_kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(m["path"]).collect()
+    )
+    assert batch_kept == [0, 1, 2]  # only order 3 separates these
+
+    lm = unigram_lm_table(ref, alpha=m["alpha"])
+    bg = bigram_lm_table(ref)
+    tg = trigram_lm_table(ref)
+    sink = str(tmp_path / "tg_sink")
+    write_batch = sp.ccnet_gate_batch_writer(
+        sink, lm, m["thresholds"], m["q"],
+        bigram=bg, trigram=tg, alpha=m["alpha"], lam=m["lam"],
+    )
+    write_batch(docs, 0)
+    assert sorted(
+        r["doc_id"] for r in sp.read_committed(spark, sink).collect()
+    ) == batch_kept
+
+    # order mismatch guards, both directions, through the starters
+    def j12(**kw):
+        return sp.start_ccnet_gate_stream(
+            spark, str(tmp_path / "s"), str(tmp_path / "o"),
+            str(tmp_path / "c"), lm=lm, thresholds=m["thresholds"],
+            q=m["q"], **kw,
+        )
+
+    with pytest.raises(ValueError, match="only order-2"):
+        j12(lm_order=3, bigram=bg)
+    with pytest.raises(ValueError, match="order-3 tables were supplied"):
+        j12(lm_order=2, bigram=bg, trigram=tg)
+    with pytest.raises(ValueError, match="without its bigram"):
+        j12(lm_order=3, trigram=tg)
+    # the kept builder itself refuses a chain missing its middle
+    with pytest.raises(ValueError, match="without its bigram"):
+        sp.ccnet_gate_batch_writer(
+            str(tmp_path / "x"), lm, m["thresholds"], m["q"], trigram=tg
+        )
+
+
+def test_staged_gate_writer_trigram_arm(spark, tmp_path):
+    """The staged (J13) writer composes the order-3 prefilter with
+    the classifier gate: kept set == batch prefilter(lm_order=3) then
+    batch classifier gate on the survivors."""
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        score_hashed_linear,
+        train_hashed_linear,
+    )
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        bigram_lm_table,
+        trigram_lm_table,
+        unigram_lm_table,
+    )
+
+    good = "a a b a b b"
+    bad = "a b a a b b"
+    ref = spark.createDataFrame(
+        [(i, good) for i in range(8)], "doc_id long, text string"
+    )
+    # classifier seeds: 'c'-suffixed junk vs the reference vocabulary
+    seeds = spark.createDataFrame(
+        [(100 + i, 1, good) for i in range(6)]
+        + [(200 + i, 0, "zz junk bad %d" % i) for i in range(6)],
+        "doc_id long, label int, text string",
+    )
+    w, b = train_hashed_linear(spark, seeds, n_buckets=64, n_rounds=30)
+    docs = spark.createDataFrame(
+        [(i, "web", good) for i in range(3)]
+        + [(10 + i, "web", bad) for i in range(3)]
+        + [(20 + i, "web", "zz junk bad %d" % i) for i in range(2)],
+        sp.DOC_STREAM_SCHEMA,
+    )
+    lm = unigram_lm_table(ref)
+    bg = bigram_lm_table(ref)
+    tg = trigram_lm_table(ref)
+    # batch equivalent: order-3 domain cut at q=0.5 keeps the good
+    # half; classifier gate then keeps reference-vocabulary docs
+    from drive_bc_datapipeline_spark.operators.domain_filter import (
+        apply_domain_filter,
+        collect_domain_thresholds,
+        domain_threshold_table,
+    )
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        score_docs_under_trigram_lm,
+    )
+
+    scored = docs.join(
+        score_docs_under_trigram_lm(docs, tg, bg, lm), "doc_id"
+    )
+    # q=0.4: the threshold interpolates BETWEEN the good and bad
+    # score plateaus (at q=0.5 it lands exactly ON the bad plateau
+    # and the tie keeps them) — order 3 must visibly cut here
+    rows = collect_domain_thresholds(
+        domain_threshold_table(scored, (0.4,), approx=False)
+    )
+    pre_kept = apply_domain_filter(scored, rows, 0.4)
+    cls_scored = score_hashed_linear(
+        spark, pre_kept, w, n_buckets=64, bias=b
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in cls_scored.filter(F.col("score") >= 0.6).collect()
+    )
+    assert want == [0, 1, 2]  # junk + bad died at order 3, good kept
+
+    thresholds = {r["source"]: r["threshold"] for r in rows}
+    sink = str(tmp_path / "stg_sink")
+    write_batch = sp.staged_gate_batch_writer(
+        sink, lm, thresholds, 0.4, w, b, 0.6,
+        bigram=bg, trigram=tg, n_buckets=64,
+    )
+    write_batch(docs, 0)
+    got = sorted(
+        r["doc_id"] for r in sp.read_committed(spark, sink).collect()
+    )
+    assert got == want
+
+
+def test_versioned_ccnet_gate_rotation(spark, tmp_path):
+    """J12 under the rotation protocol: v1 is the order-1 cut (blind
+    to token order), v2 re-fits at order 3 — the in-flight writer
+    swaps at the batch boundary, the order-scrambled docs start
+    failing, and every row names the model that passed it."""
+    from drive_bc_datapipeline_spark.jobs import run_ccnet_prefilter
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        bigram_lm_table,
+        trigram_lm_table,
+        unigram_lm_table,
+    )
+
+    good = "a a b a b b"
+    bad = "a b a a b b"  # same unigrams AND bigrams, different triples
+    ref = spark.createDataFrame(
+        [(i, good) for i in range(8)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, "web", good) for i in range(3)]
+        + [(10 + i, "web", bad) for i in range(3)],
+        sp.DOC_STREAM_SCHEMA,
+    )
+    lm = unigram_lm_table(ref)
+    model_dir = str(tmp_path / "ccnet_models")
+
+    # v1: order-1 thresholds from the batch job — order-blind, the
+    # q=0.5 cut keeps everything (all docs share the unigram bag)
+    m1 = run_ccnet_prefilter(
+        spark, docs, ref, str(tmp_path / "b1"), q=0.5, lm_order=1
+    )
+    v1 = sp.publish_ccnet_gate_model(
+        model_dir, lm=lm, thresholds=m1["thresholds"], q=m1["q"],
+        alpha=m1["alpha"],
+    )
+    assert v1 == 1
+    sink = str(tmp_path / "ccnet_vsink")
+    write_batch = sp.versioned_gate_batch_writer(
+        sink, model_dir, sp._ccnet_kept_of_manifest(spark)
+    )
+    write_batch(docs, 0)
+    rows = sp.read_committed(spark, sink).collect()
+    assert sorted(r["doc_id"] for r in rows) == [0, 1, 2, 10, 11, 12]
+    assert all(r["model_version"] == 1 for r in rows)
+
+    # v2: the order-3 re-fit (same reference) — q=0.4 so the cut
+    # lands between the good and bad score plateaus
+    m3 = run_ccnet_prefilter(
+        spark, docs, ref, str(tmp_path / "b3"), q=0.4, lm_order=3,
+        lam=0.7,
+    )
+    v2 = sp.publish_ccnet_gate_model(
+        model_dir, lm=lm, thresholds=m3["thresholds"], q=m3["q"],
+        alpha=m3["alpha"], lam=m3["lam"],
+        bigram=bigram_lm_table(ref), trigram=trigram_lm_table(ref),
+    )
+    assert v2 == 2
+    write_batch(docs, 1)  # the swap lands at THIS batch boundary
+    rows = sp.read_committed(spark, sink).collect()
+    v2_kept = sorted(
+        r["doc_id"] for r in rows if r["model_version"] == 2
+    )
+    assert v2_kept == [0, 1, 2]  # order 3 cut the scrambled half
+    # batch-0 rows untouched by the swap
+    assert sorted(
+        r["doc_id"] for r in rows if r["model_version"] == 1
+    ) == [0, 1, 2, 10, 11, 12]
+    # the audit trail carries BOTH halves: LM scores + the version
+    assert all("avg_nll" in r.asDict() for r in rows)
+
+
+def test_versioned_ccnet_gate_guards_and_stream(spark, tmp_path):
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        trigram_lm_table,
+        unigram_lm_table,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "a a b a b b") for i in range(4)], "doc_id long, text string"
+    )
+    lm = unigram_lm_table(ref)
+    model_dir = str(tmp_path / "m")
+    with pytest.raises(ValueError, match="without its bigram"):
+        sp.publish_ccnet_gate_model(
+            model_dir, lm=lm, thresholds={"web": 9.0}, q=0.5,
+            trigram=trigram_lm_table(ref),
+        )
+    with pytest.raises(ValueError, match="empty thresholds"):
+        sp.publish_ccnet_gate_model(
+            model_dir, lm=lm, thresholds={}, q=0.5
+        )
+    with pytest.raises(ValueError, match="publish"):
+        sp.start_versioned_ccnet_gate_stream(
+            spark, str(tmp_path / "s"), str(tmp_path / "o"),
+            str(tmp_path / "c"), model_dir,
+        )
+    # a hand-rolled manifest whose order disagrees with its stored
+    # tables fails through the shared order check at build
+    sp.publish_ccnet_gate_model(
+        model_dir, lm=lm, thresholds={"web": 9.0}, q=0.5
+    )
+    _v, manifest = sp.read_current_gate_model(model_dir)
+    manifest["lm_order"] = 2  # claims order 2, stores order 1
+    build = sp._ccnet_kept_of_manifest(spark)
+    with pytest.raises(ValueError, match="only order-1 tables"):
+        build(manifest)
+    with pytest.raises(ValueError, match="missing"):
+        build({"gate": "ccnet"})
+
+    # end-to-end: the real stream drains under CURRENT and stamps rows
+    docs = spark.createDataFrame(
+        [(i, "web", "a a b a b b") for i in range(4)],
+        sp.DOC_STREAM_SCHEMA,
+    )
+    src = str(tmp_path / "vsrc")
+    docs.write.parquet(src)
+    sink = str(tmp_path / "vsink")
+    sp.start_versioned_ccnet_gate_stream(
+        spark, src, sink, str(tmp_path / "vck"), model_dir,
+    ).awaitTermination(120)
+    rows = sp.read_committed(spark, sink).collect()
+    assert len(rows) == 4
+    assert all(r["model_version"] == 1 for r in rows)
