@@ -631,6 +631,7 @@ def run_ccnet_prefilter(
     id_col: str = "doc_id",
     source_col: str = "source",
     scrub: bool = False,
+    publish_model_dir: str | None = None,
 ) -> dict:
     """The CCNet prefilter (H49/H50 → H48) as ONE runnable job: fit
     the reference LM on ``reference`` (the high-quality target),
@@ -660,6 +661,14 @@ def run_ccnet_prefilter(
 
     ``scrub=True`` applies A8's PII scrub to docs AND reference first
     (both sides of the LM must live in the same feature space).
+
+    ``publish_model_dir`` (r16) closes the batch-fit → streaming-gate
+    rotation loop in ONE call: after the cut, the fitted LM tables +
+    thresholds publish as a versioned gate model
+    (``publish_ccnet_gate_model``), so every in-flight
+    ``start_versioned_ccnet_gate_stream`` sink swaps to this fit at
+    its next micro-batch boundary; the manifest records the
+    ``published_version``.
     """
     from drive_bc_datapipeline_spark.operators.domain_filter import (
         apply_domain_filter,
@@ -695,6 +704,7 @@ def run_ccnet_prefilter(
         reference = scrub_pii(reference, text_col=text_col)
 
     lm = unigram_lm_table(reference, text_col=text_col, alpha=alpha)
+    bg = tg = None
     if lm_order == 3:
         bg = bigram_lm_table(reference, text_col=text_col)
         tg = trigram_lm_table(reference, text_col=text_col)
@@ -770,6 +780,15 @@ def run_ccnet_prefilter(
         "path": out_path,
         "seconds": round(time.time() - t0, 3),
     }
+    if publish_model_dir is not None:
+        from drive_bc_datapipeline_spark.streaming.pipeline import (
+            publish_ccnet_gate_model,
+        )
+
+        manifest["published_version"] = publish_ccnet_gate_model(
+            publish_model_dir, lm=lm, thresholds=thresholds, q=q,
+            alpha=alpha, lam=lam, bigram=bg, trigram=tg,
+        )
     with open(os.path.join(out_dir, "ccnet_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest

@@ -1106,6 +1106,23 @@ def start_ccnet_gate_stream(
 # ---------------------------------------------------------------------------
 
 
+def _staged_kept_of_batch(ccnet_kept, classifier_kept):
+    """THE one copy of the staged composition's per-batch shape,
+    shared by the plain J13 writer and its versioned twin: pin the
+    prefiltered relation (persist + eager count — one materialization
+    so the classifier stage's two consumers read the cache instead of
+    re-running the LM joins; the releasable alternative to
+    localCheckpoint, r15 ADVICE) and hand it back as aux so the
+    shared writer releases it after the commit."""
+
+    def kept_of_batch(batch_df: DataFrame):
+        prefiltered = ccnet_kept(batch_df).persist()
+        prefiltered.count()
+        return classifier_kept(prefiltered), (prefiltered,)
+
+    return kept_of_batch
+
+
 def staged_gate_batch_writer(
     sink_dir: str,
     lm,
@@ -1159,17 +1176,9 @@ def staged_gate_batch_writer(
         n_buckets=n_buckets, text_col=text_col, id_col=id_col,
         n_gram=n_gram,
     )
-
-    def kept_of_batch(batch_df: DataFrame):
-        prefiltered = ccnet_kept(batch_df).persist()
-        # eager: one count materializes the cache so the classifier
-        # stage's two consumers read it instead of racing to compute
-        # the LM joins (the localCheckpoint(eager=True) semantics,
-        # kept under the releasable storage level)
-        prefiltered.count()
-        return classifier_kept(prefiltered), (prefiltered,)
-
-    return _scored_gate_writer(sink_dir, kept_of_batch)
+    return _scored_gate_writer(
+        sink_dir, _staged_kept_of_batch(ccnet_kept, classifier_kept)
+    )
 
 
 def start_staged_gate_stream(
@@ -1524,6 +1533,31 @@ def publish_ccnet_gate_model(
             "explain"
         )
     version = _next_gate_version(model_dir)
+    manifest = _write_ccnet_tables(
+        model_dir, version, lm=lm, thresholds=thresholds, q=q,
+        alpha=alpha, lam=lam, bigram=bigram, trigram=trigram,
+    )
+    return _publish_gate_version(model_dir, version, manifest)
+
+
+def _write_ccnet_tables(
+    model_dir: str,
+    version: int,
+    *,
+    lm,
+    thresholds: dict[str, float],
+    q: float,
+    alpha: float,
+    lam: float,
+    bigram=None,
+    trigram=None,
+) -> dict:
+    """Write the vocabulary-bounded LM tables under the version dir
+    and return the CCNet manifest half referencing them — THE one
+    copy shared by the plain and the staged publishers. Tables land
+    BEFORE the caller's manifest swap."""
+    import os
+
     base = os.path.join(model_dir, f"ccnet_v{version}")
     lm_path = os.path.join(base, "lm")
     lm.write.mode("overwrite").parquet(lm_path)
@@ -1544,7 +1578,7 @@ def publish_ccnet_gate_model(
     if trigram is not None:
         manifest["trigram_path"] = os.path.join(base, "trigram")
         trigram.write.mode("overwrite").parquet(manifest["trigram_path"])
-    return _publish_gate_version(model_dir, version, manifest)
+    return manifest
 
 
 def _ccnet_kept_of_manifest(
@@ -1627,6 +1661,131 @@ def start_versioned_ccnet_gate_stream(
                 sink_dir,
                 model_dir,
                 _ccnet_kept_of_manifest(
+                    spark,
+                    text_col=text_col,
+                    id_col=id_col,
+                    source_col=source_col,
+                ),
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def publish_staged_gate_model(
+    model_dir: str,
+    *,
+    lm,
+    thresholds: dict[str, float],
+    q: float,
+    weights: dict[int, float],
+    bias: float,
+    threshold: float,
+    alpha: float = 0.5,
+    lam: float = 0.7,
+    bigram=None,
+    trigram=None,
+    n_buckets: int = 4096,
+    n_gram: int = 1,
+    cal_table: list | None = None,
+    curve_bins: int | None = None,
+) -> int:
+    """Publish BOTH halves of the staged gate (CCNet prefilter +
+    classifier) as ONE versioned model, so a J13-shaped sink rotates
+    atomically — publishing the halves separately would let a stream
+    resolve a new prefilter against an old classifier mid-swap. The
+    LM tables land under the version dir before the manifest swap
+    (the publish_ccnet_gate_model discipline); the classifier half
+    travels through ``classifier_gate_manifest`` (same calibrated
+    pair-or-nothing rule)."""
+    if trigram is not None and bigram is None:
+        raise ValueError(
+            "a trigram table without its bigram backoff: the order-3 "
+            "chain interpolates trigram -> bigram -> unigram — pass "
+            "both tables fit on the same reference"
+        )
+    if not thresholds:
+        raise ValueError(
+            "empty thresholds: fit the batch prefilter first — a "
+            "gate with no per-domain cuts would keep nothing it can "
+            "explain"
+        )
+    version = _next_gate_version(model_dir)
+    manifest = {
+        "gate": "staged",
+        "ccnet": _write_ccnet_tables(
+            model_dir, version, lm=lm, thresholds=thresholds, q=q,
+            alpha=alpha, lam=lam, bigram=bigram, trigram=trigram,
+        ),
+        "classifier": classifier_gate_manifest(
+            weights, bias, threshold,
+            n_buckets=n_buckets, n_gram=n_gram,
+            cal_table=cal_table, curve_bins=curve_bins,
+        ),
+    }
+    return _publish_gate_version(model_dir, version, manifest)
+
+
+def _staged_kept_of_manifest(
+    spark: SparkSession,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """kept_builder for the versioned staged gate: both halves build
+    through their own manifest builders (model probes once per
+    version) and compose through the ONE staged per-batch shape."""
+    ccnet_build = _ccnet_kept_of_manifest(
+        spark, text_col=text_col, id_col=id_col, source_col=source_col
+    )
+    classifier_build = _classifier_kept_of_manifest(
+        text_col=text_col, id_col=id_col
+    )
+
+    def build(manifest: dict):
+        missing = [k for k in ("ccnet", "classifier") if k not in manifest]
+        if missing:
+            raise ValueError(
+                f"staged gate manifest is missing {missing}: publish "
+                "it with publish_staged_gate_model"
+            )
+        return _staged_kept_of_batch(
+            ccnet_build(manifest["ccnet"]),
+            classifier_build(manifest["classifier"]),
+        )
+
+    return build
+
+
+def start_versioned_staged_gate_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    model_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    schema: str = DOC_STREAM_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """J13 under the rotation protocol: the full staged cut (CCNet
+    prefilter → classifier gate) from ``model_dir``'s CURRENT
+    manifest, both halves swapping TOGETHER at a micro-batch
+    boundary; kept rows carry all three audit trails
+    (n_toks/avg_nll, score, model_version)."""
+    read_current_gate_model(model_dir)  # fail-fast before the stream
+    return (
+        _doc_stream_reader(spark, source_dir, schema, max_files_per_trigger)
+        .writeStream.foreachBatch(
+            versioned_gate_batch_writer(
+                sink_dir,
+                model_dir,
+                _staged_kept_of_manifest(
                     spark,
                     text_col=text_col,
                     id_col=id_col,

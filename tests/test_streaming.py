@@ -1566,3 +1566,133 @@ def test_versioned_ccnet_gate_guards_and_stream(spark, tmp_path):
     rows = sp.read_committed(spark, sink).collect()
     assert len(rows) == 4
     assert all(r["model_version"] == 1 for r in rows)
+
+
+def test_ccnet_prefilter_publishes_gate_model(spark, tmp_path):
+    """The batch-fit → rotation loop in ONE call (r16):
+    run_ccnet_prefilter(publish_model_dir=...) publishes its fitted
+    LM + thresholds, an in-flight versioned J12 sink swaps to them,
+    and the streamed cut equals the job's own cut."""
+    from drive_bc_datapipeline_spark.jobs import run_ccnet_prefilter
+
+    good = "a a b a b b"
+    bad = "a b a a b b"
+    ref = spark.createDataFrame(
+        [(i, good) for i in range(8)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, "web", good) for i in range(3)]
+        + [(10 + i, "web", bad) for i in range(3)],
+        sp.DOC_STREAM_SCHEMA,
+    )
+    model_dir = str(tmp_path / "pub_models")
+    m = run_ccnet_prefilter(
+        spark, docs, ref, str(tmp_path / "pub_batch"),
+        q=0.4, lm_order=3, publish_model_dir=model_dir,
+    )
+    assert m["published_version"] == 1
+    batch_kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(m["path"]).collect()
+    )
+    assert batch_kept == [0, 1, 2]
+    _v, manifest = sp.read_current_gate_model(model_dir)
+    assert manifest["lm_order"] == 3 and manifest["trigram_path"]
+
+    sink = str(tmp_path / "pub_sink")
+    write_batch = sp.versioned_gate_batch_writer(
+        sink, model_dir, sp._ccnet_kept_of_manifest(spark)
+    )
+    write_batch(docs, 0)
+    got = sorted(
+        r["doc_id"] for r in sp.read_committed(spark, sink).collect()
+    )
+    assert got == batch_kept
+
+
+def test_versioned_staged_gate_rotation(spark, tmp_path):
+    """Both halves of the staged gate rotate TOGETHER: v1 (order-1
+    prefilter + lenient classifier cut) and v2 (order-3 prefilter +
+    strict cut) swap at one batch boundary, with all three audit
+    trails on every kept row."""
+    from drive_bc_datapipeline_spark.jobs import run_ccnet_prefilter
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        train_hashed_linear,
+    )
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        bigram_lm_table,
+        trigram_lm_table,
+        unigram_lm_table,
+    )
+
+    good = "a a b a b b"
+    bad = "a b a a b b"
+    ref = spark.createDataFrame(
+        [(i, good) for i in range(8)], "doc_id long, text string"
+    )
+    seeds = spark.createDataFrame(
+        [(100 + i, 1, good) for i in range(6)]
+        + [(200 + i, 0, "zz junk bad %d" % i) for i in range(6)],
+        "doc_id long, label int, text string",
+    )
+    w, b = train_hashed_linear(spark, seeds, n_buckets=64, n_rounds=30)
+    docs = spark.createDataFrame(
+        [(i, "web", good) for i in range(3)]
+        + [(10 + i, "web", bad) for i in range(3)],
+        sp.DOC_STREAM_SCHEMA,
+    )
+    lm = unigram_lm_table(ref)
+    model_dir = str(tmp_path / "staged_models")
+
+    m1 = run_ccnet_prefilter(
+        spark, docs, ref, str(tmp_path / "sb1"), q=0.5, lm_order=1
+    )
+    v1 = sp.publish_staged_gate_model(
+        model_dir, lm=lm, thresholds=m1["thresholds"], q=m1["q"],
+        weights=w, bias=b, threshold=0.6, n_buckets=64,
+    )
+    assert v1 == 1
+    sink = str(tmp_path / "staged_vsink")
+    write_batch = sp.versioned_gate_batch_writer(
+        sink, model_dir, sp._staged_kept_of_manifest(spark)
+    )
+    write_batch(docs, 0)
+    rows = sp.read_committed(spark, sink).collect()
+    # order-1 prefilter keeps all, classifier keeps all (same vocab)
+    assert sorted(r["doc_id"] for r in rows) == [0, 1, 2, 10, 11, 12]
+    assert {"avg_nll", "score", "model_version"} <= set(
+        rows[0].asDict()
+    )
+
+    m3 = run_ccnet_prefilter(
+        spark, docs, ref, str(tmp_path / "sb3"), q=0.4, lm_order=3
+    )
+    v2 = sp.publish_staged_gate_model(
+        model_dir, lm=lm, thresholds=m3["thresholds"], q=m3["q"],
+        weights=w, bias=b, threshold=0.6, n_buckets=64,
+        bigram=bigram_lm_table(ref), trigram=trigram_lm_table(ref),
+    )
+    assert v2 == 2
+    write_batch(docs, 1)
+    rows = sp.read_committed(spark, sink).collect()
+    assert sorted(
+        r["doc_id"] for r in rows if r["model_version"] == 2
+    ) == [0, 1, 2]
+    assert sorted(
+        r["doc_id"] for r in rows if r["model_version"] == 1
+    ) == [0, 1, 2, 10, 11, 12]
+
+    # guards: a half-missing manifest fails by name
+    build = sp._staged_kept_of_manifest(spark)
+    with pytest.raises(ValueError, match="missing"):
+        build({"gate": "staged", "ccnet": {}})
+
+    # end-to-end stream plumbing under CURRENT
+    src = str(tmp_path / "ssrc")
+    docs.write.parquet(src)
+    sink2 = str(tmp_path / "staged_vsink2")
+    sp.start_versioned_staged_gate_stream(
+        spark, src, sink2, str(tmp_path / "sck"), model_dir,
+    ).awaitTermination(120)
+    got = sp.read_committed(spark, sink2).collect()
+    assert sorted(r["doc_id"] for r in got) == [0, 1, 2]
+    assert all(r["model_version"] == 2 for r in got)
