@@ -536,6 +536,7 @@ def run_curation_pipeline(
     scrub: bool = False,
     val_frac: float | None = None,
     seeds_val=None,
+    publish_model_dir: str | None = None,
 ) -> dict:
     """The full curation recipe as ONE runnable job (the K7 runner's
     operational sibling for the E9/E10/E11/E7 + H47 + L13 chain the
@@ -612,9 +613,58 @@ def run_curation_pipeline(
             list(row) for row in frames["cal_table"]
         ]
         manifest["calibration_audit"] = frames["cal_audit"]
+    if publish_model_dir is not None:
+        from drive_bc_datapipeline_spark.streaming.pipeline import (
+            classifier_gate_manifest,
+            publish_gate_model,
+        )
+
+        # the published threshold lives in the gate's OWN score space:
+        # calibrated runs ship the (cal_table, curve_bins) pair so the
+        # versioned stream resolves it exactly like J11's handoff
+        manifest["published_version"] = publish_gate_model(
+            publish_model_dir,
+            classifier_gate_manifest(
+                frames["model_weights"], frames["model_bias"],
+                frames["threshold"],
+                n_buckets=n_buckets, n_gram=n_gram,
+                cal_table=frames["cal_table"] if calibrate else None,
+                curve_bins=curve_bins if calibrate else None,
+            ),
+        )
     with open(os.path.join(out_dir, "curation_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
+    # the trained model rides the RETURN (driver-sized state a
+    # composing job needs to publish a combined gate) but not the
+    # JSON file — weights can be up to n_buckets floats
+    manifest["model"] = {
+        "weights": frames["model_weights"],
+        "bias": frames["model_bias"],
+    }
     return manifest
+
+
+def _fit_reference_lm_tables(
+    reference, *, lm_order: int, alpha: float, text_col: str
+):
+    """(lm, bigram, trigram) fit on the reference at ``lm_order`` —
+    THE one copy of the CCNet model fit, shared by
+    ``run_ccnet_prefilter`` and the staged job's publish path (which
+    must publish EXACTLY the tables the cut used, so it fits once
+    here and injects them via ``tables=``)."""
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        bigram_lm_table,
+        trigram_lm_table,
+        unigram_lm_table,
+    )
+
+    lm = unigram_lm_table(reference, text_col=text_col, alpha=alpha)
+    bg = tg = None
+    if lm_order >= 2:
+        bg = bigram_lm_table(reference, text_col=text_col)
+    if lm_order == 3:
+        tg = trigram_lm_table(reference, text_col=text_col)
+    return lm, bg, tg
 
 
 def run_ccnet_prefilter(
@@ -632,6 +682,7 @@ def run_ccnet_prefilter(
     source_col: str = "source",
     scrub: bool = False,
     publish_model_dir: str | None = None,
+    tables=None,
 ) -> dict:
     """The CCNet prefilter (H49/H50 → H48) as ONE runnable job: fit
     the reference LM on ``reference`` (the high-quality target),
@@ -668,7 +719,11 @@ def run_ccnet_prefilter(
     (``publish_ccnet_gate_model``), so every in-flight
     ``start_versioned_ccnet_gate_stream`` sink swaps to this fit at
     its next micro-batch boundary; the manifest records the
-    ``published_version``.
+    ``published_version``. ``tables`` injects pre-fit
+    ``(lm, bigram, trigram)`` relations (the
+    ``_fit_reference_lm_tables`` shape) so a composing job can fit
+    ONCE and publish exactly what the cut used; their order must
+    match ``lm_order``.
     """
     from drive_bc_datapipeline_spark.operators.domain_filter import (
         apply_domain_filter,
@@ -676,12 +731,9 @@ def run_ccnet_prefilter(
         domain_threshold_table,
     )
     from drive_bc_datapipeline_spark.operators.lm_score import (
-        bigram_lm_table,
         score_docs_under_bigram_lm,
         score_docs_under_lm,
         score_docs_under_trigram_lm,
-        trigram_lm_table,
-        unigram_lm_table,
     )
 
     if lm_order not in (1, 2, 3):
@@ -703,17 +755,25 @@ def run_ccnet_prefilter(
         docs = scrub_pii(docs, text_col=text_col)
         reference = scrub_pii(reference, text_col=text_col)
 
-    lm = unigram_lm_table(reference, text_col=text_col, alpha=alpha)
-    bg = tg = None
+    if tables is None:
+        tables = _fit_reference_lm_tables(
+            reference, lm_order=lm_order, alpha=alpha, text_col=text_col
+        )
+    lm, bg, tg = tables
+    supplied_order = 1 + (bg is not None) + (tg is not None)
+    if supplied_order != lm_order:
+        raise ValueError(
+            f"injected tables are order-{supplied_order} but "
+            f"lm_order={lm_order}: the cut would silently score the "
+            "wrong order — fit them with _fit_reference_lm_tables at "
+            "the job's own order"
+        )
     if lm_order == 3:
-        bg = bigram_lm_table(reference, text_col=text_col)
-        tg = trigram_lm_table(reference, text_col=text_col)
         scores = score_docs_under_trigram_lm(
             docs, tg, bg, lm, text_col=text_col, id_col=id_col,
             alpha=alpha, lam=lam,
         )
     elif lm_order == 2:
-        bg = bigram_lm_table(reference, text_col=text_col)
         scores = score_docs_under_bigram_lm(
             docs, bg, lm, text_col=text_col, id_col=id_col,
             alpha=alpha, lam=lam,
@@ -829,6 +889,7 @@ def run_staged_curation(
     # stage 0 — Gopher/C4/Dolma rule screen (H51), optional
     rules: bool = False,
     rules_config: dict | None = None,
+    publish_model_dir: str | None = None,
 ) -> dict:
     """The production curation shape as ONE staged job: an optional
     rule-based heuristic screen FIRST (``rules=True`` — the
@@ -900,6 +961,17 @@ def run_staged_curation(
         if seeds_val is not None:
             seeds_val = scrub_pii(seeds_val, text_col=text_col)
 
+    # fit the reference LM ONCE up front when the staged model will
+    # be published: the published tables must be EXACTLY what the
+    # cut used (the tables= injection seam), and both gate halves
+    # must version TOGETHER (publish_staged_gate_model's contract)
+    lm_tables = None
+    if publish_model_dir is not None:
+        ref_for_fit = reference
+        lm_tables = _fit_reference_lm_tables(
+            ref_for_fit, lm_order=lm_order, alpha=alpha,
+            text_col=text_col,
+        )
     rules_funnel = None
     if rules:
         from drive_bc_datapipeline_spark.operators.quality_rules import (
@@ -924,6 +996,7 @@ def run_staged_curation(
         q=q, alpha=alpha, lm_order=lm_order, lam=lam,
         text_col=text_col, id_col=id_col, source_col=source_col,
         scrub=False,  # scrubbed once above
+        tables=lm_tables,
     )
     if rules and m_pre["n_docs"] != rules_funnel["n_pass_all"]:
         raise ValueError(
@@ -949,6 +1022,27 @@ def run_staged_curation(
             f"docs but the curation gate observed {m_cur['n_docs']} — "
             "the kept/ parquet read does not match what stage 1 wrote"
         )
+    published_version = None
+    if publish_model_dir is not None:
+        from drive_bc_datapipeline_spark.streaming.pipeline import (
+            publish_staged_gate_model,
+        )
+
+        lm, bg, tg = lm_tables
+        published_version = publish_staged_gate_model(
+            publish_model_dir,
+            lm=lm, thresholds=m_pre["thresholds"], q=m_pre["q"],
+            weights=m_cur["model"]["weights"],
+            bias=m_cur["model"]["bias"],
+            threshold=m_cur["threshold"],
+            alpha=alpha, lam=lam, bigram=bg, trigram=tg,
+            n_buckets=n_buckets, n_gram=n_gram,
+            cal_table=(
+                [tuple(r) for r in m_cur["calibration_table"]]
+                if calibrate else None
+            ),
+            curve_bins=curve_bins if calibrate else None,
+        )
     manifest = {
         # with the rule screen on, the corpus count is the funnel's
         # n_total (the prefilter only ever saw the survivors)
@@ -961,8 +1055,11 @@ def run_staged_curation(
         "rules": rules,
         "rules_funnel": rules_funnel,
         "rules_config": rules_config if rules else None,
+        "published_version": published_version,
         "prefilter": m_pre,
-        "curation": m_cur,
+        # the curation manifest's in-memory-only model rides the
+        # RETURN, never the JSON (strip before dumping)
+        "curation": {k: v for k, v in m_cur.items() if k != "model"},
         "path": m_cur["path"],
         "seconds": round(time.time() - t0, 3),
     }

@@ -1696,3 +1696,103 @@ def test_versioned_staged_gate_rotation(spark, tmp_path):
     got = sp.read_committed(spark, sink2).collect()
     assert sorted(r["doc_id"] for r in got) == [0, 1, 2]
     assert all(r["model_version"] == 2 for r in got)
+
+
+def test_curation_pipeline_publishes_gate_model(spark, tmp_path):
+    """run_curation_pipeline(publish_model_dir=...) publishes the
+    trained classifier gate: the versioned J14 stream applies exactly
+    the job's cut, calibrated handoff included."""
+    from drive_bc_datapipeline_spark.jobs import run_curation_pipeline
+
+    pos = "alpha beta gamma delta"
+    neg = "zz junk bad words"
+    seeds = spark.createDataFrame(
+        [(100 + i, 1, pos) for i in range(8)]
+        + [(200 + i, 0, neg) for i in range(8)],
+        "doc_id long, label int, text string",
+    )
+    docs = spark.createDataFrame(
+        [(i, pos) for i in range(4)] + [(10 + i, neg) for i in range(4)],
+        "doc_id long, text string",
+    )
+    target = docs.limit(3)
+    model_dir = str(tmp_path / "cur_models")
+    m = run_curation_pipeline(
+        spark, docs, seeds, target, str(tmp_path / "cur_out"),
+        k=3, n_buckets=256, n_rounds=40, lr=1.0,
+        min_precision=0.9, dsir_buckets=64, n_shards=2,
+        calibrate=True, publish_model_dir=model_dir,
+    )
+    assert m["published_version"] == 1
+    assert "model" in m and m["model"]["weights"]  # in-memory only
+    import json as _json
+
+    with open(f"{tmp_path}/cur_out/curation_manifest.json") as f:
+        assert "model" not in _json.load(f)  # never in the JSON
+
+    sdocs = spark.createDataFrame(
+        [(i, "web", pos) for i in range(3)]
+        + [(10 + i, "web", neg) for i in range(3)],
+        sp.DOC_STREAM_SCHEMA,
+    )
+    sink = str(tmp_path / "cur_vsink")
+    write_batch = sp.versioned_gate_batch_writer(
+        sink, model_dir, sp._classifier_kept_of_manifest()
+    )
+    write_batch(sdocs, 0)
+    got = sorted(
+        r["doc_id"] for r in sp.read_committed(spark, sink).collect()
+    )
+    assert got == [0, 1, 2]  # the gate's own cut, through the manifest
+
+
+def test_staged_curation_publishes_combined_model(spark, tmp_path):
+    """run_staged_curation(publish_model_dir=...) publishes BOTH gate
+    halves as one version — fit-once guaranteed by the tables
+    injection seam — and the versioned staged writer reproduces the
+    job's filterable prefix."""
+    from drive_bc_datapipeline_spark.jobs import run_staged_curation
+
+    good = "a a b a b b"
+    bad = "a b a a b b"
+    docs = spark.createDataFrame(
+        [(i, "web", good) for i in range(6)]
+        + [(10 + i, "web", bad) for i in range(6)],
+        "doc_id long, source string, text string",
+    )
+    ref = spark.createDataFrame(
+        [(i, good) for i in range(4)], "doc_id long, text string"
+    )
+    seeds = spark.createDataFrame(
+        [(100 + i, 1, good) for i in range(6)]
+        + [(200 + i, 0, "zz junk bad %d" % i) for i in range(6)],
+        "doc_id long, label int, text string",
+    )
+    target = docs.limit(3).select("doc_id", "text")
+    model_dir = str(tmp_path / "stg_models")
+    m = run_staged_curation(
+        spark, docs, ref, seeds, target, str(tmp_path / "stg_out"),
+        k=3, q=0.4, lm_order=3, n_buckets=256, n_rounds=30, lr=1.0,
+        min_precision=0.9, dsir_buckets=64, n_shards=2,
+        publish_model_dir=model_dir,
+    )
+    assert m["published_version"] == 1
+    _v, manifest = sp.read_current_gate_model(model_dir)
+    assert manifest["gate"] == "staged"
+    assert manifest["ccnet"]["lm_order"] == 3
+    # the prefilter kept only the reference-ordered half (order 3)
+    assert m["n_kept_prefilter"] == 6
+
+    sdocs = spark.createDataFrame(
+        [(i, "web", good) for i in range(3)]
+        + [(10 + i, "web", bad) for i in range(3)],
+        sp.DOC_STREAM_SCHEMA,
+    )
+    sink = str(tmp_path / "stg_vsink")
+    write_batch = sp.versioned_gate_batch_writer(
+        sink, model_dir, sp._staged_kept_of_manifest(spark)
+    )
+    write_batch(sdocs, 0)
+    rows = sp.read_committed(spark, sink).collect()
+    assert sorted(r["doc_id"] for r in rows) == [0, 1, 2]
+    assert all(r["model_version"] == 1 for r in rows)
