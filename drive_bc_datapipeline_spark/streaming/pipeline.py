@@ -903,6 +903,24 @@ def _validate_lm_order(lm_order: int | None, bigram, trigram=None) -> None:
         )
 
 
+def _check_ccnet_gate_inputs(thresholds, bigram, trigram) -> None:
+    """THE one copy of the CCNet gate's structural guards, shared by
+    the kept builder and both publishers (the text had been
+    copy-pasted three times — review catch)."""
+    if not thresholds:
+        raise ValueError(
+            "empty thresholds: fit the batch prefilter first — a "
+            "gate with no per-domain cuts would keep nothing it can "
+            "explain"
+        )
+    if trigram is not None and bigram is None:
+        raise ValueError(
+            "a trigram table without its bigram backoff: the order-3 "
+            "chain interpolates trigram -> bigram -> unigram — pass "
+            "both tables fit on the same reference"
+        )
+
+
 def _ccnet_kept(
     lm,
     thresholds: dict[str, float],
@@ -935,18 +953,7 @@ def _ccnet_kept(
         unigram_oov_logp,
     )
 
-    if not thresholds:
-        raise ValueError(
-            "empty thresholds: fit the batch prefilter first — a "
-            "gate with no per-domain cuts would keep nothing it can "
-            "explain"
-        )
-    if trigram is not None and bigram is None:
-        raise ValueError(
-            "a trigram table without its bigram backoff: the order-3 "
-            "chain interpolates trigram -> bigram -> unigram — pass "
-            "both tables fit on the same reference"
-        )
+    _check_ccnet_gate_inputs(thresholds, bigram, trigram)
     threshold_rows = [
         {"source": s, "q": float(q), "threshold": float(t)}
         for s, t in sorted(thresholds.items())
@@ -1064,12 +1071,7 @@ def start_ccnet_gate_stream(
     log is the whole machine (the J11 argument).
     """
     _validate_lm_order(lm_order, bigram, trigram)
-    if not thresholds:
-        raise ValueError(
-            "empty thresholds: fit the batch prefilter first — a "
-            "gate with no per-domain cuts would keep nothing it can "
-            "explain"
-        )
+    _check_ccnet_gate_inputs(thresholds, bigram, trigram)
     return (
         _doc_stream_reader(spark, source_dir, schema, max_files_per_trigger)
         .writeStream.foreachBatch(
@@ -1113,12 +1115,19 @@ def _staged_kept_of_batch(ccnet_kept, classifier_kept):
     so the classifier stage's two consumers read the cache instead of
     re-running the LM joins; the releasable alternative to
     localCheckpoint, r15 ADVICE) and hand it back as aux so the
-    shared writer releases it after the commit."""
+    shared writer releases it after the commit. A raise between the
+    persist and the writer's try/finally would leave the pin behind
+    (the r15 ADVICE accumulation class, one level earlier) — release
+    and re-raise here."""
 
     def kept_of_batch(batch_df: DataFrame):
         prefiltered = ccnet_kept(batch_df).persist()
-        prefiltered.count()
-        return classifier_kept(prefiltered), (prefiltered,)
+        try:
+            prefiltered.count()
+            return classifier_kept(prefiltered), (prefiltered,)
+        except BaseException:
+            prefiltered.unpersist()
+            raise
 
     return kept_of_batch
 
@@ -1520,18 +1529,7 @@ def publish_ccnet_gate_model(
     disagree at birth)."""
     import os
 
-    if trigram is not None and bigram is None:
-        raise ValueError(
-            "a trigram table without its bigram backoff: the order-3 "
-            "chain interpolates trigram -> bigram -> unigram — pass "
-            "both tables fit on the same reference"
-        )
-    if not thresholds:
-        raise ValueError(
-            "empty thresholds: fit the batch prefilter first — a "
-            "gate with no per-domain cuts would keep nothing it can "
-            "explain"
-        )
+    _check_ccnet_gate_inputs(thresholds, bigram, trigram)
     version = _next_gate_version(model_dir)
     manifest = _write_ccnet_tables(
         model_dir, version, lm=lm, thresholds=thresholds, q=q,
@@ -1700,18 +1698,7 @@ def publish_staged_gate_model(
     (the publish_ccnet_gate_model discipline); the classifier half
     travels through ``classifier_gate_manifest`` (same calibrated
     pair-or-nothing rule)."""
-    if trigram is not None and bigram is None:
-        raise ValueError(
-            "a trigram table without its bigram backoff: the order-3 "
-            "chain interpolates trigram -> bigram -> unigram — pass "
-            "both tables fit on the same reference"
-        )
-    if not thresholds:
-        raise ValueError(
-            "empty thresholds: fit the batch prefilter first — a "
-            "gate with no per-domain cuts would keep nothing it can "
-            "explain"
-        )
+    _check_ccnet_gate_inputs(thresholds, bigram, trigram)
     version = _next_gate_version(model_dir)
     manifest = {
         "gate": "staged",
