@@ -54,6 +54,21 @@ RULE_FLAGS: tuple[str, ...] = (
     "ellipsis_ok", "alpha_ok", "required_ok",
 )
 
+#: The C4-specific additions (Raffel et al. 2020 §2.2), enabled with
+#: ``c4=True``: pages with code braces, boilerplate filler, policy
+#: boilerplate, or fewer than 3 sentences are dropped.
+C4_FLAGS: tuple[str, ...] = (
+    "curly_ok", "lorem_ok", "policy_ok", "sentences_ok",
+)
+
+#: C4's policy-boilerplate screen: a page carrying any of these is
+#: navigation/legal chrome, not prose.
+C4_BANNED_PHRASES: tuple[str, ...] = (
+    "lorem ipsum",  # kept separate as lorem_ok; listed for reference
+    "terms of use", "privacy policy", "cookie policy",
+    "uses cookies",
+)
+
 _BULLET_PREFIXES = ("- ", "* ", "• ")  # "- ", "* ", "• "
 _ELLIPSIS_SUFFIXES = ("...", "…")  # "...", "…"
 
@@ -82,8 +97,12 @@ def quality_rule_flags(
     min_alpha_word_frac: float = 0.8,
     min_required_words: int = 2,
     required_words: tuple[str, ...] = GOPHER_REQUIRED_WORDS,
+    c4: bool = False,
+    min_sentences: int = 3,
+    banned_phrases: tuple[str, ...] = C4_BANNED_PHRASES[1:],
 ) -> DataFrame:
-    """Append the seven rule flags + ``rules_ok`` to ``df``.
+    """Append the seven Gopher rule flags (+ the four C4 flags when
+    ``c4=True``) and the ``rules_ok`` conjunction to ``df``.
 
     Defaults are the published Gopher thresholds; every knob is a
     parameter because real runs tune them per corpus (C4 uses
@@ -91,6 +110,15 @@ def quality_rule_flags(
     the numbers are policy). The required-word match is
     case-insensitive and counts DISTINCT required words present
     (Gopher's "at least 2 of").
+
+    The C4 set (Raffel et al. 2020 §2.2, doc-level variants):
+    ``curly_ok`` — no ``{`` (code pages); ``lorem_ok`` — no
+    "lorem ipsum" (case-insensitive); ``policy_ok`` — none of the
+    ``banned_phrases`` (case-insensitive; C4's terms-of-use/cookies
+    screen); ``sentences_ok`` — at least ``min_sentences`` sentence
+    terminators (. ! ?). Because ``run_staged_curation``'s
+    ``rules_config`` passes through verbatim, ``{"c4": True}`` turns
+    the full Gopher+C4 screen on with zero job-surface changes.
     """
     if not 0 <= min_words <= max_words:
         raise ValueError(
@@ -116,10 +144,13 @@ def quality_rule_flags(
             "required_words set can never pass — supply the word set "
             "or set min_required_words=0"
         )
+    if min_sentences < 0:
+        raise ValueError(f"min_sentences={min_sentences}: needs >= 0")
     # withColumn REPLACES an existing column silently — a corpus that
     # already carries a flag-named column would lose it and downstream
     # consumers would read OUR flag thinking it theirs (review catch)
-    taken = set(df.columns) & {*RULE_FLAGS, "rules_ok"}
+    active_flags = (*RULE_FLAGS, *(C4_FLAGS if c4 else ()))
+    taken = set(df.columns) & {*active_flags, "rules_ok"}
     if taken:
         raise ValueError(
             f"input already carries flag column(s) {sorted(taken)}: "
@@ -166,7 +197,7 @@ def quality_rule_flags(
             else F.array().cast("array<string>"),
         )
     )
-    flags = {
+    flags: dict = {
         "words_ok": (n_words >= min_words) & (n_words <= max_words),
         "word_len_ok": (
             (n_words >= 1)
@@ -181,9 +212,23 @@ def quality_rule_flags(
         "alpha_ok": alpha_frac >= min_alpha_word_frac,
         "required_ok": n_required >= min_required_words,
     }
+    if c4:
+        lowered = F.lower(text)
+        policy_hit = F.lit(False)
+        for phrase in banned_phrases:
+            policy_hit = policy_hit | lowered.contains(phrase.lower())
+        n_sentences = (
+            _count_occurrences(text, ".")
+            + _count_occurrences(text, "!")
+            + _count_occurrences(text, "?")
+        )
+        flags["curly_ok"] = ~text.contains("{")
+        flags["lorem_ok"] = ~lowered.contains("lorem ipsum")
+        flags["policy_ok"] = ~policy_hit
+        flags["sentences_ok"] = n_sentences >= min_sentences
     out = df
     all_ok = F.lit(True)
-    for name in RULE_FLAGS:
+    for name in active_flags:
         out = out.withColumn(name, flags[name])
         all_ok = all_ok & flags[name]
     return out.withColumn("rules_ok", all_ok)
@@ -191,20 +236,25 @@ def quality_rule_flags(
 
 def quality_rule_funnel(flags: DataFrame) -> DataFrame:
     """One-row per-rule funnel over a ``quality_rule_flags`` output
-    (the H13 shape): n_total, a pass count per rule, n_pass_all —
-    what a manifest records so "the rules dropped 12%" decomposes
-    into WHICH rule did the dropping. Partial-aggregable single-row
-    output; safe at any corpus size."""
+    (the H13 shape): n_total, a pass count per rule PRESENT in the
+    frame (the Gopher seven, plus the C4 four when the flags were
+    built with ``c4=True``), n_pass_all — what a manifest records so
+    "the rules dropped 12%" decomposes into WHICH rule did the
+    dropping. Partial-aggregable single-row output; safe at any
+    corpus size."""
     # coalesce(sum, 0): sum over an empty frame is NULL, and the
     # staged job compares the funnel against observed counts — a NULL
     # there would fail the reconciliation arithmetic instead of
     # reading as the honest zero (review catch)
+    present = [
+        name for name in (*RULE_FLAGS, *C4_FLAGS) if name in flags.columns
+    ]
     aggs = [F.count(F.lit(1)).alias("n_total")]
     aggs += [
         F.coalesce(F.sum(F.col(name).cast("long")), F.lit(0)).alias(
             f"n_{name}"
         )
-        for name in RULE_FLAGS
+        for name in present
     ]
     aggs.append(
         F.coalesce(F.sum(F.col("rules_ok").cast("long")), F.lit(0)).alias(

@@ -310,3 +310,148 @@ def test_funnel_empty_corpus_reads_zero(spark):
     assert row["n_total"] == 0 and row["n_pass_all"] == 0
     for name in RULE_FLAGS:
         assert row[f"n_{name}"] == 0, name
+
+
+# ---------------------------------------------------------------------------
+# r16 — the C4-specific rule set (c4=True): doc-level variants of
+# Raffel et al. 2020 §2.2, same sequential-reference discipline.
+# ---------------------------------------------------------------------------
+
+
+def ref_c4_flags(
+    text: str,
+    *,
+    min_sentences: int = 3,
+    banned_phrases=("terms of use", "privacy policy", "cookie policy",
+                    "uses cookies"),
+    **gopher_cfg,
+) -> dict[str, bool]:
+    out = ref_flags(text, **gopher_cfg)
+    low = text.lower()
+    out["curly_ok"] = "{" not in text
+    out["lorem_ok"] = "lorem ipsum" not in low
+    out["policy_ok"] = not any(p.lower() in low for p in banned_phrases)
+    n_sent = text.count(".") + text.count("!") + text.count("?")
+    out["sentences_ok"] = n_sent >= min_sentences
+    out["rules_ok"] = all(v for k, v in out.items() if k != "rules_ok")
+    return out
+
+
+def _compare_c4(spark, texts: list[str], **cfg) -> None:
+    from drive_bc_datapipeline_spark.operators.quality_rules import (
+        C4_FLAGS,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in quality_rule_flags(df, c4=True, **cfg).collect()
+    }
+    for i, text in enumerate(texts):
+        want = ref_c4_flags(text, **cfg)
+        for name in (*RULE_FLAGS, *C4_FLAGS, "rules_ok"):
+            assert got[i][name] == want[name], (
+                f"doc {i} flag {name}: spark={got[i][name]} "
+                f"ref={want[name]}"
+            )
+
+
+GOOD_C4 = GOOD + ". This closes one thought. Another follows! Done?"
+
+
+def test_c4_rules_target_their_own_failures(spark):
+    """Four fixtures, each failing EXACTLY one C4 rule on top of a
+    Gopher-clean base (sentence-terminated so sentences_ok holds)."""
+    from drive_bc_datapipeline_spark.operators.quality_rules import (
+        C4_FLAGS,
+    )
+
+    base = dict(min_words=10)
+    assert ref_c4_flags(GOOD_C4, **base)["rules_ok"]
+    cases = {
+        "curly_ok": GOOD_C4 + " if (x) { return y; }".replace("{", "{"),
+        "lorem_ok": GOOD_C4 + " Lorem Ipsum dolor sit amet.",
+        "policy_ok": GOOD_C4 + " This site uses cookies for analytics.",
+        "sentences_ok": GOOD,  # no terminators at all
+    }
+    for flag, text in cases.items():
+        want = ref_c4_flags(text, **base)
+        assert not want[flag], f"{flag} fixture does not fail its rule"
+        others = [f for f in (*RULE_FLAGS, *C4_FLAGS) if f != flag]
+        bad = [f for f in others if not want[f]]
+        assert not bad, f"{flag} fixture also fails {bad}"
+    _compare_c4(spark, [GOOD_C4, *cases.values()], **base)
+
+
+def test_c4_funnel_and_collision_and_default_off(spark):
+    from drive_bc_datapipeline_spark.operators.quality_rules import (
+        C4_FLAGS,
+    )
+
+    texts = [GOOD_C4, GOOD_C4 + " { code }", "short."]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    flags = quality_rule_flags(df, min_words=10, c4=True)
+    row = quality_rule_funnel(flags).collect()[0]
+    for name in (*RULE_FLAGS, *C4_FLAGS):
+        want = sum(
+            1 for t in texts
+            if ref_c4_flags(t, min_words=10)[name]
+        )
+        assert row[f"n_{name}"] == want, name
+    # default (c4=False): the C4 columns are absent from flags AND
+    # the funnel, so the Gopher-only contract is unchanged
+    plain = quality_rule_flags(df, min_words=10)
+    assert not set(C4_FLAGS) & set(plain.columns)
+    prow = quality_rule_funnel(plain).collect()[0]
+    assert not any(f"n_{n}" in prow.asDict() for n in C4_FLAGS)
+    # collision guard covers the active C4 set too
+    df2 = spark.createDataFrame(
+        [(1, GOOD_C4, True)], "doc_id long, text string, curly_ok boolean"
+    )
+    with pytest.raises(ValueError, match="curly_ok"):
+        quality_rule_flags(df2, c4=True)
+    quality_rule_flags(df2)  # gopher-only: no collision, allowed
+
+
+def test_staged_curation_with_c4_config(spark, tmp_path):
+    """{"c4": True} in rules_config turns the combined screen on with
+    zero job-surface changes; the funnel carries the C4 counts."""
+    from drive_bc_datapipeline_spark.jobs import run_staged_curation
+    from drive_bc_datapipeline_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source", "text"
+    )
+    with_len = docs.withColumn("__n", F.size(F.split("text", " ")))
+    reference = (
+        with_len.orderBy(F.desc("__n"), "doc_id").limit(100)
+        .select("doc_id", "text")
+    )
+    seeds = (
+        with_len.withColumn("label", (F.col("__n") >= 40).cast("int"))
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "label", "text")
+    )
+    target = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    cfg = dict(min_words=30, min_required_words=1, c4=True,
+               min_sentences=0)
+    m = run_staged_curation(
+        spark, docs, reference, seeds, target, str(tmp_path / "c4"),
+        k=10, q=0.8, n_buckets=256, n_rounds=25, lr=1.0,
+        min_precision=0.5, dsir_buckets=512, seed=3, n_shards=4,
+        rules=True, rules_config=cfg,
+    )
+    assert "n_curly_ok" in m["rules_funnel"]
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    survivors = {
+        i for i, t in texts.items()
+        if ref_c4_flags(t, min_words=30, min_required_words=1,
+                        min_sentences=0)["rules_ok"]
+    }
+    assert m["n_kept_rules"] == len(survivors)
+    sel = {r["doc_id"] for r in spark.read.parquet(m["path"]).collect()}
+    assert sel <= survivors and len(sel) == 10
