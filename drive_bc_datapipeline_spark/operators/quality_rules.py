@@ -61,6 +61,14 @@ C4_FLAGS: tuple[str, ...] = (
     "curly_ok", "lorem_ok", "policy_ok", "sentences_ok",
 )
 
+#: Gopher's repetition rules (§A1.1, the line-level pair), enabled
+#: with ``repetition=True``: templated/boilerplate pages repeat
+#: whole lines; both signals are in-row array algebra over the line
+#: split — no explode, no shuffle.
+REPETITION_FLAGS: tuple[str, ...] = (
+    "dup_line_ok", "dup_line_char_ok",
+)
+
 #: C4's policy-boilerplate screen: a page carrying any of these is
 #: navigation/legal chrome, not prose.
 C4_BANNED_PHRASES: tuple[str, ...] = (
@@ -100,6 +108,9 @@ def quality_rule_flags(
     c4: bool = False,
     min_sentences: int = 3,
     banned_phrases: tuple[str, ...] = C4_BANNED_PHRASES[1:],
+    repetition: bool = False,
+    max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
 ) -> DataFrame:
     """Append the seven Gopher rule flags (+ the four C4 flags when
     ``c4=True``) and the ``rules_ok`` conjunction to ``df``.
@@ -119,6 +130,16 @@ def quality_rule_flags(
     terminators (. ! ?). Because ``run_staged_curation``'s
     ``rules_config`` passes through verbatim, ``{"c4": True}`` turns
     the full Gopher+C4 screen on with zero job-surface changes.
+
+    ``repetition=True`` adds Gopher's line-repetition pair (§A1.1):
+    ``dup_line_ok`` — the fraction of REPEAT lines (occurrences
+    beyond each distinct line's first) is <= ``max_dup_line_frac``;
+    ``dup_line_char_ok`` — the fraction of characters inside those
+    repeat lines is <= ``max_dup_line_char_frac``. Both are in-row
+    array algebra (array_distinct keeps first occurrences, so
+    repeats = total − distinct for counts AND for joined-character
+    lengths) — a templated page that repeats its boilerplate line
+    fails where per-token statistics look clean.
     """
     if not 0 <= min_words <= max_words:
         raise ValueError(
@@ -146,10 +167,20 @@ def quality_rule_flags(
         )
     if min_sentences < 0:
         raise ValueError(f"min_sentences={min_sentences}: needs >= 0")
+    for name, v in (
+        ("max_dup_line_frac", max_dup_line_frac),
+        ("max_dup_line_char_frac", max_dup_line_char_frac),
+    ):
+        if v < 0:
+            raise ValueError(f"{name}={v}: thresholds are >= 0")
     # withColumn REPLACES an existing column silently — a corpus that
     # already carries a flag-named column would lose it and downstream
     # consumers would read OUR flag thinking it theirs (review catch)
-    active_flags = (*RULE_FLAGS, *(C4_FLAGS if c4 else ()))
+    active_flags = (
+        *RULE_FLAGS,
+        *(C4_FLAGS if c4 else ()),
+        *(REPETITION_FLAGS if repetition else ()),
+    )
     taken = set(df.columns) & {*active_flags, "rules_ok"}
     if taken:
         raise ValueError(
@@ -212,6 +243,20 @@ def quality_rule_flags(
         "alpha_ok": alpha_frac >= min_alpha_word_frac,
         "required_ok": n_required >= min_required_words,
     }
+    if repetition:
+        n_lines_d = n_lines.cast("double")
+        distinct_lines = F.array_distinct(lines)
+        dup_line_frac = (
+            (n_lines - F.size(distinct_lines)).cast("double") / n_lines_d
+        )
+        total_chars = F.length(F.array_join(lines, ""))
+        first_chars = F.length(F.array_join(distinct_lines, ""))
+        dup_char_frac = (
+            (total_chars - first_chars).cast("double")
+            / F.greatest(total_chars, F.lit(1)).cast("double")
+        )
+        flags["dup_line_ok"] = dup_line_frac <= max_dup_line_frac
+        flags["dup_line_char_ok"] = dup_char_frac <= max_dup_line_char_frac
     if c4:
         lowered = F.lower(text)
         policy_hit = F.lit(False)
@@ -247,7 +292,9 @@ def quality_rule_funnel(flags: DataFrame) -> DataFrame:
     # there would fail the reconciliation arithmetic instead of
     # reading as the honest zero (review catch)
     present = [
-        name for name in (*RULE_FLAGS, *C4_FLAGS) if name in flags.columns
+        name
+        for name in (*RULE_FLAGS, *C4_FLAGS, *REPETITION_FLAGS)
+        if name in flags.columns
     ]
     aggs = [F.count(F.lit(1)).alias("n_total")]
     aggs += [

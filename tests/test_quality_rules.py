@@ -455,3 +455,86 @@ def test_staged_curation_with_c4_config(spark, tmp_path):
     assert m["n_kept_rules"] == len(survivors)
     sel = {r["doc_id"] for r in spark.read.parquet(m["path"]).collect()}
     assert sel <= survivors and len(sel) == 10
+
+
+# ---------------------------------------------------------------------------
+# r16 — Gopher's line-repetition pair (repetition=True).
+# ---------------------------------------------------------------------------
+
+
+def ref_repetition_flags(
+    text: str,
+    *,
+    max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+    **gopher_cfg,
+) -> dict[str, bool]:
+    out = ref_flags(text, **gopher_cfg)
+    lines = text.split("\n")
+    seen: list[str] = []
+    dup_lines = 0
+    dup_chars = 0
+    for ln in lines:
+        if ln in seen:
+            dup_lines += 1
+            dup_chars += len(ln)
+        else:
+            seen.append(ln)
+    total_chars = sum(len(ln) for ln in lines)
+    out["dup_line_ok"] = dup_lines / len(lines) <= max_dup_line_frac
+    out["dup_line_char_ok"] = (
+        dup_chars / max(total_chars, 1) <= max_dup_line_char_frac
+    )
+    out["rules_ok"] = all(v for k, v in out.items() if k != "rules_ok")
+    return out
+
+
+def test_repetition_rules_match_reference(spark):
+    from drive_bc_datapipeline_spark.operators.quality_rules import (
+        REPETITION_FLAGS,
+    )
+
+    boiler = "the data and rows of that batch have keys here"
+    shorts = ["r%d" % i for i in range(9)]
+    texts = [
+        GOOD,                                   # no newlines: 0 dups
+        # one LONG repeat among many short lines: 1/11 lines is under
+        # the 0.3 line cap but its characters dominate (char fails)
+        "\n".join([GOOD, *shorts, GOOD]),
+        "\n".join([boiler] * 5),                 # 4 repeats of 5: both fail
+        "\n".join([GOOD, "x", "x", "x"]),        # 2 short repeats of 4:
+                                                 # line frac fails, char ok
+        "",                                      # 1 empty line, 0 dups
+    ]
+    cfg = dict(min_words=5)
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in quality_rule_flags(df, repetition=True, **cfg).collect()
+    }
+    for i, t in enumerate(texts):
+        want = ref_repetition_flags(t, **cfg)
+        for name in (*RULE_FLAGS, *REPETITION_FLAGS, "rules_ok"):
+            assert got[i][name] == want[name], (i, name)
+    # the fixtures actually exercise both directions
+    assert got[1]["dup_line_ok"] and not got[1]["dup_line_char_ok"]
+    assert not got[2]["dup_line_ok"] and not got[2]["dup_line_char_ok"]
+    assert not got[3]["dup_line_ok"] and got[3]["dup_line_char_ok"]
+    assert got[0]["dup_line_ok"] and got[0]["dup_line_char_ok"]
+    # default-off: the columns are absent, funnel unchanged
+    plain = quality_rule_flags(df, **cfg)
+    assert not set(REPETITION_FLAGS) & set(plain.columns)
+    # funnel counts the repetition flags when present
+    row = quality_rule_funnel(
+        quality_rule_flags(df, repetition=True, **cfg)
+    ).collect()[0]
+    for name in REPETITION_FLAGS:
+        want = sum(
+            1 for t in texts if ref_repetition_flags(t, **cfg)[name]
+        )
+        assert row[f"n_{name}"] == want, name
+    # guard
+    with pytest.raises(ValueError, match="max_dup_line_frac"):
+        quality_rule_flags(df, repetition=True, max_dup_line_frac=-1.0)
