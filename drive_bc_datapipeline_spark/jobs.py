@@ -975,7 +975,6 @@ def run_staged_curation(
     rules_funnel = None
     if rules:
         from drive_bc_datapipeline_spark.operators.quality_rules import (
-            RULE_FLAGS,
             quality_rule_flags,
             quality_rule_funnel,
         )
@@ -990,7 +989,12 @@ def run_staged_curation(
             docs, text_col=text_col, **(rules_config or {})
         )
         rules_funnel = quality_rule_funnel(flagged).collect()[0].asDict()
-        docs = flagged.filter(F.col("rules_ok")).drop("rules_ok", *RULE_FLAGS)
+        # drop EVERYTHING the screen appended — the ACTIVE flag set,
+        # not a hardcoded list: with c4/repetition configs the r16
+        # RULE_FLAGS-only drop leaked six stray booleans into the
+        # prefilter kept/ parquet and every downstream artifact
+        added = [c for c in flagged.columns if c not in docs.columns]
+        docs = flagged.filter(F.col("rules_ok")).drop(*added)
     m_pre = run_ccnet_prefilter(
         spark, docs, reference, os.path.join(out_dir, "prefilter"),
         q=q, alpha=alpha, lm_order=lm_order, lam=lam,
@@ -1037,6 +1041,10 @@ def run_staged_curation(
             threshold=m_cur["threshold"],
             alpha=alpha, lam=lam, bigram=bg, trigram=tg,
             n_buckets=n_buckets, n_gram=n_gram,
+            # the stage-0 screen is part of the published decision
+            # function: without it a rotated stream would keep
+            # rule-failing docs the batch cut dropped (r16 ADVICE)
+            rules_config=(rules_config or {}) if rules else None,
             cal_table=(
                 [tuple(r) for r in m_cur["calibration_table"]]
                 if calibrate else None

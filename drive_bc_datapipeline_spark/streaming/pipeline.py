@@ -1108,7 +1108,28 @@ def start_ccnet_gate_stream(
 # ---------------------------------------------------------------------------
 
 
-def _staged_kept_of_batch(ccnet_kept, classifier_kept):
+def _rules_kept(text_col: str, config: dict):
+    """Stage-0 kept builder: the H51 Gopher/C4 rule screen as a lazy
+    codegen'd predicate over the batch (no shuffle, no join — it
+    fuses into the CCNet stage's own scan). Drops the ACTIVE flag
+    set it appended (set-difference, not a hardcoded list — the
+    jobs.py r16 leak class), so the kept rows carry the input schema
+    exactly. ``config`` is the batch job's ``rules_config`` verbatim
+    (JSON round-trips tuples to lists; ``quality_rule_flags`` only
+    iterates them)."""
+    from drive_bc_datapipeline_spark.operators.quality_rules import (
+        quality_rule_flags,
+    )
+
+    def kept(df: DataFrame) -> DataFrame:
+        flagged = quality_rule_flags(df, text_col=text_col, **config)
+        added = [c for c in flagged.columns if c not in df.columns]
+        return flagged.filter(F.col("rules_ok")).drop(*added)
+
+    return kept
+
+
+def _staged_kept_of_batch(ccnet_kept, classifier_kept, rules_kept=None):
     """THE one copy of the staged composition's per-batch shape,
     shared by the plain J13 writer and its versioned twin: pin the
     prefiltered relation (persist + eager count — one materialization
@@ -1121,6 +1142,8 @@ def _staged_kept_of_batch(ccnet_kept, classifier_kept):
     and re-raise here."""
 
     def kept_of_batch(batch_df: DataFrame):
+        if rules_kept is not None:
+            batch_df = rules_kept(batch_df)  # lazy — fuses into stage 1
         prefiltered = ccnet_kept(batch_df).persist()
         try:
             prefiltered.count()
@@ -1150,6 +1173,7 @@ def staged_gate_batch_writer(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    rules_config: dict | None = None,
 ):
     """foreachBatch callback: CCNet cut → classifier gate →
     exactly-once commit — the literal COMPOSITION of the J12 and J11
@@ -1186,7 +1210,16 @@ def staged_gate_batch_writer(
         n_gram=n_gram,
     )
     return _scored_gate_writer(
-        sink_dir, _staged_kept_of_batch(ccnet_kept, classifier_kept)
+        sink_dir,
+        _staged_kept_of_batch(
+            ccnet_kept,
+            classifier_kept,
+            rules_kept=(
+                _rules_kept(text_col, rules_config)
+                if rules_config is not None
+                else None
+            ),
+        ),
     )
 
 
@@ -1214,6 +1247,7 @@ def start_staged_gate_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    rules_config: dict | None = None,
     schema: str = DOC_STREAM_SCHEMA,
     max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
@@ -1228,6 +1262,10 @@ def start_staged_gate_stream(
     see J12's docstring for why refitting per batch would be wrong.
     The calibrated handoff resolves here through the same
     ``_resolve_gate_threshold`` J11 uses (same half-supply guards).
+    ``rules_config`` (r17): pass the staged manifest's value when the
+    batch job ran ``rules=True`` — the stage-0 screen is part of the
+    decision function, so a stream without it keeps rule-failing docs
+    the batch cut dropped (``None`` = batch ran without rules).
     """
     _validate_lm_order(lm_order, bigram, trigram)
     threshold = _resolve_gate_threshold(threshold, cal_table, curve_bins)
@@ -1239,7 +1277,7 @@ def start_staged_gate_stream(
                 bigram=bigram, trigram=trigram, alpha=alpha, lam=lam,
                 n_buckets=n_buckets, n_gram=n_gram,
                 text_col=text_col, id_col=id_col,
-                source_col=source_col,
+                source_col=source_col, rules_config=rules_config,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -1689,6 +1727,7 @@ def publish_staged_gate_model(
     n_gram: int = 1,
     cal_table: list | None = None,
     curve_bins: int | None = None,
+    rules_config: dict | None = None,
 ) -> int:
     """Publish BOTH halves of the staged gate (CCNet prefilter +
     classifier) as ONE versioned model, so a J13-shaped sink rotates
@@ -1697,7 +1736,16 @@ def publish_staged_gate_model(
     LM tables land under the version dir before the manifest swap
     (the publish_ccnet_gate_model discipline); the classifier half
     travels through ``classifier_gate_manifest`` (same calibrated
-    pair-or-nothing rule)."""
+    pair-or-nothing rule).
+
+    ``rules_config`` (r17): the batch job's stage-0 rule screen,
+    recorded in the manifest so a rotated stream applies THE SAME
+    screen — a staged job run with ``rules=True`` whose thresholds
+    and weights were fit on rule-survivors would otherwise publish a
+    gate that keeps rule-failing docs the batch cut dropped (the
+    _validate_lm_order divergence class, r16 ADVICE). ``None`` =
+    the batch job ran without rules; ``{}`` = rules on at the
+    published Gopher defaults."""
     _check_ccnet_gate_inputs(thresholds, bigram, trigram)
     version = _next_gate_version(model_dir)
     manifest = {
@@ -1711,6 +1759,9 @@ def publish_staged_gate_model(
             n_buckets=n_buckets, n_gram=n_gram,
             cal_table=cal_table, curve_bins=curve_bins,
         ),
+        "rules_config": dict(rules_config)
+        if rules_config is not None
+        else None,
     }
     return _publish_gate_version(model_dir, version, manifest)
 
@@ -1739,9 +1790,15 @@ def _staged_kept_of_manifest(
                 f"staged gate manifest is missing {missing}: publish "
                 "it with publish_staged_gate_model"
             )
+        rules_config = manifest.get("rules_config")
         return _staged_kept_of_batch(
             ccnet_build(manifest["ccnet"]),
             classifier_build(manifest["classifier"]),
+            rules_kept=(
+                _rules_kept(text_col, rules_config)
+                if rules_config is not None
+                else None
+            ),
         )
 
     return build

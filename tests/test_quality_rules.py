@@ -438,7 +438,7 @@ def test_staged_curation_with_c4_config(spark, tmp_path):
     )
     target = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
     cfg = dict(min_words=30, min_required_words=1, c4=True,
-               min_sentences=0)
+               min_sentences=0, repetition=True)
     m = run_staged_curation(
         spark, docs, reference, seeds, target, str(tmp_path / "c4"),
         k=10, q=0.8, n_buckets=256, n_rounds=25, lr=1.0,
@@ -446,15 +446,33 @@ def test_staged_curation_with_c4_config(spark, tmp_path):
         rules=True, rules_config=cfg,
     )
     assert "n_curly_ok" in m["rules_funnel"]
+    assert "n_dup_line_ok" in m["rules_funnel"]
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     survivors = {
         i for i, t in texts.items()
         if ref_c4_flags(t, min_words=30, min_required_words=1,
                         min_sentences=0)["rules_ok"]
+        and ref_repetition_flags(t, min_words=30,
+                                 min_required_words=1)["rules_ok"]
     }
     assert m["n_kept_rules"] == len(survivors)
     sel = {r["doc_id"] for r in spark.read.parquet(m["path"]).collect()}
     assert sel <= survivors and len(sel) == 10
+    # the r16 leak class: with the extension sets on, NO flag column
+    # may ride into the prefilter kept/ parquet or the final
+    # selection — the published corpus schema is the input schema
+    from drive_bc_datapipeline_spark.operators.quality_rules import (
+        C4_FLAGS,
+        REPETITION_FLAGS,
+    )
+
+    flag_cols = {"rules_ok", *RULE_FLAGS, *C4_FLAGS, *REPETITION_FLAGS}
+    kept_cols = set(
+        spark.read.parquet(m["prefilter"]["path"]).columns
+    )
+    sel_cols = set(spark.read.parquet(m["path"]).columns)
+    assert not kept_cols & flag_cols, kept_cols & flag_cols
+    assert not sel_cols & flag_cols, sel_cols & flag_cols
 
 
 # ---------------------------------------------------------------------------

@@ -1796,3 +1796,113 @@ def test_staged_curation_publishes_combined_model(spark, tmp_path):
     rows = sp.read_committed(spark, sink).collect()
     assert sorted(r["doc_id"] for r in rows) == [0, 1, 2]
     assert all(r["model_version"] == 1 for r in rows)
+
+
+def test_staged_gate_rules_config_published_and_applied(spark, tmp_path):
+    """r17 (the r16 ADVICE divergence): a staged job run with
+    rules=True publishes its stage-0 screen in the manifest, and the
+    versioned staged gate APPLIES it — a rotated stream must not keep
+    rule-failing docs the batch cut dropped. v1 (no rules) keeps the
+    short docs; v2 (same LM + classifier, rules on) drops exactly
+    them; the plain J13 writer with rules_config matches v2; kept
+    rows never carry flag columns."""
+    from drive_bc_datapipeline_spark.jobs import run_staged_curation
+    from drive_bc_datapipeline_spark.operators.classifier import (
+        train_hashed_linear,
+    )
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        unigram_lm_table,
+    )
+    from drive_bc_datapipeline_spark.operators.quality_rules import (
+        RULE_FLAGS,
+    )
+
+    good = "a a b a b b"
+    short = "a a"  # passes LM + classifier, fails min_words=5
+    cfg = dict(min_words=5, min_mean_word_len=0.0, min_required_words=0)
+    ref = spark.createDataFrame(
+        [(i, good) for i in range(8)], "doc_id long, text string"
+    )
+    seeds = spark.createDataFrame(
+        [(100 + i, 1, good) for i in range(6)]
+        + [(200 + i, 0, "zz junk bad %d" % i) for i in range(6)],
+        "doc_id long, label int, text string",
+    )
+    w, b = train_hashed_linear(spark, seeds, n_buckets=64, n_rounds=30)
+    docs = spark.createDataFrame(
+        [(i, "web", good) for i in range(3)]
+        + [(20 + i, "web", short) for i in range(2)],
+        sp.DOC_STREAM_SCHEMA,
+    )
+    lm = unigram_lm_table(ref)
+    from drive_bc_datapipeline_spark.jobs import run_ccnet_prefilter
+
+    m1 = run_ccnet_prefilter(
+        spark, docs, ref, str(tmp_path / "rb1"), q=0.9, lm_order=1
+    )
+    model_dir = str(tmp_path / "rules_models")
+    v1 = sp.publish_staged_gate_model(
+        model_dir, lm=lm, thresholds=m1["thresholds"], q=m1["q"],
+        weights=w, bias=b, threshold=0.5, n_buckets=64,
+    )
+    assert v1 == 1
+    sink = str(tmp_path / "rules_vsink")
+    write_batch = sp.versioned_gate_batch_writer(
+        sink, model_dir, sp._staged_kept_of_manifest(spark)
+    )
+    write_batch(docs, 0)
+    rows = sp.read_committed(spark, sink).collect()
+    # without rules the short docs pass every model gate
+    assert sorted(r["doc_id"] for r in rows) == [0, 1, 2, 20, 21]
+
+    v2 = sp.publish_staged_gate_model(
+        model_dir, lm=lm, thresholds=m1["thresholds"], q=m1["q"],
+        weights=w, bias=b, threshold=0.5, n_buckets=64,
+        rules_config=cfg,
+    )
+    assert v2 == 2
+    _v, manifest = sp.read_current_gate_model(model_dir)
+    assert manifest["rules_config"] == cfg
+    write_batch(docs, 1)
+    rows = sp.read_committed(spark, sink).collect()
+    v2_kept = sorted(
+        r["doc_id"] for r in rows if r["model_version"] == 2
+    )
+    assert v2_kept == [0, 1, 2]  # the screen now rides the gate
+    assert not set(rows[0].asDict()) & {"rules_ok", *RULE_FLAGS}
+
+    # the plain (argument-driven) J13 writer takes the same knob
+    sink2 = str(tmp_path / "rules_psink")
+    sp.staged_gate_batch_writer(
+        sink2, lm, m1["thresholds"], m1["q"], w, b, 0.5,
+        n_buckets=64, rules_config=cfg,
+    )(docs, 0)
+    got = sorted(
+        r["doc_id"]
+        for r in sp.read_committed(spark, sink2).collect()
+    )
+    assert got == [0, 1, 2]
+
+    # end-to-end: the batch staged job with rules=True publishes the
+    # screen itself, and a fresh versioned sink applies it
+    target = docs.limit(2).select("doc_id", "text")
+    model_dir2 = str(tmp_path / "rules_models2")
+    m = run_staged_curation(
+        spark, docs, ref, seeds, target, str(tmp_path / "rules_out"),
+        k=2, q=0.9, n_buckets=64, n_rounds=30,
+        min_precision=0.5, dsir_buckets=64, n_shards=2,
+        rules=True, rules_config=cfg,
+        publish_model_dir=model_dir2,
+    )
+    assert m["published_version"] == 1
+    _v, man2 = sp.read_current_gate_model(model_dir2)
+    assert man2["rules_config"] == cfg
+    sink3 = str(tmp_path / "rules_vsink3")
+    sp.versioned_gate_batch_writer(
+        sink3, model_dir2, sp._staged_kept_of_manifest(spark)
+    )(docs, 0)
+    got3 = sorted(
+        r["doc_id"]
+        for r in sp.read_committed(spark, sink3).collect()
+    )
+    assert 20 not in got3 and 21 not in got3
