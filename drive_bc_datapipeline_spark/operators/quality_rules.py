@@ -79,6 +79,14 @@ C4_BANNED_PHRASES: tuple[str, ...] = (
 
 _BULLET_PREFIXES = ("- ", "* ", "• ")  # "- ", "* ", "• "
 _ELLIPSIS_SUFFIXES = ("...", "…")  # "...", "…"
+#: C4's terminal punctuation (Raffel 2020 §2.2: period, exclamation
+#: mark, question mark, end quotation mark) — a line not ending in
+#: one is navigation/boilerplate, not a sentence.
+_TERMINAL_SUFFIXES = (".", "!", "?", '"')
+#: Ellipsis runs (2+ dots, or the one-char ellipsis) are removed
+#: before counting sentence terminators — each dot of a "..." is NOT
+#: a sentence boundary (the r16 doc-level screen counted it as one).
+_ELLIPSIS_RUN_RE = r"\.{2,}|…"
 
 
 def _count_occurrences(col: Column, sub: str) -> Column:
@@ -108,6 +116,8 @@ def quality_rule_flags(
     c4: bool = False,
     min_sentences: int = 3,
     banned_phrases: tuple[str, ...] = C4_BANNED_PHRASES[1:],
+    c4_line: bool = False,
+    min_line_words: int = 5,
     repetition: bool = False,
     max_dup_line_frac: float = 0.3,
     max_dup_line_char_frac: float = 0.2,
@@ -130,6 +140,18 @@ def quality_rule_flags(
     terminators (. ! ?). Because ``run_staged_curation``'s
     ``rules_config`` passes through verbatim, ``{"c4": True}`` turns
     the full Gopher+C4 screen on with zero job-surface changes.
+
+    ``c4_line=True`` (r17) runs the C4 set with the paper's
+    LINE-LEVEL sentence screen instead of the doc-level variant:
+    only lines ending in terminal punctuation (. ! ? ") that carry
+    at least ``min_line_words`` words count as prose, and
+    ``sentences_ok`` counts terminators over THOSE lines only, with
+    ellipsis runs (2+ dots, or "…") excluded — a page whose dots are
+    all "..." separators has zero sentences here where the doc-level
+    count saw three. Implies the C4 set (``c4=True`` is redundant
+    alongside it); still one codegen'd projection over the line
+    split — the line filter and the sentence count are in-row array
+    algebra, no explode.
 
     ``repetition=True`` adds Gopher's line-repetition pair (§A1.1):
     ``dup_line_ok`` — the fraction of REPEAT lines (occurrences
@@ -167,6 +189,9 @@ def quality_rule_flags(
         )
     if min_sentences < 0:
         raise ValueError(f"min_sentences={min_sentences}: needs >= 0")
+    if min_line_words < 0:
+        raise ValueError(f"min_line_words={min_line_words}: needs >= 0")
+    c4 = c4 or c4_line  # the line variant IS the C4 set, line-level
     for name, v in (
         ("max_dup_line_frac", max_dup_line_frac),
         ("max_dup_line_char_frac", max_dup_line_char_frac),
@@ -193,10 +218,14 @@ def quality_rule_flags(
     n_words = F.size(toks)
     w1 = F.greatest(n_words, F.lit(1))  # the documented /max(n,1) guard
     mean_wl = F.length(F.array_join(toks, "")).cast("double") / w1
-    n_symbols = (
-        _count_occurrences(text, "#")
-        + _count_occurrences(text, "…")
-        + _count_occurrences(text, "...")
+    # Gopher A1.1 applies the symbol-to-word threshold to EACH
+    # symbol separately ('#' and ellipsis); summing them into one
+    # combined ratio is strictly tighter and over-drops docs that
+    # pass each per-symbol check (r16 ADVICE — e.g. 0.06 hash +
+    # 0.06 ellipsis)
+    n_hash = _count_occurrences(text, "#")
+    n_ellipsis = (
+        _count_occurrences(text, "…") + _count_occurrences(text, "...")
     )
     lines = F.split(text, "\n")  # >= 1 element always
     n_lines = F.size(lines)
@@ -236,7 +265,8 @@ def quality_rule_flags(
             & (mean_wl <= max_mean_word_len)
         ),
         "symbol_ok": (
-            n_symbols.cast("double") / w1 <= max_symbol_word_ratio
+            (n_hash.cast("double") / w1 <= max_symbol_word_ratio)
+            & (n_ellipsis.cast("double") / w1 <= max_symbol_word_ratio)
         ),
         "bullet_ok": bullet_frac <= max_bullet_line_frac,
         "ellipsis_ok": ellipsis_frac <= max_ellipsis_line_frac,
@@ -262,10 +292,29 @@ def quality_rule_flags(
         policy_hit = F.lit(False)
         for phrase in banned_phrases:
             policy_hit = policy_hit | lowered.contains(phrase.lower())
+        if c4_line:
+            kept_lines = F.filter(
+                lines,
+                lambda ln: (
+                    ln.endswith(_TERMINAL_SUFFIXES[0])
+                    | ln.endswith(_TERMINAL_SUFFIXES[1])
+                    | ln.endswith(_TERMINAL_SUFFIXES[2])
+                    | ln.endswith(_TERMINAL_SUFFIXES[3])
+                )
+                & (
+                    F.size(F.filter(F.split(ln, " "), lambda x: x != ""))
+                    >= min_line_words
+                ),
+            )
+            sentence_src = F.regexp_replace(
+                F.array_join(kept_lines, "\n"), _ELLIPSIS_RUN_RE, ""
+            )
+        else:
+            sentence_src = text
         n_sentences = (
-            _count_occurrences(text, ".")
-            + _count_occurrences(text, "!")
-            + _count_occurrences(text, "?")
+            _count_occurrences(sentence_src, ".")
+            + _count_occurrences(sentence_src, "!")
+            + _count_occurrences(sentence_src, "?")
         )
         flags["curly_ok"] = ~text.contains("{")
         flags["lorem_ok"] = ~lowered.contains("lorem ipsum")

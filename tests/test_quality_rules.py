@@ -42,9 +42,8 @@ def ref_flags(
     n = len(toks)
     w1 = max(n, 1)
     mean_wl = sum(len(t) for t in toks) / w1
-    n_symbols = (
-        text.count("#") + text.count("…") + text.count("...")
-    )
+    n_hash = text.count("#")
+    n_ellipsis = text.count("…") + text.count("...")
     lines = text.split("\n")
     bullet = sum(
         1 for ln in lines if ln.startswith(("- ", "* ", "• "))
@@ -58,7 +57,8 @@ def ref_flags(
         "words_ok": min_words <= n <= max_words,
         "word_len_ok": n >= 1
         and min_mean_word_len <= mean_wl <= max_mean_word_len,
-        "symbol_ok": n_symbols / w1 <= max_symbol_word_ratio,
+        "symbol_ok": n_hash / w1 <= max_symbol_word_ratio
+        and n_ellipsis / w1 <= max_symbol_word_ratio,
         "bullet_ok": bullet <= max_bullet_line_frac,
         "ellipsis_ok": ellipsis <= max_ellipsis_line_frac,
         "alpha_ok": alpha >= min_alpha_word_frac,
@@ -167,6 +167,23 @@ def test_thresholds_are_inclusive_boundaries(spark):
     cfg2 = dict(min_words=1, min_required_words=0,
                 min_alpha_word_frac=0.0)
     _compare(spark, [t1, t2], **cfg2)
+
+
+def test_symbol_ratio_is_per_symbol(spark):
+    """Gopher A1.1 applies the 0.1 symbol-to-word cap to '#' and to
+    ellipsis SEPARATELY (r16 ADVICE): a doc at 0.06 + 0.06 passes
+    both per-symbol checks (the old combined ratio over-dropped it);
+    either symbol alone over the cap still fails."""
+    words = ["abc"] * 50
+    both_under = " ".join(words) + " ### ………"  # 3 hash + 3 ellipsis
+    hash_over = " ".join(words) + " " + "#" * 6  # 6/50 > 0.1
+    ell_over = " ".join(words) + " " + "…" * 6
+    cfg = dict(min_words=1, min_required_words=0,
+               min_mean_word_len=0.0, min_alpha_word_frac=0.0)
+    assert ref_flags(both_under, **cfg)["symbol_ok"]
+    assert not ref_flags(hash_over, **cfg)["symbol_ok"]
+    assert not ref_flags(ell_over, **cfg)["symbol_ok"]
+    _compare(spark, [both_under, hash_over, ell_over], **cfg)
 
 
 def test_random_corpus_property(spark):
@@ -415,6 +432,94 @@ def test_c4_funnel_and_collision_and_default_off(spark):
     with pytest.raises(ValueError, match="curly_ok"):
         quality_rule_flags(df2, c4=True)
     quality_rule_flags(df2)  # gopher-only: no collision, allowed
+
+
+def ref_c4_line_flags(
+    text: str,
+    *,
+    min_sentences: int = 3,
+    min_line_words: int = 5,
+    banned_phrases=("terms of use", "privacy policy", "cookie policy",
+                    "uses cookies"),
+    **gopher_cfg,
+) -> dict[str, bool]:
+    out = ref_flags(text, **gopher_cfg)
+    low = text.lower()
+    out["curly_ok"] = "{" not in text
+    out["lorem_ok"] = "lorem ipsum" not in low
+    out["policy_ok"] = not any(p.lower() in low for p in banned_phrases)
+    kept = [
+        ln for ln in text.split("\n")
+        if ln.endswith((".", "!", "?", '"'))
+        and len([t for t in ln.split(" ") if t]) >= min_line_words
+    ]
+    cleaned = re.sub(r"\.{2,}|…", "", "\n".join(kept))
+    n_sent = (
+        cleaned.count(".") + cleaned.count("!") + cleaned.count("?")
+    )
+    out["sentences_ok"] = n_sent >= min_sentences
+    out["rules_ok"] = all(v for k, v in out.items() if k != "rules_ok")
+    return out
+
+
+def test_c4_line_level_sentences(spark):
+    """c4_line=True is Raffel 2020's LINE-LEVEL screen: only
+    terminal-punctuated lines with >= 5 words count as prose, and
+    ellipsis runs are not sentence terminators — the "...-only" doc
+    the doc-level variant passes must fail here (r16 verdict)."""
+    from drive_bc_datapipeline_spark.operators.quality_rules import (
+        C4_FLAGS,
+    )
+
+    base = dict(min_words=10)
+    ellipsis_only = GOOD + "..."  # its only "terminators" are the run
+    assert ref_c4_flags(ellipsis_only, **base)["sentences_ok"]
+    assert not ref_c4_line_flags(ellipsis_only, **base)["sentences_ok"]
+    fixtures = [
+        GOOD_C4,                      # one prose line, 4 terminators
+        ellipsis_only,
+        # the only terminated lines carry < 5 words: not prose
+        GOOD + "\nYes.\nNo!\nWhy?",
+        # unterminated navigation line contributes nothing
+        GOOD_C4 + "\nhome | products | about us | contact",
+        # end-quote counts as terminal punctuation
+        GOOD + '\nhe said the words were "entirely fine there."'
+        + "\nAnother full sentence sits here. And one more follows!",
+        "",
+    ]
+    for t in fixtures[:1]:
+        assert ref_c4_line_flags(t, **base)["sentences_ok"]
+    df = spark.createDataFrame(
+        list(enumerate(fixtures)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in quality_rule_flags(df, c4_line=True, **base).collect()
+    }
+    for i, t in enumerate(fixtures):
+        want = ref_c4_line_flags(t, **base)
+        for name in (*RULE_FLAGS, *C4_FLAGS, "rules_ok"):
+            assert got[i][name] == want[name], (i, name)
+    # the line variant IS the C4 set: flags present without c4=True,
+    # and the funnel rolls them up like any active flag
+    assert set(C4_FLAGS) <= set(got[0])
+    row = quality_rule_funnel(
+        quality_rule_flags(df, c4_line=True, **base)
+    ).collect()[0]
+    want_sent = sum(
+        1 for t in fixtures if ref_c4_line_flags(t, **base)["sentences_ok"]
+    )
+    assert row["n_sentences_ok"] == want_sent
+    # knob guard + the min_line_words knob is live
+    with pytest.raises(ValueError, match="min_line_words"):
+        quality_rule_flags(df, c4_line=True, min_line_words=-1)
+    relaxed = {
+        r["doc_id"]: r["sentences_ok"]
+        for r in quality_rule_flags(
+            df, c4_line=True, min_line_words=1, **base
+        ).collect()
+    }
+    assert relaxed[2]  # the 1-word "Yes." lines now count as prose
 
 
 def test_staged_curation_with_c4_config(spark, tmp_path):
