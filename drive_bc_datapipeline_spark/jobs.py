@@ -646,25 +646,23 @@ def run_curation_pipeline(
 
 def _fit_reference_lm_tables(
     reference, *, lm_order: int, alpha: float, text_col: str
-):
-    """(lm, bigram, trigram) fit on the reference at ``lm_order`` —
-    THE one copy of the CCNet model fit, shared by
+) -> list:
+    """``[unigram, order2, ..., order_{lm_order}]`` fit on the
+    reference — THE one copy of the CCNet model fit, shared by
     ``run_ccnet_prefilter`` and the staged job's publish path (which
     must publish EXACTLY the tables the cut used, so it fits once
-    here and injects them via ``tables=``)."""
+    here and injects them via ``tables=``). r17: the list shape
+    (``len == lm_order``) replaces the r16 (lm, bigram, trigram)
+    triple now that the chain is generic to order 5."""
     from drive_bc_datapipeline_spark.operators.lm_score import (
-        bigram_lm_table,
-        trigram_lm_table,
+        ngram_lm_table,
         unigram_lm_table,
     )
 
-    lm = unigram_lm_table(reference, text_col=text_col, alpha=alpha)
-    bg = tg = None
-    if lm_order >= 2:
-        bg = bigram_lm_table(reference, text_col=text_col)
-    if lm_order == 3:
-        tg = trigram_lm_table(reference, text_col=text_col)
-    return lm, bg, tg
+    tables = [unigram_lm_table(reference, text_col=text_col, alpha=alpha)]
+    for k in range(2, lm_order + 1):
+        tables.append(ngram_lm_table(reference, k=k, text_col=text_col))
+    return tables
 
 
 def run_ccnet_prefilter(
@@ -691,14 +689,15 @@ def run_ccnet_prefilter(
     ``out_dir/kept/`` partitioned by source with a manifest JSON.
 
     ``lm_order`` picks the scorer: 1 = the smoothed unigram LM (H49);
-    2 = the interpolated bigram LM with unigram backoff (H50);
-    3 = the trigram backoff chain (H52, r16) — ``lam`` is the
-    per-level interpolation weight at orders >= 2. Order 2 catches
-    reference-like vocabulary in scrambled order; order 3
-    additionally catches corpora that preserve bigram statistics but
-    scramble triples (both separations test-pinned). All three
-    produce the same (id, n_toks, avg_nll) relation, so everything
-    downstream (threshold fit, filter, manifest) is scorer-agnostic.
+    2-5 = the generic Jelinek-Mercer backoff chain at that order
+    (H50/H52; r17 generalizes to order 5 — CCNet's KenLM order) —
+    ``lam`` is the per-level interpolation weight at orders >= 2.
+    Each order catches one scramble class the order below is blind
+    to (2: word order vs vocabulary; 3: triples vs bigram stats;
+    4/5: one range further — all separations test-pinned on planted
+    multiset-preserving corpora). Every order produces the same
+    (id, n_toks, avg_nll) relation, so everything downstream
+    (threshold fit, filter, manifest) is scorer-agnostic.
 
     Scoring-once (the r14 curation-job discipline, applied from the
     start): the per-doc score relation — three narrow columns — is
@@ -719,10 +718,10 @@ def run_ccnet_prefilter(
     (``publish_ccnet_gate_model``), so every in-flight
     ``start_versioned_ccnet_gate_stream`` sink swaps to this fit at
     its next micro-batch boundary; the manifest records the
-    ``published_version``. ``tables`` injects pre-fit
-    ``(lm, bigram, trigram)`` relations (the
+    ``published_version``. ``tables`` injects the pre-fit
+    ``[unigram, order2, ...]`` list (the
     ``_fit_reference_lm_tables`` shape) so a composing job can fit
-    ONCE and publish exactly what the cut used; their order must
+    ONCE and publish exactly what the cut used; ``len(tables)`` must
     match ``lm_order``.
     """
     from drive_bc_datapipeline_spark.operators.domain_filter import (
@@ -731,15 +730,15 @@ def run_ccnet_prefilter(
         domain_threshold_table,
     )
     from drive_bc_datapipeline_spark.operators.lm_score import (
-        score_docs_under_bigram_lm,
         score_docs_under_lm,
-        score_docs_under_trigram_lm,
+        score_docs_under_ngram_chain,
     )
 
-    if lm_order not in (1, 2, 3):
+    if lm_order not in (1, 2, 3, 4, 5):
         raise ValueError(
             f"lm_order={lm_order}: 1 (unigram, H49), 2 (bigram with "
-            "unigram backoff, H50), or 3 (trigram backoff chain, H52)"
+            "unigram backoff, H50), 3 (trigram backoff chain, H52), "
+            "or 4-5 (the generic chain; 5 = CCNet's KenLM order)"
         )
     # scorer knob guards up front (review catch): the scorer itself
     # re-checks these, but only AFTER both reference-scale LM fits
@@ -759,8 +758,7 @@ def run_ccnet_prefilter(
         tables = _fit_reference_lm_tables(
             reference, lm_order=lm_order, alpha=alpha, text_col=text_col
         )
-    lm, bg, tg = tables
-    supplied_order = 1 + (bg is not None) + (tg is not None)
+    supplied_order = len(tables)
     if supplied_order != lm_order:
         raise ValueError(
             f"injected tables are order-{supplied_order} but "
@@ -768,14 +766,10 @@ def run_ccnet_prefilter(
             "wrong order — fit them with _fit_reference_lm_tables at "
             "the job's own order"
         )
-    if lm_order == 3:
-        scores = score_docs_under_trigram_lm(
-            docs, tg, bg, lm, text_col=text_col, id_col=id_col,
-            alpha=alpha, lam=lam,
-        )
-    elif lm_order == 2:
-        scores = score_docs_under_bigram_lm(
-            docs, bg, lm, text_col=text_col, id_col=id_col,
+    lm = tables[0]
+    if lm_order >= 2:
+        scores = score_docs_under_ngram_chain(
+            docs, tables, text_col=text_col, id_col=id_col,
             alpha=alpha, lam=lam,
         )
     else:
@@ -845,9 +839,11 @@ def run_ccnet_prefilter(
             publish_ccnet_gate_model,
         )
 
+        bg, tg, g4, g5 = (tables[1:] + [None] * 4)[:4]
         manifest["published_version"] = publish_ccnet_gate_model(
             publish_model_dir, lm=lm, thresholds=thresholds, q=q,
             alpha=alpha, lam=lam, bigram=bg, trigram=tg,
+            fourgram=g4, fivegram=g5,
         )
     with open(os.path.join(out_dir, "ccnet_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
@@ -936,10 +932,11 @@ def run_staged_curation(
     # stage-2 argument guards BEFORE stage 1 runs (review catch): a
     # val_frac typo must not cost a full corpus-scale prefilter pass
     _check_heldout_args(val_frac, seeds_val)
-    if lm_order not in (1, 2, 3):
+    if lm_order not in (1, 2, 3, 4, 5):
         raise ValueError(
             f"lm_order={lm_order}: 1 (unigram, H49), 2 (bigram with "
-            "unigram backoff, H50), or 3 (trigram backoff chain, H52)"
+            "unigram backoff, H50), 3 (trigram backoff chain, H52), "
+            "or 4-5 (the generic chain; 5 = CCNet's KenLM order)"
         )
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam={lam}: interpolation weight is in [0, 1]")
@@ -1032,7 +1029,8 @@ def run_staged_curation(
             publish_staged_gate_model,
         )
 
-        lm, bg, tg = lm_tables
+        lm = lm_tables[0]
+        bg, tg, g4, g5 = (lm_tables[1:] + [None] * 4)[:4]
         published_version = publish_staged_gate_model(
             publish_model_dir,
             lm=lm, thresholds=m_pre["thresholds"], q=m_pre["q"],
@@ -1040,6 +1038,7 @@ def run_staged_curation(
             bias=m_cur["model"]["bias"],
             threshold=m_cur["threshold"],
             alpha=alpha, lam=lam, bigram=bg, trigram=tg,
+            fourgram=g4, fivegram=g5,
             n_buckets=n_buckets, n_gram=n_gram,
             # the stage-0 screen is part of the published decision
             # function: without it a rotated stream would keep

@@ -135,111 +135,318 @@ def score_docs_under_lm(
     )
 
 
+def ngram_lm_table(
+    ref: DataFrame,
+    *,
+    k: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fit the order-``k`` half of the target-conditioned backoff LM
+    on the reference corpus (r17 — ONE generic fit for every order,
+    the r16 bigram/trigram fits are thin wrappers): tuple counts plus
+    their context totals in ONE relation —
+
+        (w1 .. wk,       n)  adjacent-k-tuple count c(w1 .. wk)
+        (w1 .. NULL,     n)  context total c(w1 .. w_{k-1})
+
+    Pure counting, the H37 in-row adjacent-tuple build: one explode
+    over a transform of the token array (no windows, no self-joins);
+    context totals aggregate from the vocabulary-bounded tuple counts,
+    not a second corpus pass; no fit-time smoothing parameter, so no
+    score-time knob can mismatch. Fails loudly on a reference with no
+    ``k``-token document — a tuple-less table would degrade every
+    order-``k`` term to the uniform constant while the caller
+    believes it scores order ``k``.
+
+    CCNet proper scores under a 5-gram KenLM (Wenzek et al. 2020);
+    ``k=5`` with ``score_docs_under_ngram_chain`` is that order
+    parity in the environment's no-external-LM terms.
+    """
+    if k < 2:
+        raise ValueError(
+            f"k={k}: the n-gram tables start at order 2 — fit order 1 "
+            "with unigram_lm_table"
+        )
+    cols = [f"w{j}" for j in range(1, k + 1)]
+    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
+    fields = ", ".join(f"'w{j + 1}', t[i + {j}]" for j in range(k))
+    tuples = (
+        ref.select(toks.alias("t"))
+        .filter(F.size("t") >= k)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {k}), i -> "
+                    f"named_struct({fields}))"
+                )
+            ).alias("u")
+        )
+        .select(*[f"u.{c}" for c in cols])
+    )
+    tc = tuples.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+    # vocabulary-bounded; feeds the tuple rows AND the context totals
+    tc = tc.localCheckpoint(eager=True)
+    if tc.isEmpty():  # cheap: reads the materialized checkpoint
+        raise ValueError(
+            f"ngram_lm_table(k={k}): no document in the reference has "
+            f">= {k} tokens — an order-{k} table fit on it carries no "
+            f"order-{k} signal; fit a lower order or fix the "
+            "reference corpus"
+        )
+    ctx = tc.groupBy(*cols[:-1]).agg(
+        F.lit(None).cast("string").alias(cols[-1]),
+        F.sum("n").alias("n"),
+    )
+    return tc.unionByName(ctx)
+
+
+def ngram_chain_stats(tables: list) -> tuple[float, float]:
+    """(V, oov_logp) for the order-``len(tables)`` chain scorer, with
+    the FULL same-reference validation chain (r17, one generic copy):
+    the unigram table's single-OOV-row contract, then level by level
+    every order-``m`` context (w1 .. w_{m-1}) must be an adjacent
+    tuple of the order-``m-1`` table (for m=2: a unigram vocabulary
+    word) — a stray context proves two tables were fit on different
+    corpora (the detectable direction; a superset-corpus lower table
+    passes). ``len(tables)`` bounded probes over vocabulary-sized
+    model state — long-lived consumers (the J12 streaming gate) call
+    ONCE and pass the result to the scorer.
+
+    ``tables``: ``[unigram, order2, ..., orderK]`` — ``unigram`` from
+    ``unigram_lm_table``, the rest from ``ngram_lm_table``.
+    """
+    if len(tables) < 2:
+        raise ValueError(
+            "the chain needs at least the unigram table and one "
+            "n-gram table: [unigram, order2, ...]"
+        )
+    unigram = tables[0]
+    probe = unigram.groupBy().agg(
+        F.count(F.col("tok")).alias("v"),
+        F.max(F.when(F.col("tok").isNull(), F.col("logp"))).alias("oov"),
+        F.count(F.when(F.col("tok").isNull(), 1)).alias("n_oov_rows"),
+    ).collect()[0]
+    if probe["n_oov_rows"] != 1:
+        raise ValueError(
+            "the unigram table must carry exactly one NULL-token OOV "
+            f"row (got {probe['n_oov_rows']}) — fit it with "
+            "unigram_lm_table"
+        )
+    for m in range(2, len(tables) + 1):
+        cols = [f"w{j}" for j in range(1, m + 1)]
+        contexts = (
+            tables[m - 1]
+            .filter(F.col(cols[-1]).isNull())
+            .select(*cols[:-1])
+        )
+        if m == 2:
+            lower = unigram.filter(F.col("tok").isNotNull()).select(
+                F.col("tok").alias("w1")
+            )
+        else:
+            lower = (
+                tables[m - 2]
+                .filter(F.col(cols[-2]).isNotNull())
+                .select(*cols[:-1])
+            )
+        stray = contexts.join(lower, cols[:-1], "left_anti").limit(
+            1
+        ).collect()
+        if stray:
+            got = tuple(stray[0][c] for c in cols[:-1])
+            raise ValueError(
+                f"order-{m} context {got!r} is not "
+                + ("in the unigram vocabulary" if m == 2
+                   else f"an adjacent tuple of the order-{m - 1} table")
+                + " — the tables were fit on different references; "
+                "fit every order on the same corpus"
+            )
+    return float(probe["v"]), float(probe["oov"])
+
+
+def score_docs_under_ngram_chain(
+    docs: DataFrame,
+    tables: list,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    lam: float = 0.7,
+    stats: tuple[float, float] | None = None,
+) -> DataFrame:
+    """(id, n_toks, avg_nll) under the interpolated backoff CHAIN of
+    order ``k = len(tables)``, one ``lam`` per level (the
+    Jelinek-Mercer recursion — r17's ONE generic scorer, deleting the
+    r16 order-2/3 near-copies):
+
+        p1(w)               = p_ug(w)                  (backoff base)
+        pm(w | c_{m-1}..c1) = lam * pms + (1 - lam) * p_{m-1}
+
+    where pms = (c(ctx w) + alpha) / (c(ctx) + alpha * (V + 1)) is
+    the add-alpha-smoothed order-m conditional. Token i scores under
+    the deepest chain its position allows (position 0 → p1, position
+    1 → p2, …), so ``lam=0`` degrades exactly to the unigram scorer
+    at ANY order and a tuple-less context degrades smoothly through
+    the uniform term while the backoff carries the score. Same
+    (id, n_toks, avg_nll) shape at every order: ``domain_filter``
+    and the jobs consume any order unchanged.
+
+    ``alpha`` smooths every conditional of order >= 2 (one value,
+    the run_ccnet_prefilter convention); the unigram backoff keeps
+    the logp baked at ITS fit — the documented contract of the r16
+    scorers, unchanged.
+
+    Plan: one explode carrying each token WITH its k-1 in-row
+    contexts (no windows), ``2(k-1) + 1`` vocabulary-bounded left
+    joins (tuple + context table per level, plus the unigram — AQE
+    broadcasts them), one partial-aggregable groupBy(doc). The
+    V/OOV scalars and the same-reference guards ride
+    ``ngram_chain_stats`` — pass its result as ``stats`` when
+    scoring many batches under one frozen model.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam={lam}: interpolation weight is in [0, 1]")
+    if alpha <= 0:
+        raise ValueError(f"alpha={alpha}: add-alpha smoothing needs > 0")
+    if len(tables) < 2:
+        raise ValueError(
+            "the chain needs at least the unigram table and one "
+            "n-gram table: [unigram, order2, ...] — score order 1 "
+            "with score_docs_under_lm"
+        )
+    if stats is None:
+        stats = ngram_chain_stats(tables)
+    v, oov_logp = float(stats[0]), float(stats[1])
+    k = len(tables)
+
+    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
+    ctx_fields = ", ".join(
+        f"'c{m}', IF(i >= {m}, t[i - {m}], CAST(NULL AS STRING))"
+        for m in range(1, k)
+    )
+    pos = (
+        docs.select(F.col(id_col), toks.alias("t"))
+        .filter(F.size("t") >= 1)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 1), i -> "
+                    f"named_struct('w', t[i], {ctx_fields}))"
+                )
+            ).alias("u"),
+        )
+        .select(
+            id_col,
+            F.col("u.w").alias("w"),
+            *[F.col(f"u.c{m}").alias(f"c{m}") for m in range(1, k)],
+        )
+    )
+    j = pos
+    for m in range(2, k + 1):
+        cols = [f"w{j_}" for j_ in range(1, m + 1)]
+        tab = tables[m - 1]
+        # the order-m tuple rows: contexts c_{m-1}..c1 then the token
+        tup = tab.filter(F.col(cols[-1]).isNotNull()).select(
+            *[F.col(c).alias(f"__t{m}_{i}") for i, c in enumerate(cols)],
+            F.col("n").alias(f"__nt{m}"),
+        )
+        tup_cond = F.lit(True)
+        for i in range(m - 1):
+            tup_cond = tup_cond & (
+                F.col(f"c{m - 1 - i}") == F.col(f"__t{m}_{i}")
+            )
+        tup_cond = tup_cond & (F.col("w") == F.col(f"__t{m}_{m - 1}"))
+        ctx = tab.filter(F.col(cols[-1]).isNull()).select(
+            *[
+                F.col(c).alias(f"__c{m}_{i}")
+                for i, c in enumerate(cols[:-1])
+            ],
+            F.col("n").alias(f"__nc{m}"),
+        )
+        ctx_cond = F.lit(True)
+        for i in range(m - 1):
+            ctx_cond = ctx_cond & (
+                F.col(f"c{m - 1 - i}") == F.col(f"__c{m}_{i}")
+            )
+        j = j.join(tup, tup_cond, "left").join(ctx, ctx_cond, "left")
+    ug = tables[0].filter(F.col("tok").isNotNull()).select(
+        F.col("tok").alias("__ut"), F.col("logp").alias("__ulogp"),
+    )
+    j = j.join(ug, F.col("w") == F.col("__ut"), "left")
+
+    p_prev = F.pow(
+        F.lit(2.0), F.coalesce(F.col("__ulogp"), F.lit(oov_logp))
+    )
+    branches: list = [(F.col("c1").isNull(), p_prev)]
+    for m in range(2, k + 1):
+        pms = (
+            (F.coalesce(F.col(f"__nt{m}"), F.lit(0)).cast("double")
+             + alpha)
+            / (
+                F.coalesce(F.col(f"__nc{m}"), F.lit(0)).cast("double")
+                + alpha * (v + 1.0)
+            )
+        )
+        p_m = lam * pms + (1.0 - lam) * p_prev
+        if m < k:
+            branches.append((F.col(f"c{m}").isNull(), p_m))
+        p_prev = p_m
+    p = F.when(*branches[0])
+    for cond, val in branches[1:]:
+        p = p.when(cond, val)
+    p = p.otherwise(p_prev)
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            (-F.sum(F.log2(p)) / F.count(F.lit(1))).alias("avg_nll"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-2/3 thin wrappers — the r16 public surface, preserved
+# verbatim in signature and semantics; their bodies ARE the generic
+# chain (the r16 verdict's near-copy deletion).
+# ---------------------------------------------------------------------------
+
+
 def bigram_lm_table(
     ref: DataFrame,
     *,
     text_col: str = "text",
 ) -> DataFrame:
-    """Fit the bigram half of the target-conditioned LM on the
-    reference corpus: pair counts plus context totals in ONE relation —
+    """The order-2 ``ngram_lm_table``: pair counts (w1, w2, n) plus
+    context totals (w1, NULL, n) in one relation — see the generic
+    fit for the shape and guarantees."""
+    return ngram_lm_table(ref, k=2, text_col=text_col)
 
-        (w1, w2,  n)   adjacent-pair count c(w1 w2)
-        (w1, NULL, n)  context total c1(w1) = Σ_w2 c(w1 w2)
 
-    The fit is pure counting (H37's in-row adjacent-pair build: one
-    explode over a transform of the token array, no windows, no
-    self-joins) — THIS relation has no fit-time smoothing parameter
-    for a score-time knob to mismatch (the curve_bins lesson); note
-    the unigram BACKOFF table is a separate fit that does bake its
-    own alpha (see score_docs_under_bigram_lm). Context totals
-    aggregate from the vocabulary-bounded pair counts, not from a
-    second corpus pass, and make the smoothed conditional a proper
-    distribution over V known types + one OOV bucket.
-
-    CCNet proper uses a 5-gram KenLM (Wenzek et al. 2020); this is
-    the order-2 member of that family the environment allows, sharing
-    the unigram scorer's orientation so H48 consumes either.
-    """
-    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
-    pairs = (
-        ref.select(toks.alias("t"))
-        .filter(F.size("t") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(t) - 2), i -> "
-                    "named_struct('w1', t[i], 'w2', t[i + 1]))"
-                )
-            ).alias("u")
-        )
-        .select("u.w1", "u.w2")
-    )
-    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
-    # vocabulary-bounded; feeds the pair rows AND the context totals
-    pc = pc.localCheckpoint(eager=True)
-    if pc.isEmpty():  # cheap: reads the materialized checkpoint
-        # fail like unigram_lm_table does on an empty reference: a
-        # pair-less table would score every non-first token with the
-        # constant uniform term — order-blind scoring silently
-        # masquerading as lm_order=2 (review catch)
-        raise ValueError(
-            "bigram_lm_table: no document in the reference has >= 2 "
-            "tokens — a bigram LM fit on it carries no order signal; "
-            "use the unigram scorer or fix the reference corpus"
-        )
-    ctx = pc.groupBy("w1").agg(
-        F.lit(None).cast("string").alias("w2"),
-        F.sum("n").alias("n"),
-    )
-    return pc.unionByName(ctx)
+def trigram_lm_table(
+    ref: DataFrame,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """The order-3 ``ngram_lm_table``: triple counts (w1, w2, w3, n)
+    plus context totals (w1, w2, NULL, n)."""
+    return ngram_lm_table(ref, k=3, text_col=text_col)
 
 
 def bigram_backoff_stats(
     bigram: DataFrame, unigram: DataFrame
 ) -> tuple[float, float]:
-    """(V, oov_logp) for the interpolated scorer, with BOTH model
-    validations: the unigram table's single-OOV-row contract and the
-    same-reference guard (a bigram context word outside the unigram
-    vocabulary proves the two tables were fit on different corpora —
-    V and the OOV mass from one with pair counts from another would
-    silently skew every conditional; the detectable direction — a
-    unigram table fit on a SUPERSET corpus passes). Two bounded
-    probes over vocabulary-sized model state — a long-lived consumer
-    (the J12 streaming gate) calls this ONCE and passes the result
-    to the scorer instead of paying both probes per micro-batch
-    (r15 review catch)."""
-    stats = unigram.groupBy().agg(
-        F.count(F.col("tok")).alias("v"),
-        F.max(F.when(F.col("tok").isNull(), F.col("logp"))).alias("oov"),
-        F.count(F.when(F.col("tok").isNull(), 1)).alias("n_oov_rows"),
-    ).collect()[0]
-    if stats["n_oov_rows"] != 1:
-        raise ValueError(
-            "the unigram table must carry exactly one NULL-token OOV "
-            f"row (got {stats['n_oov_rows']}) — fit it with "
-            "unigram_lm_table"
-        )
-    stray = (
-        bigram.filter(F.col("w2").isNull())
-        .select(F.col("w1"))
-        .join(
-            unigram.filter(F.col("tok").isNotNull()).select(
-                F.col("tok").alias("w1")
-            ),
-            "w1",
-            "left_anti",
-        )
-        .limit(1)
-        .collect()
-    )
-    if stray:
-        raise ValueError(
-            "bigram context "
-            f"{stray[0]['w1']!r} is not in the unigram vocabulary — "
-            "the two tables were fit on different references; fit "
-            "bigram_lm_table and unigram_lm_table on the same corpus"
-        )
-    return float(stats["v"]), float(stats["oov"])
+    """(V, oov_logp) + the order-2 same-reference validation —
+    ``ngram_chain_stats`` over ``[unigram, bigram]``."""
+    return ngram_chain_stats([unigram, bigram])
+
+
+def trigram_backoff_stats(
+    trigram: DataFrame, bigram: DataFrame, unigram: DataFrame
+) -> tuple[float, float]:
+    """(V, oov_logp) + the order-3 same-reference validation chain —
+    ``ngram_chain_stats`` over ``[unigram, bigram, trigram]``."""
+    return ngram_chain_stats([unigram, bigram, trigram])
 
 
 def score_docs_under_bigram_lm(
@@ -253,195 +460,14 @@ def score_docs_under_bigram_lm(
     lam: float = 0.7,
     stats: tuple[float, float] | None = None,
 ) -> DataFrame:
-    """(id, n_toks, avg_nll) under the interpolated bigram LM:
-
-        p(w_i | w_{i-1}) = lam * (c(w_{i-1} w_i) + alpha)
-                                 / (c1(w_{i-1}) + alpha * (V + 1))
-                         + (1 - lam) * p_ug(w_i)
-
-    with the document's FIRST token scored under the unigram backoff
-    alone (no context exists). ``unigram`` is the
-    ``unigram_lm_table`` fit on the SAME reference (guarded: a bigram
-    context outside the unigram vocabulary raises) — its OOV row
-    covers unseen w_i; an unseen context w_{i-1} degrades the bigram
-    term to the uniform 1/(V+1) and the backoff carries the score.
-
-    ``alpha`` here smooths only the BIGRAM conditional; the backoff
-    term p_ug uses the logp baked into the unigram table at ITS fit
-    (``unigram_lm_table(alpha=...)``). The two are independent
-    smoothing knobs of two separately-normalized distributions — the
-    interpolation is well-defined for any pair — but passing a
-    different alpha than the unigram fit used means the two halves
-    are smoothed differently; conventionally use one value for both
-    (``run_ccnet_prefilter`` does). The baked alpha is not
-    recoverable from the table, so this is a documented contract,
-    not a guard.
-    Lower avg_nll = closer to the reference's word ORDER, not just
-    its vocabulary — the signal the unigram scorer cannot see; same
-    output shape, so ``domain_filter`` consumes either unchanged.
-
-    Plan: one explode carrying each token WITH its in-row context
-    (no windows), three vocabulary-bounded left joins (pair, context,
-    unigram — AQE broadcasts them), one partial-aggregable
-    groupBy(doc). The V / OOV-mass scalars and the same-reference
-    guard ride ``bigram_backoff_stats`` (two bounded model-state
-    probes) — pass its result as ``stats`` to skip them when scoring
-    many batches under one frozen model.
-    """
-    if not 0.0 <= lam <= 1.0:
-        raise ValueError(f"lam={lam}: interpolation weight is in [0, 1]")
-    if alpha <= 0:
-        raise ValueError(f"alpha={alpha}: add-alpha smoothing needs > 0")
-    if stats is None:
-        stats = bigram_backoff_stats(bigram, unigram)
-    v, oov_logp = float(stats[0]), float(stats[1])
-
-    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
-    pos = (
-        docs.select(F.col(id_col), toks.alias("t"))
-        .filter(F.size("t") >= 1)
-        .select(
-            id_col,
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(t) - 1), i -> "
-                    "named_struct("
-                    "'w', t[i], "
-                    "'ctx', IF(i = 0, CAST(NULL AS STRING), t[i - 1])))"
-                )
-            ).alias("u"),
-        )
-        .select(id_col, F.col("u.w").alias("w"), F.col("u.ctx").alias("ctx"))
+    """The order-2 chain: ``score_docs_under_ngram_chain`` over
+    ``[unigram, bigram]`` — lower avg_nll = closer to the reference's
+    word ORDER, not just its vocabulary."""
+    return score_docs_under_ngram_chain(
+        docs, [unigram, bigram],
+        text_col=text_col, id_col=id_col, alpha=alpha, lam=lam,
+        stats=stats,
     )
-    pair = bigram.filter(F.col("w2").isNotNull()).select(
-        F.col("w1").alias("__p1"), F.col("w2").alias("__p2"),
-        F.col("n").alias("__n12"),
-    )
-    ctx = bigram.filter(F.col("w2").isNull()).select(
-        F.col("w1").alias("__c1"), F.col("n").alias("__n1"),
-    )
-    ug = unigram.filter(F.col("tok").isNotNull()).select(
-        F.col("tok").alias("__ut"), F.col("logp").alias("__ulogp"),
-    )
-    j = (
-        pos.join(
-            pair,
-            (F.col("ctx") == F.col("__p1")) & (F.col("w") == F.col("__p2")),
-            "left",
-        )
-        .join(ctx, F.col("ctx") == F.col("__c1"), "left")
-        .join(ug, F.col("w") == F.col("__ut"), "left")
-    )
-    p_ug = F.pow(F.lit(2.0), F.coalesce(F.col("__ulogp"), F.lit(oov_logp)))
-    p_bg = (
-        (F.coalesce(F.col("__n12"), F.lit(0)).cast("double") + alpha)
-        / (
-            F.coalesce(F.col("__n1"), F.lit(0)).cast("double")
-            + alpha * (v + 1.0)
-        )
-    )
-    p = F.when(F.col("ctx").isNull(), p_ug).otherwise(
-        lam * p_bg + (1.0 - lam) * p_ug
-    )
-    return (
-        j.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_toks"),
-            (-F.sum(F.log2(p)) / F.count(F.lit(1))).alias("avg_nll"),
-        )
-    )
-
-
-def trigram_lm_table(
-    ref: DataFrame,
-    *,
-    text_col: str = "text",
-) -> DataFrame:
-    """Fit the trigram half of the target-conditioned LM on the
-    reference corpus (r16, the order-3 step toward CCNet's 5-gram
-    KenLM): triple counts plus their context totals in ONE relation —
-
-        (w1, w2, w3,   n)  adjacent-triple count c(w1 w2 w3)
-        (w1, w2, NULL, n)  context total c2(w1 w2) = Σ_w3 c(w1 w2 w3)
-
-    The same pure-counting shape as ``bigram_lm_table`` one order up
-    (H37's in-row adjacent-tuple build: one explode over a transform
-    of the token array, no windows, no self-joins; context totals
-    aggregate from the vocabulary-bounded triple counts, not a second
-    corpus pass) — no fit-time smoothing parameter, so no score-time
-    knob can mismatch. Fails loudly on a reference with no 3-token
-    document: a triple-less table would degrade every order-3 term to
-    the uniform constant while the caller believes it scores order 3
-    (the bigram_lm_table review-catch class).
-    """
-    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
-    triples = (
-        ref.select(toks.alias("t"))
-        .filter(F.size("t") >= 3)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(t) - 3), i -> "
-                    "named_struct('w1', t[i], 'w2', t[i + 1], "
-                    "'w3', t[i + 2]))"
-                )
-            ).alias("u")
-        )
-        .select("u.w1", "u.w2", "u.w3")
-    )
-    tc = triples.groupBy("w1", "w2", "w3").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    # vocabulary-bounded; feeds the triple rows AND the context totals
-    tc = tc.localCheckpoint(eager=True)
-    if tc.isEmpty():  # cheap: reads the materialized checkpoint
-        raise ValueError(
-            "trigram_lm_table: no document in the reference has >= 3 "
-            "tokens — a trigram LM fit on it carries no order-3 "
-            "signal; use the bigram or unigram scorer, or fix the "
-            "reference corpus"
-        )
-    ctx = tc.groupBy("w1", "w2").agg(
-        F.lit(None).cast("string").alias("w3"),
-        F.sum("n").alias("n"),
-    )
-    return tc.unionByName(ctx)
-
-
-def trigram_backoff_stats(
-    trigram: DataFrame, bigram: DataFrame, unigram: DataFrame
-) -> tuple[float, float]:
-    """(V, oov_logp) for the order-3 interpolated scorer, with the
-    full same-reference validation chain: ``bigram_backoff_stats``'s
-    two probes (single-OOV-row contract, bigram contexts ⊆ unigram
-    vocabulary) plus the order-3 link — every trigram context
-    (w1, w2) is an adjacent PAIR in the reference, so it must appear
-    in the bigram pair table; a stray context proves the trigram and
-    bigram tables were fit on different corpora (the detectable
-    direction — a superset-corpus bigram table passes). Three bounded
-    probes over vocabulary-sized model state; long-lived consumers
-    call ONCE and pass the result to the scorer."""
-    stats = bigram_backoff_stats(bigram, unigram)
-    stray = (
-        trigram.filter(F.col("w3").isNull())
-        .select("w1", "w2")
-        .join(
-            bigram.filter(F.col("w2").isNotNull()).select("w1", "w2"),
-            ["w1", "w2"],
-            "left_anti",
-        )
-        .limit(1)
-        .collect()
-    )
-    if stray:
-        raise ValueError(
-            "trigram context "
-            f"({stray[0]['w1']!r}, {stray[0]['w2']!r}) is not a pair "
-            "in the bigram table — the two tables were fit on "
-            "different references; fit trigram_lm_table and "
-            "bigram_lm_table on the same corpus"
-        )
-    return stats
 
 
 def score_docs_under_trigram_lm(
@@ -456,134 +482,11 @@ def score_docs_under_trigram_lm(
     lam: float = 0.7,
     stats: tuple[float, float] | None = None,
 ) -> DataFrame:
-    """(id, n_toks, avg_nll) under the interpolated backoff CHAIN
-    trigram → bigram → unigram, one ``lam`` applied per level (the
-    Jelinek-Mercer recursion, so ONE knob generalizes to any order):
-
-        p1(w)            = p_ug(w)                      (backoff base)
-        p2(w | c1)       = lam * p2s + (1 - lam) * p1
-        p3(w | c2 c1)    = lam * p3s + (1 - lam) * p2
-
-    where pks = (c(ctx w) + alpha) / (c(ctx) + alpha * (V + 1)) is the
-    add-alpha-smoothed order-k conditional. Token i scores under the
-    deepest chain its position allows: first token p1, second token
-    p2, the rest p3 — so ``lam=0`` degrades exactly to the unigram
-    scorer and a pair/triple-less context degrades smoothly through
-    the uniform term while the backoff carries the score. Same
-    (id, n_toks, avg_nll) shape: ``domain_filter`` and the jobs
-    consume any order unchanged.
-
-    ``alpha`` smooths the bigram AND trigram conditionals (one value,
-    the run_ccnet_prefilter convention); the unigram backoff keeps
-    the logp baked at ITS fit — the same documented contract as
-    ``score_docs_under_bigram_lm``. Lower avg_nll = closer to the
-    reference's word order at RANGE 3: a corpus that preserves bigram
-    statistics but scrambles triples separates here and nowhere
-    below (test-pinned).
-
-    Plan: one explode carrying each token WITH its two in-row
-    contexts (no windows), five vocabulary-bounded left joins
-    (triple, trigram-context, pair, bigram-context, unigram — AQE
-    broadcasts them), one partial-aggregable groupBy(doc). The
-    V/OOV scalars and the same-reference guards ride
-    ``trigram_backoff_stats`` — pass its result as ``stats`` when
-    scoring many batches under one frozen model.
-    """
-    if not 0.0 <= lam <= 1.0:
-        raise ValueError(f"lam={lam}: interpolation weight is in [0, 1]")
-    if alpha <= 0:
-        raise ValueError(f"alpha={alpha}: add-alpha smoothing needs > 0")
-    if stats is None:
-        stats = trigram_backoff_stats(trigram, bigram, unigram)
-    v, oov_logp = float(stats[0]), float(stats[1])
-
-    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
-    pos = (
-        docs.select(F.col(id_col), toks.alias("t"))
-        .filter(F.size("t") >= 1)
-        .select(
-            id_col,
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(t) - 1), i -> "
-                    "named_struct("
-                    "'w', t[i], "
-                    "'c1', IF(i >= 1, t[i - 1], CAST(NULL AS STRING)), "
-                    "'c2', IF(i >= 2, t[i - 2], CAST(NULL AS STRING))))"
-                )
-            ).alias("u"),
-        )
-        .select(
-            id_col,
-            F.col("u.w").alias("w"),
-            F.col("u.c1").alias("c1"),
-            F.col("u.c2").alias("c2"),
-        )
-    )
-    tri = trigram.filter(F.col("w3").isNotNull()).select(
-        F.col("w1").alias("__t1"), F.col("w2").alias("__t2"),
-        F.col("w3").alias("__t3"), F.col("n").alias("__n123"),
-    )
-    tctx = trigram.filter(F.col("w3").isNull()).select(
-        F.col("w1").alias("__tc1"), F.col("w2").alias("__tc2"),
-        F.col("n").alias("__n12c"),
-    )
-    pair = bigram.filter(F.col("w2").isNotNull()).select(
-        F.col("w1").alias("__p1"), F.col("w2").alias("__p2"),
-        F.col("n").alias("__n12"),
-    )
-    bctx = bigram.filter(F.col("w2").isNull()).select(
-        F.col("w1").alias("__c1"), F.col("n").alias("__n1"),
-    )
-    ug = unigram.filter(F.col("tok").isNotNull()).select(
-        F.col("tok").alias("__ut"), F.col("logp").alias("__ulogp"),
-    )
-    j = (
-        pos.join(
-            tri,
-            (F.col("c2") == F.col("__t1"))
-            & (F.col("c1") == F.col("__t2"))
-            & (F.col("w") == F.col("__t3")),
-            "left",
-        )
-        .join(
-            tctx,
-            (F.col("c2") == F.col("__tc1")) & (F.col("c1") == F.col("__tc2")),
-            "left",
-        )
-        .join(
-            pair,
-            (F.col("c1") == F.col("__p1")) & (F.col("w") == F.col("__p2")),
-            "left",
-        )
-        .join(bctx, F.col("c1") == F.col("__c1"), "left")
-        .join(ug, F.col("w") == F.col("__ut"), "left")
-    )
-    p1 = F.pow(F.lit(2.0), F.coalesce(F.col("__ulogp"), F.lit(oov_logp)))
-    p2s = (
-        (F.coalesce(F.col("__n12"), F.lit(0)).cast("double") + alpha)
-        / (
-            F.coalesce(F.col("__n1"), F.lit(0)).cast("double")
-            + alpha * (v + 1.0)
-        )
-    )
-    p3s = (
-        (F.coalesce(F.col("__n123"), F.lit(0)).cast("double") + alpha)
-        / (
-            F.coalesce(F.col("__n12c"), F.lit(0)).cast("double")
-            + alpha * (v + 1.0)
-        )
-    )
-    p2 = lam * p2s + (1.0 - lam) * p1
-    p = (
-        F.when(F.col("c1").isNull(), p1)
-        .when(F.col("c2").isNull(), p2)
-        .otherwise(lam * p3s + (1.0 - lam) * p2)
-    )
-    return (
-        j.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_toks"),
-            (-F.sum(F.log2(p)) / F.count(F.lit(1))).alias("avg_nll"),
-        )
+    """The order-3 chain: ``score_docs_under_ngram_chain`` over
+    ``[unigram, bigram, trigram]`` — separates corpora that preserve
+    bigram statistics but scramble triples (test-pinned)."""
+    return score_docs_under_ngram_chain(
+        docs, [unigram, bigram, trigram],
+        text_col=text_col, id_col=id_col, alpha=alpha, lam=lam,
+        stats=stats,
     )

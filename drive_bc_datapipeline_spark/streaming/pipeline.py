@@ -857,7 +857,33 @@ def start_curation_gate_stream(
 # ---------------------------------------------------------------------------
 
 
-def _validate_lm_order(lm_order: int | None, bigram, trigram=None) -> None:
+def _higher_order_tables(bigram, trigram, fourgram, fivegram) -> list:
+    """The supplied chain above order 1, with the contiguity guard —
+    THE one copy (r17): an order-m table without every lower order
+    has no backoff to interpolate onto, so a gap is a config error,
+    not a shorter chain."""
+    supplied = [bigram, trigram, fourgram, fivegram]
+    names = ("bigram", "trigram", "fourgram", "fivegram")
+    present = [t is not None for t in supplied]
+    if True in present:
+        last = len(present) - 1 - present[::-1].index(True)
+        missing = [names[i] for i in range(last) if not present[i]]
+        if missing:
+            raise ValueError(
+                f"a {names[last]} table without its "
+                f"{', '.join(missing)} backoff: the order-{last + 2} "
+                "chain interpolates level by level down to the "
+                "unigram — pass every lower-order table fit on the "
+                "same reference"
+            )
+        return supplied[: last + 1]
+    return []
+
+
+def _validate_lm_order(
+    lm_order: int | None, bigram, trigram=None, fourgram=None,
+    fivegram=None,
+) -> None:
     """THE one copy of the manifest-vs-model order check shared by the
     J12 and J13 stream starters (r15 ADVICE): thresholds fit at
     lm_order=2 applied with ``bigram=None`` silently score order-1
@@ -865,33 +891,27 @@ def _validate_lm_order(lm_order: int | None, bigram, trigram=None) -> None:
     alpha/lam were documented. Pass the batch manifest's
     ``lm_order``; ``None`` skips the check (a caller without a
     manifest already chose the scorer by supplying the tables).
-    r16 extends the check to order 3: the supplied tables must be
-    EXACTLY the manifest's order in both directions."""
+    r16 extended the check to order 3; r17 to the generic chain's
+    order 5: the supplied tables must be EXACTLY the manifest's
+    order in both directions."""
     if lm_order is None:
         return
-    if lm_order not in (1, 2, 3):
+    if lm_order not in (1, 2, 3, 4, 5):
         raise ValueError(
             f"lm_order={lm_order}: the streaming gates score order 1 "
-            "(unigram), 2 (bigram with unigram backoff), or 3 "
-            "(trigram backoff chain)"
+            "(unigram) through 5 (the generic backoff chain)"
         )
-    supplied = 1 + (bigram is not None) + (trigram is not None)
-    if trigram is not None and bigram is None:
-        raise ValueError(
-            "a trigram table without its bigram backoff: the order-3 "
-            "chain interpolates trigram -> bigram -> unigram — pass "
-            "both tables fit on the same reference"
-        )
+    supplied = 1 + len(
+        _higher_order_tables(bigram, trigram, fourgram, fivegram)
+    )
     if supplied < lm_order:
         raise ValueError(
             f"lm_order={lm_order} per the manifest but only order-"
             f"{supplied} tables were supplied: the stream would score "
             f"order-{supplied} under order-{lm_order} thresholds and "
-            "its kept-set would silently diverge from the batch cut"
-            + (" — pass the bigram_lm_table fit on the same reference"
-               if lm_order == 2 else
-               " — pass the trigram_lm_table AND bigram_lm_table fit "
-               "on the same reference")
+            "its kept-set would silently diverge from the batch cut "
+            "— pass every table up to the manifest's order, fit on "
+            "the same reference"
         )
     if supplied > lm_order:
         raise ValueError(
@@ -903,7 +923,9 @@ def _validate_lm_order(lm_order: int | None, bigram, trigram=None) -> None:
         )
 
 
-def _check_ccnet_gate_inputs(thresholds, bigram, trigram) -> None:
+def _check_ccnet_gate_inputs(
+    thresholds, bigram, trigram, fourgram=None, fivegram=None
+) -> None:
     """THE one copy of the CCNet gate's structural guards, shared by
     the kept builder and both publishers (the text had been
     copy-pasted three times — review catch)."""
@@ -913,12 +935,7 @@ def _check_ccnet_gate_inputs(thresholds, bigram, trigram) -> None:
             "gate with no per-domain cuts would keep nothing it can "
             "explain"
         )
-    if trigram is not None and bigram is None:
-        raise ValueError(
-            "a trigram table without its bigram backoff: the order-3 "
-            "chain interpolates trigram -> bigram -> unigram — pass "
-            "both tables fit on the same reference"
-        )
+    _higher_order_tables(bigram, trigram, fourgram, fivegram)
 
 
 def _ccnet_kept(
@@ -933,48 +950,45 @@ def _ccnet_kept(
     id_col: str,
     source_col: str,
     trigram=None,
+    fourgram=None,
+    fivegram=None,
 ):
     """kept-of-batch builder for the frozen CCNet cut — THE one copy
     of the H49/H50/H52 scoring body, composed by J12 alone and by J13
     ahead of the classifier gate (r15 review catch: the body had
     been duplicated, so a fix to one writer would not reach the
     other). Validates and empty-checks the frozen model HERE, once
-    per builder, never per micro-batch. ``trigram`` (r16) selects
-    the order-3 backoff chain; it requires ``bigram``."""
+    per builder, never per micro-batch. The higher-order tables
+    (r17: up to ``fivegram``) select the generic backoff chain at
+    their order; each requires every lower order."""
     from drive_bc_datapipeline_spark.operators.domain_filter import (
         apply_domain_filter,
     )
     from drive_bc_datapipeline_spark.operators.lm_score import (
-        bigram_backoff_stats,
-        score_docs_under_bigram_lm,
+        ngram_chain_stats,
         score_docs_under_lm,
-        score_docs_under_trigram_lm,
-        trigram_backoff_stats,
+        score_docs_under_ngram_chain,
         unigram_oov_logp,
     )
 
-    _check_ccnet_gate_inputs(thresholds, bigram, trigram)
+    _check_ccnet_gate_inputs(thresholds, bigram, trigram, fourgram,
+                             fivegram)
     threshold_rows = [
         {"source": s, "q": float(q), "threshold": float(t)}
         for s, t in sorted(thresholds.items())
     ]
-    if trigram is not None:
-        frozen_stats = trigram_backoff_stats(trigram, bigram, lm)
-    elif bigram is not None:
-        frozen_stats = bigram_backoff_stats(bigram, lm)
+    tables = [lm] + _higher_order_tables(
+        bigram, trigram, fourgram, fivegram
+    )
+    if len(tables) >= 2:
+        frozen_stats = ngram_chain_stats(tables)
     else:
         frozen_oov = unigram_oov_logp(lm)
 
     def kept(df: DataFrame) -> DataFrame:
-        if trigram is not None:
-            scores = score_docs_under_trigram_lm(
-                df, trigram, bigram, lm,
-                text_col=text_col, id_col=id_col, alpha=alpha, lam=lam,
-                stats=frozen_stats,
-            )
-        elif bigram is not None:
-            scores = score_docs_under_bigram_lm(
-                df, bigram, lm,
+        if len(tables) >= 2:
+            scores = score_docs_under_ngram_chain(
+                df, tables,
                 text_col=text_col, id_col=id_col, alpha=alpha, lam=lam,
                 stats=frozen_stats,
             )
@@ -999,6 +1013,8 @@ def ccnet_gate_batch_writer(
     *,
     bigram=None,
     trigram=None,
+    fourgram=None,
+    fivegram=None,
     alpha: float = 0.5,
     lam: float = 0.7,
     text_col: str = "text",
@@ -1028,6 +1044,7 @@ def ccnet_gate_batch_writer(
         sink_dir,
         _ccnet_kept(
             lm, thresholds, q, bigram=bigram, trigram=trigram,
+            fourgram=fourgram, fivegram=fivegram,
             alpha=alpha, lam=lam,
             text_col=text_col, id_col=id_col, source_col=source_col,
         ),
@@ -1045,6 +1062,8 @@ def start_ccnet_gate_stream(
     q: float,
     bigram=None,
     trigram=None,
+    fourgram=None,
+    fivegram=None,
     alpha: float = 0.5,
     lam: float = 0.7,
     lm_order: int | None = None,
@@ -1070,8 +1089,9 @@ def start_ccnet_gate_stream(
     stream, scoring is stateless per-doc, so foreachBatch + commit
     log is the whole machine (the J11 argument).
     """
-    _validate_lm_order(lm_order, bigram, trigram)
-    _check_ccnet_gate_inputs(thresholds, bigram, trigram)
+    _validate_lm_order(lm_order, bigram, trigram, fourgram, fivegram)
+    _check_ccnet_gate_inputs(thresholds, bigram, trigram, fourgram,
+                             fivegram)
     return (
         _doc_stream_reader(spark, source_dir, schema, max_files_per_trigger)
         .writeStream.foreachBatch(
@@ -1082,6 +1102,8 @@ def start_ccnet_gate_stream(
                 q,
                 bigram=bigram,
                 trigram=trigram,
+                fourgram=fourgram,
+                fivegram=fivegram,
                 alpha=alpha,
                 lam=lam,
                 text_col=text_col,
@@ -1166,6 +1188,8 @@ def staged_gate_batch_writer(
     *,
     bigram=None,
     trigram=None,
+    fourgram=None,
+    fivegram=None,
     alpha: float = 0.5,
     lam: float = 0.7,
     n_buckets: int = 4096,
@@ -1201,6 +1225,7 @@ def staged_gate_batch_writer(
     """
     ccnet_kept = _ccnet_kept(
         lm, thresholds, q, bigram=bigram, trigram=trigram,
+        fourgram=fourgram, fivegram=fivegram,
         alpha=alpha, lam=lam,
         text_col=text_col, id_col=id_col, source_col=source_col,
     )
@@ -1237,6 +1262,8 @@ def start_staged_gate_stream(
     threshold: float,
     bigram=None,
     trigram=None,
+    fourgram=None,
+    fivegram=None,
     alpha: float = 0.5,
     lam: float = 0.7,
     lm_order: int | None = None,
@@ -1267,14 +1294,16 @@ def start_staged_gate_stream(
     decision function, so a stream without it keeps rule-failing docs
     the batch cut dropped (``None`` = batch ran without rules).
     """
-    _validate_lm_order(lm_order, bigram, trigram)
+    _validate_lm_order(lm_order, bigram, trigram, fourgram, fivegram)
     threshold = _resolve_gate_threshold(threshold, cal_table, curve_bins)
     return (
         _doc_stream_reader(spark, source_dir, schema, max_files_per_trigger)
         .writeStream.foreachBatch(
             staged_gate_batch_writer(
                 sink_dir, lm, thresholds, q, weights, bias, threshold,
-                bigram=bigram, trigram=trigram, alpha=alpha, lam=lam,
+                bigram=bigram, trigram=trigram,
+                fourgram=fourgram, fivegram=fivegram,
+                alpha=alpha, lam=lam,
                 n_buckets=n_buckets, n_gram=n_gram,
                 text_col=text_col, id_col=id_col,
                 source_col=source_col, rules_config=rules_config,
@@ -1555,6 +1584,8 @@ def publish_ccnet_gate_model(
     lam: float = 0.7,
     bigram=None,
     trigram=None,
+    fourgram=None,
+    fivegram=None,
 ) -> int:
     """Publish a CCNet gate model under the rotation protocol: the
     vocabulary-bounded LM relations land as parquet under
@@ -1567,11 +1598,13 @@ def publish_ccnet_gate_model(
     disagree at birth)."""
     import os
 
-    _check_ccnet_gate_inputs(thresholds, bigram, trigram)
+    _check_ccnet_gate_inputs(thresholds, bigram, trigram, fourgram,
+                             fivegram)
     version = _next_gate_version(model_dir)
     manifest = _write_ccnet_tables(
         model_dir, version, lm=lm, thresholds=thresholds, q=q,
         alpha=alpha, lam=lam, bigram=bigram, trigram=trigram,
+        fourgram=fourgram, fivegram=fivegram,
     )
     return _publish_gate_version(model_dir, version, manifest)
 
@@ -1587,6 +1620,8 @@ def _write_ccnet_tables(
     lam: float,
     bigram=None,
     trigram=None,
+    fourgram=None,
+    fivegram=None,
 ) -> dict:
     """Write the vocabulary-bounded LM tables under the version dir
     and return the CCNet manifest half referencing them — THE one
@@ -1597,23 +1632,26 @@ def _write_ccnet_tables(
     base = os.path.join(model_dir, f"ccnet_v{version}")
     lm_path = os.path.join(base, "lm")
     lm.write.mode("overwrite").parquet(lm_path)
+    higher = _higher_order_tables(bigram, trigram, fourgram, fivegram)
     manifest = {
         "gate": "ccnet",
         "thresholds": {s: float(t) for s, t in sorted(thresholds.items())},
         "q": float(q),
         "alpha": float(alpha),
         "lam": float(lam),
-        "lm_order": 1 + (bigram is not None) + (trigram is not None),
+        "lm_order": 1 + len(higher),
         "lm_path": lm_path,
         "bigram_path": None,
         "trigram_path": None,
+        "fourgram_path": None,
+        "fivegram_path": None,
     }
-    if bigram is not None:
-        manifest["bigram_path"] = os.path.join(base, "bigram")
-        bigram.write.mode("overwrite").parquet(manifest["bigram_path"])
-    if trigram is not None:
-        manifest["trigram_path"] = os.path.join(base, "trigram")
-        trigram.write.mode("overwrite").parquet(manifest["trigram_path"])
+    for name, tab in zip(
+        ("bigram", "trigram", "fourgram", "fivegram"), higher
+    ):
+        path = os.path.join(base, name)
+        manifest[f"{name}_path"] = path
+        tab.write.mode("overwrite").parquet(path)
     return manifest
 
 
@@ -1640,25 +1678,25 @@ def _ccnet_kept_of_manifest(
                 "publish_ccnet_gate_model"
             )
         lm = spark.read.parquet(manifest["lm_path"])
-        bigram = (
-            spark.read.parquet(manifest["bigram_path"])
-            if manifest.get("bigram_path")
+        bigram, trigram, fourgram, fivegram = (
+            spark.read.parquet(manifest[f"{name}_path"])
+            if manifest.get(f"{name}_path")
             else None
-        )
-        trigram = (
-            spark.read.parquet(manifest["trigram_path"])
-            if manifest.get("trigram_path")
-            else None
+            for name in ("bigram", "trigram", "fourgram", "fivegram")
         )
         # manifest order vs stored tables cannot mismatch (publish
         # derives one from the other), but a hand-rolled manifest can
-        _validate_lm_order(manifest["lm_order"], bigram, trigram)
+        _validate_lm_order(
+            manifest["lm_order"], bigram, trigram, fourgram, fivegram
+        )
         return _ccnet_kept(
             lm,
             {s: float(t) for s, t in manifest["thresholds"].items()},
             manifest["q"],
             bigram=bigram,
             trigram=trigram,
+            fourgram=fourgram,
+            fivegram=fivegram,
             alpha=manifest["alpha"],
             lam=manifest["lam"],
             text_col=text_col,
@@ -1723,6 +1761,8 @@ def publish_staged_gate_model(
     lam: float = 0.7,
     bigram=None,
     trigram=None,
+    fourgram=None,
+    fivegram=None,
     n_buckets: int = 4096,
     n_gram: int = 1,
     cal_table: list | None = None,
@@ -1746,13 +1786,15 @@ def publish_staged_gate_model(
     _validate_lm_order divergence class, r16 ADVICE). ``None`` =
     the batch job ran without rules; ``{}`` = rules on at the
     published Gopher defaults."""
-    _check_ccnet_gate_inputs(thresholds, bigram, trigram)
+    _check_ccnet_gate_inputs(thresholds, bigram, trigram, fourgram,
+                             fivegram)
     version = _next_gate_version(model_dir)
     manifest = {
         "gate": "staged",
         "ccnet": _write_ccnet_tables(
             model_dir, version, lm=lm, thresholds=thresholds, q=q,
             alpha=alpha, lam=lam, bigram=bigram, trigram=trigram,
+            fourgram=fourgram, fivegram=fivegram,
         ),
         "classifier": classifier_gate_manifest(
             weights, bias, threshold,

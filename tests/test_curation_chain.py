@@ -720,7 +720,7 @@ def test_staged_curation_validates_args_before_stage_one(spark, tmp_path):
         (dict(val_frac=1.5), "val_frac"),
         (dict(val_frac=0.3, seeds_val=seeds), "not both"),
         (dict(lam=1.5), "lam"),
-        (dict(lm_order=4), "lm_order"),  # 3 is valid as of r16 (H52)
+        (dict(lm_order=6), "lm_order"),  # 5 is valid as of r17
         (dict(alpha=0.0), "alpha"),
         (dict(rules_config={"min_words": 5}), "rules_config without"),
     ]:

@@ -518,8 +518,9 @@ def test_bigram_plan_shapes(spark, lm, bg_lm):
 
 
 def test_ccnet_job_lm_order_guard_and_bigram_manifest(spark, tmp_path):
-    """lm_order outside {1, 2, 3} fails before any job runs; order-1
-    manifests record lam as None (it did not shape the cut)."""
+    """lm_order outside {1..5} fails before any job runs (r17 widened
+    the chain to order 5); order-1 manifests record lam as None (it
+    did not shape the cut)."""
     from drive_bc_datapipeline_spark.jobs import run_ccnet_prefilter
 
     ref = spark.createDataFrame(REF, "doc_id long, text string")
@@ -529,7 +530,7 @@ def test_ccnet_job_lm_order_guard_and_bigram_manifest(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="lm_order"):
         run_ccnet_prefilter(
-            spark, docs, ref, str(tmp_path / "x"), lm_order=4
+            spark, docs, ref, str(tmp_path / "x"), lm_order=6
         )
     m = run_ccnet_prefilter(
         spark, docs, ref, str(tmp_path / "u"), q=0.5, lm_order=1
@@ -808,3 +809,358 @@ def test_ccnet_job_order_3_arm(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(m2["path"]).collect()
     )
     assert kept2 == sorted([*range(6), *range(100, 106)])
+
+
+# ---------------------------------------------------------------------------
+# r17 — the generic order-k backoff chain (ngram_lm_table /
+# score_docs_under_ngram_chain): one fit + one scorer for ANY order,
+# with unigram/bigram/trigram as thin wrappers and KenLM-5 parity for
+# the CCNet cut. Sequential reference generalizes the order-3 one.
+# ---------------------------------------------------------------------------
+
+
+def _seq_ngram_tables(k: int) -> tuple[dict, dict]:
+    tc: dict[tuple, int] = {}
+    ctx: dict[tuple, int] = {}
+    for _i, t in REF:
+        toks = [x for x in t.split(" ") if x]
+        for i in range(len(toks) - k + 1):
+            w = tuple(toks[i : i + k])
+            tc[w] = tc.get(w, 0) + 1
+            ctx[w[:-1]] = ctx.get(w[:-1], 0) + 1
+    return tc, ctx
+
+
+def _seq_chain_score(
+    text: str, k: int, lam: float = 0.7
+) -> tuple[int, float]:
+    logp, oov = _seq_lm()
+    tables = {m: _seq_ngram_tables(m) for m in range(2, k + 1)}
+    V = float(len(logp))
+    toks = [t for t in text.split(" ") if t]
+    s = 0.0
+    for i, t in enumerate(toks):
+        p = 2.0 ** logp.get(t, oov)
+        for m in range(2, min(i + 1, k) + 1):
+            c = tuple(toks[i - m + 1 : i])
+            tc, cx = tables[m]
+            pms = (tc.get((*c, t), 0) + ALPHA) / (
+                cx.get(c, 0) + ALPHA * (V + 1.0)
+            )
+            p = lam * pms + (1.0 - lam) * p
+        s += -math.log2(p)
+    return len(toks), s / len(toks)
+
+
+def test_seq_chain_matches_seq_trigram():
+    """The generic sequential reference IS the order-3 one at k=3
+    (and the order-2/1 ones below) — anchor before trusting it."""
+    for _i, _src, text in DOCS:
+        assert _seq_chain_score(text, 3) == pytest.approx(
+            _seq_trigram_score(text), abs=1e-12
+        )
+        assert _seq_chain_score(text, 2) == pytest.approx(
+            _seq_bigram_score(text), abs=1e-12
+        )
+
+
+def test_ngram_table_matches_sequential(spark):
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        ngram_lm_table,
+    )
+
+    ref = spark.createDataFrame(REF, "doc_id long, text string")
+    for k in (4, 5):
+        tc, ctx = _seq_ngram_tables(k)
+        rows = ngram_lm_table(ref, k=k).collect()
+        cols = [f"w{j}" for j in range(1, k + 1)]
+        got_tuples = {
+            tuple(r[c] for c in cols): r["n"]
+            for r in rows
+            if r[cols[-1]] is not None
+        }
+        got_ctx = {
+            tuple(r[c] for c in cols[:-1]): r["n"]
+            for r in rows
+            if r[cols[-1]] is None
+        }
+        assert got_tuples == tc, k
+        assert got_ctx == ctx, k
+
+
+def test_ngram_chain_scores_match_sequential(spark, lm):
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        ngram_lm_table,
+        score_docs_under_ngram_chain,
+    )
+
+    ref = spark.createDataFrame(REF, "doc_id long, text string")
+    docs = spark.createDataFrame(
+        DOCS, "doc_id long, source string, text string"
+    )
+    for k in (4, 5):
+        tables = [lm] + [
+            ngram_lm_table(ref, k=m) for m in range(2, k + 1)
+        ]
+        got = {
+            r["doc_id"]: (r["n_toks"], r["avg_nll"])
+            for r in score_docs_under_ngram_chain(docs, tables).collect()
+        }
+        for i, _src, text in DOCS:
+            n, nll = _seq_chain_score(text, k)
+            assert got[i][0] == n, (k, i)
+            assert got[i][1] == pytest.approx(nll, abs=1e-9), (k, i)
+        # lam=0 degrades exactly to the unigram scorer at ANY order
+        got0 = {
+            r["doc_id"]: r["avg_nll"]
+            for r in score_docs_under_ngram_chain(
+                docs, tables, lam=0.0
+            ).collect()
+        }
+        for i, _src, text in DOCS:
+            _, ug_nll = _seq_score(text)
+            assert got0[i] == pytest.approx(ug_nll, abs=1e-9), (k, i)
+
+
+def test_wrappers_delegate_to_the_chain(spark, lm, bg_lm, tg_lm):
+    """The order-2/3 scorers are THIN wrappers over the generic chain
+    (the r16 near-copies are deleted): bit-identical outputs."""
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        score_docs_under_bigram_lm,
+        score_docs_under_ngram_chain,
+        score_docs_under_trigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        DOCS, "doc_id long, source string, text string"
+    )
+    via_wrap2 = {
+        r["doc_id"]: r["avg_nll"]
+        for r in score_docs_under_bigram_lm(docs, bg_lm, lm).collect()
+    }
+    via_chain2 = {
+        r["doc_id"]: r["avg_nll"]
+        for r in score_docs_under_ngram_chain(
+            docs, [lm, bg_lm]
+        ).collect()
+    }
+    # same plan; re-execution may drift 1 ulp in the groupBy sum
+    # order (the r15 apply_domain_filter lesson), so compare at the
+    # repo-wide score tolerance, not bit-for-bit
+    for i in via_wrap2:
+        assert via_wrap2[i] == pytest.approx(via_chain2[i], rel=1e-12)
+    via_wrap3 = {
+        r["doc_id"]: r["avg_nll"]
+        for r in score_docs_under_trigram_lm(
+            docs, tg_lm, bg_lm, lm
+        ).collect()
+    }
+    via_chain3 = {
+        r["doc_id"]: r["avg_nll"]
+        for r in score_docs_under_ngram_chain(
+            docs, [lm, bg_lm, tg_lm]
+        ).collect()
+    }
+    for i in via_wrap3:
+        assert via_wrap3[i] == pytest.approx(via_chain3[i], rel=1e-12)
+
+
+def test_order4_separates_trigram_preserving_reorder(spark):
+    """The r16 verdict's planted A/B one order up: same first bigram,
+    same TRIGRAM multiset (orders 1-3 provably blind), only the
+    4-gram structure differs — the order-4 chain separates and the
+    H48 cut keeps exactly the reference-ordered half."""
+    from drive_bc_datapipeline_spark.operators.domain_filter import (
+        apply_domain_filter,
+        domain_threshold_table,
+    )
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        ngram_lm_table,
+        score_docs_under_ngram_chain,
+    )
+
+    good = "a a a b a a"
+    bad = "a a b a a a"
+    g, b = good.split(), bad.split()
+    assert g[:2] == b[:2]
+    assert sorted(zip(g, g[1:], g[2:])) == sorted(zip(b, b[1:], b[2:]))
+    assert sorted(zip(g, g[1:], g[2:], g[3:])) != sorted(
+        zip(b, b[1:], b[2:], b[3:])
+    )
+    ref = spark.createDataFrame(
+        [(i, good) for i in range(8)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, "web", good) for i in range(6)]
+        + [(100 + i, "web", bad) for i in range(6)],
+        "doc_id long, source string, text string",
+    )
+    ug = unigram_lm_table(ref, alpha=ALPHA)
+    t2, t3, t4 = (ngram_lm_table(ref, k=m) for m in (2, 3, 4))
+
+    s3 = {
+        r["doc_id"]: r["avg_nll"]
+        for r in score_docs_under_ngram_chain(
+            docs, [ug, t2, t3]
+        ).collect()
+    }
+    assert s3[0] == pytest.approx(s3[100], abs=1e-12)  # order-3 blind
+
+    scored4 = score_docs_under_ngram_chain(docs, [ug, t2, t3, t4])
+    s4 = {r["doc_id"]: r["avg_nll"] for r in scored4.collect()}
+    assert s4[0] < s4[100] - 0.01
+
+    scored_df = docs.join(scored4.select("doc_id", "avg_nll"), "doc_id")
+    table = domain_threshold_table(scored_df, (0.5,), approx=False)
+    kept = sorted(
+        r["doc_id"]
+        for r in apply_domain_filter(scored_df, table, 0.5).collect()
+    )
+    assert kept == list(range(6))
+
+
+def test_order5_separates_fourgram_preserving_reorder(spark):
+    """KenLM-5 parity: same first trigram, same 4-GRAM multiset
+    (orders 1-4 provably blind), only order 5 separates."""
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        ngram_lm_table,
+        score_docs_under_ngram_chain,
+    )
+
+    good = "a a a a b a a a"
+    bad = "a a a b a a a a"
+    g, b = good.split(), bad.split()
+    assert g[:3] == b[:3]
+    assert sorted(zip(g, g[1:], g[2:], g[3:])) == sorted(
+        zip(b, b[1:], b[2:], b[3:])
+    )
+    ref = spark.createDataFrame(
+        [(i, good) for i in range(8)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "web", good), (2, "web", bad)],
+        "doc_id long, source string, text string",
+    )
+    ug = unigram_lm_table(ref, alpha=ALPHA)
+    tables4 = [ug] + [ngram_lm_table(ref, k=m) for m in (2, 3, 4)]
+    tables5 = tables4 + [ngram_lm_table(ref, k=5)]
+    s4 = {
+        r["doc_id"]: r["avg_nll"]
+        for r in score_docs_under_ngram_chain(docs, tables4).collect()
+    }
+    assert s4[1] == pytest.approx(s4[2], abs=1e-12)  # order-4 blind
+    s5 = {
+        r["doc_id"]: r["avg_nll"]
+        for r in score_docs_under_ngram_chain(docs, tables5).collect()
+    }
+    assert s5[1] < s5[2] - 0.01
+
+
+def test_ngram_chain_guards(spark, lm, bg_lm, tg_lm):
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        ngram_chain_stats,
+        ngram_lm_table,
+        score_docs_under_ngram_chain,
+    )
+
+    ref = spark.createDataFrame(REF, "doc_id long, text string")
+    docs = spark.createDataFrame(
+        DOCS, "doc_id long, source string, text string"
+    )
+    with pytest.raises(ValueError, match="k="):
+        ngram_lm_table(ref, k=1)
+    # no document long enough for the order: fail-loud, by name
+    with pytest.raises(ValueError, match="ngram_lm_table"):
+        ngram_lm_table(
+            spark.createDataFrame(
+                [(1, "a b")], "doc_id long, text string"
+            ),
+            k=5,
+        )
+    with pytest.raises(ValueError, match="at least the unigram"):
+        score_docs_under_ngram_chain(docs, [lm])
+    with pytest.raises(ValueError, match="lam"):
+        score_docs_under_ngram_chain(docs, [lm, bg_lm], lam=1.5)
+    with pytest.raises(ValueError, match="alpha"):
+        score_docs_under_ngram_chain(docs, [lm, bg_lm], alpha=0.0)
+    # same-reference validation extends level by level: an order-4
+    # table fit elsewhere has a context that is no reference trigram
+    other = spark.createDataFrame(
+        [(1, "p q r s t u")], "doc_id long, text string"
+    )
+    t4_other = ngram_lm_table(other, k=4)
+    with pytest.raises(ValueError, match="order-4 context"):
+        ngram_chain_stats([lm, bg_lm, tg_lm, t4_other])
+
+
+def test_ccnet_job_order_4_and_5_arms(spark, tmp_path):
+    """run_ccnet_prefilter(lm_order=4) keeps the reference-ordered
+    half of the trigram-preserving planted corpus (the order-3 job
+    keeps everything); lm_order=5 runs end-to-end and the manifests
+    record order + lam; the injected-tables order guard covers the
+    new orders."""
+    from drive_bc_datapipeline_spark.jobs import (
+        _fit_reference_lm_tables,
+        run_ccnet_prefilter,
+    )
+
+    good = "a a a b a a"
+    bad = "a a b a a a"
+    ref = spark.createDataFrame(
+        [(i, good) for i in range(8)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, "web", good) for i in range(6)]
+        + [(100 + i, "web", bad) for i in range(6)],
+        "doc_id long, source string, text string",
+    )
+    m4 = run_ccnet_prefilter(
+        spark, docs, ref, str(tmp_path / "o4"), q=0.5, lm_order=4,
+        lam=0.6,
+    )
+    assert m4["lm_order"] == 4 and m4["lam"] == 0.6
+    kept4 = sorted(
+        r["doc_id"] for r in spark.read.parquet(m4["path"]).collect()
+    )
+    assert kept4 == list(range(6))
+
+    m3 = run_ccnet_prefilter(
+        spark, docs, ref, str(tmp_path / "o3b"), q=0.5, lm_order=3,
+        lam=0.6,
+    )
+    kept3 = sorted(
+        r["doc_id"] for r in spark.read.parquet(m3["path"]).collect()
+    )
+    assert kept3 == sorted([*range(6), *range(100, 106)])
+
+    # order 5 end-to-end on a corpus with >= 5-token docs
+    good5 = "a a a a b a a a"
+    ref5 = spark.createDataFrame(
+        [(i, good5) for i in range(4)], "doc_id long, text string"
+    )
+    docs5 = spark.createDataFrame(
+        [(1, "web", good5), (2, "web", "a a a b a a a a")],
+        "doc_id long, source string, text string",
+    )
+    m5 = run_ccnet_prefilter(
+        spark, docs5, ref5, str(tmp_path / "o5"), q=0.5, lm_order=5,
+    )
+    assert m5["lm_order"] == 5
+    kept5 = [
+        r["doc_id"] for r in spark.read.parquet(m5["path"]).collect()
+    ]
+    assert kept5 == [1]
+
+    # injected tables at the wrong order fail by count
+    tables3 = _fit_reference_lm_tables(
+        ref, lm_order=3, alpha=0.5, text_col="text"
+    )
+    with pytest.raises(ValueError, match="order-3"):
+        run_ccnet_prefilter(
+            spark, docs, ref, str(tmp_path / "bad"), lm_order=4,
+            tables=tables3,
+        )
+    with pytest.raises(ValueError, match="lm_order=6"):
+        run_ccnet_prefilter(
+            spark, docs, ref, str(tmp_path / "bad6"), lm_order=6
+        )

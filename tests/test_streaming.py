@@ -1906,3 +1906,67 @@ def test_staged_gate_rules_config_published_and_applied(spark, tmp_path):
         for r in sp.read_committed(spark, sink3).collect()
     )
     assert 20 not in got3 and 21 not in got3
+
+
+def test_ccnet_gate_order45_arms(spark, tmp_path):
+    """r17: the generic chain reaches the streaming gates — a
+    published order-4 model separates the trigram-preserving planted
+    corpus through the versioned CCNet gate, _validate_lm_order
+    covers orders 4/5 in both directions, and the chain-gap guard
+    fails by name."""
+    from drive_bc_datapipeline_spark.jobs import run_ccnet_prefilter
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        ngram_lm_table,
+        unigram_lm_table,
+    )
+
+    good = "a a a b a a"
+    bad = "a a b a a a"
+    ref = spark.createDataFrame(
+        [(i, good) for i in range(8)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, "web", good) for i in range(3)]
+        + [(100 + i, "web", bad) for i in range(3)],
+        sp.DOC_STREAM_SCHEMA,
+    )
+    ug = unigram_lm_table(ref)
+    t2, t3, t4 = (ngram_lm_table(ref, k=m) for m in (2, 3, 4))
+
+    m4 = run_ccnet_prefilter(
+        spark, docs, ref, str(tmp_path / "b4"), q=0.5, lm_order=4
+    )
+    model_dir = str(tmp_path / "o4_models")
+    v1 = sp.publish_ccnet_gate_model(
+        model_dir, lm=ug, thresholds=m4["thresholds"], q=m4["q"],
+        bigram=t2, trigram=t3, fourgram=t4,
+    )
+    assert v1 == 1
+    _v, manifest = sp.read_current_gate_model(model_dir)
+    assert manifest["lm_order"] == 4
+    assert manifest["fourgram_path"] and manifest["fivegram_path"] is None
+    sink = str(tmp_path / "o4_sink")
+    sp.versioned_gate_batch_writer(
+        sink, model_dir, sp._ccnet_kept_of_manifest(spark)
+    )(docs, 0)
+    kept = sorted(
+        r["doc_id"] for r in sp.read_committed(spark, sink).collect()
+    )
+    assert kept == [0, 1, 2]  # order 4 separates; order 3 kept all
+
+    # both mismatch directions at the new orders
+    with pytest.raises(ValueError, match="only order-3 tables"):
+        sp._validate_lm_order(4, t2, t3)
+    with pytest.raises(ValueError, match="order-4 tables were supplied"):
+        sp._validate_lm_order(3, t2, t3, t4)
+    with pytest.raises(ValueError, match="lm_order=6"):
+        sp._validate_lm_order(6, t2, t3, t4)
+    sp._validate_lm_order(4, t2, t3, t4)
+    # chain gaps fail by name, everywhere the tables enter
+    with pytest.raises(ValueError, match="fourgram table without its"):
+        sp._check_ccnet_gate_inputs({"web": 1.0}, t2, None, t4)
+    with pytest.raises(ValueError, match="trigram"):
+        sp.publish_ccnet_gate_model(
+            str(tmp_path / "gap"), lm=ug, thresholds={"web": 1.0},
+            q=0.5, bigram=t2, fourgram=t4,
+        )
