@@ -278,6 +278,85 @@ def decode_image_features(
     )
 
 
+def _nn_resize(px, max_w: int, max_h: int):
+    """Aspect-preserving nearest-neighbor downscale of a decoded
+    pixel array into the (max_w, max_h) box — THE one copy of the
+    grid math (r17), shared by the byte-level resize and the
+    featurizing composition. Images already inside the box pass
+    through (scale clamps to 1.0). Returns (resized, dst_w, dst_h)."""
+    h, w = px.shape[:2]
+    scale = min(max_w / w, max_h / h, 1.0)
+    w2 = max(1, int(w * scale))
+    h2 = max(1, int(h * scale))
+    yi = (np.arange(h2) * h // h2).astype(np.int64)
+    xi = (np.arange(w2) * w // w2).astype(np.int64)
+    return px[yi][:, xi], w2, h2
+
+
+def resize_image_features(
+    df: DataFrame,
+    *,
+    max_w: int = 224,
+    max_h: int = 224,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, BMP payload) → decode → nearest-neighbor resize →
+    re-encode → RE-DECODE → features of the RESIZED image, in ONE
+    Arrow stage: (id, src_w, src_h, dst_w, dst_h, px_sum,
+    top_left_r), where px_sum/top_left_r come from the re-decoded
+    resized bytes — the full codec round-trip is part of the
+    contract (an encoder that mangles the resized rows would show
+    here), not an optimization shortcut. The I2 driver key runs this
+    (r16 verdict Next #4: the real pixel path, not length
+    arithmetic); at 100 TB it is one narrow mapInPandas over K14
+    binaryFile payloads — no shuffle, no join, no second corpus
+    pass (the dims and the features ride the same stage instead of
+    a dims-join against a separate decode)."""
+    if max_w < 1 or max_h < 1:
+        raise ValueError(f"resize box {max_w}x{max_h}: needs >= 1")
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sw, sh, dw, dh, sums, tls = [], [], [], [], [], [], []
+            for doc_id, buf in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_bmp(bytes(buf))
+                h, w = px.shape[:2]
+                small, w2, h2 = _nn_resize(px, max_w, max_h)
+                px2 = decode_bmp(encode_bmp(small))  # the re-decode
+                if px2.shape != (h2, w2, 3):  # codec contract
+                    raise ValueError(
+                        f"resize round-trip drifted: encoded "
+                        f"{(h2, w2, 3)}, decoded {px2.shape}"
+                    )
+                ids.append(doc_id)
+                sw.append(w)
+                sh.append(h)
+                dw.append(w2)
+                dh.append(h2)
+                sums.append(int(px2.sum(dtype=np.int64)))
+                tls.append(int(px2[0, 0, 0]))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "src_w": pd.Series(sw, dtype="int32"),
+                    "src_h": pd.Series(sh, dtype="int32"),
+                    "dst_w": pd.Series(dw, dtype="int32"),
+                    "dst_h": pd.Series(dh, dtype="int32"),
+                    "px_sum": pd.Series(sums, dtype="int64"),
+                    "top_left_r": pd.Series(tls, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(
+        featurize,
+        schema=(
+            f"{id_col} long, src_w int, src_h int, dst_w int, "
+            "dst_h int, px_sum long, top_left_r int"
+        ),
+    )
+
+
 def resize_image_bytes(
     df: DataFrame,
     *,
@@ -301,13 +380,7 @@ def resize_image_bytes(
             for doc_id, buf in zip(pdf[id_col], pdf[payload_col]):
                 px = decode_bmp(bytes(buf))
                 h, w = px.shape[:2]
-                scale = min(max_w / w, max_h / h, 1.0)
-                w2 = max(1, int(w * scale))
-                h2 = max(1, int(h * scale))
-                # nearest-neighbor: index by the scaled grid
-                yi = (np.arange(h2) * h // h2).astype(np.int64)
-                xi = (np.arange(w2) * w // w2).astype(np.int64)
-                small = px[yi][:, xi]
+                small, w2, h2 = _nn_resize(px, max_w, max_h)
                 ids.append(doc_id)
                 sw.append(w)
                 sh.append(h)

@@ -5,14 +5,20 @@ The container has no image/audio libraries. As of r16 the image (I1b)
 and audio (I4) keys decode REAL formats anyway — pure-numpy 24-bit
 BMP and PCM WAV codecs in ``operators/multimodal`` (header parse,
 row-flip/BGR/chunk-walk and all), fed by real bytes built from each
-document's text. The remaining keys (I1 byte-meta, I2 resize
-arithmetic, I3 frame sampling) keep deterministic byte-level
+document's text. As of r17 the I2 resize key runs the REAL
+pixel path too (decode → nearest-neighbor grid → re-encode →
+re-decode → feature, one Arrow stage). The remaining keys (I1
+byte-meta, I3 frame sampling) keep deterministic byte-level
 stand-ins for the entropy-coded formats a codec library would
 handle; their Spark-side plumbing — binary column construction,
 output schema, Arrow batch iteration, 1→1 / 1→N shapes — is real and
-identical to what a PIL/ffmpeg featurizer would use (a REAL
-nearest-neighbor resize over decoded BMP pixels lives in
-``operators/multimodal.resize_image_bytes``, tests-only). Reference
+identical to what a PIL/ffmpeg featurizer would use (the
+byte-level resize sibling that re-emits BMP payloads lives in
+``operators/multimodal.resize_image_bytes``, tests-only). Every
+byte-reading oracle NULL-poisons on non-ASCII text (r16 ADVICE:
+``ord(substr(text, p, 1))`` indexes characters while the engine
+reads bytes — ASCII is the precondition, asserted on the testdata
+in tests/test_multimodal.py and made loud here, not comment-only). Reference
 analog: etl-events.py's binary Kinesis payload → parsed records path.
 
 100 TB note: mapInPandas streams Arrow batches; no per-row Python
@@ -33,8 +39,12 @@ from drive_bc_datapipeline_spark.plans.registry import query, t
 MULTIMODAL_ORACLE = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(ord(substr(text, 1, 1)) AS INTEGER) AS first_byte,
-       substr(md5(text), 1, 8) AS payload_sig
+       CAST(CASE WHEN octet_length(encode(text)) <> length(text)
+                 THEN NULL
+                 ELSE ord(substr(text, 1, 1)) END
+            AS INTEGER) AS first_byte,
+       CASE WHEN octet_length(encode(text)) <> length(text)
+            THEN NULL ELSE substr(md5(text), 1, 8) END AS payload_sig
 FROM documents
 """
 
@@ -79,7 +89,10 @@ def multimodal_bytes_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IMAGE_STUB_ORACLE = """
 WITH sums AS (
-  SELECT doc_id, SUM(ord(substr(text, p, 1))) AS s
+  SELECT doc_id,
+         SUM(CASE WHEN octet_length(encode(text)) <> length(text)
+                  THEN NULL
+                  ELSE ord(substr(text, p, 1)) END) AS s
   FROM (SELECT doc_id, text,
                unnest(range(1, octet_length(encode(text)) + 1)) AS p
         FROM documents)
@@ -92,8 +105,10 @@ SELECT d.doc_id,
        ) AS INTEGER) AS height,
        CAST(3 AS INTEGER) AS n_channels,
        CAST(COALESCE(s.s, 0) AS BIGINT) AS px_sum,
-       CAST(CASE WHEN octet_length(encode(d.text)) >= 1
-                 THEN ord(substr(d.text, 1, 1)) ELSE 0
+       CAST(CASE WHEN octet_length(encode(d.text)) < 1 THEN 0
+                 WHEN octet_length(encode(d.text)) <> length(d.text)
+                 THEN NULL
+                 ELSE ord(substr(d.text, 1, 1))
             END AS INTEGER) AS top_left_r
 FROM documents d LEFT JOIN sums s USING (doc_id)
 """
@@ -128,65 +143,94 @@ def multimodal_image_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# I2-I4 — the remaining multimodal verbs: resize, frame-sample, audio
-# features. Decode cores are deterministic stand-ins (no image/audio
-# libs in this environment); schemas, Arrow batch iteration, and the
-# 1→1 / 1→N / 1→arrays output shapes are the real contracts a
-# PIL/ffmpeg/librosa implementation drops into. Because each stand-in
-# is pure byte/length arithmetic, every one gets a full DuckDB oracle
-# (documents.text is ASCII in the testdata, so VARCHAR substr/ord/md5
-# equal the byte-level operations on the utf-8 payload).
+# I2-I4 — the remaining multimodal verbs: resize (REAL pixel path as
+# of r17), frame-sample, audio features. The I3 decode core is a
+# deterministic stand-in (no video container in scope); schemas,
+# Arrow batch iteration, and the 1→1 / 1→N / 1→arrays output shapes
+# are the real contracts a PIL/ffmpeg/librosa implementation drops
+# into. Every one gets a full DuckDB oracle (documents.text is ASCII
+# in the testdata, so VARCHAR substr/ord/md5 equal the byte-level
+# operations on the utf-8 payload — asserted in tests, NULL-poisoned
+# in the oracles).
 # --------------------------------------------------------------------------
 
 RESIZE_ORACLE = """
 WITH src AS (
-  SELECT doc_id,
-         octet_length(encode(text)) % 640 + 1 AS w,
-         octet_length(encode(text)) % 480 + 1 AS h
+  SELECT doc_id, text,
+         octet_length(encode(text)) AS n,
+         octet_length(encode(text)) = length(text) AS is_ascii,
+         greatest(1, CAST(ceil(octet_length(encode(text)) / 48.0)
+                          AS BIGINT)) AS h
   FROM documents
 ),
-s AS (
-  SELECT doc_id, w, h, least(224.0 / w, 224.0 / h, 1.0) AS scale FROM src
+d2 AS (
+  SELECT doc_id, text, n, is_ascii, h,
+         greatest(1, CAST(trunc(16 * least(8.0 / 16, 8.0 / h, 1.0))
+                          AS BIGINT)) AS w2,
+         greatest(1, CAST(trunc(h * least(8.0 / 16, 8.0 / h, 1.0))
+                          AS BIGINT)) AS h2
+  FROM src
+),
+yj AS (SELECT *, unnest(range(0, h2)) AS j FROM d2),
+xi AS (SELECT *, unnest(range(0, w2)) AS i FROM yj),
+ch AS (SELECT *, unnest(range(0, 3)) AS c FROM xi),
+sums AS (
+  SELECT doc_id,
+         SUM(CASE
+               WHEN (j * h) // h2 * 48 + (i * 16) // w2 * 3 + c >= n
+                 THEN 0
+               WHEN NOT is_ascii THEN NULL
+               ELSE ord(substr(
+                 text,
+                 CAST((j * h) // h2 * 48 + (i * 16) // w2 * 3 + c + 1
+                      AS INTEGER),
+                 1))
+             END) AS psum
+  FROM ch GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(w AS INTEGER) AS src_w,
-       CAST(h AS INTEGER) AS src_h,
-       CAST(greatest(1, trunc(w * scale)) AS INTEGER) AS dst_w,
-       CAST(greatest(1, trunc(h * scale)) AS INTEGER) AS dst_h
-FROM s
+SELECT d.doc_id,
+       CAST(16 AS INTEGER) AS src_w,
+       CAST(d.h AS INTEGER) AS src_h,
+       CAST(d.w2 AS INTEGER) AS dst_w,
+       CAST(d.h2 AS INTEGER) AS dst_h,
+       CAST(s.psum AS BIGINT) AS px_sum,
+       CAST(CASE WHEN d.n < 1 THEN 0
+                 WHEN NOT d.is_ascii THEN NULL
+                 ELSE ord(substr(d.text, 1, 1))
+            END AS INTEGER) AS top_left_r
+FROM d2 d JOIN sums s USING (doc_id)
 """
 
 
 @query("multimodal_resize_stub", RESIZE_ORACLE)
 def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1→1 featurizer: 'image' metadata + target-box resize arithmetic.
-
-    Real version: decode with PIL, thumbnail to (MAX_W, MAX_H), re-emit
-    bytes. The stub derives source dims deterministically from payload
-    length and applies the identical aspect-preserving box math.
+    """I2 through the REAL pixel path (r17; the key name keeps its
+    historical ``_stub`` suffix for driver-artifact continuity — the
+    resize is no longer length arithmetic): build a real 24-bit BMP
+    per document from its text bytes, then ONE Arrow stage decodes
+    the header+pixels, nearest-neighbor-downscales into an 8x8 box
+    (the 16-wide text BMP always halves, so the grid math is LIVE on
+    every row), re-encodes, RE-DECODES, and features the resized
+    image — dst dims plus the resized pixel sum and top-left R, the
+    values a wrong row-flip/BGR/grid would corrupt. The oracle
+    restates the same integer arithmetic from the text convention
+    (resized pixel (j,i,c) reads text byte (j*h//h2)*48 +
+    (i*16//w2)*3 + c, pad contributes 0), NULL-poisoning byte reads
+    on non-ASCII text so a testdata drift mismatches loudly instead
+    of silently diverging (r16 ADVICE; the ASCII precondition is
+    also asserted in tests/test_multimodal.py). At 100 TB the encode
+    stage doesn't exist — payloads arrive via K14 binaryFile — and
+    the resize stage is the same single narrow mapInPandas: no
+    shuffle, no dims-vs-features join, no second corpus pass.
     """
-    MAX_W, MAX_H = 224, 224
+    from drive_bc_datapipeline_spark.operators.multimodal import (
+        attach_bmp_payload,
+        resize_image_features,
+    )
+
     d = t(spark, sf_dir, "documents")
-    payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-
-    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = pdf["payload"].map(len)
-            w = (n % 640 + 1).astype("int64")
-            h = (n % 480 + 1).astype("int64")
-            scale = pd.concat([MAX_W / w, MAX_H / h], axis=1).min(axis=1).clip(upper=1.0)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "src_w": w.astype("int32"),
-                    "src_h": h.astype("int32"),
-                    "dst_w": (w * scale).astype("int32").clip(lower=1),
-                    "dst_h": (h * scale).astype("int32").clip(lower=1),
-                }
-            )
-
-    return payload.mapInPandas(
-        _resize, schema="doc_id long, src_w int, src_h int, dst_w int, dst_h int"
+    return resize_image_features(
+        attach_bmp_payload(d), max_w=8, max_h=8
     )
 
 
@@ -203,7 +247,10 @@ x AS (
 )
 SELECT doc_id,
        CAST(i AS INTEGER) AS frame_idx,
-       substr(md5(substr(text, i * 1024 + 1, 1024)), 1, 8) AS frame_sig
+       CASE WHEN octet_length(encode(text)) <> length(text)
+            THEN NULL
+            ELSE substr(md5(substr(text, i * 1024 + 1, 1024)), 1, 8)
+       END AS frame_sig
 FROM x
 """
 
@@ -250,7 +297,10 @@ WITH pos AS (
 ),
 w AS (
   SELECT doc_id, (p - 1) // 256 AS win,
-         CAST(SUM(ord(substr(text, p, 1))) AS BIGINT) AS s
+         CAST(SUM(CASE WHEN octet_length(encode(text)) <> length(text)
+                       THEN NULL
+                       ELSE ord(substr(text, p, 1)) END)
+              AS BIGINT) AS s
   FROM pos GROUP BY doc_id, win
 ),
 agg AS (

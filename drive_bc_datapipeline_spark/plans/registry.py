@@ -191,6 +191,12 @@ GATE_PIN: dict[str, int] = {
     # one r16 slot:
     "multimodal_image_stub": 16,
     "multimodal_audio_features_stub": 16,
+    # round-17 plan change (r16 verdict Next #4): the I2 resize key
+    # replans from length arithmetic to the REAL pixel path
+    # (decode → NN grid → re-encode → re-decode → feature; new
+    # px_sum/top_left_r columns, oracle restates the grid math from
+    # the text convention) — must earn a fresh green row:
+    "multimodal_resize_stub": 17,
 }
 
 

@@ -373,3 +373,96 @@ def test_featurizers_honor_id_col(spark):
     docs = spark.createDataFrame([(3, "ab")], "x long, text string")
     assert mm.attach_bmp_payload(docs, id_col="x").columns[0] == "x"
     assert mm.attach_wav_payload(docs, id_col="x").columns[0] == "x"
+
+
+# ---------------------------------------------------------------------------
+# r17 — the I2 key's REAL pixel path + the oracle ASCII precondition.
+# ---------------------------------------------------------------------------
+
+
+def test_resize_image_features_real_pixels(spark):
+    """decode → NN grid → re-encode → RE-DECODE → feature in one
+    stage: features equal the numpy-resized array's; in-box images
+    keep their full pixel sum."""
+    import numpy as np
+
+    from drive_bc_datapipeline_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    big = rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)
+    small = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(mm.encode_bmp(big))),
+         (2, bytearray(mm.encode_bmp(small)))],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r.doc_id: r
+        for r in mm.resize_image_features(
+            df, max_w=30, max_h=30
+        ).collect()
+    }
+    r1 = rows[1]
+    assert (r1.src_w, r1.src_h, r1.dst_w, r1.dst_h) == (60, 40, 30, 20)
+    yi = np.arange(20) * 40 // 20
+    xi = np.arange(30) * 60 // 30
+    want = big[yi][:, xi]
+    assert r1.px_sum == int(want.sum(dtype=np.int64))
+    assert r1.top_left_r == int(want[0, 0, 0])
+    r2 = rows[2]
+    assert (r2.dst_w, r2.dst_h) == (6, 4)
+    assert r2.px_sum == int(small.sum(dtype=np.int64))
+    # shared grid math: the byte-level sibling agrees bit-for-bit
+    brows = {
+        r.doc_id: r
+        for r in mm.resize_image_bytes(df, max_w=30, max_h=30).collect()
+    }
+    decoded = mm.decode_bmp(bytes(brows[1].payload))
+    assert int(decoded.sum(dtype=np.int64)) == r1.px_sum
+
+
+def test_resize_key_matches_text_bytes(spark):
+    """The I2 driver key end-to-end at sf0.001: dims + resized pixel
+    sum equal the text-byte grid arithmetic the oracle states."""
+    df = QUERIES["multimodal_resize_stub"](spark, SF)
+    rows = {r.doc_id: r for r in df.collect()}
+    src = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    assert rows.keys() == src.keys()
+    for doc_id, text in list(src.items())[:25]:
+        b = text.encode("utf-8")
+        h = max(1, -(-len(b) // 48))
+        scale = min(8 / 16, 8 / h, 1.0)
+        w2 = max(1, int(16 * scale))
+        h2 = max(1, int(h * scale))
+        r = rows[doc_id]
+        assert (r.src_w, r.src_h) == (16, h)
+        assert (r.dst_w, r.dst_h) == (w2, h2)
+        want = 0
+        for j in range(h2):
+            for i in range(w2):
+                for c in range(3):
+                    pos = (j * h // h2) * 48 + (i * 16 // w2) * 3 + c
+                    want += b[pos] if pos < len(b) else 0
+        assert r.px_sum == want, doc_id
+        assert r.top_left_r == (b[0] if b else 0)
+
+
+def test_documents_text_is_ascii():
+    """The byte-reading DuckDB oracles index CHARACTERS
+    (ord(substr(text, p, 1))) while the engine reads BYTES — equal
+    only for ASCII text. The oracles NULL-poison on violation (loud
+    mismatch); this pins the precondition on the testdata itself at
+    both gate SFs (r16 ADVICE: checked, not just commented)."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01"):
+        con = duckdb.connect()
+        n_bad = con.sql(
+            "SELECT COUNT(*) FROM "
+            f"'/root/testdata/{sf}/documents.parquet' "
+            "WHERE octet_length(encode(text)) <> length(text)"
+        ).fetchone()[0]
+        assert n_bad == 0, (sf, n_bad)
