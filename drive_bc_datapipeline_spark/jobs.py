@@ -250,6 +250,36 @@ def _precision_at_cut(curve_rows: list, t: float) -> float | None:
     return float(min(keep, key=lambda r: r["threshold"])["precision"])
 
 
+def _apply_rule_screen(docs, *, text_col, rules, rules_config):
+    """Stage 0 of any curation-shaped job (r17, verdict Next #6 —
+    THE one copy, shared by the standalone curation job, the CCNet
+    prefilter, and the staged composition): the H51 Gopher/C4/Dolma
+    rule screen as a lazy codegen'd predicate plus its one-row
+    funnel. Returns ``(survivors, funnel_dict | None)`` — the
+    survivors frame stays LAZY (the rules push into the consumer's
+    own corpus scans; nothing is materialized) and carries the input
+    schema exactly (the appended flag set is dropped by
+    set-difference — the r16 leak class)."""
+    if rules_config is not None and not rules:
+        raise ValueError(
+            "rules_config without rules=True: the config would be "
+            "silently ignored — enable the rule screen or drop it"
+        )
+    if not rules:
+        return docs, None
+    from drive_bc_datapipeline_spark.operators.quality_rules import (
+        quality_rule_flags,
+        quality_rule_funnel,
+    )
+
+    flagged = quality_rule_flags(
+        docs, text_col=text_col, **(rules_config or {})
+    )
+    funnel = quality_rule_funnel(flagged).collect()[0].asDict()
+    added = [c for c in flagged.columns if c not in docs.columns]
+    return flagged.filter(F.col("rules_ok")).drop(*added), funnel
+
+
 def build_curation_frames(
     spark: SparkSession,
     docs,
@@ -273,6 +303,8 @@ def build_curation_frames(
     scrub: bool = False,
     val_frac: float | None = None,
     seeds_val=None,
+    rules: bool = False,
+    rules_config: dict | None = None,
 ) -> dict:
     """Build every frame of the curation recipe — the plan-level seam
     ``run_curation_pipeline`` writes and the chain test inspects:
@@ -360,6 +392,13 @@ def build_curation_frames(
         # the DSIR target must live in the SAME scrubbed feature
         # space as the kept corpus it is matched against
         target = scrub_pii(target, text_col=text_col)
+
+    # stage 0 AFTER the scrub (the staged-job ordering: rules read
+    # the text the gate will score); corpus-only — seeds/target are
+    # label/distribution inputs, not the corpus being screened
+    docs, rules_funnel = _apply_rule_screen(
+        docs, text_col=text_col, rules=rules, rules_config=rules_config
+    )
 
     _check_heldout_args(val_frac, seeds_val)
     seeds_train = seeds
@@ -509,6 +548,7 @@ def build_curation_frames(
         "selected": selected,
         "cal_table": cal_table,
         "cal_audit": cal_audit,
+        "rules_funnel": rules_funnel,
     }
 
 
@@ -536,6 +576,8 @@ def run_curation_pipeline(
     scrub: bool = False,
     val_frac: float | None = None,
     seeds_val=None,
+    rules: bool = False,
+    rules_config: dict | None = None,
     publish_model_dir: str | None = None,
 ) -> dict:
     """The full curation recipe as ONE runnable job (the K7 runner's
@@ -562,6 +604,7 @@ def run_curation_pipeline(
         dsir_buckets=dsir_buckets, seed=seed, n_shards=n_shards,
         calibrate=calibrate, scrub=scrub,
         val_frac=val_frac, seeds_val=seeds_val,
+        rules=rules, rules_config=rules_config,
     )
     out_path = os.path.join(out_dir, "selected")
     obs = Observation("rows_selected")
@@ -574,8 +617,25 @@ def run_curation_pipeline(
         .parquet(out_path)
     )
     gate_counts = frames["gate_obs"].get
+    rules_funnel = frames["rules_funnel"]
+    if rules and int(gate_counts["n_docs"]) != rules_funnel["n_pass_all"]:
+        raise ValueError(
+            f"stage handoff diverged: the rule screen passed "
+            f"{rules_funnel['n_pass_all']} docs but the gate observed "
+            f"{int(gate_counts['n_docs'])} — the lazy rules_ok "
+            "predicate did not reproduce the funnel's cut"
+        )
     manifest = {
-        "n_docs": int(gate_counts["n_docs"]),
+        # with the rule screen on, the corpus count is the funnel's
+        # n_total (the gate only ever saw the survivors)
+        "n_docs": (
+            rules_funnel["n_total"] if rules
+            else int(gate_counts["n_docs"])
+        ),
+        "n_kept_rules": rules_funnel["n_pass_all"] if rules else None,
+        "rules": rules,
+        "rules_funnel": rules_funnel,
+        "rules_config": rules_config if rules else None,
         "n_kept": int(gate_counts["n_kept"]),
         "n_selected": obs.get["rows"],
         "threshold": frames["threshold"],
@@ -679,6 +739,8 @@ def run_ccnet_prefilter(
     id_col: str = "doc_id",
     source_col: str = "source",
     scrub: bool = False,
+    rules: bool = False,
+    rules_config: dict | None = None,
     publish_model_dir: str | None = None,
     tables=None,
 ) -> dict:
@@ -754,6 +816,12 @@ def run_ccnet_prefilter(
         docs = scrub_pii(docs, text_col=text_col)
         reference = scrub_pii(reference, text_col=text_col)
 
+    # stage 0 after the scrub (the staged-job ordering); lazy — the
+    # rules_ok predicate pushes into the scoring job's own scan
+    docs, rules_funnel = _apply_rule_screen(
+        docs, text_col=text_col, rules=rules, rules_config=rules_config
+    )
+
     if tables is None:
         tables = _fit_reference_lm_tables(
             reference, lm_order=lm_order, alpha=alpha, text_col=text_col
@@ -818,8 +886,23 @@ def run_ccnet_prefilter(
         .parquet(out_path)
     )
     counts = score_obs.get
+    if rules and int(counts["n_docs"]) != rules_funnel["n_pass_all"]:
+        raise ValueError(
+            f"stage handoff diverged: the rule screen passed "
+            f"{rules_funnel['n_pass_all']} docs but the scorer "
+            f"observed {int(counts['n_docs'])} — the lazy rules_ok "
+            "predicate did not reproduce the funnel's cut"
+        )
     manifest = {
-        "n_docs": int(counts["n_docs"]),
+        # with the rule screen on, the corpus count is the funnel's
+        # n_total (the scorer only ever saw the survivors)
+        "n_docs": (
+            rules_funnel["n_total"] if rules else int(counts["n_docs"])
+        ),
+        "n_kept_rules": rules_funnel["n_pass_all"] if rules else None,
+        "rules": rules,
+        "rules_funnel": rules_funnel,
+        "rules_config": rules_config if rules else None,
         "n_scored": int(counts["n_scored"]),
         "n_tokenless_dropped": int(counts["n_docs"] - counts["n_scored"]),
         "n_kept": int(keep_obs.get["rows"]),
@@ -844,6 +927,9 @@ def run_ccnet_prefilter(
             publish_model_dir, lm=lm, thresholds=thresholds, q=q,
             alpha=alpha, lam=lam, bigram=bg, trigram=tg,
             fourgram=g4, fivegram=g5,
+            # the screen is part of the published decision function
+            # (the staged-gate r16 ADVICE class)
+            rules_config=(rules_config or {}) if rules else None,
         )
     with open(os.path.join(out_dir, "ccnet_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
@@ -969,29 +1055,12 @@ def run_staged_curation(
             ref_for_fit, lm_order=lm_order, alpha=alpha,
             text_col=text_col,
         )
-    rules_funnel = None
-    if rules:
-        from drive_bc_datapipeline_spark.operators.quality_rules import (
-            quality_rule_flags,
-            quality_rule_funnel,
-        )
-
-        # stage-0 argument guard rides quality_rule_flags itself (it
-        # validates before building any plan). The funnel is ONE
-        # bounded single-row action; the filtered frame stays LAZY —
-        # the rules are a codegen'd projection, so recomputing them
-        # inside stage 1's own scans is cheaper at any scale than
-        # materializing a flagged copy of the corpus.
-        flagged = quality_rule_flags(
-            docs, text_col=text_col, **(rules_config or {})
-        )
-        rules_funnel = quality_rule_funnel(flagged).collect()[0].asDict()
-        # drop EVERYTHING the screen appended — the ACTIVE flag set,
-        # not a hardcoded list: with c4/repetition configs the r16
-        # RULE_FLAGS-only drop leaked six stray booleans into the
-        # prefilter kept/ parquet and every downstream artifact
-        added = [c for c in flagged.columns if c not in docs.columns]
-        docs = flagged.filter(F.col("rules_ok")).drop(*added)
+    # stage 0 through THE one helper (r17; the funnel is one bounded
+    # single-row action, the survivors stay lazy, the active flag set
+    # is dropped by set-difference — the r16 leak class)
+    docs, rules_funnel = _apply_rule_screen(
+        docs, text_col=text_col, rules=rules, rules_config=rules_config
+    )
     m_pre = run_ccnet_prefilter(
         spark, docs, reference, os.path.join(out_dir, "prefilter"),
         q=q, alpha=alpha, lm_order=lm_order, lam=lam,

@@ -1020,6 +1020,7 @@ def ccnet_gate_batch_writer(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    rules_config: dict | None = None,
 ):
     """foreachBatch callback: LM-score → per-domain cut → exactly-once
     commit. Split out (the J10/J11 pattern) so crash/replay tests can
@@ -1040,15 +1041,17 @@ def ccnet_gate_batch_writer(
     the lm/bigram relations never change for the writer's lifetime,
     so per-batch work is exactly the H49/H50 scoring join shape.
     """
-    return _scored_gate_writer(
-        sink_dir,
-        _ccnet_kept(
-            lm, thresholds, q, bigram=bigram, trigram=trigram,
-            fourgram=fourgram, fivegram=fivegram,
-            alpha=alpha, lam=lam,
-            text_col=text_col, id_col=id_col, source_col=source_col,
-        ),
+    kept = _ccnet_kept(
+        lm, thresholds, q, bigram=bigram, trigram=trigram,
+        fourgram=fourgram, fivegram=fivegram,
+        alpha=alpha, lam=lam,
+        text_col=text_col, id_col=id_col, source_col=source_col,
     )
+    if rules_config is not None:
+        rules_kept = _rules_kept(text_col, rules_config)
+        inner = kept
+        kept = lambda df: inner(rules_kept(df))  # noqa: E731
+    return _scored_gate_writer(sink_dir, kept)
 
 
 def start_ccnet_gate_stream(
@@ -1070,6 +1073,7 @@ def start_ccnet_gate_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    rules_config: dict | None = None,
     schema: str = DOC_STREAM_SCHEMA,
     max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
@@ -1109,6 +1113,7 @@ def start_ccnet_gate_stream(
                 text_col=text_col,
                 id_col=id_col,
                 source_col=source_col,
+                rules_config=rules_config,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -1586,6 +1591,7 @@ def publish_ccnet_gate_model(
     trigram=None,
     fourgram=None,
     fivegram=None,
+    rules_config: dict | None = None,
 ) -> int:
     """Publish a CCNet gate model under the rotation protocol: the
     vocabulary-bounded LM relations land as parquet under
@@ -1595,7 +1601,10 @@ def publish_ccnet_gate_model(
     ``q``/``alpha``/``lam`` come from the batch prefilter's manifest;
     ``lm_order`` is derived from the supplied tables (the
     _validate_lm_order contract, so manifest and tables cannot
-    disagree at birth)."""
+    disagree at birth). ``rules_config`` (r17): the batch
+    prefilter's stage-0 rule screen, recorded so a rotated stream
+    applies THE SAME screen (``None`` = the batch ran without
+    rules; ``{}`` = rules on at the Gopher defaults)."""
     import os
 
     _check_ccnet_gate_inputs(thresholds, bigram, trigram, fourgram,
@@ -1605,6 +1614,9 @@ def publish_ccnet_gate_model(
         model_dir, version, lm=lm, thresholds=thresholds, q=q,
         alpha=alpha, lam=lam, bigram=bigram, trigram=trigram,
         fourgram=fourgram, fivegram=fivegram,
+    )
+    manifest["rules_config"] = (
+        dict(rules_config) if rules_config is not None else None
     )
     return _publish_gate_version(model_dir, version, manifest)
 
@@ -1689,7 +1701,7 @@ def _ccnet_kept_of_manifest(
         _validate_lm_order(
             manifest["lm_order"], bigram, trigram, fourgram, fivegram
         )
-        return _ccnet_kept(
+        kept = _ccnet_kept(
             lm,
             {s: float(t) for s, t in manifest["thresholds"].items()},
             manifest["q"],
@@ -1703,6 +1715,11 @@ def _ccnet_kept_of_manifest(
             id_col=id_col,
             source_col=source_col,
         )
+        rules_config = manifest.get("rules_config")
+        if rules_config is None:
+            return kept
+        rules_kept = _rules_kept(text_col, rules_config)
+        return lambda df: kept(rules_kept(df))
 
     return build
 

@@ -661,3 +661,104 @@ def test_repetition_rules_match_reference(spark):
     # guard
     with pytest.raises(ValueError, match="max_dup_line_frac"):
         quality_rule_flags(df, repetition=True, max_dup_line_frac=-1.0)
+
+
+# ---------------------------------------------------------------------------
+# r17 — the rule screen reaches the NON-staged jobs too (verdict
+# Next #6): run_ccnet_prefilter and run_curation_pipeline accept the
+# same rules/rules_config pair as stage 0.
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_prefilter_with_rule_screen(spark, tmp_path):
+    """Stage 0 in the standalone CCNet job: short docs fail the
+    screen before the LM ever scores them; the manifest decomposes
+    the drop and the published gate model carries the screen."""
+    from drive_bc_datapipeline_spark.jobs import run_ccnet_prefilter
+    from drive_bc_datapipeline_spark.streaming import pipeline as sp
+
+    good = "a a b a b b"
+    short = "a a"  # passes the LM cut, fails min_words=5
+    cfg = dict(min_words=5, min_mean_word_len=0.0, min_required_words=0)
+    ref = spark.createDataFrame(
+        [(i, good) for i in range(8)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, "web", good) for i in range(3)]
+        + [(20 + i, "web", short) for i in range(2)],
+        "doc_id long, source string, text string",
+    )
+    model_dir = str(tmp_path / "ccr_models")
+    m = run_ccnet_prefilter(
+        spark, docs, ref, str(tmp_path / "ccr"), q=0.9,
+        rules=True, rules_config=cfg, publish_model_dir=model_dir,
+    )
+    assert m["n_docs"] == 5 and m["n_kept_rules"] == 3
+    assert m["rules_funnel"]["n_words_ok"] == 3
+    assert m["rules_config"] == cfg
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(m["path"]).collect()
+    )
+    assert kept == [0, 1, 2]
+    # no flag column rides into the published corpus
+    cols = set(spark.read.parquet(m["path"]).columns)
+    assert not cols & {"rules_ok", *RULE_FLAGS}
+    # the published gate model records AND applies the screen
+    _v, manifest = sp.read_current_gate_model(model_dir)
+    assert manifest["rules_config"] == cfg
+    sink = str(tmp_path / "ccr_sink")
+    sp.versioned_gate_batch_writer(
+        sink, model_dir, sp._ccnet_kept_of_manifest(spark)
+    )(docs.withColumnRenamed("x", "x"), 0)
+    got = sorted(
+        r["doc_id"] for r in sp.read_committed(spark, sink).collect()
+    )
+    assert got == [0, 1, 2]
+    # guard: config without the knob
+    with pytest.raises(ValueError, match="rules_config without"):
+        run_ccnet_prefilter(
+            spark, docs, ref, str(tmp_path / "bad"), rules_config=cfg
+        )
+
+
+def test_curation_pipeline_with_rule_screen(spark, tmp_path):
+    """Stage 0 in the standalone curation job: the gate trains and
+    scores only rule survivors, the selection never contains a
+    rule-failing doc, and the manifest decomposes the drop."""
+    from drive_bc_datapipeline_spark.jobs import run_curation_pipeline
+
+    pos = "alpha beta gamma delta epsilon zeta"
+    neg = "zz junk bad words here now"
+    short = "alpha beta"  # gate-friendly text, fails min_words=5
+    cfg = dict(min_words=5, min_mean_word_len=0.0, min_required_words=0)
+    seeds = spark.createDataFrame(
+        [(100 + i, 1, pos) for i in range(8)]
+        + [(200 + i, 0, neg) for i in range(8)],
+        "doc_id long, label int, text string",
+    )
+    docs = spark.createDataFrame(
+        [(i, pos) for i in range(4)]
+        + [(10 + i, neg) for i in range(4)]
+        + [(20 + i, short) for i in range(2)],
+        "doc_id long, text string",
+    )
+    target = docs.limit(3)
+    m = run_curation_pipeline(
+        spark, docs, seeds, target, str(tmp_path / "cur_rules"),
+        k=3, n_buckets=256, n_rounds=40, lr=1.0,
+        min_precision=0.9, dsir_buckets=64, n_shards=2,
+        rules=True, rules_config=cfg,
+    )
+    assert m["n_docs"] == 10 and m["n_kept_rules"] == 8
+    assert m["rules_config"] == cfg
+    sel = {
+        r["doc_id"] for r in spark.read.parquet(m["path"]).collect()
+    }
+    assert sel <= set(range(4))  # pos survivors only
+    cols = set(spark.read.parquet(m["path"]).columns)
+    assert not cols & {"rules_ok", *RULE_FLAGS}
+    with pytest.raises(ValueError, match="rules_config without"):
+        run_curation_pipeline(
+            spark, docs, seeds, target, str(tmp_path / "bad2"),
+            k=3, rules_config=cfg,
+        )
