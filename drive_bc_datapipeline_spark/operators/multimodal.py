@@ -553,3 +553,174 @@ def attach_wav_payload(
     return df.select(id_col, text_col).mapInPandas(
         build, schema=f"{id_col} long, payload binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) — the real, public, uncompressed video container
+# (r17; mjpegtools/ffmpeg lineage): plain-text stream header
+# "YUV4MPEG2 W<w> H<h> F<n>:<d> ... C444\n", then per frame a
+# "FRAME[ params]\n" marker followed by three full-resolution planes
+# (C444) of w*h bytes each. The I3 driver key decodes THIS — header
+# token walk, frame-marker walk, planar slicing — instead of the r16
+# 1-KiB-slice stand-in. Entropy-coded codecs (H.264 et al.) stay out
+# of scope: no decoder libs in the environment; Y4M is the container
+# every ffmpeg rawvideo pipeline round-trips through.
+# ---------------------------------------------------------------------------
+
+
+def encode_y4m(frames: "np.ndarray", rate: tuple = (25, 1)) -> bytes:
+    """(n, h, w, 3) uint8 → YUV4MPEG2 C444 bytes; plane c of frame f
+    is ``frames[f, :, :, c]`` row-major (Y, Cb, Cr order)."""
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError(
+            f"frames shape {frames.shape}: need (n, h, w, 3)"
+        )
+    if frames.dtype != np.uint8:
+        raise ValueError(f"dtype {frames.dtype}: Y4M planes are uint8")
+    n, h, w, _ = frames.shape
+    if n < 1 or h < 1 or w < 1:
+        raise ValueError(f"empty stream {frames.shape}")
+    head = f"YUV4MPEG2 W{w} H{h} F{rate[0]}:{rate[1]} Ip A1:1 C444\n"
+    parts = [head.encode("ascii")]
+    for f in range(n):
+        parts.append(b"FRAME\n")
+        for c in range(3):
+            parts.append(frames[f, :, :, c].tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m(data: bytes):
+    """Y4M bytes → (frames (n, h, w, 3) uint8, w, h, (num, den)).
+    Real parse: signature + header token walk (W/H/F honored, frame
+    parameters after FRAME tolerated per spec), non-C444 colorspaces
+    rejected BY NAME (a subsampled stream needs a real chroma
+    resampler — silently mis-slicing planes is the failure mode this
+    guard exists for), truncated frames and missing markers fail
+    loudly."""
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream (missing signature)")
+    tokens = data[:nl].decode("ascii", "replace").split(" ")
+    w = h = None
+    num, den = 25, 1
+    for tok in tokens[1:]:
+        if not tok:
+            continue
+        tag, val = tok[0], tok[1:]
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            num, den = (int(x) for x in val.split(":"))
+        elif tag == "C" and val != "444":
+            raise ValueError(
+                f"colorspace C{val}: only C444 (full-resolution "
+                "planes) is supported — a subsampled stream needs a "
+                "real chroma resampler"
+            )
+    if not w or not h:
+        raise ValueError("YUV4MPEG2 header missing W/H")
+    frame_bytes = w * h * 3
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        if data[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        fnl = data.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("unterminated FRAME header")
+        body = data[fnl + 1:fnl + 1 + frame_bytes]
+        if len(body) != frame_bytes:
+            raise ValueError(
+                f"truncated frame: {len(body)} of {frame_bytes} bytes"
+            )
+        planes = np.frombuffer(body, dtype=np.uint8).reshape(3, h, w)
+        frames.append(np.transpose(planes, (1, 2, 0)))
+        pos = fnl + 1 + frame_bytes
+    if not frames:
+        raise ValueError("YUV4MPEG2 stream carries no frames")
+    return np.stack(frames), w, h, (num, den)
+
+
+#: Text→Y4M convention (the I3 driver key): 16x4 C444 frames, so one
+#: frame consumes 16*4*3 = 192 text bytes — frame f, plane c,
+#: position (y, x) reads byte f*192 + c*64 + y*16 + x, zero-padded.
+TEXT_Y4M_W = 16
+TEXT_Y4M_H = 4
+
+
+def text_bytes_to_y4m(raw: bytes) -> bytes:
+    """Deterministic text→Y4M builder (the driver-key convention);
+    zero-length text still encodes one all-zero frame."""
+    fb = TEXT_Y4M_W * TEXT_Y4M_H * 3
+    n = max(1, -(-len(raw) // fb))
+    buf = np.zeros(n * fb, dtype=np.uint8)
+    buf[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+    frames = buf.reshape(n, 3, TEXT_Y4M_H, TEXT_Y4M_W)
+    return encode_y4m(np.transpose(frames, (0, 2, 3, 1)))
+
+
+def attach_y4m_payload(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """documents → (id, payload=Y4M of the text bytes)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "payload": [
+                        text_bytes_to_y4m(("" if t is None else t).encode())
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        build, schema=f"{id_col} long, payload binary"
+    )
+
+
+def sample_video_frames(
+    df: DataFrame,
+    *,
+    every_k: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, Y4M payload) → one row per SAMPLED frame (every
+    ``every_k``-th, frame 0 always included): frame_idx, the frame's
+    full pixel sum, and its Y-plane (luma) sum — the plane slice a
+    decoder that mis-walks the planar layout gets wrong. The 1→N
+    fan-out contract that distinguishes mapInPandas from a scalar
+    pandas_udf; embarrassingly parallel, no shuffle."""
+    if every_k < 1:
+        raise ValueError(f"every_k={every_k}: needs >= 1")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums, ysums = [], [], [], []
+            for doc_id, buf in zip(pdf[id_col], pdf[payload_col]):
+                frames, _w, _h, _rate = decode_y4m(bytes(buf))
+                for i in range(0, frames.shape[0], every_k):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sums.append(int(frames[i].sum(dtype=np.int64)))
+                    ysums.append(
+                        int(frames[i, :, :, 0].sum(dtype=np.int64))
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "px_sum": pd.Series(sums, dtype="int64"),
+                    "y_sum": pd.Series(ysums, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        sample,
+        schema=f"{id_col} long, frame_idx int, px_sum long, y_sum long",
+    )

@@ -7,10 +7,11 @@ BMP and PCM WAV codecs in ``operators/multimodal`` (header parse,
 row-flip/BGR/chunk-walk and all), fed by real bytes built from each
 document's text. As of r17 the I2 resize key runs the REAL
 pixel path too (decode → nearest-neighbor grid → re-encode →
-re-decode → feature, one Arrow stage). The remaining keys (I1
-byte-meta, I3 frame sampling) keep deterministic byte-level
-stand-ins for the entropy-coded formats a codec library would
-handle; their Spark-side plumbing — binary column construction,
+re-decode → feature, one Arrow stage) and the I3 key samples frames
+from a REAL YUV4MPEG2 C444 stream (header/FRAME-marker/planar-slice
+parse — the public uncompressed container; entropy-coded codecs stay
+out of scope with no decoder libs in-container). The I1 byte-meta
+key keeps its deterministic byte-level decode core; their Spark-side plumbing — binary column construction,
 output schema, Arrow batch iteration, 1→1 / 1→N shapes — is real and
 identical to what a PIL/ffmpeg featurizer would use (the
 byte-level resize sibling that re-emits BMP payloads lives in
@@ -143,15 +144,14 @@ def multimodal_image_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# I2-I4 — the remaining multimodal verbs: resize (REAL pixel path as
-# of r17), frame-sample, audio features. The I3 decode core is a
-# deterministic stand-in (no video container in scope); schemas,
-# Arrow batch iteration, and the 1→1 / 1→N / 1→arrays output shapes
-# are the real contracts a PIL/ffmpeg/librosa implementation drops
-# into. Every one gets a full DuckDB oracle (documents.text is ASCII
-# in the testdata, so VARCHAR substr/ord/md5 equal the byte-level
-# operations on the utf-8 payload — asserted in tests, NULL-poisoned
-# in the oracles).
+# I2-I4 — the remaining multimodal verbs: resize (REAL pixel path,
+# r17), frame-sample (REAL Y4M parse, r17), audio features (REAL WAV
+# parse, r16). Schemas, Arrow batch iteration, and the 1→1 / 1→N /
+# 1→arrays output shapes are the contracts a PIL/ffmpeg/librosa
+# implementation drops into. Every key gets a full DuckDB oracle
+# (documents.text is ASCII in the testdata, so VARCHAR substr/ord
+# equal the byte-level operations on the utf-8 payload — asserted in
+# tests, NULL-poisoned in the oracles).
 # --------------------------------------------------------------------------
 
 RESIZE_ORACLE = """
@@ -237,56 +237,70 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 FRAME_SAMPLE_ORACLE = """
 WITH f AS (
   SELECT doc_id, text,
-         greatest(
-           1, CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT)
-         ) AS n_frames
+         octet_length(encode(text)) AS n,
+         octet_length(encode(text)) = length(text) AS is_ascii,
+         greatest(1, CAST(ceil(octet_length(encode(text)) / 192.0)
+                          AS BIGINT)) AS n_frames
   FROM documents
 ),
 x AS (
-  SELECT doc_id, text, unnest(range(0, n_frames, 4)) AS i FROM f
+  SELECT doc_id, text, n, is_ascii,
+         unnest(range(0, n_frames, 4)) AS i
+  FROM f
+),
+p AS (
+  SELECT doc_id, text, n, is_ascii, i,
+         unnest(range(i * 192, (i + 1) * 192)) AS b
+  FROM x
+),
+s AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN b >= n THEN 0
+                  WHEN NOT is_ascii THEN NULL
+                  ELSE ord(substr(text, CAST(b + 1 AS INTEGER), 1))
+             END) AS px_sum,
+         SUM(CASE WHEN b - i * 192 >= 64 THEN 0
+                  WHEN b >= n THEN 0
+                  WHEN NOT is_ascii THEN NULL
+                  ELSE ord(substr(text, CAST(b + 1 AS INTEGER), 1))
+             END) AS y_sum
+  FROM p GROUP BY doc_id, i
 )
 SELECT doc_id,
        CAST(i AS INTEGER) AS frame_idx,
-       CASE WHEN octet_length(encode(text)) <> length(text)
-            THEN NULL
-            ELSE substr(md5(substr(text, i * 1024 + 1, 1024)), 1, 8)
-       END AS frame_sig
-FROM x
+       CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(y_sum AS BIGINT) AS y_sum
+FROM s
 """
 
 
 @query("multimodal_frame_sample_stub", FRAME_SAMPLE_ORACLE)
 def multimodal_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1→N featurizer: sample every Kth 'frame' of a 'video' payload.
-
-    Real version: ffmpeg keyframe extraction. The stub treats each
-    1 KiB slice as a frame and emits one output row per sampled frame —
-    the fan-out contract (output rows ≠ input rows) that distinguishes
-    mapInPandas from a scalar pandas_udf.
+    """I3 through a REAL video container (r17; the key name keeps its
+    historical ``_stub`` suffix for driver-artifact continuity): build
+    a real YUV4MPEG2 C444 stream per document from its text bytes
+    (16x4 frames — 192 bytes each, planar Y/Cb/Cr, zero-padded), then
+    ``sample_video_frames`` PARSES the stream — signature, header
+    token walk, per-frame FRAME markers, planar slicing — and emits
+    one row per 4th frame with the frame's pixel sum and its Y-plane
+    (luma) sum, the value a decoder that mis-walks the planar layout
+    gets wrong. The 1→N fan-out contract is unchanged from r16; the
+    decode is no longer a 1-KiB-slice stand-in. The oracle restates
+    the same sums from the text convention (frame f plane c position
+    (y, x) reads byte f*192 + c*64 + y*16 + x; pad contributes 0),
+    NULL-poisoned on non-ASCII text. Entropy-coded codecs stay out of
+    scope (no decoder libs in-container); Y4M is the public
+    uncompressed container every ffmpeg rawvideo pipeline speaks. At
+    100 TB real .y4m payloads arrive via K14 binaryFile; the sampler
+    is one narrow mapInPandas — no shuffle.
     """
-    FRAME_BYTES, EVERY_K = 1024, 4
-    d = t(spark, sf_dir, "documents")
-    payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-
-    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
-        for pdf in batches:
-            out_doc, out_idx, out_sig = [], [], []
-            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = max(1, (len(buf) + FRAME_BYTES - 1) // FRAME_BYTES)
-                for i in range(0, n_frames, EVERY_K):
-                    frame = bytes(buf[i * FRAME_BYTES:(i + 1) * FRAME_BYTES])
-                    out_doc.append(doc_id)
-                    out_idx.append(i)
-                    out_sig.append(hashlib.md5(frame).hexdigest()[:8])
-            yield pd.DataFrame(
-                {"doc_id": out_doc, "frame_idx": out_idx, "frame_sig": out_sig}
-            )
-
-    return payload.mapInPandas(
-        _sample, schema="doc_id long, frame_idx int, frame_sig string"
+    from drive_bc_datapipeline_spark.operators.multimodal import (
+        attach_y4m_payload,
+        sample_video_frames,
     )
+
+    d = t(spark, sf_dir, "documents")
+    return sample_video_frames(attach_y4m_payload(d), every_k=4)
 
 
 AUDIO_ORACLE = """

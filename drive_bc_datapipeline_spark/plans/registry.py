@@ -197,6 +197,11 @@ GATE_PIN: dict[str, int] = {
     # px_sum/top_left_r columns, oracle restates the grid math from
     # the text convention) — must earn a fresh green row:
     "multimodal_resize_stub": 17,
+    # round-17 plan change: the I3 frame-sample key replans from the
+    # 1-KiB-slice stand-in to a REAL YUV4MPEG2 parse (new
+    # px_sum/y_sum columns; oracle restates the planar layout from
+    # the text convention) — must earn a fresh green row:
+    "multimodal_frame_sample_stub": 17,
 }
 
 

@@ -1164,3 +1164,26 @@ def test_ccnet_job_order_4_and_5_arms(spark, tmp_path):
         run_ccnet_prefilter(
             spark, docs, ref, str(tmp_path / "bad6"), lm_order=6
         )
+
+
+def test_ngram_chain_plan_shapes(spark, lm):
+    """The order-5 plan keeps the documented shape: no cartesian, no
+    Python, 2(k-1)+1 = 9 broadcast-able left joins over vocabulary-
+    bounded checkpointed tables, no windows."""
+    from drive_bc_datapipeline_spark.operators.lm_score import (
+        ngram_lm_table,
+        score_docs_under_ngram_chain,
+    )
+
+    ref = spark.createDataFrame(REF, "doc_id long, text string")
+    docs = spark.createDataFrame(
+        DOCS, "doc_id long, source string, text string"
+    )
+    tables = [lm] + [ngram_lm_table(ref, k=m) for m in range(2, 6)]
+    scored = score_docs_under_ngram_chain(docs, tables)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    for bad in ("CartesianProduct", "BatchEvalPython", "ArrowEval",
+                "Window"):
+        assert bad not in plan, plan
+    # the tuple-count pins: the checkpointed tables feed both halves
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan

@@ -466,3 +466,102 @@ def test_documents_text_is_ascii():
             "WHERE octet_length(encode(text)) <> length(text)"
         ).fetchone()[0]
         assert n_bad == 0, (sf, n_bad)
+
+
+# ---------------------------------------------------------------------------
+# r17 — REAL Y4M (YUV4MPEG2) video container for the I3 key.
+# ---------------------------------------------------------------------------
+
+
+def test_y4m_roundtrip_and_rejects():
+    """Byte-level codec contract: exact round-trip at C444, frame
+    parameters tolerated, non-C444 / truncated / marker-less streams
+    rejected by name."""
+    import numpy as np
+    import pytest
+
+    from drive_bc_datapipeline_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    fr = rng.integers(0, 256, (5, 4, 6, 3), dtype=np.uint8)
+    enc = mm.encode_y4m(fr, rate=(30, 1))
+    assert enc.startswith(b"YUV4MPEG2 W6 H4 F30:1")
+    dec, w, h, rate = mm.decode_y4m(enc)
+    assert (dec == fr).all() and (w, h, rate) == (6, 4, (30, 1))
+    # frame parameters after the marker are legal per spec
+    dec2, *_ = mm.decode_y4m(enc.replace(b"FRAME\n", b"FRAME Xt\n", 1))
+    assert (dec2 == fr).all()
+    with pytest.raises(ValueError, match="signature"):
+        mm.decode_y4m(b"JUNKSTREAM\n")
+    with pytest.raises(ValueError, match="C420"):
+        mm.decode_y4m(b"YUV4MPEG2 W4 H4 C420\nFRAME\n" + b"x" * 48)
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_y4m(enc[:-5])
+    with pytest.raises(ValueError, match="FRAME marker"):
+        mm.decode_y4m(enc[: enc.index(b"FRAME")] + b"XXXXX\n")
+    with pytest.raises(ValueError, match="need"):
+        mm.encode_y4m(fr[0])
+
+
+def test_text_y4m_convention_and_sampler(spark):
+    """The text→Y4M convention byte map (frame f plane c pos (y,x) =
+    byte f*192 + c*64 + y*16 + x) and the sampler's plane slicing vs
+    a numpy reference."""
+    import numpy as np
+
+    from drive_bc_datapipeline_spark.operators import multimodal as mm
+
+    raw = bytes(range(256)) * 4  # 1024 bytes → 6 frames
+    y = mm.text_bytes_to_y4m(raw)
+    frames, w, h, _ = mm.decode_y4m(y)
+    assert (w, h) == (16, 4)
+    n = max(1, -(-len(raw) // 192))
+    assert frames.shape == (n, 4, 16, 3)
+    flat = np.zeros(n * 192, dtype=np.uint8)
+    flat[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+    for f in range(n):
+        for c in range(3):
+            want = flat[f * 192 + c * 64 : f * 192 + (c + 1) * 64]
+            assert (frames[f, :, :, c].ravel() == want).all(), (f, c)
+    # empty text still encodes one all-zero frame
+    f0, *_ = mm.decode_y4m(mm.text_bytes_to_y4m(b""))
+    assert f0.shape == (1, 4, 16, 3) and f0.sum() == 0
+
+    df = spark.createDataFrame(
+        [(1, bytearray(y))], "doc_id long, payload binary"
+    )
+    rows = {
+        r.frame_idx: r
+        for r in mm.sample_video_frames(df, every_k=4).collect()
+    }
+    assert sorted(rows) == [0, 4]
+    for i in (0, 4):
+        seg = flat[i * 192 : (i + 1) * 192]
+        assert rows[i].px_sum == int(seg.sum())
+        assert rows[i].y_sum == int(seg[:64].sum())
+    import pytest
+
+    with pytest.raises(ValueError, match="every_k"):
+        mm.sample_video_frames(df, every_k=0)
+
+
+def test_frame_sample_key_matches_text_bytes(spark):
+    """The I3 driver key end-to-end at sf0.001: sampled-frame sums
+    equal the text-byte arithmetic the oracle states."""
+    df = QUERIES["multimodal_frame_sample_stub"](spark, SF)
+    rows = {(r.doc_id, r.frame_idx): r for r in df.collect()}
+    src = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    assert {d for d, _i in rows} == set(src)
+    for doc_id, text in list(src.items())[:15]:
+        b = text.encode("utf-8")
+        n_frames = max(1, -(-len(b) // 192))
+        idxs = list(range(0, n_frames, 4))
+        assert sorted(i for d, i in rows if d == doc_id) == idxs
+        for i in idxs:
+            seg = b[i * 192 : (i + 1) * 192]
+            r = rows[(doc_id, i)]
+            assert r.px_sum == sum(seg), (doc_id, i)
+            assert r.y_sum == sum(seg[:64]), (doc_id, i)

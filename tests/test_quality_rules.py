@@ -709,7 +709,7 @@ def test_ccnet_prefilter_with_rule_screen(spark, tmp_path):
     sink = str(tmp_path / "ccr_sink")
     sp.versioned_gate_batch_writer(
         sink, model_dir, sp._ccnet_kept_of_manifest(spark)
-    )(docs.withColumnRenamed("x", "x"), 0)
+    )(docs, 0)
     got = sorted(
         r["doc_id"] for r in sp.read_committed(spark, sink).collect()
     )
