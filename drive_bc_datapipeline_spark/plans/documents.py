@@ -306,11 +306,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtrees, and checkpoint blocks are freed by the ContextCleaner
     # when the DataFrame is collected, instead of pinning CacheManager
     # storage for the session.
-    # No spread: A/B-measured SLOWER here (r11, tools/ab_spread.py —
-    # 3.7s off vs 4.5s on at sf0.1); the 8-byte-hash projection is
-    # cheap enough that the extra exchange dominates.
+    # spread(by=doc_id) re-instated r17: the r11 A/B (3.7s off vs 4.5s
+    # on) predates the r17 event-log profile, which shows the
+    # UNSPREAD checkpoint pinning a 1-partition layout onto every
+    # downstream stage — the shingle build (one task) and the
+    # join+collect_set+pair-expansion stage (one task, the single
+    # largest stage in the whole bench) both serialized on one core
+    # while 31 idled. The r11 arm measured round-robin spread() (local
+    # sort of wide text rows); the by="doc_id" hash arm skips that
+    # sort (guide §2.5, the r11 minhash finding). A/B: see
+    # OPTIMIZATION_r17.md. At 100 TB the scan is naturally wide and
+    # spread() is a no-op.
     shingles = (
-        word_ngrams(d, NGRAM_N, distinct=False)
+        word_ngrams(spread(d, by="doc_id"), NGRAM_N, distinct=False)
         .select("doc_id", F.xxhash64("shingle").alias("h"))
         .localCheckpoint(eager=True)
     )
@@ -516,8 +524,17 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2.4s steady at sf0.1 vs ~3.0s for the old explode+groupBy plan
     (~1.2x; the md5 work per doc is unchanged — the win is the removed
     shuffle, which is what matters at 100 TB). A/B-verified
-    row-identical before the swap."""
-    d = t(spark, sf_dir, "documents")
+    row-identical before the swap.
+
+    r17: spread(by=doc_id) ahead of the projection — the event-log
+    profile showed the whole key as ONE task (single-row-group scan;
+    the per-character md5 transform runs through the interpreted
+    higher-order-function path, not codegen), 31 cores idle. The
+    exchange moves 5000 short rows; the md5 work then fans out. At
+    100 TB the scan is wide and spread() no-ops, so the
+    zero-shuffle-projection story is unchanged. A/B: see
+    OPTIMIZATION_r17.md."""
+    d = spread(t(spark, sf_dir, "documents"), by="doc_id")
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length("text") - (FP_W - 1), F.lit(1))),
         lambda i: F.substring(F.col("text"), i, FP_W),
@@ -775,10 +792,14 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {SH_HAMMING_MAX}
 
 @query("dedup_simhash", SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    # No spread: A/B-measured SLOWER (r11, tools/ab_spread.py — 2.5s
-    # off vs 2.9s on at sf0.1); light tokenize + partial agg is the
-    # profile the r10 A/B already showed doesn't pay for the exchange.
+    # spread(by=doc_id) re-instated r17: the r11 "slower" A/B ran the
+    # round-robin arm (local sort of wide text rows before the
+    # exchange); the r17 event-log profile showed the simhash
+    # two-level aggregation as ONE 1.25s task (the checkpoint pins
+    # the single-row-group scan layout downstream). The by="doc_id"
+    # hash arm skips the sort. A/B: see OPTIMIZATION_r17.md. At
+    # 100 TB the scan is wide and spread() no-ops.
+    d = spread(t(spark, sf_dir, "documents"), by="doc_id")
     toks = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
@@ -1107,7 +1128,9 @@ GROUP BY doc_id
 
 @query("decontaminate_eval", DECON_ORACLE)
 def decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    # spread(by=doc_id) r17: the 8-gram shingle + md5-bucket projection
+    # ran single-task on the local one-row-group scan; no-op at 100 TB.
+    d = spread(t(spark, sf_dir, "documents"), by="doc_id")
     bucket = F.expr(
         _SPLIT_BUCKET_SQL.replace("CAST(doc_id AS VARCHAR)", "CAST(doc_id AS STRING)")
     )
@@ -1159,7 +1182,9 @@ GROUP BY doc_id
 
 @query("doc_repetition_score", REPETITION_ORACLE)
 def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    # spread(by=doc_id) r17: the REP_N gram build ran single-task on
+    # the local one-row-group scan; no-op at 100 TB.
+    d = spread(t(spark, sf_dir, "documents"), by="doc_id")
     grams = word_ngrams(d, REP_N, distinct=False)
     return (
         grams.groupBy("doc_id")
@@ -1745,7 +1770,9 @@ GROUP BY a.source, b.source
 
 @query("cross_source_content_overlap", SOURCE_OVERLAP_ORACLE)
 def cross_source_content_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    # spread(by=doc_id) r17: tokenize+shingle+hash ran single-task on
+    # the local one-row-group scan; no-op at 100 TB.
+    d = spread(t(spark, sf_dir, "documents"), by="doc_id")
     # Hash shingles to 64 bits BEFORE the distinct and the self-join
     # (the F3 hash-early pattern): both shuffles then carry fixed-width
     # keys instead of N-word strings. The join key is (h, shingle
@@ -2443,7 +2470,9 @@ LIMIT 20
 
 @query("token_cooccurrence_topk", COOCCUR_ORACLE)
 def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    # spread(by=doc_id) r17: the in-array pair expansion ran single-task
+    # on the local one-row-group scan; no-op at 100 TB.
+    d = spread(t(spark, sf_dir, "documents"), by="doc_id")
     toks = d.select(
         "doc_id",
         F.array_sort(
@@ -2837,7 +2866,9 @@ LIMIT {POSTINGS_TOP}
 
 @query("inverted_index_postings", INVERTED_INDEX_ORACLE)
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    # spread(by=doc_id) r17: the tokenize explode ran single-task on
+    # the local one-row-group scan; no-op at 100 TB.
+    d = spread(t(spark, sf_dir, "documents"), by="doc_id")
     tok = d.select(
         "doc_id",
         F.explode(
@@ -2923,11 +2954,23 @@ n0 AS (
 
 @query("kcore_peeling", KCORE_ORACLE)
 def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r17 replan: per-round localCheckpoint on the peeled edge/node
+    frames. The unrolled loop previously rebuilt each round's frames
+    from the round-0 lineage, so the final union's physical plan held
+    ~110 exchanges / ~100 sort-merge joins for 3 peel rounds (plan
+    size grows quadratically with rounds — guide §3.3's
+    planning-time trap; at real scale the re-executed prefix is also
+    recomputed work AQE's exchange reuse only partially dedupes).
+    Checkpointing each round keeps the plan linear: the counters
+    union reads 8 one-row aggregates over pinned, bounded frames.
+    Same arithmetic, same oracle, identical rows."""
     edges = simhash_pairs(spark, sf_dir).select(
         F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v")
     ).localCheckpoint(eager=True)
     nodes = (
-        edges.select(F.explode(F.array("u", "v")).alias("node")).distinct()
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     rounds = []
     for r in range(KCORE_ROUNDS + 1):
@@ -2946,10 +2989,18 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        nodes = deg.filter(F.col("d") >= KCORE_K).select("node")
-        edges = edges.join(
-            nodes.withColumnRenamed("node", "u"), "u", "left_semi"
-        ).join(nodes.withColumnRenamed("node", "v"), "v", "left_semi")
+        nodes = (
+            deg.filter(F.col("d") >= KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        edges = (
+            edges.join(
+                nodes.withColumnRenamed("node", "u"), "u", "left_semi"
+            )
+            .join(nodes.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
     out = rounds[0]
     for frame in rounds[1:]:
         out = out.unionAll(frame)
@@ -3034,7 +3085,9 @@ LIMIT {WIN_TOP}
 
 @query("winnowing_fingerprint_pairs", WINNOW_ORACLE)
 def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    # spread(by=doc_id) r17: gram build + window ran single-task on the
+    # local one-row-group scan (event-log profile); no-op at 100 TB.
+    d = spread(t(spark, sf_dir, "documents"), by="doc_id")
     arr = F.filter(F.split("text", " "), lambda x: x != "")
     # guard: Spark's sequence() runs DESCENDING when end < start, so an
     # under-k doc must produce an empty gram array, not a reversed one
@@ -3404,7 +3457,11 @@ def substring_dup_mass_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         duplicated_span_stats,
     )
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # spread(by=doc_id) r17: the stride-1 window-hash gram stream ran
+    # single-task on the local one-row-group scan; no-op at 100 TB.
+    d = spread(t(spark, sf_dir, "documents"), by="doc_id").select(
+        "doc_id", "source", "text"
+    )
     stats = duplicated_span_stats(
         d, min_len=SUBSTR_L, carry_cols=("source",)
     )
@@ -3469,6 +3526,11 @@ def eval_containment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     you'd additionally df-cap pathological boilerplate 8-grams; the
     synthetic corpus has none, and the cap would only REMOVE
     non-discriminative keys from the join, as F3 documents.
+
+    r17: spread A/B-measured SLOWER here (interleaved min-of-3: on
+    6.9s vs off 4.3s under load; the one equi-join already re-spreads
+    the shingle stream and the projection is cheap enough that the
+    extra exchange dominates) — left unspread.
     """
     d = t(spark, sf_dir, "documents")
     bucket = F.expr(
@@ -3564,7 +3626,9 @@ def incremental_dedup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
       per-batch-doc overlap, containment vs the batch doc's own
       shingle count.
     """
-    d = t(spark, sf_dir, "documents")
+    # spread(by=doc_id) r17: md5 + 8-gram shingles ran single-task on
+    # the local one-row-group scan; no-op at 100 TB.
+    d = spread(t(spark, sf_dir, "documents"), by="doc_id")
     bucket = F.expr(
         _SPLIT_BUCKET_SQL.replace(
             "CAST(doc_id AS VARCHAR)", "CAST(doc_id AS STRING)"
@@ -3796,8 +3860,14 @@ def llm_data_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs come from the F2 plan (banded, candidate-verified); the
     contamination semi-join is F8's cost. Everything downstream of
     those joins is |dropped-ids|-sized.
+
+    r17: spread(by=doc_id) ahead of the flags checkpoint — the eager
+    checkpoint pins the scan's partitioning onto every downstream
+    subtree (md5 canon, DECON_N shingles, eval shingles), which on the
+    local single-row-group layout serialized them all on one core.
+    No-op at 100 TB (wide scan). A/B: see OPTIMIZATION_r17.md.
     """
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"), by="doc_id")
     bucket = F.expr(
         _SPLIT_BUCKET_SQL.replace(
             "CAST(doc_id AS VARCHAR)", "CAST(doc_id AS STRING)"

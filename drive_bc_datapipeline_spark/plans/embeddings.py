@@ -534,8 +534,11 @@ WHERE ({_dot_terms_sql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm)
 
 @query("dedup_embedding_lsh", EMB_LSH_DEDUP_ORACLE)
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread(by=vec_id) r17: the within-bucket pair verification (64-d
+    # fold per candidate pair) ran on the probe side's single scan
+    # partition (event-log profile: one task); no-op at 100 TB.
     e = (
-        t(spark, sf_dir, "embeddings")
+        spread(t(spark, sf_dir, "embeddings"), by="vec_id")
         .withColumn("emb_d", F.transform("embedding", lambda x: x.cast("double")))
         .withColumn("nrm", _norm_spark("embedding"))
         .withColumn("bucket", _bucket_spark("embedding"))
@@ -2342,20 +2345,46 @@ def _pq_wide_codes(codes: DataFrame) -> DataFrame:
 
 
 def _pq_adc_join(scored: DataFrame, lut: DataFrame) -> DataFrame:
-    """Chain the M broadcast LUT joins onto a code frame. If the frame
-    has no query_id yet (G18's full scan), the first join fans it out
-    by query; if it already carries query_id (G20's IVF candidates),
-    every join is map-side on (query_id, code_m)."""
-    fan_out = "query_id" not in scored.columns
+    """Attach the M per-subspace LUT distances to a code frame with
+    ONE broadcast join (r17 replan; was M=8 chained broadcast joins,
+    each a separate broadcast build + AQE stage — 16 extra jobs per
+    run at two call sites). The LUT collapses to one |queries|-row
+    frame holding a (sub·K + cluster) → d map; each d_m is then an
+    in-row element_at. If the code frame has no query_id yet (G18's
+    full scan) the single join is the |queries|-way fan-out the old
+    code0 join performed; if it already carries query_id (G20's IVF
+    candidates) the join is map-side on query_id. Lookups can't miss:
+    codes only ever name clusters present in the codebook, and the
+    LUT covers every (query, sub, codebook-cluster) combination, so
+    inner-join semantics are preserved exactly. d stays an integer
+    (grid-exact), so the downstream sum is order-insensitive."""
+    lut_map = lut.groupBy("query_id").agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (F.col("sub") * PQ_K + F.col("cluster"))
+                        .cast("int")
+                        .alias("k"),
+                        F.col("d").alias("v"),
+                    )
+                )
+            )
+        ).alias("__lut")
+    )
+    if "query_id" in scored.columns:
+        scored = scored.join(F.broadcast(lut_map), "query_id")
+    else:
+        scored = scored.crossJoin(F.broadcast(lut_map))
     for m in range(PQ_M):
-        lm = lut.filter(F.col("sub") == m).select(
-            "query_id",
-            F.col("cluster").alias(f"code{m}"),
-            F.col("d").alias(f"d{m}"),
+        scored = scored.withColumn(
+            f"d{m}",
+            F.element_at(
+                F.col("__lut"),
+                (F.lit(m * PQ_K) + F.col(f"code{m}")).cast("int"),
+            ),
         )
-        on = [f"code{m}"] if fan_out and m == 0 else ["query_id", f"code{m}"]
-        scored = scored.join(F.broadcast(lm), on)
-    return scored
+    return scored.drop("__lut")
 
 
 @query("ann_pq_topk", PQ_ORACLE)

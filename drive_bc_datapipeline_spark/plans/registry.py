@@ -202,6 +202,17 @@ GATE_PIN: dict[str, int] = {
     # px_sum/y_sum columns; oracle restates the planar layout from
     # the text convention) — must earn a fresh green row:
     "multimodal_frame_sample_stub": 17,
+    # round-17 OPTIMIZATION replans (results oracle-identical, plans
+    # changed — each must earn a fresh green row):
+    # ADC LUT collapse: M chained broadcast joins -> ONE broadcast
+    # map-lookup join (snapshot regenerated):
+    "ann_pq_topk": 17,
+    # spread(by=doc_id) re-parallelization of the single-row-group
+    # local scan (profile: the whole key ran as one task):
+    "doc_fingerprint": 17,
+    # per-round localCheckpoint in the peel loop (plan was growing
+    # quadratically with rounds — ~110 exchanges for 3 rounds):
+    "kcore_peeling": 17,
 }
 
 
@@ -336,19 +347,48 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+#: (session id, path, mtime_ns, size) -> (session, lazy DataFrame).
+#: METADATA memo only: a DataFrame is an unresolved plan, so every
+#: action against a memoized frame still scans the parquet — nothing
+#: here caches results or intermediates. What it skips is the
+#: ``spark.read.parquet`` footer read + file listing that each of the
+#: ~252 ``t()`` calls per bench pass repaid for the same 10 static
+#: files (~40-80ms each — r17 micro-bench, tens of seconds across the
+#: 3-pass bench). The stat() in the key invalidates the entry if a
+#: file is rewritten in place (tmp-dir test fixtures), and keying on
+#: the session object keeps frames from leaking across sessions. The
+#: 100 TB analogue is the catalog/file-index cache every real
+#: metastore-backed table already has (guide §6: avoid re-listing).
+_TCACHE: dict[tuple[int, str, int, int], tuple[SparkSession, DataFrame]] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table (lazy parquet scan).
+    """Load one testdata table (lazy parquet scan, metadata-memoized).
 
     ``events.ts`` is normalized to TIMESTAMP(µs) regardless of the
     on-disk encoding (µs timestamps pass through; NANOS files are read
     as raw longs and truncated) — see ``tables.read_events``.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        key = (id(spark), path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None:
+        hit = _TCACHE.get(key)
+        # identity check guards against id() reuse after a session GC
+        if hit is not None and hit[0] is spark:
+            return hit[1]
     if name == "events":
         from drive_bc_datapipeline_spark.tables import read_events
 
-        return read_events(spark, path)
-    return spark.read.parquet(path)
+        df = read_events(spark, path)
+    else:
+        df = spark.read.parquet(path)
+    if key is not None:
+        _TCACHE[key] = (spark, df)
+    return df
 
 
 def load_all_plans() -> None:
