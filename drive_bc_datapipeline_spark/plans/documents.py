@@ -306,19 +306,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtrees, and checkpoint blocks are freed by the ContextCleaner
     # when the DataFrame is collected, instead of pinning CacheManager
     # storage for the session.
-    # spread(by=doc_id) re-instated r17: the r11 A/B (3.7s off vs 4.5s
-    # on) predates the r17 event-log profile, which shows the
-    # UNSPREAD checkpoint pinning a 1-partition layout onto every
-    # downstream stage — the shingle build (one task) and the
-    # join+collect_set+pair-expansion stage (one task, the single
-    # largest stage in the whole bench) both serialized on one core
-    # while 31 idled. The r11 arm measured round-robin spread() (local
-    # sort of wide text rows); the by="doc_id" hash arm skips that
-    # sort (guide §2.5, the r11 minhash finding). A/B: see
-    # OPTIMIZATION_r17.md. At 100 TB the scan is naturally wide and
-    # spread() is a no-op.
+    # No spread — settled for the third time r17: a mid-round commit
+    # briefly re-instated spread(by=doc_id) off an event-log profile
+    # (the unspread checkpoint pins a 1-partition layout downstream),
+    # but four interleaved A/Bs kept reading off <= on (r11: 3.7 vs
+    # 4.5; r17 idle runs: 2.77 vs 3.41, 4.87 vs 4.85, 3.30 vs 3.25 —
+    # two clear, two wash) and the post-commit bench regressed the key
+    # +0.63s along with its graph consumers (dedup_clusters_lsss,
+    # dedup_connected_components re-derive the pair relation). The
+    # downstream stages re-balance anyway: the df-count aggregate's
+    # own exchange follows immediately, so the spread exchange is pure
+    # extra cost here, unlike the keys whose heavy work sits directly
+    # on the checkpoint layout. A/B: OPTIMIZATION_r17.md entry 6.
     shingles = (
-        word_ngrams(spread(d, by="doc_id"), NGRAM_N, distinct=False)
+        word_ngrams(d, NGRAM_N, distinct=False)
         .select("doc_id", F.xxhash64("shingle").alias("h"))
         .localCheckpoint(eager=True)
     )

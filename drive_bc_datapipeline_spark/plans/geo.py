@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from drive_bc_datapipeline_spark.functions import geo as geo_fns
+from drive_bc_datapipeline_spark.tables import spread
 from drive_bc_datapipeline_spark.plans.registry import (
     query,
     r2,
@@ -206,7 +207,13 @@ FROM scored WHERE rnk = 1
 
 @query("geo_nearest_hub", NEAREST_HUB_ORACLE)
 def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
+    # spread(by=event_id) r17: the per-(point, hub) trig chain — the
+    # one CROSS-join-shaped geo key — otherwise runs on the scan's
+    # single local partition (r17 interleaved A/B min-of-3: on 0.498
+    # vs off 0.999; the other geo keys' per-row work is too light to
+    # pay for the exchange and they stay unspread — same A/B). No-op
+    # on multi-file corpora at 100 TB.
+    e = spread(t(spark, sf_dir, "events"), by="event_id")
     pts = e.select("event_id", _lat().alias("lat"), _lon().alias("lon"))
     hubs = pts.filter(F.col("event_id") < N_HUBS).select(
         F.col("event_id").alias("hub_id"),
@@ -278,7 +285,11 @@ GROUP BY b.box_id
 
 @query("geo_bbox_contains", BBOX_ORACLE)
 def geo_bbox_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
+    # spread(by=event_id) r17: the broadcast range join fans each point
+    # across the box table — the fan-out ran on the scan's single
+    # local partition (r17 interleaved A/B min-of-3: on 0.864 vs off
+    # 1.063). No-op on multi-file corpora at 100 TB.
+    e = spread(t(spark, sf_dir, "events"), by="event_id")
     pts = e.select(_lat().alias("lat"), _lon().alias("lon"))
     boxes = spark.createDataFrame(
         BOXES, "box_id INT, lat_lo DOUBLE, lat_hi DOUBLE, "

@@ -74,13 +74,14 @@ GATE_PIN: dict[str, int] = {
     "dedup_clusters_lsss": 7,
     "dup_cluster_size_histogram": 7,
     "dup_graph_triangles": 7,
-    "kcore_peeling": 7,
     "llm_data_prep_funnel": 7,
     # round-7 pinned-subtree replans (FileScan-count cuts):
+    # (kcore_peeling and ann_pq_topk were round-7 pins too — their
+    # r17 optimization re-pins below supersede them; each key appears
+    # once per the duplicate-literal hygiene rule above):
     "kmeans_embeddings": 7,
     "ann_ivf_topk": 7,
     "ann_ivf_recall_at_k": 7,
-    "ann_pq_topk": 7,
     "apply_mixture_sampling": 7,
     "chi2_type_by_dow": 7,
     "mutual_info_type_hour": 7,
@@ -107,8 +108,8 @@ GATE_PIN: dict[str, int] = {
     # (r11 verdict hygiene item — the duplicate literals were F601-class
     # noise, behavior unchanged since Python kept the later value):
     # round-9 replan: fingerprint min folded in-row (array_min) —
-    # explode+groupBy removed, zero-shuffle projection:
-    "doc_fingerprint": 9,
+    # explode+groupBy removed, zero-shuffle projection (that pin,
+    # value 9, is superseded by the r17 spread re-pin below):
     # round-10 replan: lexical candidate generation bounded (df screen
     # + rarest-M query terms — Lucene MLT shape); scores change (qsz
     # is now the capped set size), oracle updated symmetrically. That
