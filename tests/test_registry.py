@@ -140,3 +140,26 @@ def test_gate_pin_literal_has_no_duplicate_keys():
             if dups:
                 dup_sets.append(dups)
     assert dup_sets == []
+
+
+def test_t_memoizes_metadata_and_invalidates_on_rewrite(spark, tmp_path):
+    """r17: t() memoizes the LAZY DataFrame per (session, path, mtime,
+    size) — repeated calls skip the parquet footer re-read but every
+    action still scans the files (the memo holds an unresolved plan,
+    not results), and rewriting the file in place invalidates the
+    entry via the stat in the key."""
+    import time
+
+    sf_dir = str(tmp_path)
+    path = f"{sf_dir}/part.parquet"
+    spark.range(3).toDF("p_partkey").write.mode("overwrite").parquet(path)
+
+    df1 = registry.t(spark, sf_dir, "part")
+    assert registry.t(spark, sf_dir, "part") is df1  # memo hit
+    assert df1.count() == 3  # actions compute from the files
+
+    time.sleep(0.05)  # ensure the rewrite lands a new mtime_ns
+    spark.range(5).toDF("p_partkey").write.mode("overwrite").parquet(path)
+    df2 = registry.t(spark, sf_dir, "part")
+    assert df2 is not df1  # stat change invalidated the memo
+    assert df2.count() == 5  # fresh read reflects the rewrite
