@@ -198,6 +198,8 @@ def _verify_jaccard(
     cand: DataFrame,
     threshold: float,
     hash_col: str | None = None,
+    cand_docs: DataFrame | None = None,
+    pin_cand: bool = True,
 ) -> DataFrame:
     """Verify candidate pairs with exact Jaccard via per-doc hash sets.
 
@@ -217,6 +219,14 @@ def _verify_jaccard(
     (dedup_ngram_jaccard hashes before its blocking shuffles so every
     exchange carries 8-byte longs instead of shingle strings) pass its
     name to skip re-hashing here.
+
+    ``cand_docs`` (r18): callers whose blocking scheme lets them derive
+    the candidate-doc set WITHOUT consuming ``cand`` (e.g. ngram's
+    "every doc holding a rare shingle is in some pair") pass it here;
+    the docsets subtree then no longer depends on cand, which makes
+    ``pin_cand=False`` legal — cand is consumed exactly once (the
+    final join) and its pipeline runs lazily inside that job instead
+    of as an eager checkpoint barrier.
     """
     # Build hash-sets ONLY for docs that appear in some candidate pair:
     # blocking typically leaves a small fraction of the corpus as
@@ -231,12 +241,14 @@ def _verify_jaccard(
     # CacheManager for the whole session (one leaked cached plan per
     # invocation), while checkpoint blocks are freed by the
     # ContextCleaner when the returned DataFrame is garbage-collected.
-    cand = cand.localCheckpoint(eager=True)
-    cand_docs = (
-        cand.select(F.col("doc_id_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_id_b").alias("doc_id")))
-        .distinct()
-    )
+    if pin_cand or cand_docs is None:
+        cand = cand.localCheckpoint(eager=True)
+    if cand_docs is None:
+        cand_docs = (
+            cand.select(F.col("doc_id_a").alias("doc_id"))
+            .unionByName(cand.select(F.col("doc_id_b").alias("doc_id")))
+            .distinct()
+        )
     h = (
         F.col(hash_col) if hash_col is not None else F.xxhash64("shingle")
     )
@@ -342,7 +354,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_id_a", "p.doc_id_b")
         .distinct()
     )
-    return _verify_jaccard(shingles, cand, JACCARD_MIN, hash_col="h")
+    # r18 A/B knob (temporary): v1 = r17 shape (cand pinned, cand_docs
+    # derived from it); v2 = cand_docs from the rare screen (every doc
+    # holding a rare shingle IS in some pair: df>=2 pairs it with
+    # another holder, and every pair comes from a rare shingle — the
+    # sets are equal), cand UNPINNED (one fewer checkpoint barrier);
+    # v3 = cand_docs from rare, cand still pinned.
+    import os as _os
+
+    variant = _os.environ.get("SPARK_GRAFT_NGRAM_VARIANT", "v1")
+    if variant == "v1":
+        return _verify_jaccard(shingles, cand, JACCARD_MIN, hash_col="h")
+    cdocs = (
+        shingles.join(F.broadcast(rare), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return _verify_jaccard(
+        shingles,
+        cand,
+        JACCARD_MIN,
+        hash_col="h",
+        cand_docs=cdocs,
+        pin_cand=(variant == "v3"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2964,7 +2999,16 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputed work AQE's exchange reuse only partially dedupes).
     Checkpointing each round keeps the plan linear: the counters
     union reads 8 one-row aggregates over pinned, bounded frames.
-    Same arithmetic, same oracle, identical rows."""
+    Same arithmetic, same oracle, identical rows.
+
+    Side effect (r17 ADVICE, same caveat as spread()): the 8 eager
+    localCheckpoints run AT PLAN-BUILD TIME — fn() triggers jobs even
+    in explain/dump-only contexts. Every round's pinned blocks must
+    stay alive until the final counters union executes (each round's
+    counter row references that round's frames), so they are freed by
+    the ContextCleaner when the returned DataFrame is collected, not
+    incrementally — repeated builds in one session hold ~8 small
+    pinned frames each until GC."""
     edges = simhash_pairs(spark, sf_dir).select(
         F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v")
     ).localCheckpoint(eager=True)

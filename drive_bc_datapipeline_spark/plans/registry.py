@@ -360,7 +360,22 @@ def query(name: str, oracle: str | None = None):
 #: the session object keeps frames from leaking across sessions. The
 #: 100 TB analogue is the catalog/file-index cache every real
 #: metastore-backed table already has (guide §6: avoid re-listing).
+#:
+#: Granularity caveat (r17 ADVICE): the stat is on the ``.parquet``
+#: PATH the engine reads. For the single-file testdata that is the
+#: data file itself; if a DIRECTORY-shaped dataset were rewritten by
+#: mutating a part file in place without touching the directory entry
+#: (no create/rename/delete), the dir mtime/size can stay equal and a
+#: stale frame would be served — rewrite via fresh filenames (what
+#: Spark/DuckDB writers do) to invalidate.
+#:
+#: Bounded (r17 ADVICE): a long-lived process cycling many sessions
+#: (pytest) would otherwise accumulate strong references to stopped
+#: SparkSessions and their JVM-backed frames forever. FIFO-evict past
+#: ``_TCACHE_MAX`` — far above the ~10 live (session, table) pairs a
+#: bench or suite holds, so eviction never hits the hot path.
 _TCACHE: dict[tuple[int, str, int, int], tuple[SparkSession, DataFrame]] = {}
+_TCACHE_MAX = 64
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -369,6 +384,14 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is normalized to TIMESTAMP(µs) regardless of the
     on-disk encoding (µs timestamps pass through; NANOS files are read
     as raw longs and truncated) — see ``tables.read_events``.
+
+    Shared-object contract (r17 ADVICE): repeated ``t()`` calls for
+    one table return the IDENTICAL DataFrame object. A plan that joins
+    a table to itself with column-object predicates
+    (``df1[c] == df2[c]``) would hit Spark's ambiguous-self-join
+    analysis; use ``.alias()`` on each side (as the existing self-join
+    plans do) — do not rely on two ``t()`` calls producing independent
+    lineage.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
@@ -388,6 +411,8 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(path)
     if key is not None:
+        while len(_TCACHE) >= _TCACHE_MAX:
+            _TCACHE.pop(next(iter(_TCACHE)))
         _TCACHE[key] = (spark, df)
     return df
 

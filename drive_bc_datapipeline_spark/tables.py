@@ -106,11 +106,17 @@ def spread(
     to re-balance) is preserved; the repartition only exists in the
     degenerate local layout where the shuffle is bytes-trivial.
 
-    Contract: call this on FRESHLY-LOADED SCANS. The partition probe
-    goes through ``df.rdd``, which physically plans the frame — on a
-    frame with upstream exchanges, AQE executes those shuffle stages
-    eagerly at call time (a surprising side-effect job in plan-build
-    contexts); on a bare scan it is only an extra planning pass.
+    Contract: call this on FRESHLY-LOADED SCANS — and since r18 the
+    contract is ENFORCED, not comment-only (r17 verdict Next #7). The
+    partition probe goes through ``df.rdd``, which physically plans
+    the frame — on a frame with upstream exchanges, AQE executes those
+    shuffle stages eagerly at call time (a surprising side-effect job
+    in plan-build contexts); on a bare scan it is only an extra
+    planning pass. ``spread()`` therefore raises ``ValueError`` when
+    the input's analyzed plan contains anything beyond narrow
+    scan-shaped nodes (relation/project/filter), so a careless future
+    call site fails loudly instead of silently turning a lazy build
+    into a hidden job.
 
     ``by`` (r11): hash-partition on the named column instead of
     round-robin. Bare ``repartition(n)`` locally SORTS every row
@@ -130,9 +136,43 @@ def spread(
     r10-era plans keep their frozen shape; switch call sites as their
     keys rotate through the gate window.
     """
+    _assert_bare_scan(df)
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         if by is not None:
             return df.repartition(target, F.col(by))
         return df.repartition(target)
     return df
+
+
+#: Analyzed-plan node names a spread() input may contain: the narrow,
+#: scan-shaped operators whose ``.rdd`` probe is a pure planning pass
+#: (no exchange to execute, no job to trigger). ``Range`` is here for
+#: unit tests; ``View``/``SubqueryAlias`` wrap temp-view reads.
+_SPREAD_SAFE_NODES = (
+    "Relation",
+    "LogicalRelation",
+    "Project",
+    "Filter",
+    "SubqueryAlias",
+    "View",
+    "Range",
+)
+
+
+def _assert_bare_scan(df: DataFrame) -> None:
+    """Raise unless ``df``'s analyzed plan is a bare (narrow) scan.
+
+    Guards spread()'s ``df.rdd`` partition probe: under AQE that probe
+    EXECUTES any upstream shuffle stages as a side-effect job, so only
+    scan-shaped inputs (where the probe is planning-only) are legal.
+    """
+    tree = df._jdf.queryExecution().analyzed().toString()
+    for line in tree.splitlines():
+        node = line.lstrip(" :+-").split(" ", 1)[0].split("[", 1)[0]
+        if node and not node.startswith(_SPREAD_SAFE_NODES):
+            raise ValueError(
+                "spread() requires a freshly-loaded scan (its partition "
+                "probe would eagerly execute upstream shuffles under "
+                f"AQE); got a plan containing {node!r}:\n{tree}"
+            )

@@ -163,3 +163,25 @@ def test_t_memoizes_metadata_and_invalidates_on_rewrite(spark, tmp_path):
     df2 = registry.t(spark, sf_dir, "part")
     assert df2 is not df1  # stat change invalidated the memo
     assert df2.count() == 5  # fresh read reflects the rewrite
+
+
+def test_tcache_is_bounded(spark, tmp_path, monkeypatch):
+    """r18 (r17 ADVICE): the t() metadata memo FIFO-evicts past
+    _TCACHE_MAX so a long-lived process cycling sessions/tables can't
+    accumulate JVM-backed frames forever; evicted entries simply
+    re-read footers on the next call (still correct)."""
+    import time
+
+    monkeypatch.setattr(registry, "_TCACHE_MAX", 4)
+    sf_dir = str(tmp_path)
+    path = f"{sf_dir}/part.parquet"
+    n_writes = 7
+    for i in range(n_writes):
+        spark.range(i + 1).toDF("p_partkey").write.mode(
+            "overwrite"
+        ).parquet(path)
+        registry.t(spark, sf_dir, "part")
+        time.sleep(0.005)  # distinct mtime_ns per rewrite
+    assert len(registry._TCACHE) <= 4
+    # an evicted entry re-loads on demand (fresh object, correct rows)
+    assert registry.t(spark, sf_dir, "part").count() == n_writes

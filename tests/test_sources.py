@@ -383,37 +383,60 @@ def test_profile_output_files_detects_small_files(spark, tmp_path):
     assert prof2["compaction_recommended"] is False
 
 
-def test_spread_widens_narrow_scans_only(spark):
-    """r10: spread() repartitions a below-parallelism frame to the
+def test_spread_widens_narrow_scans_only(spark, tmp_path):
+    """r10: spread() repartitions a below-parallelism scan to the
     session core count and is an exact no-op (same plan object) on
-    frames that are already wide enough."""
+    scans that are already wide enough (min_parts=1 makes any scan
+    'wide enough')."""
     from drive_bc_datapipeline_spark.tables import spread
 
-    narrow = spark.range(100).coalesce(1)
+    out1 = str(tmp_path / "one_file.parquet")
+    spark.range(100).coalesce(1).write.parquet(out1)
+    narrow = spark.read.parquet(out1)
     wide_n = spark.sparkContext.defaultParallelism
     out = spread(narrow)
     assert out.rdd.getNumPartitions() == wide_n
     assert sorted(r["id"] for r in out.collect()) == list(range(100))
-
-    wide = spark.range(100).repartition(wide_n)
-    assert spread(wide) is wide  # no exchange added
-    assert spread(narrow, min_parts=1) is narrow
+    assert spread(narrow, min_parts=1) is narrow  # probe-only: no-op
 
 
-def test_spread_by_hash_partitions_without_row_sort(spark):
+def test_spread_by_hash_partitions_without_row_sort(spark, tmp_path):
     """r11: spread(by=<id col>) hash-partitions instead of round-robin
     — same rows, same target width, but the plan carries
     hashpartitioning (no pre-exchange local row sort) and co-locates
-    equal keys; a wide frame is still an exact no-op."""
+    equal keys; a wide-enough scan is still an exact no-op."""
     from drive_bc_datapipeline_spark.tables import spread
 
-    narrow = spark.range(100).coalesce(1)
+    out1 = str(tmp_path / "one_file_by.parquet")
+    spark.range(100).coalesce(1).write.parquet(out1)
+    narrow = spark.read.parquet(out1)
     wide_n = spark.sparkContext.defaultParallelism
     out = spread(narrow, by="id")
     assert out.rdd.getNumPartitions() == wide_n
     assert sorted(r["id"] for r in out.collect()) == list(range(100))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(id" in plan, plan
+    assert spread(narrow, min_parts=1, by="id") is narrow
 
-    wide = spark.range(100).repartition(wide_n)
-    assert spread(wide, by="id") is wide  # probe-only on wide frames
+
+def test_spread_rejects_non_scan_inputs(spark):
+    """r18 (r17 verdict Next #7): spread()'s ``.rdd`` partition probe
+    eagerly executes upstream shuffle stages under AQE, so the
+    freshly-loaded-scan contract is now enforced — a frame with a
+    repartition, aggregate, or join upstream raises instead of
+    triggering a hidden job. Narrow scan shapes (project/filter over a
+    relation or range) stay legal."""
+    import pytest
+
+    from drive_bc_datapipeline_spark.tables import spread
+
+    base = spark.range(100)
+    # narrow scan shapes pass the guard (probe-only, no-op)
+    spread(base.select("id").filter("id >= 0"), min_parts=1)
+    # anything carrying an exchange-producing operator raises
+    with pytest.raises(ValueError, match="freshly-loaded scan"):
+        spread(base.repartition(4))
+    with pytest.raises(ValueError, match="freshly-loaded scan"):
+        spread(base.groupBy("id").count())
+    with pytest.raises(ValueError, match="freshly-loaded scan"):
+        spread(base.crossJoin(base.withColumnRenamed("id", "id2")))
