@@ -265,76 +265,112 @@ def train_hashed_linear(
         )
     _check_n_gram(n_gram)
     toks = word_grams(text_col, use_bigrams=n_gram == 2)
-    # per-doc label + token count (token-less docs kept: bias-only)
-    docs = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(label_col).cast("double").alias("__y"),
-        F.size(toks).alias("__nt"),
-    ).localCheckpoint(eager=True)
-    # one validation job: NULL ids would silently vanish from every
-    # equi-join below while still counting in the gradient divisor n;
-    # non-binary labels break the logistic math
-    checks = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            (
-                F.col("__y").isNull() | ~F.col("__y").isin(0.0, 1.0)
-            ).cast("int")
-        ).alias("bad_y"),
-        F.sum(F.col("__id").isNull().cast("int")).alias("bad_id"),
-    ).collect()[0]
-    if checks["bad_y"]:
-        raise ValueError(
-            f"{checks['bad_y']} rows have labels outside {{0, 1}}: "
-            "train_hashed_linear fits a binary logistic model"
-        )
-    if checks["bad_id"]:
-        raise ValueError(
-            f"{checks['bad_id']} rows have a NULL {id_col}: they would "
-            "drop out of every feature join while still inflating the "
-            "gradient divisor"
-        )
-    n = checks["n"]
-    if not n:
-        raise ValueError("train_hashed_linear needs a non-empty corpus")
-    # sparse normalized features + the per-doc bias row (bucket -1,
-    # x 1.0): ONE text scan, reused every round
-    feats = (
+    # per-doc label + token count (token-less docs kept: bias-only).
+    # r18: the training frames are hash-partitioned by __id and
+    # CACHED instead of localCheckpoint'd — every one of the n_rounds
+    # gradient plans keys its logits groupBy and both residual joins
+    # on __id, and cache() (unlike localCheckpoint, which drops
+    # partitioning info from the restored LogicalRDD) preserves the
+    # repartition layout, so each round pays ONE exchange (the final
+    # groupBy(bucket)) instead of three (guide §2.4: operations keyed
+    # the same way share one exchange). The cached frames are
+    # unpersisted in the finally below — nothing outlives the call.
+    docs = (
         df.select(
-            F.col(id_col).alias("__id"), F.explode(toks).alias("tok")
+            F.col(id_col).alias("__id"),
+            F.col(label_col).cast("double").alias("__y"),
+            F.size(toks).alias("__nt"),
         )
-        .select(
-            "__id", hash_bucket(F.col("tok"), n_buckets).alias("bucket")
-        )
-        .groupBy("__id", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .join(docs.select("__id", "__nt"), "__id")
-        .select(
-            "__id",
-            "bucket",
-            (F.col("cnt") / F.col("__nt")).alias("x"),
-        )
-        .unionByName(
-            docs.select(
-                "__id",
-                F.lit(-1).alias("bucket"),
-                F.lit(1.0).alias("x"),
-            )
-        )
-        .localCheckpoint(eager=True)
+        .repartition(F.col("__id"))
+        .cache()
     )
-    model: dict[int, float] = {-1: 0.0}  # -1 = bias
-    for _round in range(n_rounds):
-        wdf = spark.createDataFrame(
-            [(b, w) for b, w in sorted(model.items())],
-            "bucket int, weight double",
+    feats = None
+    try:
+        # one validation job: NULL ids would silently vanish from every
+        # equi-join below while still counting in the gradient divisor
+        # n; non-binary labels break the logistic math
+        checks = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.col("__y").isNull() | ~F.col("__y").isin(0.0, 1.0)
+                ).cast("int")
+            ).alias("bad_y"),
+            F.sum(F.col("__id").isNull().cast("int")).alias("bad_id"),
+        ).collect()[0]
+        if checks["bad_y"]:
+            raise ValueError(
+                f"{checks['bad_y']} rows have labels outside {{0, 1}}: "
+                "train_hashed_linear fits a binary logistic model"
+            )
+        if checks["bad_id"]:
+            raise ValueError(
+                f"{checks['bad_id']} rows have a NULL {id_col}: they "
+                "would drop out of every feature join while still "
+                "inflating the gradient divisor"
+            )
+        n = checks["n"]
+        if not n:
+            raise ValueError("train_hashed_linear needs a non-empty corpus")
+        # sparse normalized features + the per-doc bias row (bucket -1,
+        # x 1.0): ONE text scan, reused every round — cached on the
+        # __id layout (see docs above) so the per-round plans need no
+        # re-exchange of the corpus-sized relation.
+        feats = (
+            df.select(
+                F.col(id_col).alias("__id"), F.explode(toks).alias("tok")
+            )
+            .select(
+                "__id", hash_bucket(F.col("tok"), n_buckets).alias("bucket")
+            )
+            .groupBy("__id", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .join(docs.select("__id", "__nt"), "__id")
+            .select(
+                "__id",
+                "bucket",
+                (F.col("cnt") / F.col("__nt")).alias("x"),
+            )
+            .unionByName(
+                docs.select(
+                    "__id",
+                    F.lit(-1).alias("bucket"),
+                    F.lit(1.0).alias("x"),
+                )
+            )
+            .repartition(F.col("__id"))
+            .cache()
         )
-        grad_rows = _gradient_frame(feats, docs, wdf).collect()
-        for row in grad_rows:
-            b = int(row["bucket"])
-            w = model.get(b, 0.0)
-            reg = 0.0 if b == -1 else l2 * w  # bias unregularized
-            model[b] = w - lr * (float(row["g"]) / n + reg)
+        # The per-round plan reads two CACHED, pre-partitioned
+        # relations and a broadcast model — AQE's stage-by-stage
+        # re-optimization has nothing to improve there and its
+        # per-query-stage scheduling adds ~25% to each of the n_rounds
+        # sequential jobs (r18 A/B: 5 rounds 2.5s on / 2.0s off,
+        # interleaved twice). Scope the toggle to the round loop and
+        # restore unconditionally.
+        aqe_orig = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            model: dict[int, float] = {-1: 0.0}  # -1 = bias
+            for _round in range(n_rounds):
+                wdf = spark.createDataFrame(
+                    [(b, w) for b, w in sorted(model.items())],
+                    "bucket int, weight double",
+                )
+                grad_rows = _gradient_frame(feats, docs, wdf).collect()
+                for row in grad_rows:
+                    b = int(row["bucket"])
+                    w = model.get(b, 0.0)
+                    reg = 0.0 if b == -1 else l2 * w  # bias unregularized
+                    model[b] = w - lr * (float(row["g"]) / n + reg)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_orig)
+    finally:
+        # unpersist on EVERY exit (including the validation raises
+        # above) so no invocation leaves CacheManager entries behind
+        docs.unpersist()
+        if feats is not None:
+            feats.unpersist()
     bias = model.pop(-1)
     return model, bias
 

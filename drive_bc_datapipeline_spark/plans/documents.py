@@ -200,6 +200,7 @@ def _verify_jaccard(
     hash_col: str | None = None,
     cand_docs: DataFrame | None = None,
     pin_cand: bool = True,
+    spread_cand: bool = False,
 ) -> DataFrame:
     """Verify candidate pairs with exact Jaccard via per-doc hash sets.
 
@@ -241,6 +242,22 @@ def _verify_jaccard(
     # CacheManager for the whole session (one leaked cached plan per
     # invocation), while checkpoint blocks are freed by the
     # ContextCleaner when the returned DataFrame is garbage-collected.
+    if spread_cand:
+        # The verification stage below is CPU-bound (array_intersect
+        # per pair) but its input is BYTES-tiny, so AQE coalesces the
+        # candidate layout to a handful of partitions and the intersect
+        # runs nearly serial (r18 profile: 4 tasks, taskMax 1.07s of a
+        # 4.2s key). Hash-repartition to the session's parallelism
+        # INSIDE the pinned job (r17 entry 9b measured the same
+        # repartition AFTER the checkpoint as a losing extra barrier) —
+        # the exchange moves only (id, id) longs and the pinned layout
+        # then drives the verify stage at full width. defaultParallelism
+        # scales with the cluster, not a local constant.
+        cand = cand.repartition(
+            cand.sparkSession.sparkContext.defaultParallelism,
+            "doc_id_a",
+            "doc_id_b",
+        )
     if pin_cand or cand_docs is None:
         cand = cand.localCheckpoint(eager=True)
     if cand_docs is None:
@@ -354,17 +371,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_id_a", "p.doc_id_b")
         .distinct()
     )
-    # r18 A/B knob (temporary): v1 = r17 shape (cand pinned, cand_docs
-    # derived from it); v2 = cand_docs from the rare screen (every doc
-    # holding a rare shingle IS in some pair: df>=2 pairs it with
-    # another holder, and every pair comes from a rare shingle — the
-    # sets are equal), cand UNPINNED (one fewer checkpoint barrier);
-    # v3 = cand_docs from rare, cand still pinned.
-    import os as _os
-
-    variant = _os.environ.get("SPARK_GRAFT_NGRAM_VARIANT", "v1")
-    if variant == "v1":
-        return _verify_jaccard(shingles, cand, JACCARD_MIN, hash_col="h")
+    # r18 replan (verdict Next #3), two independent moves A/B'd
+    # together and apart (OPTIMIZATION_r18.md entry 2):
+    # (a) cand_docs comes from the rare screen instead of from cand —
+    #     every doc holding a rare shingle IS in some candidate pair
+    #     (df>=2 pairs it with another holder, and every pair comes
+    #     from a rare shingle: the sets are equal), so the docsets
+    #     subtree no longer re-reads the pinned cand through two
+    #     projections + a union-distinct;
+    # (b) spread_cand: the pinned candidate layout is re-widened
+    #     inside the pin job so the CPU-bound array_intersect verify
+    #     stage stops running on ~4 AQE-byte-coalesced partitions
+    #     (r18 profile: taskMax 1.07s of a 4.2s key on 32 cores).
+    # Rows identical at sf0.001/sf0.01/sf0.1 (exceptAll both ways = 0);
+    # GATE_PIN 18.
     cdocs = (
         shingles.join(F.broadcast(rare), "h", "left_semi")
         .select("doc_id")
@@ -376,7 +396,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         JACCARD_MIN,
         hash_col="h",
         cand_docs=cdocs,
-        pin_cand=(variant == "v3"),
+        pin_cand=True,
+        spread_cand=True,
     )
 
 

@@ -131,6 +131,7 @@ def test_bpe_segment_matches_sequential_replay(spark):
         assert seg[doc_id] == (want, len(want)), doc_id
 
 
+@pytest.mark.slow
 def test_bpe_random_corpora_property(spark):
     """Property check (derandomized, Spark round-trip per example so
     the example count stays small): on random small corpora over a

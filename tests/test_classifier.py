@@ -173,6 +173,7 @@ def test_train_bit_matches_sequential_reference(spark):
         assert abs(got_w[b] - w) < 1e-9, b
 
 
+@pytest.mark.slow
 def test_trained_model_scores_through_e7_and_separates(spark):
     """Round-trip (r12 verdict Next #3): the trained weights feed
     score_hashed_linear verbatim, reproduce the reference's scores,
@@ -286,6 +287,7 @@ def test_train_round_is_broadcast_and_no_python_udf(spark):
         assert abs(got[b] - want[b]) < 1e-12, b
 
 
+@pytest.mark.slow
 def test_train_random_corpora_property(spark):
     """Property check (derandomized, the BPE/H46 pattern): on random
     small corpora with random binary labels — hash collisions, empty
@@ -331,6 +333,7 @@ def test_train_random_corpora_property(spark):
     check()
 
 
+@pytest.mark.slow
 def test_curation_loop_composes_train_score_filter(spark):
     """The E9→E7 seam, composed (the tokenizer-chain pattern): train
     on labeled seeds, score an unlabeled corpus mixing both
@@ -457,6 +460,7 @@ def test_pr_curve_all_negative_and_guards(spark):
             classifier_pr_curve(bad)
 
 
+@pytest.mark.slow
 def test_pr_curve_composes_with_train_and_score(spark):
     """Full loop: train on seeds (E9), score a labeled eval set (E7),
     pick the best-f1 threshold from the curve (E10), and the implied
@@ -814,6 +818,7 @@ def test_calibrated_threshold_to_raw_inverts_the_step(spark):
         calibrated_threshold_to_raw(table, 0.5, n_bins=8)  # 11 >= 8
 
 
+@pytest.mark.slow
 def test_calibration_composes_with_trained_model(spark):
     """E9 -> E11 seam: calibrate a REAL trained model's seed scores,
     apply to a corpus — calibrated values must be probabilities,
@@ -1125,6 +1130,7 @@ def test_train_bigram_features_bit_match(spark):
         assert abs(got_w[b] - w) < 1e-9, b
 
 
+@pytest.mark.slow
 def test_bigram_features_separate_token_order(spark):
     """The r15 verdict's planted A/B: positive and negative classes
     with IDENTICAL unigram multisets that differ only in token order.
@@ -1181,6 +1187,7 @@ def test_n_gram_guard(spark):
         score_hashed_linear(spark, df, {0: 1.0}, n_gram=0)
 
 
+@pytest.mark.slow
 def test_curation_manifest_records_n_gram(spark, tmp_path):
     """The n_gram knob rides the curation manifest (the curve_bins
     convention: a scorer at the wrong order reads a drifted feature

@@ -24,6 +24,8 @@ Composed invariants:
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from drive_bc_datapipeline_spark.operators.classifier import (
@@ -153,6 +155,7 @@ def _run_chain(spark):
     }
 
 
+@pytest.mark.slow
 def test_curation_chain_composes_end_to_end(spark):
     run = _run_chain(spark)
 
@@ -190,6 +193,7 @@ def test_curation_chain_composes_end_to_end(spark):
     assert again["shuffled"] == run["shuffled"]
 
 
+@pytest.mark.slow
 def test_run_curation_pipeline_job(spark, tmp_path):
     """The K7-style operational wrapper: one call runs the whole
     chain and writes selected/ + manifest. Reruns must reproduce the
@@ -278,6 +282,7 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+@pytest.mark.slow
 def test_build_curation_frames_scores_corpus_once(spark):
     """The r14 re-scan pin (the r7 FileScan-audit discipline applied
     to the orchestration layer): the corpus-scoring subtree — its
@@ -330,6 +335,7 @@ def test_build_curation_frames_scores_corpus_once(spark):
     assert got_sel == expected
 
 
+@pytest.mark.slow
 def test_curation_calibrated_gate_collapses_to_raw_predicate(spark):
     """The E11 wiring seam (r13 verdict Next #3): with
     ``calibrate=True`` the threshold is selected on CALIBRATED
@@ -377,6 +383,7 @@ def test_curation_calibrated_gate_collapses_to_raw_predicate(spark):
     assert kept == set(range(60, 180))
 
 
+@pytest.mark.slow
 def test_run_curation_pipeline_calibrated_manifest(spark, tmp_path):
     """calibrate=True records the isotonic table and its ECE/MCE/
     Brier audit in the manifest, and the run stays reproducible."""
@@ -427,6 +434,7 @@ def test_run_curation_pipeline_calibrated_manifest(spark, tmp_path):
     assert rows1 == rows2
 
 
+@pytest.mark.slow
 def test_run_curation_pipeline_scrubs_pii(spark, tmp_path):
     """scrub=True redacts PII before the gate ever sees the text, so
     the selected output carries the scrubbed corpus and the manifest
@@ -468,6 +476,7 @@ def test_run_curation_pipeline_scrubs_pii(spark, tmp_path):
             assert not re.search(pat, r["text"]), (r["doc_id"], r["text"])
 
 
+@pytest.mark.slow
 def test_held_out_threshold_selection_diverges(spark, tmp_path):
     """r15 (r13 ADVICE / r14 verdict Next #3): threshold selection on
     a held-out seed set. A skewed validation frame — hard negatives
@@ -516,6 +525,7 @@ def test_held_out_threshold_selection_diverges(spark, tmp_path):
         assert disk[key] == m[key], key
 
 
+@pytest.mark.slow
 def test_val_frac_split_is_deterministic_and_guarded(spark, tmp_path):
     """val_frac splits the seeds on the documented seed+4 hash
     stream: reruns reproduce the same threshold and precisions, the
@@ -581,6 +591,7 @@ def test_val_frac_split_is_deterministic_and_guarded(spark, tmp_path):
     assert m3["precision_train"] is not None
 
 
+@pytest.mark.slow
 def test_run_staged_curation_composes(spark, tmp_path):
     """r15 (r14 verdict Next #5): prefilter → gate → DSIR as ONE
     staged job on the real documents table — the kept/ parquet
@@ -646,6 +657,7 @@ def test_run_staged_curation_composes(spark, tmp_path):
     assert sel_ids <= kept_ids and len(sel_ids) == 30
 
 
+@pytest.mark.slow
 def test_run_staged_curation_scrubs_once(spark, tmp_path):
     """scrub=True composes at the STAGED level: the A8 scrub is
     non-idempotent (a redaction placeholder matches the digit-run
@@ -731,6 +743,7 @@ def test_staged_curation_validates_args_before_stage_one(spark, tmp_path):
         assert not os.path.exists(os.path.join(out, "prefilter")), kwargs
 
 
+@pytest.mark.slow
 def test_staged_curation_threads_n_gram(spark, tmp_path):
     """Review catch (r16): run_staged_curation exposed the classifier
     knobs but not n_gram, so a staged run could never use the bigram

@@ -338,6 +338,7 @@ def test_validation_errors(spark, fitted):
         ).collect()
 
 
+@pytest.mark.slow
 def test_dsir_random_corpora_property(spark):
     """Derandomized property check (the H44/H46 house pattern): on
     random target/raw corpora — OOV-ish grams, empty and NULL texts,

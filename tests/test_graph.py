@@ -105,6 +105,7 @@ def _union_find_reference(edges):
     return {v: find(v) for v in parent}
 
 
+@pytest.mark.slow
 def test_random_graphs_match_union_find(spark):
     """Distributed min-label propagation must equal a sequential
     union-find on arbitrary graphs (stars, cycles, chains, islands) —
@@ -161,6 +162,7 @@ def test_lsss_disjoint_and_self_loops(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+@pytest.mark.slow
 def test_lsss_matches_naive_on_random_graphs(spark):
     import random
 
@@ -301,6 +303,7 @@ def test_census_empty_graph(spark):
     assert got["global_clustering"] == 0.0
 
 
+@pytest.mark.slow
 def test_random_graphs_match_bruteforce_triangles(spark):
     """triangle_census must equal an O(n³) reference census on seeded
     random graphs (same one-Spark-job-per-example rationale as the
@@ -391,6 +394,7 @@ def _lpa_reference(edge_list, n_iter):
     return lab
 
 
+@pytest.mark.slow
 def test_label_propagation_matches_reference_on_random_graphs(spark):
     """12 seeded random weighted graphs (self-loops and parallel edges
     included) must match the sequential reference exactly — the sync

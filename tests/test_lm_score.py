@@ -922,6 +922,7 @@ def test_ngram_chain_scores_match_sequential(spark, lm):
             assert got0[i] == pytest.approx(ug_nll, abs=1e-9), (k, i)
 
 
+@pytest.mark.slow
 def test_wrappers_delegate_to_the_chain(spark, lm, bg_lm, tg_lm):
     """The order-2/3 scorers are THIN wrappers over the generic chain
     (the r16 near-copies are deleted): bit-identical outputs."""
@@ -965,6 +966,7 @@ def test_wrappers_delegate_to_the_chain(spark, lm, bg_lm, tg_lm):
         assert via_wrap3[i] == pytest.approx(via_chain3[i], rel=1e-12)
 
 
+@pytest.mark.slow
 def test_order4_separates_trigram_preserving_reorder(spark):
     """The r16 verdict's planted A/B one order up: same first bigram,
     same TRIGRAM multiset (orders 1-3 provably blind), only the
@@ -1019,6 +1021,7 @@ def test_order4_separates_trigram_preserving_reorder(spark):
     assert kept == list(range(6))
 
 
+@pytest.mark.slow
 def test_order5_separates_fourgram_preserving_reorder(spark):
     """KenLM-5 parity: same first trigram, same 4-GRAM multiset
     (orders 1-4 provably blind), only order 5 separates."""

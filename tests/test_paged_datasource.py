@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import json
 
 
@@ -19,6 +21,7 @@ def _write_pages(tmp_path, n_pages=6, rows_per_page=5):
     return str(d)
 
 
+@pytest.mark.slow
 def test_paged_source_reads_all_pages_in_parallel(spark, tmp_path):
     from drive_bc_datapipeline_spark.sources.paged_api import (
         PagedJsonDataSource,

@@ -253,6 +253,7 @@ def test_rules_plan_is_pure_codegen(spark):
         assert bad not in plan, f"{bad} in the rules plan:\n{plan}"
 
 
+@pytest.mark.slow
 def test_staged_curation_with_rule_screen(spark, tmp_path):
     """rules=True composes as stage 0 of the staged job: the funnel
     lands in the manifest, the reconciliation holds, and the final
@@ -522,6 +523,7 @@ def test_c4_line_level_sentences(spark):
     assert relaxed[2]  # the 1-word "Yes." lines now count as prose
 
 
+@pytest.mark.slow
 def test_staged_curation_with_c4_config(spark, tmp_path):
     """{"c4": True} in rules_config turns the combined screen on with
     zero job-surface changes; the funnel carries the C4 counts."""
@@ -721,6 +723,7 @@ def test_ccnet_prefilter_with_rule_screen(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_curation_pipeline_with_rule_screen(spark, tmp_path):
     """Stage 0 in the standalone curation job: the gate trains and
     scores only rule survivors, the selection never contains a

@@ -480,6 +480,7 @@ def test_curation_gate_crash_replay_protocol(spark, tmp_path):
     assert sp.read_committed(spark, sink).count() == 6
 
 
+@pytest.mark.slow
 def test_curation_gate_stream_calibrated_handoff(spark, tmp_path):
     """The documented batch→stream handoff, end to end: train on
     seeds, calibrate (E11), select the threshold on CALIBRATED
@@ -702,6 +703,7 @@ def test_ccnet_gate_writer_replay_and_guards(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_ccnet_gate_writer_bigram_arm(spark, tmp_path):
     """The order-2 arm: the writer scores under the bigram LM when
     given one, and the kept set matches the batch lm_order=2 job."""
@@ -779,6 +781,7 @@ def test_ccnet_gate_writer_probes_model_once(spark, tmp_path, monkeypatch):
     assert calls == {"oov": 1, "stats": 0}  # ...and never again
 
 
+@pytest.mark.slow
 def test_staged_gate_stream_matches_batch_prefix(spark, tmp_path):
     """J13: the staged gate stream (CCNet cut → classifier gate) ==
     running the batch prefilter then the batch classifier gate on the
@@ -934,6 +937,7 @@ def test_staged_gate_stream_matches_batch_prefix(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_staged_gate_writer_replay_protocol(spark, tmp_path):
     """The J10 replay protocol through the STAGED writer (review
     catch — it had only been driven through the single-gate
@@ -1028,6 +1032,7 @@ def test_gate_stream_lm_order_guard(spark, tmp_path):
             start(lm_order=7)
 
 
+@pytest.mark.slow
 def test_staged_gate_writer_releases_prefiltered_storage(spark, tmp_path):
     """r15 ADVICE: the staged writer's per-batch prefiltered pin is
     RELEASED after the commit — a long-running stream must not
@@ -1076,6 +1081,7 @@ def test_staged_gate_writer_releases_prefiltered_storage(spark, tmp_path):
     assert sp.read_committed(spark, sink).count() > 0
 
 
+@pytest.mark.slow
 def test_curation_gate_writer_n_gram_arm(spark, tmp_path):
     """r16 (Next #5): the gate writer threads n_gram to the scorer —
     on the planted token-order classes the n_gram=2 gate separates
@@ -1145,6 +1151,7 @@ def _rotation_fixtures(spark):
     return w, b, docs
 
 
+@pytest.mark.slow
 def test_gate_model_swap_at_batch_boundary(spark, tmp_path):
     """The r15 verdict's Done criterion: an in-flight sink picks up
     v2 at exactly one batch boundary — batches written before the
@@ -1192,6 +1199,7 @@ def test_gate_model_swap_at_batch_boundary(spark, tmp_path):
     ) == kept_v1
 
 
+@pytest.mark.slow
 def test_gate_model_version_resolved_once_per_batch(spark, tmp_path, monkeypatch):
     """The pointer read happens once per micro-batch (after the
     replay-marker probe — a replayed batch never reads it), and the
@@ -1233,6 +1241,7 @@ def test_gate_model_version_resolved_once_per_batch(spark, tmp_path, monkeypatch
     assert reads["n"] == 3 and builds["n"] == 2  # rebuild per version
 
 
+@pytest.mark.slow
 def test_gate_model_publish_and_guards(spark, tmp_path):
     import pytest
 
@@ -1264,6 +1273,7 @@ def test_gate_model_publish_and_guards(spark, tmp_path):
     assert {int(k): v for k, v in m2["weights"].items()} == w
 
 
+@pytest.mark.slow
 def test_versioned_gate_stream_end_to_end(spark, tmp_path):
     """The real-stream plumbing: a versioned J14 stream drains a
     backlog under CURRENT and stamps every kept row."""
@@ -1284,6 +1294,7 @@ def test_versioned_gate_stream_end_to_end(spark, tmp_path):
     assert all(r["score"] >= 0.6 for r in rows)  # both audit columns
 
 
+@pytest.mark.slow
 def test_gate_manifest_validates_n_gram_at_build(spark, tmp_path):
     """Review catch: a bad feature order in a published manifest must
     fail when the version is first RESOLVED (once), not at the first
@@ -1366,6 +1377,7 @@ def test_ccnet_gate_writer_trigram_arm(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_staged_gate_writer_trigram_arm(spark, tmp_path):
     """The staged (J13) writer composes the order-3 prefilter with
     the classifier gate: kept set == batch prefilter(lm_order=3) then
@@ -1609,6 +1621,7 @@ def test_ccnet_prefilter_publishes_gate_model(spark, tmp_path):
     assert got == batch_kept
 
 
+@pytest.mark.slow
 def test_versioned_staged_gate_rotation(spark, tmp_path):
     """Both halves of the staged gate rotate TOGETHER: v1 (order-1
     prefilter + lenient classifier cut) and v2 (order-3 prefilter +
@@ -1698,6 +1711,7 @@ def test_versioned_staged_gate_rotation(spark, tmp_path):
     assert all(r["model_version"] == 2 for r in got)
 
 
+@pytest.mark.slow
 def test_curation_pipeline_publishes_gate_model(spark, tmp_path):
     """run_curation_pipeline(publish_model_dir=...) publishes the
     trained classifier gate: the versioned J14 stream applies exactly
@@ -1746,6 +1760,7 @@ def test_curation_pipeline_publishes_gate_model(spark, tmp_path):
     assert got == [0, 1, 2]  # the gate's own cut, through the manifest
 
 
+@pytest.mark.slow
 def test_staged_curation_publishes_combined_model(spark, tmp_path):
     """run_staged_curation(publish_model_dir=...) publishes BOTH gate
     halves as one version — fit-once guaranteed by the tables
@@ -1798,6 +1813,7 @@ def test_staged_curation_publishes_combined_model(spark, tmp_path):
     assert all(r["model_version"] == 1 for r in rows)
 
 
+@pytest.mark.slow
 def test_staged_gate_rules_config_published_and_applied(spark, tmp_path):
     """r17 (the r16 ADVICE divergence): a staged job run with
     rules=True publishes its stage-0 screen in the manifest, and the

@@ -22,6 +22,8 @@ id-encode → shard-pack → manifest and the COMPOSED invariants hold —
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from drive_bc_datapipeline_spark.operators.bpe import (
@@ -90,6 +92,7 @@ def _run_chain(spark, train_docs):
     return merges, seg, vocab, report, idt, enc, shards
 
 
+@pytest.mark.slow
 def test_tokenizer_chain_composes_end_to_end(spark):
     train_docs = (
         spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
