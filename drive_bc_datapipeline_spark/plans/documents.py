@@ -371,34 +371,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_id_a", "p.doc_id_b")
         .distinct()
     )
-    # r18 replan (verdict Next #3), two independent moves A/B'd
-    # together and apart (OPTIMIZATION_r18.md entry 2):
-    # (a) cand_docs comes from the rare screen instead of from cand —
-    #     every doc holding a rare shingle IS in some candidate pair
-    #     (df>=2 pairs it with another holder, and every pair comes
-    #     from a rare shingle: the sets are equal), so the docsets
-    #     subtree no longer re-reads the pinned cand through two
-    #     projections + a union-distinct;
-    # (b) spread_cand: the pinned candidate layout is re-widened
-    #     inside the pin job so the CPU-bound array_intersect verify
-    #     stage stops running on ~4 AQE-byte-coalesced partitions
-    #     (r18 profile: taskMax 1.07s of a 4.2s key on 32 cores).
-    # Rows identical at sf0.001/sf0.01/sf0.1 (exceptAll both ways = 0);
-    # GATE_PIN 18.
-    cdocs = (
-        shingles.join(F.broadcast(rare), "h", "left_semi")
-        .select("doc_id")
-        .distinct()
-    )
-    return _verify_jaccard(
-        shingles,
-        cand,
-        JACCARD_MIN,
-        hash_col="h",
-        cand_docs=cdocs,
-        pin_cand=True,
-        spread_cand=True,
-    )
+    # r18 (verdict Next #3): a two-part replan was built, A/B'd and
+    # REVERTED — recorded so the next round doesn't re-derive it.
+    # (a) cand_docs from the rare screen (provably the same doc set:
+    #     df>=2 pairs every rare-shingle holder, and every pair comes
+    #     from a rare shingle) + (b) spread_cand (re-widen the pinned
+    #     candidate layout inside the pin job so the array_intersect
+    #     verify stage runs 32-wide instead of on ~4 AQE-coalesced
+    #     partitions; profile showed verify taskMax 1.07s of a 4.2s
+    #     key). Rows verified oracle-identical at sf0.001/0.01/0.1 and
+    #     the interleaved A/B read it −12% — but that A/B ran under
+    #     external CPU-steal (load 3–7), and THREE subsequent tracked
+    #     full-bench runs read the key consistently WORSE (5.03/4.73/
+    #     5.32 vs the 4.28 opening record) with its pair-memo graph
+    #     consumers dragged along: deriving cand_docs upstream makes
+    #     the docsets pin job recompute the rare aggregate that the
+    #     cand pin job already computes (rare runs twice per build),
+    #     which costs more than the union-distinct it saves, and the
+    #     wider verify stage doesn't pay for the extra exchange at
+    #     this candidate volume. The helper knobs (cand_docs/pin_cand/
+    #     spread_cand, default-off) stay for a quieter-box retest.
+    return _verify_jaccard(shingles, cand, JACCARD_MIN, hash_col="h")
 
 
 # --------------------------------------------------------------------------

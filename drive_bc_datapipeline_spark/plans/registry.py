@@ -67,9 +67,7 @@ GATE_WINDOW = 50
 #: hand — expired pins are inert and document the re-verification.
 GATE_PIN: dict[str, int] = {
     # round-7 plan changes that must earn a fresh green row:
-    # (dedup_ngram_jaccard was pinned at 7 here — verification replan,
-    # size-bound prefilter; superseded by its r18 re-pin below, one
-    # literal per key):
+    "dedup_ngram_jaccard": 7,  # verification replan (size-bound prefilter)
     "mmr_diversified_topk": 7,  # empty-pool guard in the greedy loop
     # round-7 memoized pair-input rewire (materialized intermediate):
     "dedup_connected_components": 7,
@@ -216,15 +214,10 @@ GATE_PIN: dict[str, int] = {
     # per-round localCheckpoint in the peel loop (plan was growing
     # quadratically with rounds — ~110 exchanges for 3 rounds):
     "kcore_peeling": 17,
-    # round-18 OPTIMIZATION replan (results oracle-identical, plan
-    # changed — must earn a fresh green row): candidate-doc set
-    # derived from the rare screen instead of from the pinned cand,
-    # and the pinned candidate layout re-widened inside the pin job
-    # so the array_intersect verify stage runs at full parallelism.
-    # The key's expired r7 pin (verification replan, size-bound
-    # prefilter) moved into a comment at the top of this dict — one
-    # literal per key:
-    "dedup_ngram_jaccard": 18,
+    # (r18 note: a dedup_ngram_jaccard verification replan was built,
+    # gate-pinned here at 18, then REVERTED after three tracked bench
+    # runs read it consistently slower — see the comment at the key's
+    # plan; no r18 pin ships because the shipped plan is the r17 one.)
 }
 
 
